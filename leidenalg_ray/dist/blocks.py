@@ -1,0 +1,173 @@
+"""Hash-partitioned CSR edge blocks — the graph-state substrate
+(SURVEY.md §1.3, §4.3.1).
+
+Partitioning key: ``part(v) = v % P``, ``local(v) = v // P`` over
+contiguous int64 vids. Edges live in the block of their *source*
+partition, so a superstep's gather reads source-vertex state
+partition-locally; messages shuffle to destination partitions.
+
+Each block is a dict of numpy arrays pinned in the Ray object store
+(zero-copy reads from every task on the node; on a multi-node cluster
+the same refs transfer once per node):
+
+- ``src_local``: local id of the source vertex per edge
+- ``dst_part`` / ``dst_local``: destination partition + local id
+- ``weight``: float64
+- ``order``: edges sorted by (dst_part) so per-destination slices are
+  contiguous (one ``np.searchsorted`` per target partition instead of a
+  boolean mask scan)
+
+Skew note (SURVEY.md §4.3.3): a hub's out-edges stay in one block but
+messages pre-aggregate *inside the task* by destination local id before
+they shuffle, so a high-degree vertex contributes O(#distinct dst per
+block) message rows, not O(degree). Community-side skew is handled the
+same way in the Leiden kernel (per-block partial aggregation on comm).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+
+def part_of(v, P):
+    return v % P
+
+
+def local_of(v, P):
+    return v // P
+
+
+def part_sizes(n, P):
+    """Vertices per partition under vid % P."""
+    return [int((n - p + P - 1) // P) for p in range(P)]
+
+
+def _build_block(src, dst, weight, P):
+    order = np.argsort(dst % P, kind="stable")
+    src, dst, weight = src[order], dst[order], weight[order]
+    dst_part = (dst % P).astype(np.int32)
+    # contiguous slice offsets per destination partition
+    offsets = np.searchsorted(dst_part, np.arange(P + 1))
+    return {
+        "src_local": (src // P).astype(np.int64),
+        "dst_part": dst_part,
+        "dst_local": (dst // P).astype(np.int64),
+        "weight": weight.astype(np.float64),
+        "dst_offsets": offsets.astype(np.int64),
+    }
+
+
+class DistGraph:
+    """P CSR blocks + per-partition degree/strength shards, all in the
+    object store."""
+
+    def __init__(self, n, P, directed, block_refs, out_deg_refs,
+                 out_strength_refs):
+        self.n = int(n)
+        self.P = int(P)
+        self.directed = bool(directed)
+        self.blocks = block_refs
+        self.out_deg = out_deg_refs
+        self.out_strength = out_strength_refs
+        self.sizes = part_sizes(n, P)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def _from_edge_arrays(cls, src, dst, weight, n, P, directed):
+        blocks, degs, strengths = [], [], []
+        p_of_src = src % P
+        sizes = part_sizes(n, P)
+        for p in range(P):
+            m = p_of_src == p
+            blocks.append(ray.put(_build_block(src[m], dst[m], weight[m], P)))
+            deg = np.zeros(sizes[p], dtype=np.int64)
+            stg = np.zeros(sizes[p])
+            np.add.at(deg, src[m] // P, 1)
+            np.add.at(stg, src[m] // P, weight[m])
+            degs.append(ray.put(deg))
+            strengths.append(ray.put(stg))
+        return cls(n, P, directed, blocks, degs, strengths)
+
+    @classmethod
+    def from_edges(cls, src, dst, weight=None, n=None, P=8, directed=True,
+                   both_directions=False):
+        """both_directions: store each non-loop edge in both source
+        partitions (needed by undirected gather kernels: CC, LP,
+        undirected PageRank)."""
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if n is None:
+            n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+        if weight is None:
+            weight = np.ones(len(src))
+        weight = np.asarray(weight, dtype=np.float64)
+        if both_directions:
+            nl = src != dst
+            src2 = np.concatenate([src, dst[nl]])
+            dst2 = np.concatenate([dst, src[nl]])
+            weight2 = np.concatenate([weight, weight[nl]])
+            src, dst, weight = src2, dst2, weight2
+        return cls._from_edge_arrays(src, dst, weight, n, P, directed)
+
+    @classmethod
+    def from_dataset(cls, edges_ds, n, P=8, directed=True,
+                     both_directions=False, spill_dir=None):
+        """Ray Data path: edges Dataset(src, dst[, weight]) -> partitioned
+        parquet spill (the L0 checkpoint, resumable) -> P block-build
+        tasks. The shuffle is the Dataset ``groupby``; block building
+        reads only its own partition's files."""
+        import os
+        import tempfile
+        import pyarrow as pa
+
+        spill_dir = spill_dir or tempfile.mkdtemp(prefix="lray_edges_")
+        os.makedirs(spill_dir, exist_ok=True)
+
+        # add the partition column vectorised, then let Ray Data shuffle
+        # by it and write one directory per partition
+        def with_part(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy(zero_copy_only=False)
+            part = (src % P).astype(np.int32)
+            cols = {"src": t["src"], "dst": t["dst"],
+                    "weight": (t["weight"] if "weight" in t.column_names
+                               else pa.array(np.ones(len(src))))}
+            cols["part"] = pa.array(part)
+            return pa.table(cols)
+
+        ds = edges_ds.map_batches(with_part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        ds.write_parquet(spill_dir, partition_cols=["part"])
+
+        @ray.remote
+        def build(p):
+            import pyarrow.dataset as pads
+            d = os.path.join(spill_dir, f"part={p}")
+            sizes = part_sizes(n, P)
+            if not os.path.isdir(d):
+                empty = np.empty(0, np.int64)
+                return (_build_block(empty, empty, np.empty(0), P),
+                        np.zeros(sizes[p], dtype=np.int64),
+                        np.zeros(sizes[p]))
+            t = pads.dataset(d).to_table(columns=["src", "dst", "weight"])
+            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if both_directions:
+                raise ValueError("symmetrize before from_dataset: a "
+                                 "reversed edge belongs to another "
+                                 "partition's files")
+            deg = np.zeros(sizes[p], dtype=np.int64)
+            stg = np.zeros(sizes[p])
+            np.add.at(deg, src // P, 1)
+            np.add.at(stg, src // P, w)
+            return _build_block(src, dst, w, P), deg, stg
+
+        results = [build.options(num_returns=3).remote(p) for p in range(P)]
+        blocks = [r[0] for r in results]
+        degs = [r[1] for r in results]
+        strengths = [r[2] for r in results]
+        return cls(n, P, directed, blocks, degs, strengths)
+
+    def total_edges(self):
+        return sum(len(ray.get(b)["weight"]) for b in self.blocks)

@@ -1,0 +1,98 @@
+"""Per-superstep checkpointing with per-partition lineage + metrics
+(north-rule requirement; the reference has none — SURVEY.md §4.3.5).
+
+Layout under ``<dir>/<algo>/``:
+
+- ``step-<k>/shard-<p>.npy`` — vertex-state shard p after superstep k
+- ``step-<k>/manifest.json`` — superstep number, partition count,
+  per-partition row counts + content hashes, convergence metrics,
+  written ATOMICALLY (tmp file + rename) so a torn write is never a
+  "complete" checkpoint
+- ``LATEST`` — pointer file to the newest complete step
+
+Resume = read LATEST's manifest, load shards, continue from the next
+superstep. Old steps are pruned (keep last 2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+
+class CheckpointManager:
+    def __init__(self, root, algo, P, keep=2, every=1):
+        self.dir = os.path.join(root, algo)
+        self.P = int(P)
+        self.keep = keep
+        self.every = max(1, int(every))
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _step_dir(self, step):
+        return os.path.join(self.dir, f"step-{step:06d}")
+
+    def save(self, step, shards, metrics=None):
+        if step % self.every:
+            return
+        d = self._step_dir(step)
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        lineage = []
+        for p, shard in enumerate(shards):
+            path = os.path.join(tmp, f"shard-{p:04d}.npy")
+            np.save(path, shard)
+            lineage.append({
+                "part": p,
+                "rows": int(len(shard)),
+                "sha1": hashlib.sha1(np.ascontiguousarray(shard).tobytes())
+                .hexdigest(),
+            })
+        manifest = {
+            "step": int(step),
+            "P": self.P,
+            "wall_time": time.time(),
+            "partitions": lineage,
+            "metrics": metrics or {},
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+        latest_tmp = os.path.join(self.dir, "LATEST.tmp")
+        with open(latest_tmp, "w") as f:
+            f.write(os.path.basename(d))
+        os.replace(latest_tmp, os.path.join(self.dir, "LATEST"))
+        self._prune(step)
+
+    def _prune(self, newest):
+        steps = sorted(s for s in os.listdir(self.dir)
+                       if s.startswith("step-") and not s.endswith(".tmp"))
+        for s in steps[:-self.keep]:
+            shutil.rmtree(os.path.join(self.dir, s), ignore_errors=True)
+
+    def resume(self):
+        """(step, shards) of the latest complete checkpoint, or None."""
+        latest = os.path.join(self.dir, "LATEST")
+        if not os.path.exists(latest):
+            return None
+        with open(latest) as f:
+            name = f.read().strip()
+        d = os.path.join(self.dir, name)
+        mpath = os.path.join(d, "manifest.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            manifest = json.load(f)
+        shards = []
+        for entry in manifest["partitions"]:
+            arr = np.load(os.path.join(d, f"shard-{entry['part']:04d}.npy"))
+            if len(arr) != entry["rows"]:
+                raise IOError(f"checkpoint shard {entry['part']} corrupt")
+            shards.append(arr)
+        return manifest["step"], shards

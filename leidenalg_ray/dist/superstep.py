@@ -1,0 +1,233 @@
+"""BSP superstep engine over partitioned CSR blocks: PageRank,
+connected components, label propagation (SURVEY.md §2.8).
+
+Each superstep is: P gather tasks (one per source partition; reads its
+block + its vertex-state shard, both partition-local) that pre-aggregate
+messages per *destination partition* inside the task, then P reduce
+tasks (one per destination partition) that combine incoming message
+arrays and produce the next state shard. Message refs flow
+worker-to-worker (``num_returns=P``); the driver only orchestrates and
+sums tiny per-partition convergence metrics.
+
+This is the explicit form of the reference mapping in SURVEY.md §2.8 —
+``map_batches`` gather feeding a ``groupby(dst).sum`` shuffle — with
+the shuffle expressed as a deterministic P×P exchange so vertex state
+never leaves its partition and supersteps can checkpoint per-partition
+(``checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .blocks import DistGraph, part_sizes
+from .checkpoint import CheckpointManager
+
+
+# ----------------------------------------------------------------------
+# PageRank
+# ----------------------------------------------------------------------
+def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
+             weighted=False, checkpoint=None):
+    """North-rule semantics: rank = (1-d)/n + d*(sum_in rank/outdeg +
+    dangling_mass/n); iterate until L1 delta < tol. ``weighted`` uses
+    strength-normalised contributions instead of degree."""
+    P, n, sizes = g.P, g.n, g.sizes
+
+    @ray.remote
+    def gather(block, rank, norm):
+        src_contrib = np.zeros(len(rank))
+        nz = norm > 0
+        src_contrib[nz] = rank[nz] / norm[nz]
+        if weighted:
+            per_edge = (src_contrib[block["src_local"]] * block["weight"])
+        else:
+            per_edge = src_contrib[block["src_local"]]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q])
+            np.add.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def dangling_of(rank, norm):
+        return float(rank[norm <= 0].sum())
+
+    @ray.remote
+    def reduce(q_size, old, dangling_total, *incoming):
+        new = np.full(q_size, (1.0 - damping) / n)
+        new += damping * dangling_total / n
+        for arr in incoming:
+            new += damping * arr
+        return new, float(np.abs(new - old).sum())
+
+    norm_refs = g.out_strength if weighted else g.out_deg
+    rank_refs = [ray.put(np.full(sizes[p], 1.0 / n)) for p in range(P)]
+    ckpt = CheckpointManager(checkpoint, "pagerank", P) if checkpoint else None
+    start_iter = 0
+    if ckpt is not None:
+        resumed = ckpt.resume()
+        if resumed is not None:
+            start_iter, shards = resumed
+            rank_refs = [ray.put(s) for s in shards]
+
+    for it in range(start_iter, max_iter):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], rank_refs[p], norm_refs[p]) for p in range(P)]
+        dang_refs = [dangling_of.remote(rank_refs[p], norm_refs[p])
+                     for p in range(P)]
+        dangling_total = sum(ray.get(dang_refs))
+        outs = []
+        for q in range(P):
+            outs.append(reduce.options(num_returns=2).remote(
+                sizes[q], rank_refs[q], dangling_total,
+                *[msg_refs[p][q] for p in range(P)]))
+        rank_refs = [o[0] for o in outs]
+        delta = sum(ray.get([o[1] for o in outs]))
+        if ckpt is not None:
+            ckpt.save(it + 1, ray.get(rank_refs),
+                      metrics={"l1_delta": delta})
+        if delta < tol:
+            break
+    return assemble(g, rank_refs), it + 1
+
+
+def assemble(g: DistGraph, shard_refs):
+    """Shards -> one dense array indexed by global vid."""
+    out = np.zeros(g.n, dtype=np.asarray(ray.get(shard_refs[0])).dtype) \
+        if g.P else np.zeros(0)
+    for p in range(g.P):
+        shard = ray.get(shard_refs[p])
+        out[p::g.P] = shard
+    return out
+
+
+# ----------------------------------------------------------------------
+# Connected components (weak): min-label propagation to fixed point
+# ----------------------------------------------------------------------
+def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None):
+    """Exact membership; graph blocks must contain both edge
+    directions (``from_edges(..., both_directions=True)``)."""
+    P, n, sizes = g.P, g.n, g.sizes
+    BIG = np.iinfo(np.int64).max
+
+    @ray.remote
+    def gather(block, label):
+        per_edge = label[block["src_local"]]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full(sizes[q], BIG, dtype=np.int64)
+            np.minimum.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(old, *incoming):
+        new = old.copy()
+        for arr in incoming:
+            np.minimum(new, arr, out=new)
+        return new, int((new != old).sum())
+
+    label_refs = [ray.put(np.arange(p, n, P, dtype=np.int64))
+                  for p in range(P)]
+    ckpt = CheckpointManager(checkpoint, "cc", P) if checkpoint else None
+    start_iter = 0
+    if ckpt is not None:
+        resumed = ckpt.resume()
+        if resumed is not None:
+            start_iter, shards = resumed
+            label_refs = [ray.put(s) for s in shards]
+    it = start_iter
+    for it in range(start_iter, max_iter):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], label_refs[p]) for p in range(P)]
+        outs = [reduce.options(num_returns=2).remote(
+            label_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        label_refs = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        if ckpt is not None:
+            ckpt.save(it + 1, ray.get(label_refs),
+                      metrics={"changed": changed})
+        if changed == 0:
+            break
+    return assemble(g, label_refs), it + 1
+
+
+# ----------------------------------------------------------------------
+# Label propagation: plurality label of neighbours, ties -> lowest label
+# ----------------------------------------------------------------------
+def label_propagation(g: DistGraph, max_iter=100, weighted=True,
+                      checkpoint=None):
+    """Synchronous supersteps; each vertex adopts the neighbour label
+    with the highest total edge weight (ties: lowest label); vertices
+    with no neighbours keep their label. Fixed point or max_iter.
+    Blocks must hold both directions for undirected semantics."""
+    P, n, sizes = g.P, g.n, g.sizes
+
+    @ray.remote
+    def gather(block, label):
+        per_edge_label = label[block["src_local"]]
+        w = block["weight"] if weighted else np.ones(len(per_edge_label))
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            dl = block["dst_local"][sl]
+            lb = per_edge_label[sl]
+            ww = w[sl]
+            # per-(dst,label) partial weight sums inside the task
+            if len(dl) == 0:
+                outs.append((np.empty(0, np.int64), np.empty(0, np.int64),
+                             np.empty(0)))
+                continue
+            key = dl * (n + 1) + lb
+            uniq, inv = np.unique(key, return_inverse=True)
+            ws = np.zeros(len(uniq))
+            np.add.at(ws, inv, ww)
+            outs.append(((uniq // (n + 1)).astype(np.int64),
+                         (uniq % (n + 1)).astype(np.int64), ws))
+        return outs
+
+    @ray.remote
+    def reduce(old, *incoming):
+        dl = np.concatenate([x[0] for x in incoming])
+        lb = np.concatenate([x[1] for x in incoming])
+        ws = np.concatenate([x[2] for x in incoming])
+        new = old.copy()
+        if len(dl):
+            key = dl * (n + 1) + lb
+            uniq, inv = np.unique(key, return_inverse=True)
+            tot = np.zeros(len(uniq))
+            np.add.at(tot, inv, ws)
+            d = (uniq // (n + 1)).astype(np.int64)
+            l = (uniq % (n + 1)).astype(np.int64)
+            # argmax weight per dst, ties -> lowest label: sort by
+            # (dst, -weight, label) and take the first row per dst
+            order = np.lexsort((l, -tot, d))
+            d_s, l_s = d[order], l[order]
+            first = np.ones(len(d_s), dtype=bool)
+            first[1:] = d_s[1:] != d_s[:-1]
+            new[d_s[first]] = l_s[first]
+        return new, int((new != old).sum())
+
+    label_refs = [ray.put(np.arange(p, n, P, dtype=np.int64))
+                  for p in range(P)]
+    it = 0
+    for it in range(max_iter):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], label_refs[p]) for p in range(P)]
+        outs = [reduce.options(num_returns=2).remote(
+            label_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        label_refs = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        if changed == 0:
+            break
+    return assemble(g, label_refs), it + 1

@@ -1,0 +1,115 @@
+"""Single-process numpy reference implementations used as test oracles
+(SURVEY.md §5.2c) — deliberately simple and obviously-correct, never on
+the hot path."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pagerank_serial(src, dst, n, damping=0.85, tol=1e-6, max_iter=200,
+                    weight=None, weighted=False):
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = (np.asarray(weight, dtype=np.float64) if weight is not None
+         else np.ones(len(src)))
+    norm = np.zeros(n)
+    if weighted:
+        np.add.at(norm, src, w)
+    else:
+        np.add.at(norm, src, 1.0)
+    rank = np.full(n, 1.0 / n)
+    for it in range(max_iter):
+        contrib = np.zeros(n)
+        nz = norm > 0
+        contrib[nz] = rank[nz] / norm[nz]
+        per_edge = contrib[src] * (w if weighted else 1.0)
+        agg = np.zeros(n)
+        np.add.at(agg, dst, per_edge)
+        dangling = rank[~nz].sum()
+        new = (1.0 - damping) / n + damping * (agg + dangling / n)
+        if np.abs(new - rank).sum() < tol:
+            rank = new
+            break
+        rank = new
+    return rank, it + 1
+
+
+def connected_components_serial(src, dst, n):
+    """Weak components; labels = min vid per component."""
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(np.asarray(src), np.asarray(dst)):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(v) for v in range(n)])
+    return roots
+
+
+def label_propagation_serial(src, dst, n, weight=None, max_iter=100,
+                             weighted=True):
+    """Synchronous plurality-label propagation, ties -> lowest label;
+    both directions of each edge count (undirected semantics)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = (np.asarray(weight, dtype=np.float64) if weight is not None
+         else np.ones(len(src)))
+    nl = src != dst
+    s2 = np.concatenate([src, dst[nl]])
+    d2 = np.concatenate([dst, src[nl]])
+    w2 = np.concatenate([w, w[nl]])
+    label = np.arange(n, dtype=np.int64)
+    for it in range(max_iter):
+        key = d2 * (n + 1) + label[s2]
+        uniq, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(uniq))
+        np.add.at(tot, inv, w2 if weighted else np.ones(len(w2)))
+        d = (uniq // (n + 1)).astype(np.int64)
+        l = (uniq % (n + 1)).astype(np.int64)
+        order = np.lexsort((l, -tot, d))
+        d_s, l_s = d[order], l[order]
+        first = np.ones(len(d_s), dtype=bool)
+        first[1:] = d_s[1:] != d_s[:-1]
+        new = label.copy()
+        new[d_s[first]] = l_s[first]
+        if np.array_equal(new, label):
+            break
+        label = new
+    return label, it + 1
+
+
+def triangles_serial(src, dst, n):
+    """Per-vertex and global triangle counts (undirected simple graph:
+    parallel edges and loops are collapsed/dropped first; each triangle
+    counted once)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    nl = src != dst
+    a = np.minimum(src[nl], dst[nl])
+    b = np.maximum(src[nl], dst[nl])
+    pairs = np.unique(a * np.int64(n) + b)
+    a = (pairs // n).astype(np.int64)
+    b = (pairs % n).astype(np.int64)
+    adj = [set() for _ in range(n)]
+    for x, y in zip(a, b):
+        adj[int(x)].add(int(y))
+        adj[int(y)].add(int(x))
+    per_vertex = np.zeros(n, dtype=np.int64)
+    total = 0
+    # for each oriented edge (x<y), close with z>y adjacent to both so
+    # each triangle x<y<z is counted exactly once
+    for x, y in zip(a, b):
+        for z in adj[int(x)] & adj[int(y)]:
+            if z > int(y):
+                per_vertex[int(x)] += 1
+                per_vertex[int(y)] += 1
+                per_vertex[z] += 1
+                total += 1
+    return per_vertex, int(total)
