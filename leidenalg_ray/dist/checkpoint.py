@@ -77,7 +77,8 @@ class CheckpointManager:
             shutil.rmtree(os.path.join(self.dir, s), ignore_errors=True)
 
     def resume(self):
-        """(step, shards) of the latest complete checkpoint, or None."""
+        """(step, shards, metrics) of the latest complete checkpoint,
+        or None."""
         latest = os.path.join(self.dir, "LATEST")
         if not os.path.exists(latest):
             return None
@@ -95,4 +96,4 @@ class CheckpointManager:
             if len(arr) != entry["rows"]:
                 raise IOError(f"checkpoint shard {entry['part']} corrupt")
             shards.append(arr)
-        return manifest["step"], shards
+        return manifest["step"], shards, manifest.get("metrics", {})

@@ -69,11 +69,15 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
     rank_refs = [ray.put(np.full(sizes[p], 1.0 / n)) for p in range(P)]
     ckpt = CheckpointManager(checkpoint, "pagerank", P) if checkpoint else None
     start_iter = 0
+    it = -1
     if ckpt is not None:
         resumed = ckpt.resume()
         if resumed is not None:
-            start_iter, shards = resumed
+            start_iter, shards, metrics = resumed
             rank_refs = [ray.put(s) for s in shards]
+            if metrics.get("l1_delta", np.inf) < tol:
+                # the checkpointed run already converged
+                return assemble(g, rank_refs), start_iter
 
     for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(
@@ -141,8 +145,10 @@ def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None):
     if ckpt is not None:
         resumed = ckpt.resume()
         if resumed is not None:
-            start_iter, shards = resumed
+            start_iter, shards, metrics = resumed
             label_refs = [ray.put(s) for s in shards]
+            if metrics.get("changed", -1) == 0:
+                return assemble(g, label_refs), start_iter
     it = start_iter
     for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(

@@ -1,0 +1,670 @@
+"""The engine's query catalogue: every operator from SURVEY.md §2 plus
+the training-data operators, each as a callable ``(sf_dir) -> result``
+with (where SQL-expressible) a DuckDB oracle in ``ORACLE_SQL`` computing
+the same result on the same parquet tables.
+
+Column names and float rounding are deliberately identical on both
+sides: the driver hashes values after sorting columns by name, so an
+aggregate named differently (or a float that differs in the 7th
+decimal) is a mismatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from . import tpch_graphs as tg
+from ..dist.blocks import DistGraph
+from ..dist import superstep as ss
+from ..dist.triangles import triangle_count
+from ..dist.leiden import DistLeiden
+from ..stages import text as tx
+from ..stages import dedup as dd
+from ..stages import ann as annm
+
+PAGERANK_ITERS = 30
+DAMPING = 0.85
+
+
+def _docs(sf_dir, columns=("doc_id", "text")):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=list(columns))
+
+
+def _emb(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def _compact(src, dst):
+    vids = np.unique(np.concatenate([src, dst]))
+    return (vids, np.searchsorted(vids, src).astype(np.int64),
+            np.searchsorted(vids, dst).astype(np.int64))
+
+
+# ======================================================================
+# Relational / aggregate baseline
+# ======================================================================
+def q_pricing_summary(sf_dir):
+    """TPC-H Q1-shaped pricing summary: per-batch partial aggregation
+    (the combiner) feeding a small groupby — the canonical
+    pre-aggregate-then-shuffle pattern."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(1.0, t["l_discount"]))
+        tt = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"],
+            "price": t["l_extendedprice"],
+            "disc": t["l_discount"],
+            "disc_price": disc_price,
+        })
+        return tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc", "sum"),
+             ("disc_price", "sum"), ([], "count_all")]) \
+            .rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                             "sum_price", "sum_disc", "sum_disc_price",
+                             "n"])
+
+    pre = li.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = pre.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("n", alias_name="n"))
+    df = agg.to_pandas()
+    out = pd.DataFrame({
+        "l_returnflag": df["l_returnflag"],
+        "l_linestatus": df["l_linestatus"],
+        "sum_qty": df["sum_qty"].round(2),
+        "sum_base_price": df["sum_price"].round(2),
+        "sum_disc_price": df["sum_disc_price"].round(2),
+        "avg_qty": (df["sum_qty"] / df["n"]).round(6),
+        "avg_disc": (df["sum_disc"] / df["n"]).round(6),
+        "count_order": df["n"].astype(np.int64),
+    })
+    return out
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(sum(l_discount) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ======================================================================
+# Graph build
+# ======================================================================
+def q_edges_ps(sf_dir):
+    return tg.ps_edges(sf_dir)
+
+
+SQL_EDGES_PS = """
+SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_edges_co(sf_dir):
+    return tg.co_edges(sf_dir)
+
+
+SQL_EDGES_CO = """
+SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM lineitem l1 JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+GROUP BY 1, 2
+"""
+
+
+def q_degree_ps(sf_dir):
+    e = tg.ps_edges(sf_dir)
+    out = e.groupby("src").aggregate(
+        Count(alias_name="out_degree"),
+        Sum("weight", alias_name="out_strength"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["src"],
+            "out_degree": pc.cast(t["out_degree"], pa.int64()),
+            "out_strength": pc.cast(t["out_strength"], pa.float64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DEGREE_PS = """
+WITH e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                  CAST(count(*) AS DOUBLE) AS weight
+           FROM lineitem GROUP BY 1, 2)
+SELECT src, count(*) AS out_degree, sum(weight) AS out_strength
+FROM e GROUP BY src
+"""
+
+
+# ======================================================================
+# Connected components
+# ======================================================================
+def q_cc_ps(sf_dir):
+    src, dst, w = tg.ps_edge_arrays(sf_dir)
+    vids, s, d = _compact(src, dst)
+    g = DistGraph.from_edges(s, d, n=len(vids), P=8,
+                             both_directions=True)
+    comp, _ = ss.connected_components(g)
+    # component label: smallest ORIGINAL vid in the component
+    return pa.table({"vid": pa.array(vids),
+                     "component": pa.array(vids[comp])})
+
+
+SQL_CC_PS = """
+WITH RECURSIVE
+e AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem GROUP BY 1, 2),
+ee AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+verts AS (SELECT DISTINCT a AS v FROM ee),
+reach(v, lab) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT ee.b, reach.lab FROM reach JOIN ee ON ee.a = reach.v
+)
+SELECT v AS vid, min(lab) AS component FROM reach GROUP BY v
+"""
+
+
+def q_cc_sizes_ps(sf_dir):
+    t = q_cc_ps(sf_dir)
+    df = t.to_pandas().groupby("component").size().reset_index(
+        name="n_vertices")
+    df["n_vertices"] = df["n_vertices"].astype(np.int64)
+    return df
+
+
+SQL_CC_SIZES_PS = """
+WITH RECURSIVE
+e AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem GROUP BY 1, 2),
+ee AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+verts AS (SELECT DISTINCT a AS v FROM ee),
+reach(v, lab) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT ee.b, reach.lab FROM reach JOIN ee ON ee.a = reach.v
+),
+comp AS (SELECT v, min(lab) AS component FROM reach GROUP BY v)
+SELECT component, count(*) AS n_vertices FROM comp GROUP BY component
+"""
+
+
+# ======================================================================
+# PageRank
+# ======================================================================
+def q_pagerank_co(sf_dir):
+    """Weighted PageRank on the symmetrised co-occurrence graph,
+    exactly PAGERANK_ITERS iterations (fixed, so the SQL oracle can
+    reproduce it); ranks rounded to 6 decimals."""
+    a, b, w = tg.co_edge_arrays(sf_dir)
+    vids, s, d = _compact(a, b)
+    g = DistGraph.from_edges(s, d, weight=w, n=len(vids), P=8,
+                             both_directions=True)
+    rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                          max_iter=PAGERANK_ITERS, weighted=True)
+    return pa.table({"vid": pa.array(vids),
+                     "rank": pa.array(np.round(rank, 6))})
+
+
+SQL_PAGERANK_CO = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT a AS v, sum(w) AS strength FROM e GROUP BY a),
+nn AS (SELECT count(*) AS n FROM verts),
+pr(i, v, r) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         (1 - {DAMPING}) / (SELECT n FROM nn)
+         + {DAMPING} * sum(p.r * e.w / vs.strength)
+  FROM pr p
+  JOIN verts vs ON vs.v = p.v
+  JOIN e ON e.a = p.v
+  WHERE p.i < {PAGERANK_ITERS}
+  GROUP BY p.i, e.b
+)
+SELECT v AS vid, round(r, 6) AS rank
+FROM pr WHERE i = {PAGERANK_ITERS}
+"""
+
+
+def q_pagerank_ps(sf_dir):
+    """Directed bipartite PageRank (suppliers dangling) — exercises the
+    dangling-mass redistribution; rows-only driver check, exactness
+    pinned by tests vs the serial oracle."""
+    src, dst, w = tg.ps_edge_arrays(sf_dir)
+    vids, s, d = _compact(src, dst)
+    g = DistGraph.from_edges(s, d, weight=w, n=len(vids), P=8,
+                             directed=True)
+    rank, iters = ss.pagerank(g, damping=DAMPING, tol=1e-6,
+                              max_iter=200, weighted=False)
+    return pa.table({"vid": pa.array(vids),
+                     "rank": pa.array(np.round(rank, 6))})
+
+
+# ======================================================================
+# Triangles
+# ======================================================================
+def q_triangles_co(sf_dir):
+    e = tg.co_edges(sf_dir).map_batches(
+        lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
+        batch_format="pyarrow")
+    n_tri = triangle_count(e, num_partitions=8)
+    return pa.table({"n_triangles": pa.array([n_tri], pa.int64())})
+
+
+SQL_TRIANGLES_CO = """
+WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey
+           GROUP BY 1, 2)
+SELECT count(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+  ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_triangles_co_per_vertex(sf_dir):
+    e = tg.co_edges(sf_dir).map_batches(
+        lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
+        batch_format="pyarrow")
+    _, pv = triangle_count(e, num_partitions=8, per_vertex=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cnt_name = [c for c in t.column_names if c != "v"][0]
+        return pa.table({"vid": t["v"],
+                         "n_triangles": pc.cast(t[cnt_name], pa.int64())})
+    return pv.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TRIANGLES_CO_PV = """
+WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey
+           GROUP BY 1, 2),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b)
+SELECT vid, count(*) AS n_triangles FROM (
+  SELECT x AS vid FROM t UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+) GROUP BY vid
+"""
+
+
+# ======================================================================
+# Label propagation + Leiden (non-SQL-expressible: rows-only checks;
+# exactness pinned by the pytest suite)
+# ======================================================================
+def q_label_propagation_co(sf_dir):
+    a, b, w = tg.co_edge_arrays(sf_dir)
+    vids, s, d = _compact(a, b)
+    g = DistGraph.from_edges(s, d, weight=w, n=len(vids), P=8,
+                             both_directions=True)
+    lab, _ = ss.label_propagation(g, max_iter=20)
+    return pa.table({"vid": pa.array(vids),
+                     "label": pa.array(vids[lab])})
+
+
+def q_leiden_cpm_co(sf_dir):
+    a, b, w = tg.co_edge_arrays(sf_dir)
+    vids, s, d = _compact(a, b)
+    dl = DistLeiden(s, d, weight=w, n=len(vids), directed=False,
+                    quality="cpm", resolution_parameter=0.5, P=8,
+                    seed=42)
+    mem, q, info = dl.run()
+    return pa.table({"vid": pa.array(vids),
+                     "comm": pa.array(mem.astype(np.int64))})
+
+
+def q_leiden_modularity_co(sf_dir):
+    a, b, w = tg.co_edge_arrays(sf_dir)
+    vids, s, d = _compact(a, b)
+    dl = DistLeiden(s, d, weight=w, n=len(vids), directed=False,
+                    quality="modularity", P=8, seed=42)
+    mem, q, info = dl.run()
+    return pa.table({"vid": pa.array(vids),
+                     "comm": pa.array(mem.astype(np.int64))})
+
+
+# ======================================================================
+# Text analysis
+# ======================================================================
+def q_token_counts(sf_dir):
+    return tx.token_counts(_docs(sf_dir))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens,
+       len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+           x -> x IN ('the','and','of','a','to','is','in','it','that',
+                      'for'))) AS n_stopwords,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_doc_quality(sf_dir):
+    return tx.quality_scores(_docs(sf_dir))
+
+
+SQL_DOC_QUALITY = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens,
+       round(len(list_filter(regexp_extract_all(lower(text),
+                 '[a-z0-9_]+'),
+             x -> x IN ('the','and','of','a','to','is','in','it','that',
+                        'for')))
+           / greatest(1, len(regexp_extract_all(lower(text),
+                 '[a-z0-9_]+'))), 6) AS stop_ratio,
+       round(length(regexp_replace(text, '[^A-Za-z0-9_ ]', '', 'g'))
+           / greatest(1, length(text)), 6) AS alnum_ratio
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir):
+    return tx.lang_id(_docs(sf_dir))
+
+
+def _lang_score_sql(lang):
+    words = ",".join(f"'{w}'" for w in tx.LANG_MARKERS[lang])
+    return ("len(list_filter(regexp_extract_all(lower(text), "
+            f"'[a-z0-9_]+'), x -> x IN ({words})))")
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+       CASE
+         WHEN {_lang_score_sql('en')} >= {_lang_score_sql('de')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('fr')}
+           THEN 'en'
+         WHEN {_lang_score_sql('de')} >= {_lang_score_sql('fr')}
+           THEN 'de'
+         ELSE 'fr'
+       END AS pred_lang
+FROM documents
+"""
+
+
+def q_fingerprint_md5(sf_dir):
+    return tx.md5_fingerprints(_docs(sf_dir))
+
+
+SQL_FINGERPRINT_MD5 = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+def q_fingerprint_rolling(sf_dir):
+    return tx.rolling_fingerprint(_docs(sf_dir))
+
+
+# ======================================================================
+# Dedup
+# ======================================================================
+def q_dedup_exact(sf_dir):
+    out = dd.exact_dedup(_docs(sf_dir))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": t["text_hash"],
+            "rep_doc_id": pc.cast(t["rep_doc_id"], pa.int64()),
+            "n_dups": pc.cast(t["n_dups"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash(sf_dir):
+    return dd.minhash_dedup(_docs(sf_dir), threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir):
+    return dd.simhash_dedup(_docs(sf_dir), max_hamming=3)
+
+
+def q_embed_cosine_pairs(sf_dir):
+    """Exact all-pairs cosine >= 0.4 (threshold chosen so the synthetic
+    embeddings produce a non-trivial pair set; max pairwise cosine in
+    the test corpus is ~0.51). ``use_lsh=False`` so the DuckDB
+    cross-join oracle computes the identical pair set; the LSH-bucketed
+    scale path is exercised by tests."""
+    return dd.embedding_cosine_pairs(_emb(sf_dir), threshold=0.4,
+                                     use_lsh=False)
+
+
+SQL_EMBED_COSINE_PAIRS = """
+SELECT e1.vec_id AS a, e2.vec_id AS b,
+       round(list_cosine_similarity(
+           CAST(e1.embedding AS DOUBLE[]),
+           CAST(e2.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                             CAST(e2.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q_ann_topk(sf_dir):
+    """Brute-force cosine top-10 for the first 5 vectors as queries."""
+    emb = _emb(sf_dir)
+    qdf = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .filter(lambda r: r["vec_id"] < 5).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    qv = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in qdf["embedding"]])
+    return annm.brute_force_topk(emb, qv, qdf["vec_id"].to_numpy(), k=10)
+
+
+SQL_ANN_TOPK = """
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6)
+           AS cos,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]),
+               CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id)
+         AS BIGINT) AS rank
+FROM embeddings q CROSS JOIN embeddings e
+WHERE q.vec_id < 5
+QUALIFY rank <= 10
+"""
+
+
+def q_ann_ivf(sf_dir):
+    """IVF approximate top-k (scale path; rows-only check — recall vs
+    brute force is asserted in tests)."""
+    emb = _emb(sf_dir)
+    qdf = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    qv = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in qdf["embedding"]])
+    return annm.ivf_topk(emb, qv, qdf["vec_id"].to_numpy(), k=10)
+
+
+# ======================================================================
+# Events: windowed aggregation + sessionisation
+# ======================================================================
+def q_events_window(sf_dir):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        win = pc.divide(ts_us, 300_000_000)
+        tt = pa.table({"user_id": t["user_id"], "win": win,
+                       "value": t["value"]})
+        return tt.group_by(["user_id", "win"]).aggregate(
+            [("value", "sum"), ([], "count_all")]) \
+            .rename_columns(["user_id", "win", "sum_value", "n_events"])
+
+    pre = ev.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = pre.groupby(["user_id", "win"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n_events", alias_name="n_events"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "win": pc.cast(t["win"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.round(pc.cast(t["sum_value"], pa.float64()),
+                                  ndigits=6),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT user_id, CAST(floor(epoch(ts) / 300) AS BIGINT) AS win,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(sf_dir):
+    """Session windows (30-min inactivity gap) per user: sorted
+    ``map_groups`` over the user partition — the engine's
+    streaming-window shape (ray_guide.md 'Streaming-shaped
+    workloads')."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        new_s = (gap.isna() | (gap > 1800)).astype(np.int64)
+        sess = new_s.cumsum()
+        out = g.assign(session_id=sess).groupby("session_id").agg(
+            session_start=("ts", "min"),
+            n_events=("event_id", "count"),
+            sum_value=("value", "sum")).reset_index()
+        out["user_id"] = g["user_id"].iloc[0]
+        out["sum_value"] = out["sum_value"].round(6)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["session_id"] = out["session_id"].astype(np.int64)
+        return out[["user_id", "session_id", "session_start",
+                    "n_events", "sum_value"]]
+
+    return ev.groupby("user_id").map_groups(sessions,
+                                            batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM y GROUP BY user_id, session_id
+"""
+
+
+# ======================================================================
+# Registry
+# ======================================================================
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "edges_ps": q_edges_ps,
+    "edges_co": q_edges_co,
+    "degree_ps": q_degree_ps,
+    "cc_ps": q_cc_ps,
+    "cc_sizes_ps": q_cc_sizes_ps,
+    "pagerank_co": q_pagerank_co,
+    "pagerank_ps": q_pagerank_ps,
+    "triangles_co": q_triangles_co,
+    "triangles_co_per_vertex": q_triangles_co_per_vertex,
+    "label_propagation_co": q_label_propagation_co,
+    "leiden_cpm_co": q_leiden_cpm_co,
+    "leiden_modularity_co": q_leiden_modularity_co,
+    "token_counts": q_token_counts,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "fingerprint_md5": q_fingerprint_md5,
+    "fingerprint_rolling": q_fingerprint_rolling,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embed_cosine_pairs": q_embed_cosine_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "events_window": q_events_window,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "edges_ps": SQL_EDGES_PS,
+    "edges_co": SQL_EDGES_CO,
+    "degree_ps": SQL_DEGREE_PS,
+    "cc_ps": SQL_CC_PS,
+    "cc_sizes_ps": SQL_CC_SIZES_PS,
+    "pagerank_co": SQL_PAGERANK_CO,
+    "triangles_co": SQL_TRIANGLES_CO,
+    "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint_md5": SQL_FINGERPRINT_MD5,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "events_window": SQL_EVENTS_WINDOW,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+}

@@ -1,0 +1,331 @@
+"""Deduplication operators over the documents table: exact,
+MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine
+near-dup (task brief; ray_guide.md "Aggregation at scale").
+
+Pipeline shapes:
+
+- exact: content-hash in a vectorised ``map_batches`` ->
+  ``groupby(hash)`` -> min(doc_id) representative + count. One shuffle
+  of (hash, doc_id) pairs only.
+- MinHash-LSH: shingle -> 64 minhashes -> band rows
+  ``(band_id, band_hash, doc_id)`` -> ``groupby`` bands -> candidate
+  pairs inside buckets -> exact Jaccard verify (per-pair, only on
+  candidates) -> near-dup pairs.
+- SimHash: 64-bit signature per doc; band blocking on 4x16-bit chunks;
+  Hamming-distance verify.
+- embedding cosine: random-hyperplane LSH buckets -> in-bucket cosine
+  verify against threshold (the scale path); the sandbox-size oracle
+  is the full O(n^2) cross join in DuckDB.
+
+All hashes are process-stable (blake2b / crc32), so reruns and
+different parallelism levels produce identical output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Min
+
+from .text import TOKEN_RE, hash_token
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def exact_dedup(docs_ds):
+    """(text_hash, rep_doc_id, n_dups): one row per distinct text,
+    representative = min doc_id. SQL oracle: group by md5(text)."""
+    def h(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest()
+                 for t in batch["text"].to_pylist()], pa.string()),
+            "doc_id": batch["doc_id"],
+        })
+    hashed = docs_ds.map_batches(h, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"),
+        Count(alias_name="n_dups"))
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+_M61 = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes, seed=7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M61, num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _M61, num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingles(text, k=3):
+    """Word k-shingles as stable 64-bit hashes."""
+    toks = TOKEN_RE.findall(text.lower())
+    if len(toks) < k:
+        return np.array([hash_token(" ".join(toks))], dtype=np.uint64) \
+            if toks else np.empty(0, np.uint64)
+    return np.unique(np.array(
+        [hash_token(" ".join(toks[i:i + k])) for i in
+         range(len(toks) - k + 1)], dtype=np.uint64))
+
+
+class MinHasher:
+    """Actor-pool stage: doc -> (band_id, band_hash, doc_id) rows."""
+
+    def __init__(self, num_hashes=64, bands=16, shingle_k=3, seed=7):
+        self.a, self.b = _minhash_params(num_hashes, seed)
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows = num_hashes // bands
+        self.k = shingle_k
+
+    def signature(self, text):
+        sh = _shingles(text, self.k)
+        if len(sh) == 0:
+            return np.zeros(self.num_hashes, dtype=np.uint64)
+        # (a*x + b) mod M61 per hash function, min over shingles
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) \
+            % np.uint64(_M61)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        band_id, band_hash, out_ids = [], [], []
+        for did, text in zip(doc_ids, batch["text"].to_pylist()):
+            sig = self.signature(text)
+            for bnd in range(self.bands):
+                chunk = sig[bnd * self.rows:(bnd + 1) * self.rows]
+                bh = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(),
+                                    digest_size=8).digest(), "little")
+                band_id.append(bnd)
+                band_hash.append(bh)
+                out_ids.append(did)
+        return pa.table({
+            "band_id": pa.array(band_id, pa.int32()),
+            "band_hash": pa.array(band_hash, pa.uint64()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+        })
+
+
+def minhash_candidates(docs_ds, num_hashes=64, bands=16, shingle_k=3,
+                       seed=7, concurrency=4):
+    """Candidate near-dup pairs (a < b) from LSH band buckets."""
+    import functools
+    bands_ds = docs_ds.map_batches(
+        functools.partial(_minhash_rows, num_hashes=num_hashes,
+                          bands=bands, shingle_k=shingle_k, seed=seed),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2 or len(ids) > 2000:  # cap pathological buckets
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+    cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow")
+    return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def _minhash_rows(batch, num_hashes, bands, shingle_k, seed):
+    return MinHasher(num_hashes, bands, shingle_k, seed)(batch)
+
+
+def jaccard_verify(pairs_ds, docs_ds, threshold=0.8, shingle_k=3):
+    """Exact n-gram Jaccard on candidate pairs. The docs side is
+    broadcast as a dict (small side); at 100 TB this becomes a
+    hash-join of pairs against doc shingle sets instead."""
+    import ray
+
+    texts = {}
+    for b in docs_ds.select_columns(["doc_id", "text"]) \
+                    .iter_batches(batch_format="pyarrow"):
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            texts[d] = t
+    ref = ray.put(texts)
+
+    def verify(t: pa.Table) -> pa.Table:
+        docs = ray.get(ref)
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        out_a, out_b, jac = [], [], []
+        cache = {}
+
+        def sh(d):
+            if d not in cache:
+                cache[d] = set(_shingles(docs[d], shingle_k).tolist())
+            return cache[d]
+        for x, y in zip(a, b):
+            sx, sy = sh(x), sh(y)
+            if not sx and not sy:
+                j = 1.0
+            else:
+                inter = len(sx & sy)
+                j = inter / (len(sx) + len(sy) - inter) if inter else 0.0
+            if j >= threshold:
+                out_a.append(x)
+                out_b.append(y)
+                jac.append(round(j, 6))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64())})
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_dedup(docs_ds, threshold=0.8, **kwargs):
+    """Full MinHash-LSH near-dup pipeline -> verified pairs
+    (a, b, jaccard)."""
+    cand = minhash_candidates(docs_ds, **kwargs)
+    return jaccard_verify(cand, docs_ds, threshold=threshold,
+                          shingle_k=kwargs.get("shingle_k", 3))
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+def simhash_signatures(docs_ds):
+    """64-bit SimHash per document over token hashes."""
+    def sig(batch: pa.Table) -> pa.Table:
+        out = np.empty(batch.num_rows, dtype=np.uint64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = TOKEN_RE.findall(t.lower())
+            if not toks:
+                out[i] = 0
+                continue
+            hs = np.array([hash_token(w) for w in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            out[i] = np.uint64(
+                int("".join("1" if x > 0 else "0"
+                            for x in v[::-1]), 2))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash": pa.array(out, pa.uint64())})
+    return docs_ds.map_batches(sig, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def simhash_dedup(docs_ds, max_hamming=3):
+    """Near-dup pairs by SimHash: block on each of the four 16-bit
+    chunks (any pair within Hamming<=3 of 64 bits shares at least one
+    identical chunk... with 4 chunks and <=3 differing bits, yes by
+    pigeonhole), verify Hamming distance."""
+    sigs = simhash_signatures(docs_ds)
+
+    def bandrows(t: pa.Table) -> pa.Table:
+        s = t["simhash"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        bid, bh, dd, ss = [], [], [], []
+        for c in range(4):
+            chunk = (s >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            bid.append(np.full(len(s), c, dtype=np.int32))
+            bh.append(chunk.astype(np.int64))
+            dd.append(d)
+            ss.append(s)
+        return pa.table({
+            "band_id": pa.array(np.concatenate(bid)),
+            "band_hash": pa.array(np.concatenate(bh)),
+            "doc_id": pa.array(np.concatenate(dd)),
+            "simhash": pa.array(np.concatenate(ss).astype(np.uint64)),
+        })
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        s = t["simhash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d, s = d[order], s[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = d[1:] != d[:-1]
+        d, s = d[keep], s[keep]
+        if len(d) < 2 or len(d) > 2000:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int32())})
+        ii, jj = np.triu_indices(len(d), k=1)
+        x = s[ii] ^ s[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        ok = ham <= max_hamming
+        return pa.table({"a": pa.array(d[ii[ok]]),
+                         "b": pa.array(d[jj[ok]]),
+                         "hamming": pa.array(ham[ok].astype(np.int32))})
+
+    cand = sigs.map_batches(bandrows, batch_format="pyarrow") \
+               .groupby(["band_id", "band_hash"]) \
+               .map_groups(pairs, batch_format="pyarrow")
+    # a pair can match in several bands -> dedup, keep min hamming
+    return cand.groupby(["a", "b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+# ----------------------------------------------------------------------
+# embedding cosine near-dup
+# ----------------------------------------------------------------------
+def embedding_cosine_pairs(emb_ds, threshold=0.95, n_planes=8, seed=11,
+                           use_lsh=True):
+    """Near-duplicate (a, b, cos) pairs with cosine >= threshold.
+
+    Scale path: random-hyperplane LSH buckets the vectors, pairs are
+    verified only within buckets (misses across buckets possible — the
+    standard recall/cost trade; n_planes tunes it). With
+    ``use_lsh=False`` every pair is verified (exact; used for the
+    sandbox-size oracle comparison)."""
+
+    def rows(t: pa.Table) -> pa.Table:
+        import numpy as np
+        vec = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in t["embedding"].to_pylist()])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        if use_lsh:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((vec.shape[1], n_planes))
+            bits = (vec @ planes) > 0
+            bucket = np.zeros(len(ids), dtype=np.int64)
+            for j in range(n_planes):
+                bucket |= bits[:, j].astype(np.int64) << j
+        else:
+            bucket = np.zeros(len(ids), dtype=np.int64)
+        norm = np.linalg.norm(vec, axis=1)
+        norm[norm == 0] = 1.0
+        unit = vec / norm[:, None]
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "unit": pa.array(list(unit)),
+        })
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        unit = np.stack([np.asarray(u, dtype=np.float64)
+                         for u in t["unit"].to_pylist()])
+        order = np.argsort(ids)
+        ids, unit = ids[order], unit[order]
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        sim = unit @ unit.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        cs = sim[ii, jj]
+        ok = cs >= threshold
+        return pa.table({"a": pa.array(ids[ii[ok]].astype(np.int64)),
+                         "b": pa.array(ids[jj[ok]].astype(np.int64)),
+                         "cos": pa.array(np.round(cs[ok], 6))})
+
+    bucketed = emb_ds.map_batches(rows, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(pairs,
+                                                 batch_format="pyarrow")

@@ -92,14 +92,14 @@ class ExtractPages:
         })
 
 
-def extract_dataset(pages_ds, concurrency=None, batch_size=1024):
+def extract_dataset(pages_ds, concurrency=8, batch_size=1024):
     """pages Dataset -> extraction Dataset (links + texts interleaved;
-    see ExtractPages)."""
-    kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
-                  zero_copy_batch=True)
-    if concurrency:
-        kwargs["concurrency"] = concurrency
-    return pages_ds.map_batches(ExtractPages, **kwargs)
+    see ExtractPages). ``concurrency`` sizes the actor pool (callable
+    class => stateful actors; parser state loads once per actor)."""
+    return pages_ds.map_batches(ExtractPages, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                zero_copy_batch=True,
+                                concurrency=(1, concurrency))
 
 
 def links_of(extracted_ds):

@@ -1,0 +1,127 @@
+"""Graph build: url canonicalisation, deterministic vid assignment,
+edge dedup (SURVEY.md §7.1.2).
+
+Id assignment is the classic two-pass deterministic scheme that avoids
+a global sort: urls hash-partition into B buckets (a Ray Data groupby
+shuffle); pass 1 counts per bucket (tiny driver-side array -> offsets);
+pass 2 sorts *within* each bucket and assigns
+``vid = bucket_offset + local_rank``. Deterministic in (urls, B),
+contiguous, and every stage streams — no driver-side materialisation of
+the url set.
+
+Edge dedup: ``groupby(src, dst).sum(weight)`` with per-batch
+pre-aggregation (the combiner) so the shuffle moves one row per
+distinct pair per batch, not one per link occurrence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _bucket_of(urls: pa.ChunkedArray, B: int) -> np.ndarray:
+    """Deterministic url -> bucket via crc32 (stable across processes,
+    unlike Python's salted hash; one C call per url)."""
+    import zlib
+    return np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % B for u in urls.to_pylist()),
+        dtype=np.int64, count=len(urls))
+
+
+def canonicalize(url: str) -> str:
+    """Url canonicalisation: lowercase scheme+host, strip fragment,
+    strip trailing slash on bare paths."""
+    u = url.split("#", 1)[0]
+    if "://" in u:
+        scheme, rest = u.split("://", 1)
+        host, slash, path = rest.partition("/")
+        u = scheme.lower() + "://" + host.lower() + slash + path
+    if u.endswith("/") and u.count("/") > 3:
+        u = u[:-1]
+    return u
+
+
+def assign_ids(urls_ds, B=32):
+    """Dataset with a ``url`` column (unique) -> Dataset
+    ``(url, vid)`` with deterministic contiguous vids.
+
+    Returns (mapping Dataset, n)."""
+    def with_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket",
+                               pa.array(_bucket_of(t["url"], B)))
+
+    bucketed = urls_ds.map_batches(with_bucket, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    counts = bucketed.groupby("bucket").aggregate(Count(alias_name="n")) \
+                     .to_pandas()
+    offsets = np.zeros(B + 1, dtype=np.int64)
+    for _, row in counts.iterrows():
+        offsets[int(row["bucket"]) + 1] = int(row["n"])
+    np.cumsum(offsets, out=offsets)
+    n = int(offsets[-1])
+    offs = {b: int(offsets[b]) for b in range(B)}
+
+    def rank_group(t: pa.Table) -> pa.Table:
+        b = int(t["bucket"][0].as_py())
+        order = pc.sort_indices(t["url"])
+        url_sorted = pc.take(t["url"], order)
+        vids = pa.array(offs[b] + np.arange(len(order), dtype=np.int64))
+        return pa.table({"url": url_sorted, "vid": vids})
+
+    mapping = bucketed.groupby("bucket").map_groups(
+        rank_group, batch_format="pyarrow")
+    return mapping, n
+
+
+def dedup_edges(edges_ds, src="src", dst="dst"):
+    """(src, dst) link rows -> (src, dst, weight=count) with per-batch
+    pre-aggregation before the groupby shuffle."""
+    def preagg(t: pa.Table) -> pa.Table:
+        return t.group_by([src, dst]).aggregate([([], "count_all")]) \
+                .rename_columns([src, dst, "weight"])
+    pre = edges_ds.map_batches(preagg, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = pre.groupby([src, dst]).aggregate(Sum("weight",
+                                                alias_name="weight"))
+    def to_float(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("weight"), "weight",
+                            pc.cast(t["weight"], pa.float64()))
+    return out.map_batches(to_float, batch_format="pyarrow")
+
+
+def links_to_edges(links_ds, mapping_ds, n, num_partitions=16,
+                   drop_dangling=True):
+    """(src_url, dst_url) -> (src, dst, weight) int edge table via two
+    hash joins against the id mapping; links to urls outside the corpus
+    are dropped (dangling targets, FIXTURES.md §1)."""
+    m_src = mapping_ds.map_batches(
+        lambda t: t.rename_columns(["src_url", "src"]),
+        batch_format="pyarrow")
+    m_dst = mapping_ds.map_batches(
+        lambda t: t.rename_columns(["dst_url", "dst"]),
+        batch_format="pyarrow")
+    j1 = links_ds.join(m_src, "inner", num_partitions, on=("src_url",))
+    j2 = j1.join(m_dst, "inner" if drop_dangling else "left_outer",
+                 num_partitions, on=("dst_url",))
+    ints = j2.select_columns(["src", "dst"])
+    return dedup_edges(ints)
+
+
+def pages_to_graph(pages_ds, B=32, num_partitions=16):
+    """Full pipeline: pages -> extract -> id-assign -> dedup'd int edge
+    table. Returns (edges Dataset(src,dst,weight), mapping Dataset, n)."""
+    from .extract import extract_dataset, links_of, texts_of
+
+    extracted = extract_dataset(pages_ds).materialize()
+    links = links_of(extracted)
+    urls = texts_of(extracted).select_columns(["url"])
+    mapping, n = assign_ids(urls, B=B)
+    mapping = mapping.materialize()
+    edges = links_to_edges(links, mapping, n,
+                           num_partitions=num_partitions)
+    return edges, mapping, n

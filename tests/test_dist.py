@@ -1,0 +1,125 @@
+"""Distributed tier vs serial oracles: supersteps, triangles,
+distributed Leiden, checkpoint/resume, parallelism-invariance."""
+
+import numpy as np
+import pytest
+
+from leidenalg_ray.dist.blocks import DistGraph
+from leidenalg_ray.dist import superstep as ss
+from leidenalg_ray.dist.leiden import DistLeiden
+from leidenalg_ray.oracle import (
+    connected_components_serial,
+    label_propagation_serial,
+    pagerank_serial,
+    triangles_serial,
+)
+
+from .fixtures import planted_partition
+
+
+@pytest.fixture(scope="module")
+def random_graph():
+    rng = np.random.default_rng(3)
+    n, m = 2000, 12000
+    return rng.integers(0, n, m), rng.integers(0, n, m), n
+
+
+def test_pagerank_matches_serial(random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    r, _ = ss.pagerank(g, tol=1e-10)
+    r_ser, _ = pagerank_serial(src, dst, n, tol=1e-10)
+    assert np.abs(r - r_ser).max() < 1e-12
+
+
+def test_pagerank_dangling_mass(random_graph):
+    src, dst, n = random_graph
+    # add isolated + sink vertices
+    g = DistGraph.from_edges(src, dst, n=n + 50, P=4, directed=True)
+    r, _ = ss.pagerank(g, tol=1e-10)
+    r_ser, _ = pagerank_serial(src, dst, n + 50, tol=1e-10)
+    assert np.abs(r - r_ser).max() < 1e-12
+    assert r.sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_connected_components_exact():
+    rng = np.random.default_rng(5)
+    parts = []
+    for c in range(6):
+        base = c * 300
+        parts.append((rng.integers(0, 280, 600) + base,
+                      rng.integers(0, 280, 600) + base))
+    src = np.concatenate([p[0] for p in parts])
+    dst = np.concatenate([p[1] for p in parts])
+    n = 1800
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    lab, _ = ss.connected_components(g)
+    assert np.array_equal(lab, connected_components_serial(src, dst, n))
+
+
+def test_label_propagation_matches_serial(random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    lab, _ = ss.label_propagation(g, max_iter=15)
+    lab_ser, _ = label_propagation_serial(src, dst, n, max_iter=15)
+    assert np.array_equal(lab, lab_ser)
+
+
+def test_parallelism_invariance(random_graph):
+    """Same results at P=2 and P=8 (the determinism property that
+    underwrites the scaling evidence)."""
+    src, dst, n = random_graph
+    ranks = []
+    for P in (2, 8):
+        g = DistGraph.from_edges(src, dst, n=n, P=P, directed=True)
+        r, _ = ss.pagerank(g, tol=1e-10)
+        ranks.append(r)
+    assert np.abs(ranks[0] - ranks[1]).max() < 1e-15
+
+
+def test_triangles_match_serial():
+    rng = np.random.default_rng(7)
+    n, m = 250, 2500
+    src, dst = rng.integers(0, n, m), rng.integers(0, n, m)
+    from leidenalg_ray.dist.triangles import triangle_count_arrays
+    cnt, pv = triangle_count_arrays(src, dst, n, per_vertex=True)
+    pv_ser, tot = triangles_serial(src, dst, n)
+    assert cnt == tot
+    pdf = pv.to_pandas()
+    col = [c for c in pdf.columns if c != "v"][0]
+    full = np.zeros(n, dtype=np.int64)
+    full[pdf["v"].to_numpy()] = pdf[col].to_numpy()
+    assert np.array_equal(full, pv_ser)
+
+
+def test_dist_leiden_matches_inmemory():
+    g, truth = planted_partition(n_comm=6, per=40, p_in=0.35,
+                                 p_out=0.004, seed=13)
+    dl = DistLeiden(g.src, g.dst, n=g.n, directed=False, quality="cpm",
+                    resolution_parameter=0.1, P=4, seed=1)
+    mem, q, info = dl.run()
+    from leidenalg_ray import CPMVertexPartition, find_partition
+    p = find_partition(g, CPMVertexPartition, resolution_parameter=0.1,
+                       seed=1)
+    assert q == pytest.approx(p.quality(), abs=1e-6)
+    pairs = set(zip(mem.tolist(), truth.tolist()))
+    assert len(pairs) == 6
+
+
+def test_checkpoint_resume(tmp_path, random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    full, iters = ss.pagerank(g, tol=1e-10, checkpoint=str(tmp_path))
+    # simulate crash: resume from the saved checkpoint — the second
+    # run must reproduce the uninterrupted result exactly
+    resumed, iters2 = ss.pagerank(g, tol=1e-10,
+                                  checkpoint=str(tmp_path))
+    assert np.array_equal(full, resumed)
+    import json
+    import os
+    d = tmp_path / "pagerank"
+    latest = (d / "LATEST").read_text().strip()
+    manifest = json.loads((d / latest / "manifest.json").read_text())
+    assert manifest["P"] == 4
+    assert len(manifest["partitions"]) == 4
+    assert all("sha1" in e for e in manifest["partitions"])

@@ -1,0 +1,79 @@
+"""Parser invariant: distributed extraction byte-identical to the
+serial oracle; edge multiset exact; id assignment deterministic
+(FIXTURES.md §4.5-4.6)."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from leidenalg_ray.sources.pages import generate_pages_table
+from leidenalg_ray.stages.extract import (extract_dataset,
+                                          extract_links, extract_text,
+                                          texts_of)
+from leidenalg_ray.stages.graph_build import pages_to_graph
+
+
+@pytest.fixture(scope="module")
+def pages():
+    r = np.random.default_rng(4)
+    n = 150
+    mask = r.random((n, n)) < 0.04
+    src, dst = np.nonzero(mask)
+    return generate_pages_table(src, dst, n, seed=42)
+
+
+def test_stored_text_matches_extractor(pages):
+    for u, h, t in zip(pages["url"].to_pylist(),
+                       pages["html"].to_pylist(),
+                       pages["text"].to_pylist()):
+        assert extract_text(h) == t
+
+
+def test_distributed_text_byte_identical(pages):
+    ser = {u: extract_text(h) for u, h in
+           zip(pages["url"].to_pylist(), pages["html"].to_pylist())}
+    ds = rd.from_arrow(pages)
+    got = texts_of(extract_dataset(ds, concurrency=2)).to_pandas()
+    assert dict(zip(got.url, got.text)) == ser
+
+
+def test_edge_multiset_and_determinism(pages):
+    urlset = set(pages["url"].to_pylist())
+    oracle = Counter()
+    for u, h in zip(pages["url"].to_pylist(),
+                    pages["html"].to_pylist()):
+        for link in extract_links(h):
+            if link in urlset:
+                oracle[(u, link)] += 1
+
+    edges, mapping, n = pages_to_graph(rd.from_arrow(pages), B=4,
+                                       num_partitions=4)
+    edf = edges.to_pandas()
+    mdf = mapping.to_pandas()
+    assert n == pages.num_rows
+    vid2url = dict(zip(mdf.vid, mdf.url))
+    got = Counter({(vid2url[r.src], vid2url[r.dst]): int(r.weight)
+                   for r in edf.itertuples()})
+    assert got == oracle
+
+    # deterministic id assignment across runs
+    edges2, mapping2, _ = pages_to_graph(rd.from_arrow(pages), B=4,
+                                         num_partitions=4)
+    m1 = mdf.sort_values("url").reset_index(drop=True)
+    m2 = mapping2.to_pandas().sort_values("url").reset_index(drop=True)
+    assert m1.equals(m2)
+
+
+def test_entity_and_edge_cases():
+    html = (b"<html><body><p>a &amp; b &lt;c&gt; &quot;d&#39;</p>"
+            b'<a href="https://x.example/p1">x</a>'
+            b'<a href="/relative">rel</a>'
+            b'<a href="https://x.example/p1">x again</a>'
+            b"</body></html>")
+    assert extract_text(html) == "a & b <c> \"d' x rel x again"
+    assert extract_links(html) == ["https://x.example/p1",
+                                   "https://x.example/p1"]
+    assert extract_text(b"") == ""
+    assert extract_links(b"<html></html>") == []

@@ -1,0 +1,133 @@
+"""Training-data operators: dedup families, ANN, text analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from leidenalg_ray.stages import ann as annm
+from leidenalg_ray.stages import dedup as dd
+from leidenalg_ray.stages import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away",
+        "the quick brown fox jumps over the lazy dog and walks away",
+        "completely different text about graph community detection",
+        "another unrelated document mentioning tables and rows",
+        "the quick brown fox jumps over the lazy dog and runs away",
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(base)), pa.int64()),
+        "text": pa.array(base, pa.string()),
+    }))
+
+
+def test_exact_dedup(docs):
+    out = dd.exact_dedup(docs).to_pandas()
+    assert len(out) == 4  # docs 0 and 4 identical
+    dup = out[out.n_dups > 1]
+    assert len(dup) == 1 and dup.iloc[0].rep_doc_id == 0
+
+
+def test_minhash_near_dups(docs):
+    pairs = dd.minhash_dedup(docs, threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 4) in got  # identical
+    assert (0, 1) in got  # near-identical
+    assert (0, 2) not in got
+
+
+def test_simhash_near_dups(docs):
+    pairs = dd.simhash_dedup(docs, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 4) in got
+    assert all(p not in got for p in [(0, 2), (2, 3)])
+
+
+def test_embedding_cosine_lsh_vs_exact():
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((40, 16))
+    # create 5 near-duplicate rows
+    dups = base[:5] + 0.01 * rng.standard_normal((5, 16))
+    vecs = np.vstack([base, dups])
+    t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array(list(vecs.astype(np.float32)))})
+    ds = rd.from_arrow(t)
+    exact = dd.embedding_cosine_pairs(ds, threshold=0.99,
+                                      use_lsh=False).to_pandas()
+    ex = set(map(tuple, exact[["a", "b"]].to_numpy()))
+    assert all((i, 40 + i) in ex for i in range(5))
+    lsh = dd.embedding_cosine_pairs(ds, threshold=0.99, n_planes=4,
+                                    use_lsh=True).to_pandas()
+    ls = set(map(tuple, lsh[["a", "b"]].to_numpy()))
+    assert ls.issubset(ex)
+    assert len(ls) >= len(ex) * 0.6  # recall floor for 4 planes
+
+
+def test_ann_brute_force_topk():
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 8))
+    t = pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                  "embedding": pa.array(list(vecs.astype(np.float32)))})
+    ds = rd.from_arrow(t)
+    out = annm.brute_force_topk(ds, vecs[:2].astype(np.float64),
+                                [0, 1], k=5).to_pandas()
+    # numpy oracle
+    v64 = vecs.astype(np.float32).astype(np.float64)
+    unit = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    for q in (0, 1):
+        sims = unit @ (v64[q] / np.linalg.norm(v64[q]))
+        top = np.lexsort((np.arange(100), -sims))[:5]
+        got = out[out.query_id == q].sort_values("rank").vec_id.tolist()
+        assert got == top.tolist()
+
+
+def test_ann_ivf_recall():
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((300, 16))
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array(list(vecs.astype(np.float32)))})
+    ds = rd.from_arrow(t)
+    brute = annm.brute_force_topk(ds, vecs[:3], [0, 1, 2],
+                                  k=10).to_pandas()
+    ivf = annm.ivf_topk(ds, vecs[:3], [0, 1, 2], k=10, n_centroids=8,
+                        nprobe=4).to_pandas()
+    recalls = []
+    for q in (0, 1, 2):
+        bset = set(brute[brute.query_id == q].vec_id)
+        iset = set(ivf[ivf.query_id == q].vec_id)
+        recalls.append(len(bset & iset) / len(bset))
+    assert np.mean(recalls) >= 0.6
+
+
+def test_token_stats_and_langid(docs):
+    out = tx.token_counts(docs, concurrency=2).to_pandas() \
+        .sort_values("doc_id")
+    assert out.n_tokens.iloc[0] == 12
+    lang = tx.lang_id(docs, concurrency=2).to_pandas()
+    assert (lang.pred_lang == "en").all()
+    de = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["der hund ist nicht mit der katze und das"],
+                         pa.string())}))
+    assert tx.lang_id(de, concurrency=1).to_pandas() \
+        .pred_lang.iloc[0] == "de"
+
+
+def test_rolling_fingerprint_shift_invariance():
+    # same token stream => same fingerprint; different stream differs
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "alpha  beta   gamma delta epsilon zeta eta theta iota kappa",
+            "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        ], pa.string()),
+    })
+    out = tx.rolling_fingerprint(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id")
+    assert out.fingerprint.iloc[0] == out.fingerprint.iloc[1]
+    assert out.fingerprint.iloc[0] != out.fingerprint.iloc[2]
