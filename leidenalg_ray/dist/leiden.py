@@ -96,9 +96,11 @@ def _propose(edges, mem, stats, scal, color, n_colors, superstep_salt):
     step).
     Returns proposals (vid, target, dq) for the active colour class.
     """
+    EMPTY = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0),
+             np.empty(0), np.empty(0))
     src_local = edges["src_local"]
     if len(src_local) == 0:
-        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+        return EMPTY
     P = scal["P"]
     vid_base = edges["vid_base"]  # global vid = src_local * P + vid_base
     M = scal["label_space"]
@@ -133,7 +135,7 @@ def _propose(edges, mem, stats, scal, color, n_colors, superstep_salt):
 
     cand = active & ~is_cur
     if not cand.any():
-        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+        return EMPTY
     ci = np.flatnonzero(cand)
     v_loc = pv[ci]
     vids_c = vids[ci]
@@ -185,13 +187,18 @@ def _propose(edges, mem, stats, scal, color, n_colors, superstep_salt):
     all_v = np.concatenate([vids_c, vids_u])
     all_t = np.concatenate([cs, empty_target])
     all_d = np.concatenate([dq, dq_e])
+    all_wnew = np.concatenate([wv, np.zeros(len(vu))])
+    # w(v, current comm) aligned per row
+    all_wcur = np.concatenate([w_cur, w_cur_u])
     order = np.lexsort((all_t, -all_d, all_v))
     av, at, ad = all_v[order], all_t[order], all_d[order]
+    awn, awc = all_wnew[order], all_wcur[order]
     firstmask = np.ones(len(av), dtype=bool)
     firstmask[1:] = av[1:] != av[:-1]
     bv, bt, bd = av[firstmask], at[firstmask], ad[firstmask]
+    bwn, bwc = awn[firstmask], awc[firstmask]
     good = bd > 1e-10
-    return bv[good], bt[good], bd[good]
+    return bv[good], bt[good], bd[good], bwn[good], bwc[good]
 
 
 @ray.remote
@@ -270,7 +277,7 @@ class DistLeiden:
 
     def __init__(self, src, dst, weight=None, n=None, directed=False,
                  quality="cpm", resolution_parameter=1.0, P=8, seed=42,
-                 n_colors=2, node_sizes=None):
+                 n_colors=2, node_sizes=None, correct_self_loops=None):
         src = np.asarray(src, dtype=np.int64)
         dst = np.asarray(dst, dtype=np.int64)
         if n is None:
@@ -302,8 +309,10 @@ class DistLeiden:
             self.k_in = self.k_out
         self.m = float(weight.sum())
         self.total_size = float(self.node_size.sum())
-        self.correct_self_loops = bool(loop.any()) if quality == "cpm" \
-            else False
+        if correct_self_loops is None:
+            correct_self_loops = (bool(loop.any()) if quality == "cpm"
+                                  else False)
+        self.correct_self_loops = bool(correct_self_loops)
 
         # symmetrised incidence blocks keyed by source partition
         nl = ~loop
@@ -367,17 +376,32 @@ class DistLeiden:
                                 self.gamma))
 
     # ------------------------------------------------------------------
-    def local_move_level0(self, mem=None, max_supersteps=200):
+    def local_move_level0(self, mem=None, max_supersteps=200,
+                          min_rel_improvement=1e-9):
         """Distributed local move to the fixed point. Returns (mem,
-        quality, n_supersteps, history)."""
+        quality, n_supersteps, history).
+
+        Commits are applied incrementally on the driver (strength/size
+        updates are exact; community internal weights can drift when
+        same-step moves interact). Once per colour cycle the stats are
+        recomputed distributed and quality verified: a cycle that
+        *decreased* quality (conflicting parallel moves) is rolled back
+        and re-run in safe mode — per-step recompute plus a greedy
+        non-interfering subset (one move per touched community) — so
+        quality is monotone non-decreasing across cycles like the
+        reference's sequential queue. Convergence: a full cycle with no
+        moves, or relative improvement below ``min_rel_improvement``
+        (kills zero-gain ping-pong oscillations)."""
         mem = (np.arange(self.n, dtype=np.int64) if mem is None
                else np.asarray(mem, dtype=np.int64).copy())
         stats, mem_ref = self._stats_of(mem)
         q = self._quality_of(stats)
         history = []
-        idle_colors = 0
+        idle = 0
         step = 0
-        while step < max_supersteps and idle_colors < self.n_colors:
+        q_cycle_start = q
+        cycle_mem = mem.copy()
+        while step < max_supersteps and idle < self.n_colors:
             color = step % self.n_colors
             stats_ref = ray.put(stats)
             props = ray.get([_propose.remote(
@@ -385,43 +409,81 @@ class DistLeiden:
                 self.n_colors, step) for b in self.block_refs])
             vids = np.concatenate([p[0] for p in props])
             targs = np.concatenate([p[1] for p in props])
-            dqs = np.concatenate([p[2] for p in props])
+            wnew = np.concatenate([p[3] for p in props])
+            wcur = np.concatenate([p[4] for p in props])
             step += 1
-            if len(vids) == 0:
-                idle_colors += 1
-                history.append({"step": step, "moves": 0, "quality": q})
-                continue
-            # optimistic commit of the whole colour class
-            snapshot = mem[vids].copy()
-            mem[vids] = targs
-            stats2, mem_ref2 = self._stats_of(mem)
-            q2 = self._quality_of(stats2)
-            if q2 + 1e-9 < q:
-                # conflicting parallel moves: roll back, apply a
-                # non-interfering greedy subset instead
-                mem[vids] = snapshot
-                order = np.argsort(-dqs, kind="stable")
-                touched = set()
-                sel = []
-                for i in order:
-                    a, b = int(mem[vids[i]]), int(targs[i])
-                    if a in touched or b in touched:
-                        continue
-                    touched.add(a)
-                    touched.add(b)
-                    sel.append(i)
-                sel = np.array(sel, dtype=np.int64)
-                mem[vids[sel]] = targs[sel]
-                stats2, mem_ref2 = self._stats_of(mem)
-                q2 = self._quality_of(stats2)
-                moves = len(sel)
+            if len(vids):
+                idle = 0
+                self._apply_incremental(mem, stats, vids, targs, wnew,
+                                        wcur)
+                mem_ref = ray.put(mem)
             else:
-                moves = len(vids)
-            stats, mem_ref, q = stats2, mem_ref2, q2
-            idle_colors = 0
-            history.append({"step": step, "moves": int(moves),
-                            "quality": q})
+                idle += 1
+            history.append({"step": step, "moves": int(len(vids))})
+            if step % self.n_colors == 0 and idle < self.n_colors:
+                stats, mem_ref = self._stats_of(mem)
+                q2 = self._quality_of(stats)
+                if q2 + 1e-9 < q_cycle_start:
+                    # conflicting parallel moves: redo the cycle safely
+                    mem = cycle_mem.copy()
+                    mem, stats, mem_ref, q2, safe_moves = \
+                        self._safe_cycle(mem)
+                    history.append({"step": step, "moves": safe_moves,
+                                    "safe": True})
+                q = q2
+                if q - q_cycle_start < min_rel_improvement * (1 + abs(q)):
+                    break
+                q_cycle_start = q
+                cycle_mem = mem.copy()
+        # final true stats/quality
+        stats, mem_ref = self._stats_of(mem)
+        q = self._quality_of(stats)
         return mem, q, step, history
+
+    def _apply_incremental(self, mem, stats, vids, targs, wnew, wcur):
+        loop = self.loop_w[vids]
+        old = mem[vids]
+        np.subtract.at(stats["w_in"], old, wcur + loop)
+        np.add.at(stats["w_in"], targs, wnew + loop)
+        np.subtract.at(stats["s_out"], old, self.k_out[vids])
+        np.add.at(stats["s_out"], targs, self.k_out[vids])
+        np.subtract.at(stats["s_in"], old, self.k_in[vids])
+        np.add.at(stats["s_in"], targs, self.k_in[vids])
+        np.subtract.at(stats["size"], old, self.node_size[vids])
+        np.add.at(stats["size"], targs, self.node_size[vids])
+        mem[vids] = targs
+
+    def _safe_cycle(self, mem):
+        """One colour cycle with per-step distributed stats recompute
+        and a greedy non-interfering commit subset (exact, monotone)."""
+        stats, mem_ref = self._stats_of(mem)
+        total_moves = 0
+        for color in range(self.n_colors):
+            stats_ref = ray.put(stats)
+            props = ray.get([_propose.remote(
+                b, mem_ref, stats_ref, self.scal_ref, color,
+                self.n_colors, -1) for b in self.block_refs])
+            vids = np.concatenate([p[0] for p in props])
+            targs = np.concatenate([p[1] for p in props])
+            dqs = np.concatenate([p[2] for p in props])
+            if len(vids) == 0:
+                continue
+            order = np.argsort(-dqs, kind="stable")
+            touched = set()
+            sel = []
+            for i in order:
+                a, b2 = int(mem[vids[i]]), int(targs[i])
+                if a in touched or b2 in touched:
+                    continue
+                touched.add(a)
+                touched.add(b2)
+                sel.append(i)
+            sel = np.asarray(sel, dtype=np.int64)
+            mem[vids[sel]] = targs[sel]
+            total_moves += len(sel)
+            stats, mem_ref = self._stats_of(mem)
+        q = self._quality_of(stats)
+        return mem, stats, mem_ref, q, total_moves
 
     # ------------------------------------------------------------------
     def refine_distributed(self, mem):
@@ -492,27 +554,78 @@ class DistLeiden:
         return g, labels, dense
 
     # ------------------------------------------------------------------
-    def run(self, n_iterations=2, max_supersteps=200):
-        """Full pipeline: distributed level 0 + in-memory tail. Returns
-        (membership, quality, info)."""
-        mem, q, steps, history = self.local_move_level0(
-            max_supersteps=max_supersteps)
-        refined = self.refine_distributed(mem)
-        agg_g, labels, dense = self.aggregate(refined)
-        # seed aggregate membership from the unrefined partition
-        seed_mem = np.empty(len(labels), dtype=np.int64)
-        seed_mem[dense] = mem
-        cls = PARTITION_TYPES[self.quality]
-        from ..partition import MutableVertexPartition
-        part = cls.__new__(cls)
-        MutableVertexPartition.__init__(
-            part, agg_g, initial_membership=seed_mem,
-            resolution_parameter=self.gamma,
-            correct_self_loops=self.correct_self_loops, _validate=False)
-        opt = Optimiser()
-        opt.set_rng_seed(self.seed)
-        opt.optimise_partition(part, n_iterations=n_iterations)
-        final = np.asarray(part.membership)[dense]
+    def run(self, n_iterations=2, max_supersteps=200,
+            tail_max_edges=150_000, tail_max_n=3000, max_levels=8,
+            min_rel_improvement=1e-9):
+        """Full multi-level pipeline: distributed local-move + refine +
+        aggregate per level. The exact in-memory schedule runs only on
+        genuinely small aggregates (edge count below
+        ``tail_max_edges``); edge-dense aggregates keep iterating
+        distributed levels until quality stops improving — the in-memory
+        queue kernel on a million-edge aggregate would dominate wall
+        time. Returns (membership, quality, info)."""
+        chain = []          # per level: dense map (level vids -> next)
+        level = self
+        seed = None
+        level_infos = []
+        total_steps = 0
+        prev_q = -np.inf
+        final_mem_agg = None
+        quality = None
+        while True:
+            mem, q, steps, history = level.local_move_level0(
+                mem=seed, max_supersteps=max_supersteps,
+                min_rel_improvement=min_rel_improvement)
+            total_steps += steps
+            refined = level.refine_distributed(mem)
+            agg_g, labels, dense = level.aggregate(refined)
+            seed_mem = np.empty(len(labels), dtype=np.int64)
+            seed_mem[dense] = mem
+            chain.append(dense)
+            level_infos.append({"n": level.n, "edges": len(level.src),
+                                "supersteps": steps, "quality": q})
+            small = (agg_g.ecount <= tail_max_edges
+                     and agg_g.n <= tail_max_n)
+            plateaued = (q - prev_q) < min_rel_improvement * (1 + abs(q))
+            if small or len(chain) >= max_levels or \
+                    (plateaued and len(chain) > 1):
+                if small:
+                    cls = PARTITION_TYPES[self.quality]
+                    from ..partition import MutableVertexPartition
+                    part = cls.__new__(cls)
+                    MutableVertexPartition.__init__(
+                        part, agg_g, initial_membership=seed_mem,
+                        resolution_parameter=self.gamma,
+                        correct_self_loops=self.correct_self_loops,
+                        _validate=False)
+                    opt = Optimiser()
+                    opt.set_rng_seed(self.seed)
+                    opt.optimise_partition(part,
+                                           n_iterations=n_iterations)
+                    final_mem_agg = np.asarray(part.membership)
+                    quality = part.quality()
+                else:
+                    final_mem_agg = seed_mem
+                    quality = q
+                break
+            prev_q = q
+            nxt = DistLeiden(
+                agg_g.src, agg_g.dst, agg_g.weight, n=agg_g.n,
+                directed=self.directed, quality=self.quality,
+                resolution_parameter=self.gamma, P=self.P,
+                seed=self.seed, n_colors=self.n_colors,
+                node_sizes=agg_g.node_size,
+                correct_self_loops=self.correct_self_loops)
+            # dense-relabel the seed for the next level's label space
+            _, seed = np.unique(seed_mem, return_inverse=True)
+            seed = seed.astype(np.int64)
+            level = nxt
+
+        # unwind: compose the per-level coarsening maps
+        composite = chain[0]
+        for dense in chain[1:]:
+            composite = dense[composite]
+        final = final_mem_agg[composite]
         # dense renumber by decreasing size (deterministic)
         ulab, uinv = np.unique(final, return_inverse=True)
         counts = np.bincount(uinv)
@@ -523,10 +636,10 @@ class DistLeiden:
         rank[order] = np.arange(len(ulab))
         final = rank[uinv]
         info = {
-            "level0_supersteps": steps,
-            "level0_quality": q,
-            "final_quality": part.quality(),
-            "history": history,
+            "levels": level_infos,
+            "level0_supersteps": total_steps,
+            "level0_quality": level_infos[0]["quality"],
+            "final_quality": quality,
             "n_communities": int(final.max()) + 1,
         }
-        return final, part.quality(), info
+        return final, quality, info

@@ -68,3 +68,78 @@ def triangle_count_arrays(src, dst, n, num_partitions=8, per_vertex=False):
                   "dst": pa.array(np.asarray(dst, dtype=np.int64))})
     ds = rd.from_arrow(t)
     return triangle_count(ds, num_partitions, per_vertex)
+
+
+def triangle_count_fast(src, dst, n, P=16, per_vertex=False):
+    """Degree-ordered triangle counting (compact-forward): orient each
+    edge from the lower-(degree, vid) endpoint to the higher one, so a
+    vertex's forward out-degree is O(sqrt(2m)) and the wedge count
+    drops from sum deg^2 to sum outdeg^2 — the standard skew fix for
+    power-law graphs.
+
+    Wedge generation runs as P numpy tasks over source-partitioned
+    forward adjacency; closing membership tests run against the sorted
+    edge-key array broadcast once via ``ray.put`` (8 bytes/edge — for
+    corpora where the deduped edge set no longer fits a node, swap the
+    closing step for the hash-join variant in ``triangle_count``).
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    nl = src != dst
+    a = np.minimum(src[nl], dst[nl])
+    b = np.maximum(src[nl], dst[nl])
+    keys = np.unique(a * np.int64(n) + b)
+    a = (keys // n).astype(np.int64)
+    b = (keys % n).astype(np.int64)
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    # total order: (degree, vid)
+    rank = np.lexsort((np.arange(n), deg))
+    pos = np.empty(n, dtype=np.int64)
+    pos[rank] = np.arange(n)
+    fsrc = np.where(pos[a] < pos[b], a, b)
+    fdst = np.where(pos[a] < pos[b], b, a)
+    order = np.argsort(fsrc, kind="stable")
+    fsrc, fdst = fsrc[order], fdst[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, fsrc + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    key_ref = ray.put(keys)
+    adj_ref = ray.put((indptr, fdst, pos))
+
+    @ray.remote
+    def count_part(p):
+        indptr_, fdst_, pos_ = ray.get(adj_ref)
+        keys_ = ray.get(key_ref)
+        verts = np.arange(p, n, P)
+        tri = 0
+        pv = np.zeros(n, dtype=np.int64) if per_vertex else None
+        for u in verts:
+            nb = fdst_[indptr_[u]:indptr_[u + 1]]
+            if len(nb) < 2:
+                continue
+            # wedge pairs among forward neighbours, ordered by pos
+            o = np.argsort(pos_[nb])
+            nb = nb[o]
+            ii, jj = np.triu_indices(len(nb), k=1)
+            x, y = nb[ii], nb[jj]
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            k = lo * np.int64(n) + hi
+            idx = np.searchsorted(keys_, k).clip(0, len(keys_) - 1)
+            hit = keys_[idx] == k
+            cnt = int(hit.sum())
+            tri += cnt
+            if per_vertex and cnt:
+                pv[u] += cnt
+                np.add.at(pv, x[hit], 1)
+                np.add.at(pv, y[hit], 1)
+        return tri, pv
+
+    results = ray.get([count_part.remote(p) for p in range(P)])
+    total = sum(r[0] for r in results)
+    if not per_vertex:
+        return total
+    pv = np.zeros(n, dtype=np.int64)
+    for r in results:
+        pv += r[1]
+    return total, pv

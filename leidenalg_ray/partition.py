@@ -85,6 +85,10 @@ class MutableVertexPartition:
         self._label = np.full(cap, -1, dtype=np.int64)
         self._label[:C] = labels
         self._idx_of = {int(l): i for i, l in enumerate(labels)}
+        # dense label -> slot map for vectorised gathers (-1 = absent)
+        top = int(labels.max()) + 1 if C else 1
+        self._idx_arr = np.full(max(top, 16), -1, dtype=np.int64)
+        self._idx_arr[labels] = np.arange(C)
         self._free = []
         self._w_in = np.zeros(cap)
         self._s_out = np.zeros(cap)
@@ -143,12 +147,20 @@ class MutableVertexPartition:
         self._w_in[i] = self._s_out[i] = self._s_in[i] = self._size[i] = 0.0
         self._ncount[i] = 0
         self._idx_of[int(label)] = i
+        if label >= len(self._idx_arr):
+            new = np.full(max(2 * len(self._idx_arr), int(label) + 1),
+                          -1, dtype=np.int64)
+            new[:len(self._idx_arr)] = self._idx_arr
+            self._idx_arr = new
+        self._idx_arr[int(label)] = i
         if label >= self._next_label:
             self._next_label = int(label) + 1
         return i
 
     def _release(self, i):
-        del self._idx_of[int(self._label[i])]
+        lab = int(self._label[i])
+        del self._idx_of[lab]
+        self._idx_arr[lab] = -1
         self._label[i] = -1
         self._free.append(i)
         self._n_comm -= 1
@@ -252,13 +264,15 @@ class MutableVertexPartition:
         nso = np.zeros(k)
         nsi = np.zeros(k)
         nsz = np.zeros(k)
-        for j, lab in enumerate(cand_labels):
-            i = self._idx_of.get(int(lab))
-            if i is not None:
-                nw[j] = self._w_in[i]
-                nso[j] = self._s_out[i]
-                nsi[j] = self._s_in[i]
-                nsz[j] = self._size[i]
+        cl = np.asarray(cand_labels, dtype=np.int64)
+        in_range = cl < len(self._idx_arr)
+        idxs = np.full(k, -1, dtype=np.int64)
+        idxs[in_range] = self._idx_arr[cl[in_range]]
+        known = idxs >= 0
+        nw[known] = self._w_in[idxs[known]]
+        nso[known] = self._s_out[idxs[known]]
+        nsi[known] = self._s_in[idxs[known]]
+        nsz[known] = self._size[idxs[known]]
         aw = nw + w_to + w_from + loop_v
         aso, asi, asz = nso + ko, nsi + ki, nsz + ns
 

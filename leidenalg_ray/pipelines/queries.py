@@ -278,10 +278,10 @@ def q_pagerank_ps(sf_dir):
 # Triangles
 # ======================================================================
 def q_triangles_co(sf_dir):
-    e = tg.co_edges(sf_dir).map_batches(
-        lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
-        batch_format="pyarrow")
-    n_tri = triangle_count(e, num_partitions=8)
+    from ..dist.triangles import triangle_count_fast
+    a, b, w = tg.co_edge_arrays(sf_dir)
+    n = int(max(a.max(initial=0), b.max(initial=0))) + 1
+    n_tri = triangle_count_fast(a, b, n, P=16)
     return pa.table({"n_triangles": pa.array([n_tri], pa.int64())})
 
 
@@ -298,16 +298,13 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
 
 
 def q_triangles_co_per_vertex(sf_dir):
-    e = tg.co_edges(sf_dir).map_batches(
-        lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
-        batch_format="pyarrow")
-    _, pv = triangle_count(e, num_partitions=8, per_vertex=True)
-
-    def finish(t: pa.Table) -> pa.Table:
-        cnt_name = [c for c in t.column_names if c != "v"][0]
-        return pa.table({"vid": t["v"],
-                         "n_triangles": pc.cast(t[cnt_name], pa.int64())})
-    return pv.map_batches(finish, batch_format="pyarrow")
+    from ..dist.triangles import triangle_count_fast
+    a, b, w = tg.co_edge_arrays(sf_dir)
+    n = int(max(a.max(initial=0), b.max(initial=0))) + 1
+    _, pv = triangle_count_fast(a, b, n, P=16, per_vertex=True)
+    nz = np.flatnonzero(pv)
+    return pa.table({"vid": pa.array(nz.astype(np.int64)),
+                     "n_triangles": pa.array(pv[nz])})
 
 
 SQL_TRIANGLES_CO_PV = """

@@ -81,15 +81,61 @@ def co_edges(sf_dir, num_partitions=16):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+_CO_CACHE = {}
+
+
 def co_edge_arrays(sf_dir, num_partitions=16):
-    """(a, b, weight) numpy arrays of the co-occurrence graph (driver
-    pulls the deduped edge table — small relative to lineitem)."""
-    df = co_edges(sf_dir, num_partitions).to_pandas()
-    return (df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64),
-            df["weight"].to_numpy(np.float64))
+    """(a, b, weight) numpy arrays of the co-occurrence graph.
+
+    The superstep substrate consumes driver-side arrays, so the final
+    dedup runs as one vectorised ``np.unique`` over the streamed,
+    per-batch pre-deduped pair rows — skipping the groupby shuffle the
+    Dataset variant (``co_edges``) needs when the result must stay
+    distributed. Memoised per sf_dir: the graph algorithms in the
+    driver's correctness gate all share one build."""
+    if sf_dir in _CO_CACHE:
+        return _CO_CACHE[sf_dir]
+    li = read_lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    right = li.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "partkey_r"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = li.join(right, "inner", num_partitions, on=("l_orderkey",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a = t["l_partkey"]
+        b = t["partkey_r"]
+        tt = pa.table({"a": a, "b": b}).filter(pc.less(a, b))
+        return tt.group_by(["a", "b"]).aggregate([([], "count_all")]) \
+                 .rename_columns(["a", "b", "weight"])
+
+    keys, weights = [], []
+    M = np.int64(1) << 32
+    for batch in joined.map_batches(pairs, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+                       .iter_batches(batch_format="pyarrow",
+                                     batch_size=1 << 18):
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys.append(a * M + b)
+        weights.append(batch["weight"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64))
+    key = np.concatenate(keys) if keys else np.empty(0, np.int64)
+    wt = np.concatenate(weights) if weights else np.empty(0)
+    uniq, inv = np.unique(key, return_inverse=True)
+    w = np.zeros(len(uniq))
+    np.add.at(w, inv, wt)
+    out = ((uniq // M).astype(np.int64), (uniq % M).astype(np.int64), w)
+    _CO_CACHE[sf_dir] = out
+    return out
+
+
+_PS_CACHE = {}
 
 
 def ps_edge_arrays(sf_dir):
-    df = ps_edges(sf_dir).to_pandas()
-    return (df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64),
-            df["weight"].to_numpy(np.float64))
+    if sf_dir not in _PS_CACHE:
+        df = ps_edges(sf_dir).to_pandas()
+        _PS_CACHE[sf_dir] = (df["src"].to_numpy(np.int64),
+                             df["dst"].to_numpy(np.int64),
+                             df["weight"].to_numpy(np.float64))
+    return _PS_CACHE[sf_dir]
