@@ -75,18 +75,32 @@ class DistGraph:
     # ------------------------------------------------------------------
     @classmethod
     def _from_edge_arrays(cls, src, dst, weight, n, P, directed):
-        blocks, degs, strengths = [], [], []
-        p_of_src = src % P
+        """Block construction runs as P parallel tasks against the
+        edge arrays put once in the object store (the per-partition
+        sort is the expensive part — serial driver-side construction
+        was a flat cost that capped scaling)."""
         sizes = part_sizes(n, P)
-        for p in range(P):
-            m = p_of_src == p
-            blocks.append(ray.put(_build_block(src[m], dst[m], weight[m], P)))
+        src_ref = ray.put(src)
+        dst_ref = ray.put(dst)
+        w_ref = ray.put(weight)
+
+        @ray.remote(num_returns=3)
+        def build(p, s, d, w):
+            m = (s % P) == p
+            sp, dp, wp = s[m], d[m], w[m]
             deg = np.zeros(sizes[p], dtype=np.int64)
             stg = np.zeros(sizes[p])
-            np.add.at(deg, src[m] // P, 1)
-            np.add.at(stg, src[m] // P, weight[m])
-            degs.append(ray.put(deg))
-            strengths.append(ray.put(stg))
+            np.add.at(deg, sp // P, 1)
+            np.add.at(stg, sp // P, wp)
+            return _build_block(sp, dp, wp, P), deg, stg
+
+        outs = [build.remote(p, src_ref, dst_ref, w_ref)
+                for p in range(P)]
+        blocks = [o[0] for o in outs]
+        degs = [o[1] for o in outs]
+        strengths = [o[2] for o in outs]
+        # surface any build error now rather than at first superstep
+        ray.wait(blocks, num_returns=len(blocks))
         return cls(n, P, directed, blocks, degs, strengths)
 
     @classmethod

@@ -389,52 +389,55 @@ class DistLeiden:
         and re-run in safe mode — per-step recompute plus a greedy
         non-interfering subset (one move per touched community) — so
         quality is monotone non-decreasing across cycles like the
-        reference's sequential queue. Convergence: a full cycle with no
-        moves, or relative improvement below ``min_rel_improvement``
-        (kills zero-gain ping-pong oscillations)."""
+        reference's sequential queue. When a cycle commits few moves
+        (low conflict probability) the colour count adaptively drops to
+        1, halving the scheduler-latency-bound rounds in the
+        convergence tail. Convergence: a cycle with no moves, or
+        relative improvement below ``min_rel_improvement`` (kills
+        zero-gain ping-pong oscillations)."""
         mem = (np.arange(self.n, dtype=np.int64) if mem is None
                else np.asarray(mem, dtype=np.int64).copy())
         stats, mem_ref = self._stats_of(mem)
         q = self._quality_of(stats)
         history = []
-        idle = 0
         step = 0
-        q_cycle_start = q
-        cycle_mem = mem.copy()
-        while step < max_supersteps and idle < self.n_colors:
-            color = step % self.n_colors
-            stats_ref = ray.put(stats)
-            props = ray.get([_propose.remote(
-                b, mem_ref, stats_ref, self.scal_ref, color,
-                self.n_colors, step) for b in self.block_refs])
-            vids = np.concatenate([p[0] for p in props])
-            targs = np.concatenate([p[1] for p in props])
-            wnew = np.concatenate([p[3] for p in props])
-            wcur = np.concatenate([p[4] for p in props])
-            step += 1
-            if len(vids):
-                idle = 0
-                self._apply_incremental(mem, stats, vids, targs, wnew,
-                                        wcur)
-                mem_ref = ray.put(mem)
-            else:
-                idle += 1
-            history.append({"step": step, "moves": int(len(vids))})
-            if step % self.n_colors == 0 and idle < self.n_colors:
-                stats, mem_ref = self._stats_of(mem)
-                q2 = self._quality_of(stats)
-                if q2 + 1e-9 < q_cycle_start:
-                    # conflicting parallel moves: redo the cycle safely
-                    mem = cycle_mem.copy()
-                    mem, stats, mem_ref, q2, safe_moves = \
-                        self._safe_cycle(mem)
-                    history.append({"step": step, "moves": safe_moves,
-                                    "safe": True})
-                q = q2
-                if q - q_cycle_start < min_rel_improvement * (1 + abs(q)):
-                    break
-                q_cycle_start = q
-                cycle_mem = mem.copy()
+        cur_colors = self.n_colors
+        while step < max_supersteps:
+            q_cycle_start = q
+            cycle_mem = mem.copy()
+            cycle_moves = 0
+            for color in range(cur_colors):
+                stats_ref = ray.put(stats)
+                props = ray.get([_propose.remote(
+                    b, mem_ref, stats_ref, self.scal_ref, color,
+                    cur_colors, step) for b in self.block_refs])
+                vids = np.concatenate([p[0] for p in props])
+                targs = np.concatenate([p[1] for p in props])
+                wnew = np.concatenate([p[3] for p in props])
+                wcur = np.concatenate([p[4] for p in props])
+                step += 1
+                if len(vids):
+                    self._apply_incremental(mem, stats, vids, targs,
+                                            wnew, wcur)
+                    mem_ref = ray.put(mem)
+                    cycle_moves += len(vids)
+                history.append({"step": step, "moves": int(len(vids))})
+            if cycle_moves == 0:
+                break
+            stats, mem_ref = self._stats_of(mem)
+            q2 = self._quality_of(stats)
+            if q2 + 1e-9 < q_cycle_start:
+                # conflicting parallel moves: redo the cycle safely
+                mem = cycle_mem.copy()
+                mem, stats, mem_ref, q2, safe_moves = \
+                    self._safe_cycle(mem)
+                history.append({"step": step, "moves": safe_moves,
+                                "safe": True})
+            q = q2
+            if q - q_cycle_start < min_rel_improvement * (1 + abs(q)):
+                break
+            if cycle_moves < max(8, self.n // 200):
+                cur_colors = 1
         # final true stats/quality
         stats, mem_ref = self._stats_of(mem)
         q = self._quality_of(stats)

@@ -112,6 +112,73 @@ def links_to_edges(links_ds, mapping_ds, n, num_partitions=16,
     return dedup_edges(ints)
 
 
+def pages_to_graph_arrays(pages_ds, B=32, concurrency=8):
+    """pages -> (src, dst, weight arrays, mapping DataFrame, n).
+
+    Small-side-broadcast variant: the url->vid mapping is broadcast
+    once via ``ray.put`` and links resolve with a dict lookup inside
+    ``map_batches`` — no join shuffle at all (ray_guide.md "Joins and
+    lookups"). Right while the mapping fits a node's memory; beyond
+    that use ``pages_to_graph`` (hash joins). Final dedup is a
+    driver-side ``np.unique`` over per-batch pre-deduped pairs, since
+    the caller consumes driver-side arrays anyway."""
+    import ray
+
+    from .extract import extract_dataset, links_of, texts_of
+
+    import pandas as pd
+
+    extracted = extract_dataset(pages_ds,
+                                concurrency=concurrency).materialize()
+    links = links_of(extracted)
+    urls = texts_of(extracted).select_columns(["url"])
+    # the mapping must fit in memory to be broadcast at all, so the
+    # arrays path assigns ids with one driver-side sort (deterministic:
+    # vid = rank in global url order); the Dataset path keeps the
+    # distributed bucket-rank scheme (assign_ids) for corpora whose
+    # url set exceeds a node
+    parts = [b["url"].to_numpy(zero_copy_only=False)
+             for b in urls.iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 18)]
+    all_urls = np.concatenate(parts) if parts else np.empty(0, object)
+    sorted_urls = np.sort(all_urls.astype(np.str_))
+    n = len(sorted_urls)
+    vids_sorted = np.arange(n, dtype=np.int64)
+    mdf = pd.DataFrame({"url": sorted_urls, "vid": vids_sorted})
+    ref = ray.put((sorted_urls, vids_sorted))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        sorted_urls, vids = ray.get(ref)
+        su = t["src_url"].to_numpy(zero_copy_only=False).astype(np.str_)
+        du = t["dst_url"].to_numpy(zero_copy_only=False).astype(np.str_)
+        si = np.searchsorted(sorted_urls, su).clip(0, len(vids) - 1)
+        di = np.searchsorted(sorted_urls, du).clip(0, len(vids) - 1)
+        ok = (sorted_urls[di] == du)  # drop dangling targets
+        src = vids[si[ok]]
+        dst = vids[di[ok]]
+        key = src * np.int64(n) + dst
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "key": pa.array(uniq),
+            "weight": pa.array(counts.astype(np.float64)),
+        })
+
+    keys, weights = [], []
+    for batch in links.map_batches(resolve, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+                      .iter_batches(batch_format="pyarrow",
+                                    batch_size=1 << 18):
+        keys.append(batch["key"].to_numpy(zero_copy_only=False))
+        weights.append(batch["weight"].to_numpy(zero_copy_only=False))
+    key = np.concatenate(keys) if keys else np.empty(0, np.int64)
+    wt = np.concatenate(weights) if weights else np.empty(0)
+    uniq, inv = np.unique(key, return_inverse=True)
+    w = np.zeros(len(uniq))
+    np.add.at(w, inv, wt)
+    return ((uniq // n).astype(np.int64), (uniq % n).astype(np.int64),
+            w, mdf, n)
+
+
 def pages_to_graph(pages_ds, B=32, num_partitions=16):
     """Full pipeline: pages -> extract -> id-assign -> dedup'd int edge
     table. Returns (edges Dataset(src,dst,weight), mapping Dataset, n)."""

@@ -77,3 +77,22 @@ def test_entity_and_edge_cases():
                                    "https://x.example/p1"]
     assert extract_text(b"") == ""
     assert extract_links(b"<html></html>") == []
+
+
+def test_arrays_variant_matches_join_variant(pages):
+    from leidenalg_ray.stages.graph_build import pages_to_graph_arrays
+    edges, mapping, n = pages_to_graph(rd.from_arrow(pages), B=4,
+                                       num_partitions=4)
+    edf = edges.to_pandas()
+    mdf = mapping.to_pandas()
+    vid2url = dict(zip(mdf.vid, mdf.url))
+    join_set = {(vid2url[r.src], vid2url[r.dst]): r.weight
+                for r in edf.itertuples()}
+
+    src, dst, w, mdf2, n2 = pages_to_graph_arrays(rd.from_arrow(pages),
+                                                  concurrency=2)
+    assert n2 == n
+    vid2url2 = dict(zip(mdf2.vid, mdf2.url))
+    arr_set = {(vid2url2[s], vid2url2[d]): wt
+               for s, d, wt in zip(src, dst, w)}
+    assert join_set == arr_set

@@ -148,3 +148,43 @@ def test_seed_determinism():
     b = find_partition(g, ModularityVertexPartition,
                        seed=7).membership.tolist()
     assert a == b
+
+
+def test_random_candidate_modes():
+    from leidenalg_ray import RAND_COMM, RAND_NEIGH_COMM
+    g = erdos_renyi(80, 0.08, seed=6)
+    for mode in (RAND_NEIGH_COMM, RAND_COMM):
+        p = CPMVertexPartition(g, resolution_parameter=0.05)
+        opt = Optimiser()
+        opt.set_rng_seed(11)
+        q0 = p.quality()
+        # run repeated randomized passes; quality must be monotone and
+        # eventually improve over the singleton start
+        for _ in range(20):
+            d = opt.move_nodes(p, consider_comms=mode)
+            assert d >= -1e-12
+        assert p.quality() > q0
+
+
+def test_merge_nodes_only_singletons_move():
+    g = erdos_renyi(60, 0.1, seed=8)
+    mem = np.random.default_rng(3).integers(0, 5, g.n)
+    p = CPMVertexPartition(g, resolution_parameter=0.05,
+                           initial_membership=mem)
+    before = p.membership.copy()
+    Optimiser().merge_nodes(p, consider_comms=ALL_NEIGH_COMMS)
+    moved = np.flatnonzero(before != p.membership)
+    # only nodes that were alone in their community may have moved
+    for v in moved:
+        assert (before == before[v]).sum() == 1
+
+
+def test_louvain_mode_refine_partition_false():
+    g, truth = planted_partition()
+    opt = Optimiser()
+    opt.refine_partition = False  # degrade to Louvain w/ fast local move
+    opt.set_rng_seed(2)
+    p = CPMVertexPartition(g, resolution_parameter=0.1)
+    opt.optimise_partition(p)
+    pairs = set(zip(p.membership.tolist(), truth.tolist()))
+    assert len(pairs) == 4
