@@ -377,7 +377,8 @@ class DistLeiden:
 
     # ------------------------------------------------------------------
     def local_move_level0(self, mem=None, max_supersteps=200,
-                          min_rel_improvement=1e-9):
+                          min_rel_improvement=1e-9, checkpoint=None,
+                          level_tag="L0"):
         """Distributed local move to the fixed point. Returns (mem,
         quality, n_supersteps, history).
 
@@ -395,12 +396,29 @@ class DistLeiden:
         convergence tail. Convergence: a cycle with no moves, or
         relative improvement below ``min_rel_improvement`` (kills
         zero-gain ping-pong oscillations)."""
+        from .checkpoint import CheckpointManager
+
         mem = (np.arange(self.n, dtype=np.int64) if mem is None
                else np.asarray(mem, dtype=np.int64).copy())
+        ckpt = (CheckpointManager(checkpoint, f"leiden-{level_tag}",
+                                  self.P) if checkpoint else None)
+        start_cycle = 0
+        if ckpt is not None:
+            resumed = ckpt.resume()
+            if resumed is not None:
+                start_cycle, shards, metrics = resumed
+                mem = np.concatenate(shards)[np.argsort(
+                    np.concatenate([np.arange(p, self.n, self.P)
+                                    for p in range(self.P)]))]
+                if metrics.get("converged"):
+                    stats, _ = self._stats_of(mem)
+                    return (mem, self._quality_of(stats),
+                            int(metrics.get("step", 0)), [])
         stats, mem_ref = self._stats_of(mem)
         q = self._quality_of(stats)
         history = []
         step = 0
+        cycle_no = 0
         cur_colors = self.n_colors
         while step < max_supersteps:
             q_cycle_start = q
@@ -422,19 +440,28 @@ class DistLeiden:
                     mem_ref = ray.put(mem)
                     cycle_moves += len(vids)
                 history.append({"step": step, "moves": int(len(vids))})
-            if cycle_moves == 0:
-                break
-            stats, mem_ref = self._stats_of(mem)
-            q2 = self._quality_of(stats)
-            if q2 + 1e-9 < q_cycle_start:
-                # conflicting parallel moves: redo the cycle safely
-                mem = cycle_mem.copy()
-                mem, stats, mem_ref, q2, safe_moves = \
-                    self._safe_cycle(mem)
-                history.append({"step": step, "moves": safe_moves,
-                                "safe": True})
-            q = q2
-            if q - q_cycle_start < min_rel_improvement * (1 + abs(q)):
+            cycle_no += 1
+            converged = cycle_moves == 0
+            if not converged:
+                stats, mem_ref = self._stats_of(mem)
+                q2 = self._quality_of(stats)
+                if q2 + 1e-9 < q_cycle_start:
+                    # conflicting parallel moves: redo the cycle safely
+                    mem = cycle_mem.copy()
+                    mem, stats, mem_ref, q2, safe_moves = \
+                        self._safe_cycle(mem)
+                    history.append({"step": step, "moves": safe_moves,
+                                    "safe": True})
+                q = q2
+                converged = (q - q_cycle_start
+                             < min_rel_improvement * (1 + abs(q)))
+            if ckpt is not None:
+                ckpt.save(start_cycle + cycle_no,
+                          [mem[p::self.P] for p in range(self.P)],
+                          metrics={"quality": q, "step": step,
+                                   "moves": int(cycle_moves),
+                                   "converged": bool(converged)})
+            if converged:
                 break
             if cycle_moves < max(8, self.n // 200):
                 cur_colors = 1
@@ -559,7 +586,7 @@ class DistLeiden:
     # ------------------------------------------------------------------
     def run(self, n_iterations=2, max_supersteps=200,
             tail_max_edges=150_000, tail_max_n=3000, max_levels=8,
-            min_rel_improvement=1e-9):
+            min_rel_improvement=1e-9, checkpoint=None):
         """Full multi-level pipeline: distributed local-move + refine +
         aggregate per level. The exact in-memory schedule runs only on
         genuinely small aggregates (edge count below
@@ -578,7 +605,9 @@ class DistLeiden:
         while True:
             mem, q, steps, history = level.local_move_level0(
                 mem=seed, max_supersteps=max_supersteps,
-                min_rel_improvement=min_rel_improvement)
+                min_rel_improvement=min_rel_improvement,
+                checkpoint=checkpoint,
+                level_tag=f"L{len(chain)}")
             total_steps += steps
             refined = level.refine_distributed(mem)
             agg_g, labels, dense = level.aggregate(refined)

@@ -225,8 +225,18 @@ def label_propagation(g: DistGraph, max_iter=100, weighted=True,
 
     label_refs = [ray.put(np.arange(p, n, P, dtype=np.int64))
                   for p in range(P)]
-    it = 0
-    for it in range(max_iter):
+    ckpt = CheckpointManager(checkpoint, "labelprop", P) \
+        if checkpoint else None
+    start_iter = 0
+    if ckpt is not None:
+        resumed = ckpt.resume()
+        if resumed is not None:
+            start_iter, shards, metrics = resumed
+            label_refs = [ray.put(s) for s in shards]
+            if metrics.get("changed", -1) == 0:
+                return assemble(g, label_refs), start_iter
+    it = start_iter
+    for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(
             g.blocks[p], label_refs[p]) for p in range(P)]
         outs = [reduce.options(num_returns=2).remote(
@@ -234,6 +244,9 @@ def label_propagation(g: DistGraph, max_iter=100, weighted=True,
             for q in range(P)]
         label_refs = [o[0] for o in outs]
         changed = sum(ray.get([o[1] for o in outs]))
+        if ckpt is not None:
+            ckpt.save(it + 1, ray.get(label_refs),
+                      metrics={"changed": changed})
         if changed == 0:
             break
     return assemble(g, label_refs), it + 1

@@ -1,0 +1,118 @@
+"""Flagship link-graph job — the ``ray job submit`` entry point.
+
+    ray job submit --working-dir . -- python scripts/run_job.py \
+        --pages /tmp/lray_pages_100000 --out /tmp/lray_out \
+        --checkpoint /tmp/lray_ckpt
+
+Runs the whole north-star pipeline: read pages parquet -> extract
+links/text -> build the id-assigned edge table -> PageRank (tol 1e-6)
++ connected components + Leiden CPM over partitioned CSR blocks, all
+superstep-checkpointed under --checkpoint (rerun after a kill resumes
+from the latest complete manifest), and writes partitioned parquet
+outputs (one directory per table; per-vertex results sharded by
+vid % P so a rerun can skip finished partitions).
+
+Standalone safety: initialises Ray only if no session exists.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True,
+                    help="pages parquet directory")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint root (enables resume)")
+    ap.add_argument("--quality", default="cpm",
+                    choices=["cpm", "modularity"])
+    ap.add_argument("--gamma", type=float, default=0.5)
+    ap.add_argument("--partitions", type=int, default=16)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 num_cpus=args.num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from leidenalg_ray.stages.graph_build import pages_to_graph_arrays
+    from leidenalg_ray.dist.blocks import DistGraph
+    from leidenalg_ray.dist import superstep as ss
+    from leidenalg_ray.dist.leiden import DistLeiden
+
+    t0 = time.time()
+    pages = rd.read_parquet(args.pages)
+    src, dst, w, mapping, n = pages_to_graph_arrays(pages)
+    t_build = time.time() - t0
+
+    P = args.partitions
+    t0 = time.time()
+    g = DistGraph.from_edges(src, dst, weight=w, n=n, P=P,
+                             directed=True)
+    rank, pr_iters = ss.pagerank(g, tol=1e-6,
+                                 checkpoint=args.checkpoint)
+    g2 = DistGraph.from_edges(src, dst, n=n, P=P,
+                              both_directions=True)
+    comp, cc_iters = ss.connected_components(
+        g2, checkpoint=args.checkpoint)
+    t_bsp = time.time() - t0
+
+    t0 = time.time()
+    dl = DistLeiden(src, dst, weight=w, n=n, directed=False,
+                    quality=args.quality,
+                    resolution_parameter=args.gamma, P=P, seed=42)
+    mem, q, info = dl.run(checkpoint=args.checkpoint)
+    t_leiden = time.time() - t0
+
+    # partitioned, resumable output: one file per vid % P shard
+    os.makedirs(args.out, exist_ok=True)
+    vdir = os.path.join(args.out, "vertices")
+    os.makedirs(vdir, exist_ok=True)
+    import pyarrow.parquet as pq
+    vids = np.arange(n, dtype=np.int64)
+    for p in range(P):
+        f = os.path.join(vdir, f"part-{p:04d}.parquet")
+        if os.path.exists(f):
+            continue  # resume: skip finished partitions
+        sl = slice(p, n, P)
+        pq.write_table(pa.table({
+            "vid": pa.array(vids[sl]),
+            "rank": pa.array(np.round(rank[sl], 10)),
+            "component": pa.array(comp[sl]),
+            "comm": pa.array(mem[sl]),
+        }), f)
+    mapping.to_parquet(os.path.join(args.out, "url_mapping.parquet"),
+                       index=False)
+    summary = {
+        "n_vertices": int(n), "n_edges": int(len(src)),
+        "pagerank_iters": int(pr_iters), "cc_iters": int(cc_iters),
+        "leiden_quality": float(q),
+        "n_communities": info["n_communities"],
+        "sec_build": round(t_build, 2), "sec_bsp": round(t_bsp, 2),
+        "sec_leiden": round(t_leiden, 2),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

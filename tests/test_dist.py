@@ -123,3 +123,31 @@ def test_checkpoint_resume(tmp_path, random_graph):
     assert manifest["P"] == 4
     assert len(manifest["partitions"]) == 4
     assert all("sha1" in e for e in manifest["partitions"])
+
+
+def test_leiden_checkpoint_resume(tmp_path):
+    g, truth = planted_partition(n_comm=4, per=30, p_in=0.4,
+                                 p_out=0.01, seed=21)
+    dl = DistLeiden(g.src, g.dst, n=g.n, directed=False, quality="cpm",
+                    resolution_parameter=0.1, P=4, seed=5)
+    mem1, q1, _ = dl.run(checkpoint=str(tmp_path))
+    # resume from the converged checkpoints: identical result
+    dl2 = DistLeiden(g.src, g.dst, n=g.n, directed=False,
+                     quality="cpm", resolution_parameter=0.1, P=4,
+                     seed=5)
+    mem2, q2, _ = dl2.run(checkpoint=str(tmp_path))
+    assert q2 == pytest.approx(q1, abs=1e-9)
+    assert np.array_equal(mem1, mem2)
+    import os
+    assert any(d.startswith("leiden-L0")
+               for d in os.listdir(tmp_path))
+
+
+def test_label_propagation_checkpoint(tmp_path, random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    a, _ = ss.label_propagation(g, max_iter=15,
+                                checkpoint=str(tmp_path))
+    b, _ = ss.label_propagation(g, max_iter=15,
+                                checkpoint=str(tmp_path))
+    assert np.array_equal(a, b)
