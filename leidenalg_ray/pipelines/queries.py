@@ -348,6 +348,36 @@ def q_leiden_cpm_co(sf_dir):
                      "comm": pa.array(mem.astype(np.int64))})
 
 
+def q_resolution_profile_co(sf_dir):
+    """Resolution profile (recursive bisection on gamma) for CPM over
+    an induced subgraph of the co-occurrence graph (first 300 vertices
+    — the profile runs a full optimisation per probed gamma).
+    Output: one row per profile breakpoint (resolution, n_communities,
+    bisect_value). Non-SQL-expressible -> rows-only check; endpoint
+    behaviour pinned by tests."""
+    from ..graph import Graph as G
+    from ..optimiser import Optimiser
+    from ..partition import CPMVertexPartition as CPM
+
+    a, b, w = tg.co_edge_arrays(sf_dir)
+    vids, s, d = _compact(a, b)
+    keep = (s < 150) & (d < 150)
+    g = G(150, src=s[keep], dst=d[keep], weights=w[keep])
+    opt = Optimiser()
+    opt.set_rng_seed(42)
+    profile = opt.resolution_profile(g, CPM, resolution_range=(0.05, 2),
+                                     min_diff_bisect_value=25,
+                                     min_diff_resolution=0.02)
+    return pa.table({
+        "resolution": pa.array([round(p.resolution_parameter, 8)
+                                for p in profile]),
+        "n_communities": pa.array([int(p.n_communities())
+                                   for p in profile], pa.int64()),
+        "bisect_value": pa.array([round(p.bisect_value(), 6)
+                                  for p in profile]),
+    })
+
+
 def q_leiden_modularity_co(sf_dir):
     a, b, w = tg.co_edge_arrays(sf_dir)
     vids, s, d = _compact(a, b)
@@ -630,6 +660,7 @@ QUERIES = {
     "label_propagation_co": q_label_propagation_co,
     "leiden_cpm_co": q_leiden_cpm_co,
     "leiden_modularity_co": q_leiden_modularity_co,
+    "resolution_profile_co": q_resolution_profile_co,
     "token_counts": q_token_counts,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,

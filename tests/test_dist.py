@@ -151,3 +151,43 @@ def test_label_propagation_checkpoint(tmp_path, random_graph):
     b, _ = ss.label_propagation(g, max_iter=15,
                                 checkpoint=str(tmp_path))
     assert np.array_equal(a, b)
+
+
+def test_salted_groupby_matches_plain():
+    import pyarrow as pa
+    import ray.data as rd
+    from leidenalg_ray.stages.salted import salted_groupby_sum
+    rng = np.random.default_rng(4)
+    # heavily skewed key distribution (one hot key)
+    keys = np.where(rng.random(50_000) < 0.6, 7,
+                    rng.integers(0, 500, 50_000)).astype(np.int64)
+    vals = rng.random(50_000)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals}))
+    out = salted_groupby_sum(ds, ["k"], "v", salt=8,
+                             alias="s").to_pandas()
+    import pandas as pd
+    expect = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"] \
+        .sum().reset_index()
+    merged = out.sort_values("k").reset_index(drop=True)
+    assert len(merged) == len(expect)
+    assert np.allclose(merged["s"].to_numpy(),
+                       expect["v"].to_numpy(), atol=1e-9)
+
+
+def test_distgraph_from_dataset(tmp_path, random_graph):
+    import pyarrow as pa
+    import ray.data as rd
+    src, dst, n = random_graph
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "weight": pa.array(np.ones(len(src)))})
+    g_ds = DistGraph.from_dataset(rd.from_arrow(t), n=n, P=4,
+                                  directed=True,
+                                  spill_dir=str(tmp_path / "edges"))
+    g_arr = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    r1, _ = ss.pagerank(g_ds, tol=1e-10)
+    r2, _ = ss.pagerank(g_arr, tol=1e-10)
+    assert np.abs(r1 - r2).max() < 1e-15
+    # the spill is the L0 checkpoint: partitioned parquet on disk
+    import os
+    assert any(d.startswith("part=")
+               for d in os.listdir(tmp_path / "edges"))
