@@ -125,13 +125,13 @@ def _propose(edges, mem, stats, scal, color, n_colors, superstep_salt):
     active = (h % n_colors) == color
     cur = mem[vids]
 
-    # per-vertex weight to current community
+    # per-vertex weight to current community, as a dense local-vertex
+    # indexed array (vectorised; no per-pair Python lookups)
     is_cur = pc_ == cur
-    # map pair rows -> per-vertex current weight via a dense temp over
-    # local vertices present
-    w_cur_of = {}
-    for i in np.flatnonzero(is_cur & active):
-        w_cur_of[int(pv[i])] = w_vc[i]
+    max_loc = int(pv.max()) + 1
+    w_cur_arr = np.zeros(max_loc)
+    sel = is_cur & active
+    w_cur_arr[pv[sel]] = w_vc[sel]
 
     cand = active & ~is_cur
     if not cand.any():
@@ -142,7 +142,7 @@ def _propose(edges, mem, stats, scal, color, n_colors, superstep_salt):
     cs = pc_[ci]
     wv = w_vc[ci]
     cur_c = cur[ci]
-    w_cur = np.array([w_cur_of.get(int(x), 0.0) for x in v_loc])
+    w_cur = w_cur_arr[v_loc]
 
     k_out = scal["k_out"][vids_c]
     k_in = scal["k_in"][vids_c]
@@ -166,7 +166,7 @@ def _propose(edges, mem, stats, scal, color, n_colors, superstep_salt):
     vu, first = np.unique(v_loc, return_index=True)
     vids_u = vu * P + vid_base
     cur_u = mem[vids_u]
-    w_cur_u = np.array([w_cur_of.get(int(x), 0.0) for x in vu])
+    w_cur_u = w_cur_arr[vu]
     k_out_u = scal["k_out"][vids_u]
     k_in_u = scal["k_in"][vids_u]
     loop_u = scal["loop_w"][vids_u]

@@ -643,6 +643,47 @@ FROM y GROUP BY user_id, session_id
 """
 
 
+def q_events_props_json(sf_dir):
+    """JSON property extraction from the events ``props`` column (the
+    engine's parser-stage shape on semi-structured payloads): per
+    event_type, sum and count of ``$.k``."""
+    import json
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = np.fromiter((json.loads(p)["k"]
+                          for p in t["props"].to_pylist()),
+                         dtype=np.int64, count=t.num_rows)
+        tt = pa.table({"event_type": t["event_type"],
+                       "k": pa.array(ks)})
+        return tt.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ([], "count_all")]) \
+            .rename_columns(["event_type", "sum_k", "n"])
+
+    pre = ev.map_batches(extract, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = pre.groupby("event_type").aggregate(
+        Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "sum_k": pc.cast(t["sum_k"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_PROPS_JSON = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 # ======================================================================
 # Registry
 # ======================================================================
@@ -674,6 +715,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
+    "events_props_json": q_events_props_json,
 }
 
 ORACLE_SQL = {
@@ -695,4 +737,5 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_props_json": SQL_EVENTS_PROPS_JSON,
 }

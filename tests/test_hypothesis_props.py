@@ -1,0 +1,74 @@
+"""Property-based fuzzing (hypothesis) of the core partition
+contracts on tiny random graphs — the metamorphic tests of
+test_partition.py, driven over a much wider random corpus."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from leidenalg_ray.graph import Graph
+from leidenalg_ray.partition import (
+    CPMVertexPartition,
+    ModularityVertexPartition,
+    RBConfigurationVertexPartition,
+    SurpriseVertexPartition,
+)
+
+PTYPES = [ModularityVertexPartition, RBConfigurationVertexPartition,
+          CPMVertexPartition, SurpriseVertexPartition]
+
+
+def _graph(seed, n, density, directed, weighted, loops):
+    r = np.random.default_rng(seed)
+    m = r.random((n, n)) < density
+    if not directed:
+        m = np.triu(m, 0 if loops else 1)
+    elif not loops:
+        np.fill_diagonal(m, False)
+    s, d = np.nonzero(m)
+    w = r.random(len(s)) + 0.05 if weighted else None
+    return Graph(n, src=s, dst=d, weights=w, directed=directed)
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(4, 14),
+       density=st.floats(0.1, 0.7), directed=st.booleans(),
+       weighted=st.booleans(), loops=st.booleans(),
+       ptype=st.sampled_from(range(len(PTYPES))),
+       v=st.integers(0, 13), target=st.integers(0, 13))
+def test_diff_move_equals_quality_delta(seed, n, density, directed,
+                                        weighted, loops, ptype, v,
+                                        target):
+    g = _graph(seed, n, density, directed, weighted, loops)
+    r = np.random.default_rng(seed + 1)
+    mem = r.integers(0, max(2, n // 2), n)
+    p = PTYPES[ptype](g, initial_membership=mem)
+    v = v % n
+    c = int(mem[target % n])
+    q0 = p.quality()
+    d = p.diff_move(v, c)
+    p.move_node(v, c)
+    assert p.quality() - q0 == pytest.approx(d, abs=1e-9)
+    # aggregation invariance holds after the move too
+    agg = p.aggregate_partition()
+    assert agg.quality() == pytest.approx(p.quality(), abs=1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(4, 12),
+       density=st.floats(0.15, 0.6))
+def test_set_membership_roundtrip(seed, n, density):
+    g = _graph(seed, n, density, False, False, False)
+    r = np.random.default_rng(seed)
+    mem = r.integers(0, n, n)
+    p = CPMVertexPartition(g, initial_membership=mem,
+                           resolution_parameter=0.3)
+    q1 = p.quality()
+    p.set_membership(p.membership)
+    assert p.quality() == pytest.approx(q1, abs=1e-12)
+    # incremental admin after arbitrary moves equals fresh recompute
+    for v in range(n):
+        p.move_node(v, int(mem[(v + 1) % n]))
+    p2 = CPMVertexPartition(g, initial_membership=p.membership,
+                            resolution_parameter=0.3)
+    assert p.quality() == pytest.approx(p2.quality(), abs=1e-9)
