@@ -348,6 +348,42 @@ def q_leiden_cpm_co(sf_dir):
                      "comm": pa.array(mem.astype(np.int64))})
 
 
+def q_leiden_multiplex(sf_dir):
+    """Multiplex Leiden over two layers on the shared part vertex set:
+    layer 1 = order co-occurrence (weight = pair count), layer 2 =
+    same-brand cliques (weight 1), lambda = [1, 0.2]. Exercises
+    find_partition_multiplex (reference functions.py:95-176) on real
+    tables. Rows-only check; multiplex semantics pinned by tests."""
+    from ..functions_api import find_partition_multiplex
+    from ..graph import Graph as G
+    from ..partition import CPMVertexPartition as CPM
+
+    a, b, w = tg.co_edge_arrays(sf_dir)
+    vids, s, d = _compact(a, b)
+    n = len(vids)
+    g1 = G(n, src=s, dst=d, weights=w)
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"]).to_pandas()
+    key2pos = {int(k): i for i, k in enumerate(vids)}
+    bs, bd = [], []
+    for _, grp in part.groupby("p_brand"):
+        ks = [key2pos[int(k)] for k in grp["p_partkey"]
+              if int(k) in key2pos]
+        ks.sort()
+        # same-brand star (not full clique: keeps the layer sparse and
+        # deterministic) rooted at the smallest member
+        bs += [ks[0]] * (len(ks) - 1)
+        bd += ks[1:]
+    g2 = G(n, src=np.asarray(bs, dtype=np.int64),
+           dst=np.asarray(bd, dtype=np.int64))
+    mem, imp = find_partition_multiplex(
+        [g1, g2], CPM, layer_weights=[1.0, 0.2],
+        resolution_parameter=0.5, seed=42)
+    return pa.table({"vid": pa.array(vids),
+                     "comm": pa.array(np.asarray(mem, dtype=np.int64))})
+
+
 def q_resolution_profile_co(sf_dir):
     """Resolution profile (recursive bisection on gamma) for CPM over
     an induced subgraph of the co-occurrence graph (first 300 vertices
@@ -702,6 +738,7 @@ QUERIES = {
     "leiden_cpm_co": q_leiden_cpm_co,
     "leiden_modularity_co": q_leiden_modularity_co,
     "resolution_profile_co": q_resolution_profile_co,
+    "leiden_multiplex": q_leiden_multiplex,
     "token_counts": q_token_counts,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
