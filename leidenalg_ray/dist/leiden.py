@@ -45,7 +45,7 @@ from ..partition import (
     RBERVertexPartition,
     SignificanceVertexPartition,
 )
-from ..optimiser import Optimiser, _EPS
+from ..optimiser import Optimiser
 
 PARTITION_TYPES = {
     "modularity": ModularityVertexPartition,
@@ -161,6 +161,9 @@ def _propose(edges, mem, stats, scal, color, n_colors, superstep_salt):
                  SI[cur_c] - k_in, SZ[cur_c] - nsz) \
         - term(W[cur_c], SO[cur_c], SI[cur_c], SZ[cur_c])
     dq = scale * (d_new + d_old)
+    max_size = scal.get("max_comm_size", 0)
+    if max_size > 0:
+        dq = np.where(SZ[cs] + nsz > max_size, -np.inf, dq)
 
     # empty-community candidate per active vertex (label = n + vid)
     vu, first = np.unique(v_loc, return_index=True)
@@ -234,7 +237,7 @@ def _internal_edges(edges, mem):
 
 @ray.remote
 def _refine_comms(sub_edges_list, quality, gamma, correct_self_loops,
-                  directed, seed):
+                  directed, seed, max_comm_size=0):
     """Refine a batch of communities: singleton partition per induced
     subgraph, merge-constrained using the exact in-memory kernel.
     Returns (vids, refined_label) with labels globally unique (label =
@@ -255,6 +258,7 @@ def _refine_comms(sub_edges_list, quality, gamma, correct_self_loops,
             correct_self_loops=correct_self_loops, _validate=False)
         opt = Optimiser()
         opt.set_rng_seed(seed)
+        opt.max_comm_size = max_comm_size
         opt.merge_nodes_constrained(part, part._new_like(
             g, np.zeros(len(vids), dtype=np.int64)))
         local_mem = np.asarray(part.membership)
@@ -277,7 +281,8 @@ class DistLeiden:
 
     def __init__(self, src, dst, weight=None, n=None, directed=False,
                  quality="cpm", resolution_parameter=1.0, P=8, seed=42,
-                 n_colors=2, node_sizes=None, correct_self_loops=None):
+                 n_colors=2, node_sizes=None, correct_self_loops=None,
+                 max_comm_size=0):
         src = np.asarray(src, dtype=np.int64)
         dst = np.asarray(dst, dtype=np.int64)
         if n is None:
@@ -313,6 +318,7 @@ class DistLeiden:
             correct_self_loops = (bool(loop.any()) if quality == "cpm"
                                   else False)
         self.correct_self_loops = bool(correct_self_loops)
+        self.max_comm_size = int(max_comm_size)
 
         # symmetrised incidence blocks keyed by source partition
         nl = ~loop
@@ -338,6 +344,7 @@ class DistLeiden:
             "directed": self.directed, "quality": quality,
             "gamma": self.gamma,
             "correct_self_loops": self.correct_self_loops,
+            "max_comm_size": int(max_comm_size),
             "label_space": 2 * n,
             "k_out": self.k_out, "k_in": self.k_in,
             "loop_w": self.loop_w, "node_size": self.node_size,
@@ -431,9 +438,25 @@ class DistLeiden:
                     cur_colors, step) for b in self.block_refs])
                 vids = np.concatenate([p[0] for p in props])
                 targs = np.concatenate([p[1] for p in props])
+                dqs = np.concatenate([p[2] for p in props])
                 wnew = np.concatenate([p[3] for p in props])
                 wcur = np.concatenate([p[4] for p in props])
                 step += 1
+                if len(vids) and self.max_comm_size > 0:
+                    # parallel joins may overshoot the hard cap:
+                    # greedy admit by delta, tracking running sizes
+                    order = np.argsort(-dqs, kind="stable")
+                    run_size = stats["size"].copy()
+                    admit = np.zeros(len(vids), dtype=bool)
+                    for i in order:
+                        t_ = int(targs[i])
+                        nsv = self.node_size[vids[i]]
+                        if run_size[t_] + nsv <= self.max_comm_size:
+                            run_size[t_] += nsv
+                            run_size[int(mem[vids[i]])] -= nsv
+                            admit[i] = True
+                    vids, targs = vids[admit], targs[admit]
+                    wnew, wcur = wnew[admit], wcur[admit]
                 if len(vids):
                     self._apply_incremental(mem, stats, vids, targs,
                                             wnew, wcur)
@@ -554,7 +577,8 @@ class DistLeiden:
             batches.append(cur_batch)
         results = ray.get([_refine_comms.remote(
             b, self.quality, self.gamma, self.correct_self_loops,
-            self.directed, self.seed) for b in batches])
+            self.directed, self.seed, self.max_comm_size)
+            for b in batches])
         refined = np.arange(self.n, dtype=np.int64)
         for vv, ll in results:
             refined[vv] = ll
@@ -632,6 +656,7 @@ class DistLeiden:
                         _validate=False)
                     opt = Optimiser()
                     opt.set_rng_seed(self.seed)
+                    opt.max_comm_size = self.max_comm_size
                     opt.optimise_partition(part,
                                            n_iterations=n_iterations)
                     final_mem_agg = np.asarray(part.membership)
@@ -647,7 +672,8 @@ class DistLeiden:
                 resolution_parameter=self.gamma, P=self.P,
                 seed=self.seed, n_colors=self.n_colors,
                 node_sizes=agg_g.node_size,
-                correct_self_loops=self.correct_self_loops)
+                correct_self_loops=self.correct_self_loops,
+                max_comm_size=self.max_comm_size)
             # dense-relabel the seed for the next level's label space
             _, seed = np.unique(seed_mem, return_inverse=True)
             seed = seed.astype(np.int64)

@@ -98,11 +98,17 @@ class Optimiser:
         min_s = int(self.min_comm_size)
         max_s = int(self.max_comm_size)
 
-        # node counts per label (shared across layers) for constraints
-        # and merge_only checks — use layer 0's admin.
+        # node counts per label (shared across layers) for merge_only
+        # checks; community *size* (summed node sizes, the reference's
+        # csize — aggregate nodes carry the mass of their constituents,
+        # reference VertexPartition.py:516-521) for the size constraints.
         def ncount(label):
             i = p0._idx_of.get(int(label))
             return int(p0._ncount[i]) if i is not None else 0
+
+        def csize(label):
+            i = p0._idx_of.get(int(label))
+            return float(p0._size[i]) if i is not None else 0.0
 
         # community label -> constraint block (communities never span
         # blocks during constrained optimisation)
@@ -172,11 +178,13 @@ class Optimiser:
                 cands = np.append(cands, empty_label)
             if len(cands) == 0:
                 continue
-            # hard max-community-size filter
+            # hard max-community-size filter, on summed node size
             # (reference functions.py:86, CHANGELOG max_comm_size)
             if max_s > 0:
-                keep = np.array([ncount(lab) + 1 <= max_s if lab != empty_label
-                                 else True for lab in cands])
+                nsv = float(p0.graph.node_size[v])
+                keep = np.array([csize(lab) + nsv <= max_s
+                                 if lab != empty_label else True
+                                 for lab in cands])
                 cands = cands[keep]
                 if len(cands) == 0:
                     continue
@@ -208,12 +216,14 @@ class Optimiser:
 
             # soft min-size constraint (engine-defined; see module doc)
             if E > 0 and min_s > 0:
+                nsv = float(p0.graph.node_size[v])
                 bonus = np.zeros(len(cands))
                 for j, lab in enumerate(cands):
-                    after = (1 if lab == empty_label else ncount(lab) + 1)
+                    after = (nsv if lab == empty_label
+                             else csize(lab) + nsv)
                     if after <= min_s:
                         bonus[j] += E
-                if not alone and ncount(cur) - 1 < min_s:
+                if not alone and csize(cur) - nsv < min_s:
                     bonus -= E
                 score = score + bonus
 

@@ -191,3 +191,13 @@ def test_distgraph_from_dataset(tmp_path, random_graph):
     import os
     assert any(d.startswith("part=")
                for d in os.listdir(tmp_path / "edges"))
+
+
+def test_dist_leiden_max_comm_size():
+    g, truth = planted_partition(n_comm=4, per=30, p_in=0.4,
+                                 p_out=0.01, seed=21)
+    dl = DistLeiden(g.src, g.dst, n=g.n, directed=False, quality="cpm",
+                    resolution_parameter=0.1, P=4, seed=5,
+                    max_comm_size=20)
+    mem, q, info = dl.run()
+    assert np.bincount(mem).max() <= 20
