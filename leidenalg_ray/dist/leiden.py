@@ -560,13 +560,21 @@ class DistLeiden:
         ebounds = np.append(ebounds, len(lab))
         vbounds = np.searchsorted(vlab, uniq_comms)
         vbounds = np.append(vbounds, len(vlab))
-        # batch communities into tasks
+        # batch communities into tasks; a pathological giant community
+        # (the skew cliff: its induced subgraph would serialise into one
+        # refinement task) keeps the identity refinement instead — always
+        # a valid (if coarser) refinement — and is reported
         batches = []
         cur_batch = []
         budget = 0
+        skipped_giants = 0
+        REFINE_MAX = 500_000  # edges per community refinement task
         for i, c in enumerate(uniq_comms):
             vids = vorder[vbounds[i]:vbounds[i + 1]]
             es = slice(ebounds[i], ebounds[i + 1])
+            if (es.stop - es.start) > REFINE_MAX:
+                skipped_giants += 1
+                continue
             cur_batch.append((vids, src[es], dst[es], w[es],
                               self.node_size[vids]))
             budget += len(vids) + (es.stop - es.start)
@@ -575,6 +583,11 @@ class DistLeiden:
                 cur_batch, budget = [], 0
         if cur_batch:
             batches.append(cur_batch)
+        if skipped_giants:
+            import logging
+            logging.getLogger(__name__).warning(
+                "refinement: %d giant communities (>%d internal edges) "
+                "kept identity refinement", skipped_giants, REFINE_MAX)
         results = ray.get([_refine_comms.remote(
             b, self.quality, self.gamma, self.correct_self_loops,
             self.directed, self.seed, self.max_comm_size)
