@@ -276,12 +276,15 @@ class MutableVertexPartition:
         aw = nw + w_to + w_from + loop_v
         aso, asi, asz = nso + ko, nsi + ki, nsz + ns
 
-        t = lambda *s: np.atleast_2d(qf.term(*s, gamma))
-        delta = (t(aw, aso, asi, asz) - t(nw, nso, nsi, nsz)
-                 + (t(np.array([old_after[0]]), np.array([old_after[1]]),
-                      np.array([old_after[2]]), np.array([old_after[3]]))
-                    - t(np.array([old_before[0]]), np.array([old_before[1]]),
-                        np.array([old_before[2]]), np.array([old_before[3]]))))
+        # one fused term evaluation over [after_new | before_new |
+        # old_after | old_before] instead of four separate calls
+        tw = np.concatenate([aw, nw, [old_after[0], old_before[0]]])
+        tso = np.concatenate([aso, nso, [old_after[1], old_before[1]]])
+        tsi = np.concatenate([asi, nsi, [old_after[2], old_before[2]]])
+        tsz = np.concatenate([asz, nsz, [old_after[3], old_before[3]]])
+        terms = np.atleast_2d(qf.term(tw, tso, tsi, tsz, gamma))
+        delta = (terms[:, :k] - terms[:, k:2 * k]
+                 + terms[:, 2 * k:2 * k + 1] - terms[:, 2 * k + 1:])
         scale = qf.linear_scale()
         if scale is not None:
             out = scale * delta[0]
