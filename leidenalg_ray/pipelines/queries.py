@@ -162,6 +162,55 @@ FROM e GROUP BY src
 """
 
 
+def q_degree_distribution_ps(sf_dir):
+    """Degree histogram of the part->supplier graph: how many vertices
+    have each out-degree (the sort/top-k + histogram shape)."""
+    deg = q_degree_ps(sf_dir)
+    out = deg.groupby("out_degree").aggregate(
+        Count(alias_name="n_vertices"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "out_degree": pc.cast(t["out_degree"], pa.int64()),
+            "n_vertices": pc.cast(t["n_vertices"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DEGREE_DISTRIBUTION_PS = """
+WITH e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem GROUP BY 1, 2),
+deg AS (SELECT src, count(*) AS out_degree FROM e GROUP BY src)
+SELECT out_degree, count(*) AS n_vertices FROM deg GROUP BY out_degree
+"""
+
+
+def q_top_parts_by_strength(sf_dir):
+    """Top-20 parts by summed edge weight (integer-valued -> exact
+    hash match), deterministic tie-break on vid: the engine's
+    sort + limit path (``ds.sort(...).limit(k)``)."""
+    deg = q_degree_ps(sf_dir)
+    top = deg.sort(["out_strength", "src"], descending=[True, False]) \
+             .limit(20)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["src"],
+            "out_strength": pc.cast(t["out_strength"], pa.float64()),
+        })
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOP_PARTS_BY_STRENGTH = """
+WITH e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                  CAST(count(*) AS DOUBLE) AS weight
+           FROM lineitem GROUP BY 1, 2),
+deg AS (SELECT src, sum(weight) AS out_strength FROM e GROUP BY src)
+SELECT src, out_strength FROM deg
+ORDER BY out_strength DESC, src ASC LIMIT 20
+"""
+
+
 # ======================================================================
 # Connected components
 # ======================================================================
@@ -728,6 +777,8 @@ QUERIES = {
     "edges_ps": q_edges_ps,
     "edges_co": q_edges_co,
     "degree_ps": q_degree_ps,
+    "degree_distribution_ps": q_degree_distribution_ps,
+    "top_parts_by_strength": q_top_parts_by_strength,
     "cc_ps": q_cc_ps,
     "cc_sizes_ps": q_cc_sizes_ps,
     "pagerank_co": q_pagerank_co,
@@ -760,6 +811,8 @@ ORACLE_SQL = {
     "edges_ps": SQL_EDGES_PS,
     "edges_co": SQL_EDGES_CO,
     "degree_ps": SQL_DEGREE_PS,
+    "degree_distribution_ps": SQL_DEGREE_DISTRIBUTION_PS,
+    "top_parts_by_strength": SQL_TOP_PARTS_BY_STRENGTH,
     "cc_ps": SQL_CC_PS,
     "cc_sizes_ps": SQL_CC_SIZES_PS,
     "pagerank_co": SQL_PAGERANK_CO,
