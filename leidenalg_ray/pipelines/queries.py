@@ -311,16 +311,48 @@ FROM pr WHERE i = {PAGERANK_ITERS}
 
 def q_pagerank_ps(sf_dir):
     """Directed bipartite PageRank (suppliers dangling) — exercises the
-    dangling-mass redistribution; rows-only driver check, exactness
-    pinned by tests vs the serial oracle."""
+    dangling-mass redistribution. Fixed PAGERANK_ITERS iterations so
+    the recursive-CTE oracle reproduces it exactly (the oracle's
+    per-iteration dangling sum references the recursive table twice —
+    DuckDB supports this)."""
     src, dst, w = tg.ps_edge_arrays(sf_dir)
     vids, s, d = _compact(src, dst)
     g = DistGraph.from_edges(s, d, weight=w, n=len(vids), P=8,
                              directed=True)
-    rank, iters = ss.pagerank(g, damping=DAMPING, tol=1e-6,
-                              max_iter=200, weighted=False)
+    rank, iters = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                              max_iter=PAGERANK_ITERS, weighted=False)
     return pa.table({"vid": pa.array(vids),
                      "rank": pa.array(np.round(rank, 6))})
+
+
+SQL_PAGERANK_PS = f"""
+WITH RECURSIVE
+e AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem GROUP BY 1, 2),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+outdeg AS (SELECT a AS v, CAST(count(*) AS DOUBLE) AS deg
+           FROM e GROUP BY a),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+pr(i, v, r) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT vx.i + 1, vx.v,
+         (1 - {DAMPING}) / (SELECT n FROM nn)
+         + {DAMPING} * (
+             COALESCE((SELECT sum(p.r / od.deg)
+                       FROM pr p JOIN outdeg od ON od.v = p.v
+                       JOIN e ON e.a = p.v
+                       WHERE e.b = vx.v AND p.i = vx.i), 0)
+             + COALESCE((SELECT sum(p.r) FROM pr p
+                         LEFT JOIN outdeg od ON od.v = p.v
+                         WHERE od.v IS NULL AND p.i = vx.i), 0)
+               / (SELECT n FROM nn))
+  FROM pr vx WHERE vx.i < {PAGERANK_ITERS}
+)
+SELECT v AS vid, round(r, 6) AS rank
+FROM pr WHERE i = {PAGERANK_ITERS}
+"""
 
 
 # ======================================================================
@@ -816,6 +848,7 @@ ORACLE_SQL = {
     "cc_ps": SQL_CC_PS,
     "cc_sizes_ps": SQL_CC_SIZES_PS,
     "pagerank_co": SQL_PAGERANK_CO,
+    "pagerank_ps": SQL_PAGERANK_PS,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,
