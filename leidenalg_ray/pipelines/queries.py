@@ -408,6 +408,31 @@ SELECT vid, count(*) AS n_triangles FROM (
 # Label propagation + Leiden (non-SQL-expressible: rows-only checks;
 # exactness pinned by the pytest suite)
 # ======================================================================
+SQL_LABEL_PROPAGATION_CO = """
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT DISTINCT a AS v FROM e),
+lp(i, v, lab) AS (
+  SELECT 0, v, v FROM verts
+  UNION ALL
+  SELECT q.i + 1, q.v, q.lab FROM (
+    SELECT p.i AS i, e.b AS v, p.lab AS lab,
+           row_number() OVER (PARTITION BY e.b
+                              ORDER BY sum(e.w) DESC, p.lab ASC) AS rn
+    FROM lp p JOIN e ON e.a = p.v
+    WHERE p.i < 20
+    GROUP BY p.i, e.b, p.lab
+  ) q WHERE q.rn = 1
+)
+SELECT v AS vid, lab AS label FROM lp WHERE i = 20
+"""
+
+
 def q_label_propagation_co(sf_dir):
     a, b, w = tg.co_edge_arrays(sf_dir)
     vids, s, d = _compact(a, b)
@@ -849,6 +874,7 @@ ORACLE_SQL = {
     "cc_sizes_ps": SQL_CC_SIZES_PS,
     "pagerank_co": SQL_PAGERANK_CO,
     "pagerank_ps": SQL_PAGERANK_PS,
+    "label_propagation_co": SQL_LABEL_PROPAGATION_CO,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,
