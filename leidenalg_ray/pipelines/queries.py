@@ -26,6 +26,7 @@ from ..dist.leiden import DistLeiden
 from ..stages import text as tx
 from ..stages import dedup as dd
 from ..stages import ann as annm
+from ..util import round6, round_half_away
 
 PAGERANK_ITERS = 30
 DAMPING = 0.85
@@ -89,11 +90,11 @@ def q_pricing_summary(sf_dir):
     out = pd.DataFrame({
         "l_returnflag": df["l_returnflag"],
         "l_linestatus": df["l_linestatus"],
-        "sum_qty": df["sum_qty"].round(2),
-        "sum_base_price": df["sum_price"].round(2),
-        "sum_disc_price": df["sum_disc_price"].round(2),
-        "avg_qty": (df["sum_qty"] / df["n"]).round(6),
-        "avg_disc": (df["sum_disc"] / df["n"]).round(6),
+        "sum_qty": round_half_away(df["sum_qty"], 2),
+        "sum_base_price": round_half_away(df["sum_price"], 2),
+        "sum_disc_price": round_half_away(df["sum_disc_price"], 2),
+        "avg_qty": round6(df["sum_qty"] / df["n"]),
+        "avg_disc": round6(df["sum_disc"] / df["n"]),
         "count_order": df["n"].astype(np.int64),
     })
     return out
@@ -278,7 +279,7 @@ def q_pagerank_co(sf_dir):
     rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
                           max_iter=PAGERANK_ITERS, weighted=True)
     return pa.table({"vid": pa.array(vids),
-                     "rank": pa.array(np.round(rank, 6))})
+                     "rank": pa.array(round6(rank))})
 
 
 SQL_PAGERANK_CO = f"""
@@ -322,7 +323,7 @@ def q_pagerank_ps(sf_dir):
     rank, iters = ss.pagerank(g, damping=DAMPING, tol=0.0,
                               max_iter=PAGERANK_ITERS, weighted=False)
     return pa.table({"vid": pa.array(vids),
-                     "rank": pa.array(np.round(rank, 6))})
+                     "rank": pa.array(round6(rank))})
 
 
 SQL_PAGERANK_PS = f"""
@@ -660,7 +661,7 @@ def q_ann_topk(sf_dir):
     emb = _emb(sf_dir)
     qdf = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"]) \
-        .filter(lambda r: r["vec_id"] < 5).to_pandas()
+        .filter(expr="vec_id < 5").to_pandas()
     qdf = qdf.sort_values("vec_id")
     qv = np.stack([np.asarray(v, dtype=np.float64)
                    for v in qdf["embedding"]])
@@ -690,7 +691,7 @@ def q_ann_ivf(sf_dir):
     emb = _emb(sf_dir)
     qdf = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"]) \
-        .filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+        .filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     qv = np.stack([np.asarray(v, dtype=np.float64)
                    for v in qdf["embedding"]])
     return annm.ivf_topk(emb, qv, qdf["vec_id"].to_numpy(), k=10)
@@ -723,8 +724,9 @@ def q_events_window(sf_dir):
             "user_id": t["user_id"],
             "win": pc.cast(t["win"], pa.int64()),
             "n_events": pc.cast(t["n_events"], pa.int64()),
-            "sum_value": pc.round(pc.cast(t["sum_value"], pa.float64()),
-                                  ndigits=6),
+            "sum_value": pa.array(round6(
+                pc.cast(t["sum_value"], pa.float64()).to_numpy(
+                    zero_copy_only=False))),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -754,7 +756,7 @@ def q_events_sessionize(sf_dir):
             n_events=("event_id", "count"),
             sum_value=("value", "sum")).reset_index()
         out["user_id"] = g["user_id"].iloc[0]
-        out["sum_value"] = out["sum_value"].round(6)
+        out["sum_value"] = round6(out["sum_value"])
         out["n_events"] = out["n_events"].astype(np.int64)
         out["session_id"] = out["session_id"].astype(np.int64)
         return out[["user_id", "session_id", "session_start",
@@ -820,7 +822,8 @@ def q_events_props_json(sf_dir):
 
 SQL_EVENTS_PROPS_JSON = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """

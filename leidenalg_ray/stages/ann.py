@@ -15,6 +15,8 @@ matching the DuckDB oracle (``list_cosine_similarity``).
 from __future__ import annotations
 
 import numpy as np
+
+from leidenalg_ray.util import round6
 import pyarrow as pa
 import ray
 
@@ -70,7 +72,7 @@ def brute_force_topk(emb_ds, query_vecs, query_ids, k=10):
                             -sub.cos.to_numpy()))[:k]
         rows["query_id"] += [int(qid[j])] * len(order)
         rows["vec_id"] += sub.vec_id.to_numpy()[order].tolist()
-        rows["cos"] += np.round(sub.cos.to_numpy()[order], 6).tolist()
+        rows["cos"] += round6(sub.cos.to_numpy()[order]).tolist()
         rows["rank"] += list(range(1, len(order) + 1))
     return pa.table({
         "query_id": pa.array(rows["query_id"], pa.int64()),
@@ -150,6 +152,6 @@ def ivf_topk(emb_ds, query_vecs, query_ids, k=10, n_centroids=16,
                             -sub.cos.to_numpy()))[:k]
         rows["query_id"] += [int(j)] * len(order)
         rows["vec_id"] += sub.vec_id.to_numpy()[order].tolist()
-        rows["cos"] += np.round(sub.cos.to_numpy()[order], 6).tolist()
+        rows["cos"] += round6(sub.cos.to_numpy()[order]).tolist()
         rows["rank"] += list(range(1, len(order) + 1))
     return pa.table({k2: pa.array(v) for k2, v in rows.items()})

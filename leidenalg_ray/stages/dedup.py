@@ -27,6 +27,8 @@ import hashlib
 import zlib
 
 import numpy as np
+
+from leidenalg_ray.util import round6
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Min
@@ -324,7 +326,7 @@ def embedding_cosine_pairs(emb_ds, threshold=0.95, n_planes=8, seed=11,
         ok = cs >= threshold
         return pa.table({"a": pa.array(ids[ii[ok]].astype(np.int64)),
                          "b": pa.array(ids[jj[ok]].astype(np.int64)),
-                         "cos": pa.array(np.round(cs[ok], 6))})
+                         "cos": pa.array(round6(cs[ok]))})
 
     bucketed = emb_ds.map_batches(rows, batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(pairs,

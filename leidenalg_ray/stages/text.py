@@ -13,6 +13,8 @@ import hashlib
 import re
 
 import numpy as np
+
+from leidenalg_ray.util import round6
 import pyarrow as pa
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
@@ -89,8 +91,8 @@ class QualityScore:
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(n_tok),
-            "stop_ratio": pa.array(np.round(stop_ratio, 6)),
-            "alnum_ratio": pa.array(np.round(alpha_ratio, 6)),
+            "stop_ratio": pa.array(round6(stop_ratio)),
+            "alnum_ratio": pa.array(round6(alpha_ratio)),
         })
 
 

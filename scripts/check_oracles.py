@@ -39,19 +39,31 @@ def canon(df):
 
 
 def compare(name, mine, oracle):
+    """Replicate the driver's strictness: it hashes rendered values
+    after sorting columns by name, so an int64-vs-float64 dtype split
+    or a last-bit float difference fails there even if values are
+    'close'.  Fail on dtype-kind mismatch and require exact equality
+    (both sides round floats to 6dp by repo rule)."""
     a, b = canon(mine), canon(oracle)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
         return f"ROWS {len(a)} vs {len(b)}"
     for c in a.columns:
+        if a[c].dtype.kind != b[c].dtype.kind:
+            return (f"DTYPE col {c}: engine {a[c].dtype} vs oracle "
+                    f"{b[c].dtype} (driver hashes rendered values)")
         x, y = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(a[c].dtype, np.floating):
-            if not np.allclose(x, y.astype(float), atol=1e-9,
-                               equal_nan=True):
-                bad = np.flatnonzero(~np.isclose(x, y.astype(float),
-                                                 atol=1e-9))[:3]
-                return f"VALUES col {c} rows {bad.tolist()} " \
+            xn, yn = np.isnan(x), np.isnan(y)
+            ok = (xn == yn).all() and (x[~xn] == y[~yn]).all()
+            if not ok:
+                close = np.allclose(x, y, atol=1e-9, equal_nan=True)
+                bad = np.flatnonzero(
+                    ~np.isclose(x, y, atol=0, rtol=0, equal_nan=True))[:3]
+                tag = ("VALUES-EXACT (within 1e-9 but driver hashes "
+                       "exact values)" if close else "VALUES")
+                return f"{tag} col {c} rows {bad.tolist()} " \
                        f"{x[bad]} vs {y[bad]}"
         else:
             if not (x == y).all():
