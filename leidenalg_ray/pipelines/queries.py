@@ -521,6 +521,121 @@ def q_resolution_profile_co(sf_dir):
     })
 
 
+def _renumber_dense(mem, n):
+    """The engine's renumber contract (reference
+    ``VertexPartition.py`` renumber: size desc, min-vid tiebreak),
+    recomputed defensively so planted-oracle queries pin it exactly."""
+    mem = np.asarray(mem, dtype=np.int64)
+    ulab, uinv = np.unique(mem, return_inverse=True)
+    counts = np.bincount(uinv)
+    first_v = np.full(len(ulab), np.iinfo(np.int64).max)
+    np.minimum.at(first_v, uinv, np.arange(n))
+    order = np.lexsort((first_v, -counts))
+    rank = np.empty(len(ulab), dtype=np.int64)
+    rank[order] = np.arange(len(ulab))
+    return rank[uinv]
+
+
+def _planted_edges(ds):
+    df = ds.to_pandas()  # planted verification graph: small by design
+    if len(df) == 0 or "src" not in df.columns:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), np.empty(0, np.float64)
+    return (df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64),
+            df["weight"].to_numpy(np.float64))
+
+
+# Shared closed-form oracle: at the chosen gammas the unique optimum is
+# one community per nation; community ids follow the engine's renumber
+# contract (size desc, min member vid asc, dense from 0).
+SQL_LEIDEN_NATIONS = """
+WITH sz AS (SELECT s_nationkey, count(*) AS cnt, min(s_suppkey) AS mv
+            FROM supplier GROUP BY s_nationkey),
+r AS (SELECT s_nationkey,
+             CAST(dense_rank() OVER (ORDER BY cnt DESC, mv ASC)
+                  AS BIGINT) - 1 AS comm
+      FROM sz)
+SELECT CAST(s.s_suppkey AS BIGINT) AS vid, r.comm AS comm
+FROM supplier s JOIN r ON s.s_nationkey = r.s_nationkey
+"""
+
+
+def q_leiden_cpm_cliques(sf_dir):
+    """Distributed Leiden, CPM gamma=0.5, on disjoint per-nation
+    cliques: the unique optimum is one community per clique (every
+    subset S of a clique scores e(S) - 0.5*|S|(|S|-1)/2 =
+    0.5*|S|(|S|-1)/2, strictly superadditive), so the driver verifies
+    the full distributed schedule against a closed-form SQL oracle
+    (reference ``tests/test_Optimiser.py:12-18``)."""
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    dl = DistLeiden(s, d, weight=w, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=8, seed=42)
+    mem, q, info = dl.run()
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
+def q_leiden_modularity_cliques(sf_dir):
+    """Distributed Leiden, Modularity, same planted cliques: merging
+    disconnected communities always decreases modularity and splitting
+    a small clique loses internal weight, so the optimum is again one
+    community per nation."""
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    dl = DistLeiden(s, d, weight=w, n=n, directed=False,
+                    quality="modularity", P=8, seed=42)
+    mem, q, info = dl.run()
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
+def q_leiden_cpm_stars(sf_dir):
+    """Distributed Leiden, CPM at gamma->0 (0.001), on disjoint
+    per-nation stars: the optimum is the connected components, i.e.
+    the nations (reference ``tests/test_Optimiser.py:96-103`` — CPM at
+    gamma below the component-density threshold IS connected
+    components). Splitting off j leaves cuts j unit edges while saving
+    only gamma*j*(k-j) < j for gamma < 1/k; merging two stars costs
+    gamma*kA*kB > 0. Stars (unlike rings/paths) have no partial-split
+    node-optimal traps: every leaf is hub-adjacent, so greedy local
+    moves reach the unique optimum."""
+    s, d, w = _planted_edges(tg.nation_star_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    dl = DistLeiden(s, d, weight=w, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.001, P=8, seed=42)
+    mem, q, info = dl.run()
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
+def q_leiden_multiplex_cliques(sf_dir):
+    """find_partition_multiplex (reference ``functions.py:95-176``)
+    over two layers on the supplier vertex set — clique layer + ring
+    layer, lambda=[1, 0.5], CPM gamma=0.5. Any community S inside a
+    nation scores 1*(pairs(S) - 0.5*pairs(S)) + 0.5*(e_ring(S) -
+    0.5*pairs(S)) = 0.25*pairs(S) + 0.5*e_ring(S) — strictly
+    superadditive in S (pairs is), so the unique optimum is one
+    community per nation and the same SQL oracle applies; the dominant
+    clique term keeps every vertex adjacent to its whole community, so
+    greedy local moves reach it (lambda=[1,1] would cancel the clique
+    term exactly and leave the trap-prone pure-ring landscape)."""
+    from ..functions_api import find_partition_multiplex
+    from ..graph import Graph as G
+    from ..partition import CPMVertexPartition as CPM
+
+    n = tg.supplier_count(sf_dir)
+    cs, cd, cw = _planted_edges(tg.nation_clique_edges(sf_dir))
+    rs, rd_, rw = _planted_edges(tg.nation_ring_edges(sf_dir))
+    g1 = G(n, src=cs, dst=cd, weights=cw)
+    g2 = G(n, src=rs, dst=rd_, weights=rw)
+    mem, imp = find_partition_multiplex(
+        [g1, g2], CPM, layer_weights=[1.0, 0.5],
+        resolution_parameter=0.5, seed=42)
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
 def q_leiden_modularity_co(sf_dir):
     a, b, w = tg.co_edge_arrays(sf_dir)
     vids, s, d = _compact(a, b)
@@ -848,6 +963,10 @@ QUERIES = {
     "label_propagation_co": q_label_propagation_co,
     "leiden_cpm_co": q_leiden_cpm_co,
     "leiden_modularity_co": q_leiden_modularity_co,
+    "leiden_cpm_cliques": q_leiden_cpm_cliques,
+    "leiden_modularity_cliques": q_leiden_modularity_cliques,
+    "leiden_cpm_stars": q_leiden_cpm_stars,
+    "leiden_multiplex_cliques": q_leiden_multiplex_cliques,
     "resolution_profile_co": q_resolution_profile_co,
     "leiden_multiplex": q_leiden_multiplex,
     "token_counts": q_token_counts,
@@ -878,6 +997,10 @@ ORACLE_SQL = {
     "pagerank_co": SQL_PAGERANK_CO,
     "pagerank_ps": SQL_PAGERANK_PS,
     "label_propagation_co": SQL_LABEL_PROPAGATION_CO,
+    "leiden_cpm_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
+    "leiden_multiplex_cliques": SQL_LEIDEN_NATIONS,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,

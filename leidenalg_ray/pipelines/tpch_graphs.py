@@ -81,6 +81,101 @@ def co_edges(sf_dir, num_partitions=16):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------------------
+# Planted structured graphs with closed-form Leiden optima.
+#
+# These are correctness instruments (reference
+# ``tests/test_Optimiser.py:12-18,96-103``: K_n below the density
+# threshold is one community; CPM at gamma->0 is connected
+# components): at the chosen gammas the UNIQUE optimum is one
+# community per nation, so the driver can verify the Leiden family
+# against a plain-SQL oracle (dense rank of nations by size desc,
+# min-suppkey asc — the engine's renumber contract).
+# ----------------------------------------------------------------------
+def nation_clique_edges(sf_dir):
+    """Dataset (src, dst, weight=1): one clique per nation over
+    supplier vids (s_suppkey is 0-based contiguous)."""
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    right = su.map_batches(
+        lambda t: t.rename_columns(["suppkey_r", "s_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = su.join(right, "inner", 4, on=("s_nationkey",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a, b = t["s_suppkey"], t["suppkey_r"]
+        tt = pa.table({"src": a, "dst": b}).filter(pc.less(a, b))
+        return pa.table({
+            "src": pc.cast(tt["src"], pa.int64()),
+            "dst": pc.cast(tt["dst"], pa.int64()),
+            "weight": pa.array(np.ones(tt.num_rows)),
+        })
+
+    return joined.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def nation_ring_edges(sf_dir):
+    """Dataset (src, dst, weight=1): one ring per nation (suppliers in
+    suppkey order, consecutive + wraparound when size >= 3)."""
+    import pandas as pd
+
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+
+    def ring(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["s_suppkey"].to_numpy(np.int64))
+        if len(v) < 2:
+            return _empty_edges()
+        src = list(v[:-1])
+        dst = list(v[1:])
+        if len(v) >= 3:
+            src.append(int(v[0]))
+            dst.append(int(v[-1]))
+        return pd.DataFrame({"src": np.asarray(src, np.int64),
+                             "dst": np.asarray(dst, np.int64),
+                             "weight": np.ones(len(src))})
+
+    return su.groupby("s_nationkey").map_groups(ring,
+                                                batch_format="pandas")
+
+
+def _empty_edges():
+    import pandas as pd
+    return pd.DataFrame({"src": np.empty(0, np.int64),
+                         "dst": np.empty(0, np.int64),
+                         "weight": np.empty(0, np.float64)})
+
+
+def nation_star_edges(sf_dir):
+    """Dataset (src, dst, weight=1): one star per nation, hub = min
+    suppkey. Every leaf is hub-adjacent, so greedy local moves reach
+    the unique gamma->0 optimum (one community per component) with no
+    arc-split trap — the safe 'CPM at gamma->0 == connected
+    components' instrument (rings/paths have node-optimal partial
+    splits that Leiden legitimately returns)."""
+    import pandas as pd
+
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["s_suppkey"].to_numpy(np.int64))
+        if len(v) < 2:
+            return _empty_edges()
+        return pd.DataFrame({"src": np.full(len(v) - 1, v[0], np.int64),
+                             "dst": v[1:],
+                             "weight": np.ones(len(v) - 1)})
+
+    return su.groupby("s_nationkey").map_groups(star,
+                                                batch_format="pandas")
+
+
+def supplier_count(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey"]).count()
+
+
 _CO_CACHE = {}
 
 
