@@ -201,3 +201,63 @@ def test_dist_leiden_max_comm_size():
                     max_comm_size=20)
     mem, q, info = dl.run()
     assert np.bincount(mem).max() <= 20
+
+
+def test_dist_leiden_from_dataset_matches_arrays(tmp_path):
+    """Dataset-native construction (parquet spill, shard-side loads)
+    must reproduce the array path bit-for-bit on an integer-weight
+    graph (partial-sum order cannot flip any tie), and must leave no
+    edge state on the driver."""
+    import pyarrow as pa
+    import ray.data as rd
+    g, truth = planted_partition(n_comm=5, per=40, p_in=0.3,
+                                 p_out=0.01, seed=7)
+    dl_a = DistLeiden(g.src, g.dst, n=g.n, directed=False,
+                      quality="cpm", resolution_parameter=0.1, P=4,
+                      seed=1)
+    mem_a, q_a, _ = dl_a.run()
+    t = pa.table({"src": pa.array(g.src), "dst": pa.array(g.dst)})
+    dl_d = DistLeiden.from_dataset(
+        rd.from_arrow(t), n=g.n, directed=False, quality="cpm",
+        resolution_parameter=0.1, P=4, seed=1,
+        spill_dir=str(tmp_path / "spill"))
+    mem_d, q_d, _ = dl_d.run()
+    assert q_d == pytest.approx(q_a, abs=1e-9)
+    assert np.array_equal(mem_a, mem_d)
+    # no O(edges) driver allocation: the object holds no edge arrays
+    for attr in ("src", "dst", "weight", "block_refs"):
+        assert not hasattr(dl_d, attr)
+    assert len(dl_d.active_vids()) == g.n
+    import os
+    assert any(d.startswith("part=")
+               for d in os.listdir(tmp_path / "spill"))
+
+
+def test_dist_leiden_from_dataset_weighted_directed():
+    """Weighted + isolated-vertex handling through the Dataset path:
+    active_vids excludes degree-0 ids, scalars match the array path."""
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 300, 900)
+    dst = rng.integers(0, 300, 900)
+    w = rng.integers(1, 5, 900).astype(np.float64)
+    n = 320   # ids 300..319 isolated
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "weight": pa.array(w)})
+    dl_d = DistLeiden.from_dataset(rd.from_arrow(t), n=n,
+                                   directed=False, quality="cpm",
+                                   resolution_parameter=0.05, P=4,
+                                   seed=3)
+    dl_a = DistLeiden(src, dst, weight=w, n=n, directed=False,
+                      quality="cpm", resolution_parameter=0.05, P=4,
+                      seed=3)
+    assert dl_d.m == pytest.approx(dl_a.m)
+    assert dl_d.n_edges == dl_a.n_edges
+    active = dl_d.active_vids()
+    assert active.max() < 300
+    assert np.array_equal(active, dl_a.active_vids())
+    mem_d, q_d, _ = dl_d.run()
+    mem_a, q_a, _ = dl_a.run()
+    assert q_d == pytest.approx(q_a, abs=1e-9)
+    assert np.array_equal(mem_d, mem_a)
