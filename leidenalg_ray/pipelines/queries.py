@@ -756,6 +756,47 @@ def q_dedup_minhash(sf_dir):
     return dd.minhash_dedup(_docs(sf_dir), threshold=0.8)
 
 
+def q_dedup_jaccard(sf_dir):
+    """Exact all-pairs word-3-gram Jaccard >= 0.3 — the SQL-verifiable
+    form of the near-dup verify stage (the MinHash-LSH pipeline runs
+    the same ``jaccard_verify`` on LSH candidates; here the candidate
+    set is the full cross product so a DuckDB list-comprehension
+    oracle reproduces it exactly)."""
+    return dd.jaccard_all_pairs(_docs(sf_dir), threshold=0.3)
+
+
+SQL_DEDUP_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3 THEN
+              CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE [array_to_string(tk, ' ')] END
+         ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+                             for i in range(1, len(tk) - 1)])
+         END AS shingles
+  FROM toks
+)
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       round(CASE WHEN len(s1.shingles) = 0 AND len(s2.shingles) = 0
+                  THEN 1.0
+             ELSE CAST(len(list_intersect(s1.shingles, s2.shingles))
+                       AS DOUBLE)
+                  / (len(s1.shingles) + len(s2.shingles)
+                     - len(list_intersect(s1.shingles, s2.shingles)))
+             END, 6) AS jaccard
+FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+WHERE CASE WHEN len(s1.shingles) = 0 AND len(s2.shingles) = 0 THEN 1.0
+      ELSE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+           / (len(s1.shingles) + len(s2.shingles)
+              - len(list_intersect(s1.shingles, s2.shingles)))
+      END >= 0.3
+"""
+
+
 def q_dedup_simhash(sf_dir):
     return dd.simhash_dedup(_docs(sf_dir), max_hamming=3)
 
@@ -986,6 +1027,7 @@ QUERIES = {
     "fingerprint_rolling": q_fingerprint_rolling,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_topk": q_ann_topk,
@@ -1018,6 +1060,7 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "fingerprint_md5": SQL_FINGERPRINT_MD5,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "events_window": SQL_EVENTS_WINDOW,

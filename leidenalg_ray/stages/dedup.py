@@ -121,12 +121,15 @@ class MinHasher:
 
 def minhash_candidates(docs_ds, num_hashes=64, bands=16, shingle_k=3,
                        seed=7, concurrency=4):
-    """Candidate near-dup pairs (a < b) from LSH band buckets."""
-    import functools
+    """Candidate near-dup pairs (a < b) from LSH band buckets.
+    ``MinHasher`` runs as an autoscaling actor pool so the hash-param
+    setup happens once per actor, not once per batch."""
     bands_ds = docs_ds.map_batches(
-        functools.partial(_minhash_rows, num_hashes=num_hashes,
-                          bands=bands, shingle_k=shingle_k, seed=seed),
-        batch_format="pyarrow", zero_copy_batch=True)
+        MinHasher,
+        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
+                                   shingle_k=shingle_k, seed=seed),
+        concurrency=(1, concurrency), batch_format="pyarrow",
+        zero_copy_batch=True)
 
     def pairs(t: pa.Table) -> pa.Table:
         ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
@@ -141,49 +144,79 @@ def minhash_candidates(docs_ds, num_hashes=64, bands=16, shingle_k=3,
     return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
-def _minhash_rows(batch, num_hashes, bands, shingle_k, seed):
-    return MinHasher(num_hashes, bands, shingle_k, seed)(batch)
+def shingle_signatures(docs_ds, shingle_k=3):
+    """(doc_id, sh: binary) — each document's sorted-unique shingle
+    hash set, computed exactly once, packed as a uint64 blob (Arrow's
+    hash join cannot carry list columns as payload, binary it can)."""
+    def rows(t: pa.Table) -> pa.Table:
+        sh = [np.sort(_shingles(x, shingle_k)).tobytes()
+              for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sh": pa.array(sh, pa.binary()),
+        })
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        rows, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def jaccard_verify(pairs_ds, docs_ds, threshold=0.8, shingle_k=3):
-    """Exact n-gram Jaccard on candidate pairs. The docs side is
-    broadcast as a dict (small side); at 100 TB this becomes a
-    hash-join of pairs against doc shingle sets instead."""
-    import ray
-
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]) \
-                    .iter_batches(batch_format="pyarrow"):
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            texts[d] = t
-    ref = ray.put(texts)
+def jaccard_verify(pairs_ds, docs_ds, threshold=0.8, shingle_k=3,
+                   num_partitions=8):
+    """Exact n-gram Jaccard on candidate pairs, as a distributed
+    double hash-join against the per-document shingle-signature
+    dataset: pairs ⋈ signatures on ``a`` then on ``b``. Each document
+    is shingled exactly once; no side is ever materialised on the
+    driver (the r1 whole-corpus broadcast dict is gone — candidates
+    are a minuscule fraction of the corpus and the signatures side
+    streams through the join shuffle)."""
+    sigs = shingle_signatures(docs_ds, shingle_k)
+    left = sigs.map_batches(
+        lambda t: t.rename_columns(["a", "sh_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = sigs.map_batches(
+        lambda t: t.rename_columns(["b", "sh_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1 = pairs_ds.join(left, "inner", num_partitions, on=("a",))
+    j2 = j1.join(right, "inner", num_partitions, on=("b",))
 
     def verify(t: pa.Table) -> pa.Table:
-        docs = ray.get(ref)
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
+        from leidenalg_ray.util import round_half_away
         out_a, out_b, jac = [], [], []
-        cache = {}
-
-        def sh(d):
-            if d not in cache:
-                cache[d] = set(_shingles(docs[d], shingle_k).tolist())
-            return cache[d]
-        for x, y in zip(a, b):
-            sx, sy = sh(x), sh(y)
-            if not sx and not sy:
+        sha = t["sh_a"].to_pylist()
+        shb = t["sh_b"].to_pylist()
+        for i, (x, y) in enumerate(zip(t["a"].to_pylist(),
+                                       t["b"].to_pylist())):
+            sx = np.frombuffer(sha[i], dtype=np.uint64)
+            sy = np.frombuffer(shb[i], dtype=np.uint64)
+            if len(sx) == 0 and len(sy) == 0:
                 j = 1.0
             else:
-                inter = len(sx & sy)
-                j = inter / (len(sx) + len(sy) - inter) if inter else 0.0
+                inter = len(np.intersect1d(sx, sy, assume_unique=True))
+                j = (inter / (len(sx) + len(sy) - inter)
+                     if inter else 0.0)
             if j >= threshold:
                 out_a.append(x)
                 out_b.append(y)
-                jac.append(round(j, 6))
+                jac.append(float(round_half_away(j, 6)))
         return pa.table({"a": pa.array(out_a, pa.int64()),
                          "b": pa.array(out_b, pa.int64()),
                          "jaccard": pa.array(jac, pa.float64())})
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def jaccard_all_pairs(docs_ds, threshold=0.5, shingle_k=3):
+    """Exact all-pairs n-gram Jaccard (sandbox-verifiable form of the
+    verify stage: the candidate set is the full a<b cross product, so
+    a DuckDB list-comprehension oracle computes the identical
+    result). Only the O(V) doc-id list touches the driver."""
+    import pyarrow as pa_
+    import ray.data as rd
+    ids = np.sort(docs_ds.select_columns(["doc_id"]).to_pandas()
+                  ["doc_id"].to_numpy(np.int64))
+    ii, jj = np.triu_indices(len(ids), k=1)
+    pairs = rd.from_arrow(pa_.table({"a": pa_.array(ids[ii]),
+                                     "b": pa_.array(ids[jj])}))
+    return jaccard_verify(pairs, docs_ds, threshold=threshold,
+                          shingle_k=shingle_k)
 
 
 def minhash_dedup(docs_ds, threshold=0.8, **kwargs):
@@ -277,27 +310,29 @@ def simhash_dedup(docs_ds, max_hamming=3):
 # ----------------------------------------------------------------------
 # embedding cosine near-dup
 # ----------------------------------------------------------------------
-def embedding_cosine_pairs(emb_ds, threshold=0.95, n_planes=8, seed=11,
-                           use_lsh=True):
-    """Near-duplicate (a, b, cos) pairs with cosine >= threshold.
+class _HyperplaneBucketer:
+    """Stateful bucketing stage: the (seeded, deterministic) random
+    hyperplanes are generated once per instance — not once per batch —
+    lazily on the first batch (the embedding dim isn't known before)."""
 
-    Scale path: random-hyperplane LSH buckets the vectors, pairs are
-    verified only within buckets (misses across buckets possible — the
-    standard recall/cost trade; n_planes tunes it). With
-    ``use_lsh=False`` every pair is verified (exact; used for the
-    sandbox-size oracle comparison)."""
+    def __init__(self, n_planes, seed, use_lsh):
+        self.n_planes = n_planes
+        self.seed = seed
+        self.use_lsh = use_lsh
+        self.planes = None
 
-    def rows(t: pa.Table) -> pa.Table:
-        import numpy as np
+    def __call__(self, t: pa.Table) -> pa.Table:
         vec = np.stack([np.asarray(v, dtype=np.float64)
                         for v in t["embedding"].to_pylist()])
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        if use_lsh:
-            rng = np.random.default_rng(seed)
-            planes = rng.standard_normal((vec.shape[1], n_planes))
-            bits = (vec @ planes) > 0
+        if self.use_lsh:
+            if self.planes is None:
+                rng = np.random.default_rng(self.seed)
+                self.planes = rng.standard_normal(
+                    (vec.shape[1], self.n_planes))
+            bits = (vec @ self.planes) > 0
             bucket = np.zeros(len(ids), dtype=np.int64)
-            for j in range(n_planes):
+            for j in range(self.n_planes):
                 bucket |= bits[:, j].astype(np.int64) << j
         else:
             bucket = np.zeros(len(ids), dtype=np.int64)
@@ -309,6 +344,17 @@ def embedding_cosine_pairs(emb_ds, threshold=0.95, n_planes=8, seed=11,
             "vec_id": pa.array(ids.astype(np.int64)),
             "unit": pa.array(list(unit)),
         })
+
+
+def embedding_cosine_pairs(emb_ds, threshold=0.95, n_planes=8, seed=11,
+                           use_lsh=True):
+    """Near-duplicate (a, b, cos) pairs with cosine >= threshold.
+
+    Scale path: random-hyperplane LSH buckets the vectors, pairs are
+    verified only within buckets (misses across buckets possible — the
+    standard recall/cost trade; n_planes tunes it). With
+    ``use_lsh=False`` every pair is verified (exact; used for the
+    sandbox-size oracle comparison)."""
 
     def pairs(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
@@ -328,6 +374,10 @@ def embedding_cosine_pairs(emb_ds, threshold=0.95, n_planes=8, seed=11,
                          "b": pa.array(ids[jj[ok]].astype(np.int64)),
                          "cos": pa.array(round6(cs[ok]))})
 
-    bucketed = emb_ds.map_batches(rows, batch_format="pyarrow")
+    bucketed = emb_ds.map_batches(
+        _HyperplaneBucketer,
+        fn_constructor_kwargs=dict(n_planes=n_planes, seed=seed,
+                                   use_lsh=use_lsh),
+        concurrency=(1, 4), batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(pairs,
                                                  batch_format="pyarrow")
