@@ -91,7 +91,8 @@ def run_bench():
     if pages_only:
         # cpu-bound probe: parse every page but move almost no data —
         # isolates compute scaling from the single-node memory-
-        # bandwidth ceiling that caps the materialising stages
+        # bandwidth ceiling that caps the materialising stages. Fixed
+        # 128-way granularity so both scaling levels run the same plan.
         import pyarrow as pa
         from leidenalg_ray.stages.extract import extract_links, \
             extract_text
@@ -106,7 +107,7 @@ def run_bench():
                              "chars": pa.array([n_c])})
 
         t0 = time.time()
-        rd.read_parquet(corpus).map_batches(
+        rd.read_parquet(corpus, override_num_blocks=128).map_batches(
             probe, batch_format="pyarrow", batch_size=None,
             zero_copy_batch=True).count()
         times["extract_cpu_probe"] = round(time.time() - t0, 3)
@@ -119,16 +120,39 @@ def run_bench():
         def burn(k):
             import hashlib
             h = b"x" * 4096
-            for _ in range(25_000):
+            for _ in range(25_000 if k >= 0 else 50):
                 h = hashlib.blake2b(h, digest_size=64).digest() * 64
             return len(h)
 
+        # warm the worker pool first (process spawn is a fixed cost
+        # that would otherwise be billed to the high-cpu level)
+        ray.get([burn.remote(-1 - i) for i in range(num_cpus)])
         t0 = time.time()
         ray.get([burn.remote(i) for i in range(128)])
         times["pure_compute_probe"] = round(time.time() - t0, 3)
 
+        # fixed-plan BSP probe: synthetic 24M-edge graph, P=32 CSR
+        # partitions (identical layout at both scaling levels; 32
+        # tasks/superstep = 4 waves at 8 cpus, 1 wave at 32), float32
+        # messages. On one box this kernel is memory-bandwidth-bound —
+        # its efficiency is the bandwidth ceiling, not the scheduler;
+        # BASELINE.md quantifies the bytes/superstep it ships.
+        bsp_n, bsp_m, bsp_P, bsp_iters = 2_000_000, 24_000_000, 32, 10
+        rng = np.random.default_rng(42)
+        bsrc = rng.integers(0, bsp_n, bsp_m)
+        bdst = rng.integers(0, bsp_n, bsp_m)
+        bg = DistGraph.from_edges(bsrc, bdst, n=bsp_n, P=bsp_P,
+                                  directed=True)
+        bg.total_edges()   # force block build before timing
+        t0 = time.time()
+        ss.pagerank(bg, tol=0.0, max_iter=bsp_iters,
+                    message_dtype=np.float32)
+        times["bsp_probe"] = round(time.time() - t0, 3)
+        bsp_edges_per_sec = int(bsp_m * bsp_iters
+                                / max(times["bsp_probe"], 1e-9))
+
         pages_time = sum(times.values()) - times["pure_compute_probe"] \
-            - times["extract_cpu_probe"]
+            - times["extract_cpu_probe"] - times["bsp_probe"]
         traversed = 2 * len(psrc) * int(p_iters)
         result = {
             "metric": "pages pipeline wall time (extract -> id assign "
@@ -144,10 +168,30 @@ def run_bench():
                       "pagerank_iters": int(p_iters)},
             "edges_traversed_per_sec": int(
                 traversed / max(times["pages_pagerank"], 1e-9)),
+            "bsp_probe": {"n": bsp_n, "edges": bsp_m, "P": bsp_P,
+                          "iters": bsp_iters,
+                          "edges_traversed_per_sec": bsp_edges_per_sec,
+                          # per superstep: messages (float32, ~n values)
+                          # + rank/norm shard reads (float64)
+                          "msg_bytes_per_superstep": int(4 * bsp_n)},
         }
         print(json.dumps(result))
         ray.shutdown()
         return result
+
+    # the at-scale build path end-to-end: distributed bucket-rank id
+    # assignment + hash-join edge resolution (no driver url sort, no
+    # broadcast mapping) feeding Dataset-built CSR blocks + PageRank —
+    # the pipeline shape a >node-memory corpus must use
+    from leidenalg_ray.stages.graph_build import pages_to_graph
+
+    t0 = time.time()
+    pedges_ds, pmapping, pn = pages_to_graph(pages_ds, B=32,
+                                             dedup=False)
+    pgd = DistGraph.from_dataset(pedges_ds, n=pn, P=P_pages,
+                                 directed=True, dedup=True)
+    prank_d, _ = ss.pagerank(pgd, damping=0.85, tol=1e-6)
+    times["pages_build_distributed"] = round(time.time() - t0, 3)
 
     def timed(name, fn):
         t0 = time.time()
@@ -186,7 +230,17 @@ def run_bench():
     lab, lp_iters = ss.label_propagation(g, max_iter=20)
     times["label_propagation"] = round(time.time() - t0, 3)
 
-    timed("leiden_cpm", Q.q_leiden_cpm_co)
+    # Leiden on the SAME co graph the BSP kernels use (co_graph_build
+    # is timed separately above; the Dataset-native construction path
+    # is exercised — and timed — by pages_build_distributed)
+    from leidenalg_ray.dist.leiden import DistLeiden
+    t0 = time.time()
+    dl = DistLeiden(s_, d_, weight=w, n=n, directed=False,
+                    quality="cpm", resolution_parameter=0.5, P=8,
+                    seed=42)
+    lmem, lq, linfo = dl.run()
+    times["leiden_cpm"] = round(time.time() - t0, 3)
+    leiden_quality = round(float(lq), 3)
     timed("triangles", Q.q_triangles_co)
     timed("token_counts", lambda s: Q.q_token_counts(s).count())
     timed("dedup_minhash", lambda s: Q.q_dedup_minhash(s).count())
@@ -211,6 +265,9 @@ def run_bench():
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "graph": {"n": int(n), "edges": int(m_edges),
+                  "leiden_quality": leiden_quality,
+                  "leiden_supersteps": int(
+                      linfo["level0_supersteps"]),
                   "pagerank_iters": int(pr_iters)},
         "pages": {"n_pages": int(n_pages), "n_vertices": int(n_verts),
                   "links": int(n_links),
@@ -256,8 +313,16 @@ def run_scaling():
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "component_efficiency": per_component,
+        "pure_compute_efficiency":
+            per_component.get("pure_compute_probe"),
+        "bsp_probe_efficiency": per_component.get("bsp_probe"),
+        "bsp_probe": r_hi.get("bsp_probe"),
         "edges_traversed_per_sec_8": r_lo["edges_traversed_per_sec"],
         "edges_traversed_per_sec_32": r_hi["edges_traversed_per_sec"],
+        "bsp_edges_per_sec_8":
+            r_lo.get("bsp_probe", {}).get("edges_traversed_per_sec"),
+        "bsp_edges_per_sec_32":
+            r_hi.get("bsp_probe", {}).get("edges_traversed_per_sec"),
         "pages_per_sec_8": r_lo["pages"]["pages_per_sec"],
         "pages_per_sec_32": r_hi["pages"]["pages_per_sec"],
         "pages": r_lo["pages"],

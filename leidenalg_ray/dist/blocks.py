@@ -126,11 +126,19 @@ class DistGraph:
 
     @classmethod
     def from_dataset(cls, edges_ds, n, P=8, directed=True,
-                     both_directions=False, spill_dir=None):
+                     both_directions=False, spill_dir=None,
+                     dedup=False):
         """Ray Data path: edges Dataset(src, dst[, weight]) -> partitioned
         parquet spill (the L0 checkpoint, resumable) -> P block-build
-        tasks. The shuffle is the Dataset ``groupby``; block building
-        reads only its own partition's files."""
+        tasks. The shuffle is the partitioned write; block building
+        reads only its own partition's files.
+
+        ``dedup=True`` collapses duplicate (src, dst) rows (summing
+        weights) INSIDE each block-build task: every copy of an edge
+        hashes to the same src%P partition, so partition-local dedup is
+        exact — it replaces a whole groupby shuffle (~12 s of fixed
+        Ray-Data aggregate overhead at sandbox scale) with one
+        vectorised lexsort per partition."""
         import os
         import tempfile
         import pyarrow as pa
@@ -171,6 +179,14 @@ class DistGraph:
                 raise ValueError("symmetrize before from_dataset: a "
                                  "reversed edge belongs to another "
                                  "partition's files")
+            if dedup:
+                order = np.lexsort((dst, src))
+                src, dst, w = src[order], dst[order], w[order]
+                first = np.r_[True, (src[1:] != src[:-1])
+                              | (dst[1:] != dst[:-1])]
+                starts = np.flatnonzero(first)
+                w = np.add.reduceat(w, starts) if len(starts) else w
+                src, dst = src[first], dst[first]
             deg = np.zeros(sizes[p], dtype=np.int64)
             stg = np.zeros(sizes[p])
             np.add.at(deg, src // P, 1)

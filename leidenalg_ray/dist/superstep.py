@@ -29,10 +29,16 @@ from .checkpoint import CheckpointManager
 # PageRank
 # ----------------------------------------------------------------------
 def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
-             weighted=False, checkpoint=None):
+             weighted=False, checkpoint=None,
+             message_dtype=np.float64):
     """North-rule semantics: rank = (1-d)/n + d*(sum_in rank/outdeg +
     dangling_mass/n); iterate until L1 delta < tol. ``weighted`` uses
-    strength-normalised contributions instead of degree."""
+    strength-normalised contributions instead of degree.
+    ``message_dtype=np.float32`` halves the bytes each superstep ships
+    through the object store (messages accumulate partition-locally in
+    float64 and downcast only for the exchange; rank state stays
+    float64) — for throughput probes and bandwidth-tight clusters, not
+    for 1e-6-oracle runs."""
     P, n, sizes = g.P, g.n, g.sizes
 
     @ray.remote
@@ -50,7 +56,7 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
             sl = slice(int(off[q]), int(off[q + 1]))
             arr = np.zeros(sizes[q])
             np.add.at(arr, block["dst_local"][sl], per_edge[sl])
-            outs.append(arr)
+            outs.append(arr.astype(message_dtype, copy=False))
         return outs
 
     @ray.remote

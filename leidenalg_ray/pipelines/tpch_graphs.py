@@ -81,6 +81,36 @@ def co_edges(sf_dir, num_partitions=16):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def co_edge_rows(sf_dir, num_partitions=16):
+    """Multi-edge variant of ``co_edges``: per-batch pre-aggregated
+    (a, b, weight) rows WITHOUT the global groupby dedup. Consumers
+    whose math sums edge weights anyway (Leiden, weighted PageRank,
+    CSR block builds with partition-local dedup) don't need the exact
+    one-row-per-pair table, and Ray Data's groupby-aggregate carries a
+    ~12 s fixed shuffle cost at sandbox scale — the single most
+    expensive avoidable stage in the bench."""
+    li = read_lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    right = li.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "partkey_r"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = li.join(right, "inner", num_partitions, on=("l_orderkey",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a = t["l_partkey"]
+        b = t["partkey_r"]
+        tt = pa.table({"a": a, "b": b}).filter(pc.less(a, b))
+        out = tt.group_by(["a", "b"]).aggregate([([], "count_all")]) \
+                .rename_columns(["src", "dst", "weight"])
+        return pa.table({
+            "src": pc.cast(out["src"], pa.int64()),
+            "dst": pc.cast(out["dst"], pa.int64()),
+            "weight": pc.cast(out["weight"], pa.float64()),
+        })
+
+    return joined.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 # ----------------------------------------------------------------------
 # Planted structured graphs with closed-form Leiden optima.
 #

@@ -219,12 +219,71 @@ def jaccard_all_pairs(docs_ds, threshold=0.5, shingle_k=3):
                           shingle_k=shingle_k)
 
 
+def jaccard_verify_candidates(pairs_ds, docs_ds, threshold=0.8,
+                              shingle_k=3):
+    """Jaccard verify for a SMALL candidate set (LSH output): semi-join
+    documents to the candidate doc ids (broadcast id set, vectorised
+    filter), compute shingle signatures for those docs only, broadcast
+    the O(candidates) signature dict, verify pairs per batch. Zero
+    join shuffles; the driver holds candidate-proportional state only
+    (never the corpus). For candidate sets that are themselves huge
+    (e.g. all-pairs) use ``jaccard_verify`` — the double hash-join."""
+    import ray
+
+    pairs_mat = pairs_ds.materialize()
+    ids = set()
+    for t in pairs_mat.iter_batches(batch_format="pyarrow"):
+        ids.update(t["a"].to_pylist())
+        ids.update(t["b"].to_pylist())
+    ids_ref = ray.put(ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        mask = np.fromiter((d in want for d in
+                            t["doc_id"].to_pylist()), dtype=bool,
+                           count=t.num_rows)
+        return t.filter(pa.array(mask))
+
+    sig_rows = shingle_signatures(
+        docs_ds.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True), shingle_k)
+    sigs = {}
+    for t in sig_rows.iter_batches(batch_format="pyarrow"):
+        for d, s in zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()):
+            sigs[d] = s
+    sig_ref = ray.put(sigs)
+
+    def verify(t: pa.Table) -> pa.Table:
+        from leidenalg_ray.util import round_half_away
+        table = ray.get(sig_ref)
+        out_a, out_b, jac = [], [], []
+        for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            sx = np.frombuffer(table[x], dtype=np.uint64)
+            sy = np.frombuffer(table[y], dtype=np.uint64)
+            if len(sx) == 0 and len(sy) == 0:
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(sx, sy, assume_unique=True))
+                j = (inter / (len(sx) + len(sy) - inter)
+                     if inter else 0.0)
+            if j >= threshold:
+                out_a.append(x)
+                out_b.append(y)
+                jac.append(float(round_half_away(j, 6)))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64())})
+    return pairs_mat.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_dedup(docs_ds, threshold=0.8, **kwargs):
     """Full MinHash-LSH near-dup pipeline -> verified pairs
-    (a, b, jaccard)."""
+    (a, b, jaccard). Candidates are a tiny fraction of the corpus, so
+    the verify uses the semi-join + broadcast-signatures path."""
     cand = minhash_candidates(docs_ds, **kwargs)
-    return jaccard_verify(cand, docs_ds, threshold=threshold,
-                          shingle_k=kwargs.get("shingle_k", 3))
+    return jaccard_verify_candidates(
+        cand, docs_ds, threshold=threshold,
+        shingle_k=kwargs.get("shingle_k", 3))
 
 
 # ----------------------------------------------------------------------

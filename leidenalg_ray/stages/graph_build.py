@@ -94,11 +94,29 @@ def dedup_edges(edges_ds, src="src", dst="dst"):
     return out.map_batches(to_float, batch_format="pyarrow")
 
 
+def preagg_edges(edges_ds, src="src", dst="dst"):
+    """Per-batch combiner only — (src, dst, weight) multi-edge rows
+    with duplicates possible ACROSS batches. For consumers that finish
+    the dedup partition-locally (``DistGraph.from_dataset(dedup=True)``
+    co-locates all copies of an edge by src%P) or whose math sums
+    weights anyway; skips the groupby shuffle ``dedup_edges`` pays."""
+    def preagg(t: pa.Table) -> pa.Table:
+        out = t.group_by([src, dst]).aggregate([([], "count_all")]) \
+               .rename_columns([src, dst, "weight"])
+        return out.set_column(
+            out.schema.get_field_index("weight"), "weight",
+            pc.cast(out["weight"], pa.float64()))
+    return edges_ds.map_batches(preagg, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def links_to_edges(links_ds, mapping_ds, n, num_partitions=16,
-                   drop_dangling=True):
+                   drop_dangling=True, dedup=True):
     """(src_url, dst_url) -> (src, dst, weight) int edge table via two
     hash joins against the id mapping; links to urls outside the corpus
-    are dropped (dangling targets, FIXTURES.md §1)."""
+    are dropped (dangling targets, FIXTURES.md §1). ``dedup=False``
+    returns per-batch pre-aggregated multi-edge rows instead of paying
+    the global groupby (see ``preagg_edges``)."""
     m_src = mapping_ds.map_batches(
         lambda t: t.rename_columns(["src_url", "src"]),
         batch_format="pyarrow")
@@ -109,7 +127,7 @@ def links_to_edges(links_ds, mapping_ds, n, num_partitions=16,
     j2 = j1.join(m_dst, "inner" if drop_dangling else "left_outer",
                  num_partitions, on=("dst_url",))
     ints = j2.select_columns(["src", "dst"])
-    return dedup_edges(ints)
+    return dedup_edges(ints) if dedup else preagg_edges(ints)
 
 
 def pages_to_graph_arrays(pages_ds, B=32, concurrency=8):
@@ -179,9 +197,11 @@ def pages_to_graph_arrays(pages_ds, B=32, concurrency=8):
             w, mdf, n)
 
 
-def pages_to_graph(pages_ds, B=32, num_partitions=16):
+def pages_to_graph(pages_ds, B=32, num_partitions=16, dedup=True):
     """Full pipeline: pages -> extract -> id-assign -> dedup'd int edge
-    table. Returns (edges Dataset(src,dst,weight), mapping Dataset, n)."""
+    table. Returns (edges Dataset(src,dst,weight), mapping Dataset, n).
+    ``dedup=False`` leaves the exact dedup to the partition-local pass
+    in ``DistGraph.from_dataset(dedup=True)``."""
     from .extract import extract_dataset, links_of, texts_of
 
     extracted = extract_dataset(pages_ds).materialize()
@@ -190,5 +210,5 @@ def pages_to_graph(pages_ds, B=32, num_partitions=16):
     mapping, n = assign_ids(urls, B=B)
     mapping = mapping.materialize()
     edges = links_to_edges(links, mapping, n,
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions, dedup=dedup)
     return edges, mapping, n

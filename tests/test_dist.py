@@ -261,3 +261,61 @@ def test_dist_leiden_from_dataset_weighted_directed():
     mem_a, q_a, _ = dl_a.run()
     assert q_d == pytest.approx(q_a, abs=1e-9)
     assert np.array_equal(mem_d, mem_a)
+
+
+def test_from_dataset_partition_local_dedup(tmp_path, random_graph):
+    """dedup=True collapses cross-batch duplicate edges inside the
+    block build (partition-local is exact: all copies of (s,d) share
+    src%P) — PageRank must match from_edges on the pre-deduped
+    arrays."""
+    import pyarrow as pa
+    import ray.data as rd
+    src, dst, n = random_graph
+    # duplicate every edge 3x across separate blocks
+    t = pa.table({"src": pa.array(np.tile(src, 3)),
+                  "dst": pa.array(np.tile(dst, 3)),
+                  "weight": pa.array(np.ones(3 * len(src)))})
+    ds = rd.from_arrow(t).repartition(6)
+    g_ds = DistGraph.from_dataset(ds, n=n, P=4, directed=True,
+                                  dedup=True,
+                                  spill_dir=str(tmp_path / "e"))
+    key = np.unique(src.astype(np.int64) * n + dst.astype(np.int64))
+    us, ud = (key // n), (key % n)
+    g_arr = DistGraph.from_edges(us, ud, n=n, P=4, directed=True)
+    assert g_ds.total_edges() == g_arr.total_edges() == len(key)
+    r1, _ = ss.pagerank(g_ds, tol=1e-10)
+    r2, _ = ss.pagerank(g_arr, tol=1e-10)
+    assert np.abs(r1 - r2).max() < 1e-15
+
+
+def test_pages_distributed_build_matches_broadcast(tmp_path):
+    """The at-scale pages build (bucket-rank ids + hash joins +
+    partition-local dedup) must give each URL the same PageRank as the
+    broadcast-arrays variant (ids differ — compare per-url)."""
+    import ray.data as rd
+    from leidenalg_ray.sources.pages import ensure_pages_corpus
+    from leidenalg_ray.stages.graph_build import (
+        pages_to_graph, pages_to_graph_arrays)
+    corpus = str(tmp_path / "pages")
+    ensure_pages_corpus(corpus, 2000)
+    pages = rd.read_parquet(corpus)
+    psrc, pdst, pw, mdf, nv = pages_to_graph_arrays(pages, B=8)
+    ga = DistGraph.from_edges(psrc, pdst, n=nv, P=4, directed=True)
+    ra, _ = ss.pagerank(ga, tol=1e-10)
+    # num_partitions small: each chained join spawns that many
+    # shuffle-aggregator actors, and the 4-cpu test session deadlocks
+    # if two joins outsize it
+    edges_ds, mapping, nd = pages_to_graph(pages, B=8,
+                                           num_partitions=2,
+                                           dedup=False)
+    gd = DistGraph.from_dataset(edges_ds, n=nd, P=4, directed=True,
+                                dedup=True)
+    rd_, _ = ss.pagerank(gd, tol=1e-10)
+    assert nd == nv
+    mp = mapping.to_pandas()
+    rank_by_url_d = dict(zip(mp["url"], rd_[mp["vid"].to_numpy()]))
+    rank_by_url_a = dict(zip(mdf["url"], ra[mdf["vid"].to_numpy()]))
+    assert rank_by_url_a.keys() == rank_by_url_d.keys()
+    diffs = [abs(rank_by_url_a[u] - rank_by_url_d[u])
+             for u in rank_by_url_a]
+    assert max(diffs) < 1e-12
