@@ -26,11 +26,12 @@ import numpy as np
 
 
 class CheckpointManager:
-    def __init__(self, root, algo, P, keep=2, every=1):
+    def __init__(self, root, algo, P, keep=2, every=1, n=None):
         self.dir = os.path.join(root, algo)
         self.P = int(P)
         self.keep = keep
         self.every = max(1, int(every))
+        self.n = None if n is None else int(n)
         os.makedirs(self.dir, exist_ok=True)
 
     def _step_dir(self, step):
@@ -56,6 +57,7 @@ class CheckpointManager:
         manifest = {
             "step": int(step),
             "P": self.P,
+            "n": self.n,
             "wall_time": time.time(),
             "partitions": lineage,
             "metrics": metrics or {},
@@ -90,6 +92,18 @@ class CheckpointManager:
             return None
         with open(mpath) as f:
             manifest = json.load(f)
+        # a checkpoint from a DIFFERENT job shape (stale directory,
+        # changed input, changed partition plan) must not resume —
+        # ignore it instead of loading mismatched shards
+        if manifest.get("P") != self.P or (
+                self.n is not None and manifest.get("n") is not None
+                and manifest["n"] != self.n):
+            import logging
+            logging.getLogger(__name__).warning(
+                "ignoring checkpoint %s: shape mismatch "
+                "(P=%s n=%s, expected P=%s n=%s)", d,
+                manifest.get("P"), manifest.get("n"), self.P, self.n)
+            return None
         shards = []
         for entry in manifest["partitions"]:
             arr = np.load(os.path.join(d, f"shard-{entry['part']:04d}.npy"))

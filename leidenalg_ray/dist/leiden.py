@@ -762,7 +762,8 @@ class DistLeiden:
         mem = (np.arange(self.n, dtype=np.int64) if mem is None
                else np.asarray(mem, dtype=np.int64).copy())
         ckpt = (CheckpointManager(checkpoint, f"leiden-{level_tag}",
-                                  self.P) if checkpoint else None)
+                                  self.P, n=self.n)
+                if checkpoint else None)
         start_cycle = 0
         if ckpt is not None:
             resumed = ckpt.resume()

@@ -73,7 +73,8 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
 
     norm_refs = g.out_strength if weighted else g.out_deg
     rank_refs = [ray.put(np.full(sizes[p], 1.0 / n)) for p in range(P)]
-    ckpt = CheckpointManager(checkpoint, "pagerank", P) if checkpoint else None
+    ckpt = CheckpointManager(checkpoint, "pagerank", P, n=n) \
+        if checkpoint else None
     start_iter = 0
     it = -1
     if ckpt is not None:
@@ -146,7 +147,8 @@ def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None):
 
     label_refs = [ray.put(np.arange(p, n, P, dtype=np.int64))
                   for p in range(P)]
-    ckpt = CheckpointManager(checkpoint, "cc", P) if checkpoint else None
+    ckpt = CheckpointManager(checkpoint, "cc", P, n=n) \
+        if checkpoint else None
     start_iter = 0
     if ckpt is not None:
         resumed = ckpt.resume()
@@ -231,7 +233,7 @@ def label_propagation(g: DistGraph, max_iter=100, weighted=True,
 
     label_refs = [ray.put(np.arange(p, n, P, dtype=np.int64))
                   for p in range(P)]
-    ckpt = CheckpointManager(checkpoint, "labelprop", P) \
+    ckpt = CheckpointManager(checkpoint, "labelprop", P, n=n) \
         if checkpoint else None
     start_iter = 0
     if ckpt is not None:

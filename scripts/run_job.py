@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--gamma", type=float, default=0.5)
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--build", default="distributed",
+                    choices=["distributed", "broadcast"],
+                    help="distributed: bucket-rank id assignment + "
+                         "hash joins + Dataset-built CSR blocks (the "
+                         ">node-memory path, default); broadcast: "
+                         "driver-sorted mapping broadcast (faster "
+                         "while the url set fits one node)")
     args = ap.parse_args()
 
     import ray
@@ -52,32 +59,64 @@ def main():
     rd.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from leidenalg_ray.stages.graph_build import pages_to_graph_arrays
+    from leidenalg_ray.stages.graph_build import (
+        pages_to_graph, pages_to_graph_arrays)
     from leidenalg_ray.dist.blocks import DistGraph
     from leidenalg_ray.dist import superstep as ss
     from leidenalg_ray.dist.leiden import DistLeiden
 
-    t0 = time.time()
+    P = args.partitions
     pages = rd.read_parquet(args.pages)
-    src, dst, w, mapping, n = pages_to_graph_arrays(pages)
+    t0 = time.time()
+    if args.build == "distributed":
+        # >node-memory shape: the driver never holds urls or edges
+        edges_ds, mapping_ds, n = pages_to_graph(
+            pages, B=32, num_partitions=P, dedup=False)
+        edges_ds = edges_ds.materialize()   # reused by three builds
+        mapping = mapping_ds.materialize()
+        n_edges = edges_ds.count()
+    else:
+        src, dst, w, mapping, n = pages_to_graph_arrays(pages)
+        n_edges = len(src)
     t_build = time.time() - t0
 
-    P = args.partitions
     t0 = time.time()
-    g = DistGraph.from_edges(src, dst, weight=w, n=n, P=P,
-                             directed=True)
+    if args.build == "distributed":
+        g = DistGraph.from_dataset(edges_ds, n=n, P=P, directed=True,
+                                   dedup=True)
+        sym = edges_ds.map_batches(
+            lambda t: pa.table({
+                "src": pa.concat_arrays(
+                    [t["src"].combine_chunks(),
+                     t["dst"].combine_chunks()]),
+                "dst": pa.concat_arrays(
+                    [t["dst"].combine_chunks(),
+                     t["src"].combine_chunks()]),
+                "weight": pa.concat_arrays(
+                    [t["weight"].combine_chunks()] * 2),
+            }), batch_format="pyarrow", zero_copy_batch=True)
+        g2 = DistGraph.from_dataset(sym, n=n, P=P, directed=False,
+                                    dedup=True)
+    else:
+        g = DistGraph.from_edges(src, dst, weight=w, n=n, P=P,
+                                 directed=True)
+        g2 = DistGraph.from_edges(src, dst, n=n, P=P,
+                                  both_directions=True)
     rank, pr_iters = ss.pagerank(g, tol=1e-6,
                                  checkpoint=args.checkpoint)
-    g2 = DistGraph.from_edges(src, dst, n=n, P=P,
-                              both_directions=True)
     comp, cc_iters = ss.connected_components(
         g2, checkpoint=args.checkpoint)
     t_bsp = time.time() - t0
 
     t0 = time.time()
-    dl = DistLeiden(src, dst, weight=w, n=n, directed=False,
-                    quality=args.quality,
-                    resolution_parameter=args.gamma, P=P, seed=42)
+    if args.build == "distributed":
+        dl = DistLeiden.from_dataset(
+            edges_ds, n=n, directed=False, quality=args.quality,
+            resolution_parameter=args.gamma, P=P, seed=42)
+    else:
+        dl = DistLeiden(src, dst, weight=w, n=n, directed=False,
+                        quality=args.quality,
+                        resolution_parameter=args.gamma, P=P, seed=42)
     mem, q, info = dl.run(checkpoint=args.checkpoint)
     t_leiden = time.time() - t0
 
@@ -98,10 +137,13 @@ def main():
             "component": pa.array(comp[sl]),
             "comm": pa.array(mem[sl]),
         }), f)
-    mapping.to_parquet(os.path.join(args.out, "url_mapping.parquet"),
-                       index=False)
+    if args.build == "distributed":
+        mapping.write_parquet(os.path.join(args.out, "url_mapping"))
+    else:
+        mapping.to_parquet(
+            os.path.join(args.out, "url_mapping.parquet"), index=False)
     summary = {
-        "n_vertices": int(n), "n_edges": int(len(src)),
+        "n_vertices": int(n), "n_edges": int(n_edges),
         "pagerank_iters": int(pr_iters), "cc_iters": int(cc_iters),
         "leiden_quality": float(q),
         "n_communities": info["n_communities"],

@@ -319,3 +319,18 @@ def test_pages_distributed_build_matches_broadcast(tmp_path):
     diffs = [abs(rank_by_url_a[u] - rank_by_url_d[u])
              for u in rank_by_url_a]
     assert max(diffs) < 1e-12
+
+
+def test_checkpoint_shape_mismatch_ignored(tmp_path, random_graph):
+    """A stale checkpoint from a DIFFERENT graph (changed input or
+    partition plan) must be ignored, not resumed into garbage."""
+    src, dst, n = random_graph
+    g_small = DistGraph.from_edges(src[:500] % 500, dst[:500] % 500,
+                                   n=500, P=4, directed=True)
+    ss.pagerank(g_small, tol=1e-10, checkpoint=str(tmp_path))
+    # same checkpoint dir, bigger graph: shards must NOT resume
+    g_big = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    r, _ = ss.pagerank(g_big, tol=1e-10, checkpoint=str(tmp_path))
+    from leidenalg_ray.oracle import pagerank_serial
+    r_ser, _ = pagerank_serial(src, dst, n, tol=1e-10)
+    assert np.abs(r - r_ser).max() < 1e-12
