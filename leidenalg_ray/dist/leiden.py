@@ -37,9 +37,15 @@ copy — the standard broadcast-membership Leiden layout; sharding the
 membership itself (message-passing per superstep) is the next
 frontier beyond this sandbox.
 
-Only the linear quality families run distributed (Modularity,
-RBConfiguration, RBER, CPM, Significance); Surprise's nonlinear
-combine needs global sums per candidate move — use the in-memory tier.
+All six quality families run distributed. The linear ones
+(Modularity, RBConfiguration, RBER, CPM, Significance) evaluate move
+deltas directly from the two affected communities' terms; Surprise's
+nonlinear combine evaluates every candidate against the GLOBAL
+aggregated term vector (recomputed from the broadcast stats snapshot
+inside each propose call) via the plugin's vectorised
+``combine_many`` — reference semantics at
+``/root/reference/src/leidenalg/VertexPartition.py:470-492``, formula
+still owned solely by ``leidenalg_ray.quality``.
 """
 
 from __future__ import annotations
@@ -54,6 +60,7 @@ from ..partition import (
     RBConfigurationVertexPartition,
     RBERVertexPartition,
     SignificanceVertexPartition,
+    SurpriseVertexPartition,
 )
 from ..optimiser import Optimiser
 
@@ -63,6 +70,7 @@ PARTITION_TYPES = {
     "rber": RBERVertexPartition,
     "cpm": CPMVertexPartition,
     "significance": SignificanceVertexPartition,
+    "surprise": SurpriseVertexPartition,
 }
 
 
@@ -188,14 +196,31 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
                      stats["size"])
 
     def term(w, so, si, sz):
-        return np.atleast_2d(qf.term(w, so, si, sz, gamma))[0]
+        return np.atleast_2d(qf.term(w, so, si, sz, gamma))
+
+    if scale is None:
+        # nonlinear combine (Surprise): every candidate's exact global
+        # delta = combine(global term sum + local term shift) - Q0.
+        # The global sums come from the broadcast stats snapshot —
+        # the two-pass scheme VERDICT r1 sketched, with the formula
+        # still living only in quality.py (combine_many).
+        nz = (SZ > 0) | (W != 0)
+        agg0 = term(W[nz], SO[nz], SI[nz], SZ[nz]).sum(axis=1)
+        q0 = qf.combine(agg0, gamma)
+
+        def dq_of(d_new, d_old):
+            aggs = agg0[:, None] + d_new + d_old
+            return qf.combine_many(aggs, gamma) - q0
+    else:
+        def dq_of(d_new, d_old):
+            return scale * (d_new + d_old)[0]
 
     d_new = term(W[cs] + wv + loop, SO[cs] + k_out, SI[cs] + k_in,
                  SZ[cs] + nsz) - term(W[cs], SO[cs], SI[cs], SZ[cs])
     d_old = term(W[cur_c] - w_cur - loop, SO[cur_c] - k_out,
                  SI[cur_c] - k_in, SZ[cur_c] - nsz) \
         - term(W[cur_c], SO[cur_c], SI[cur_c], SZ[cur_c])
-    dq = scale * (d_new + d_old)
+    dq = dq_of(d_new, d_old)
     max_size = scal.get("max_comm_size", 0)
     if max_size > 0:
         dq = np.where(SZ[cs] + nsz > max_size, -np.inf, dq)
@@ -218,7 +243,7 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
     d_old_e = term(W[cur_u] - w_cur_u - loop_u, SO[cur_u] - k_out_u,
                    SI[cur_u] - k_in_u, SZ[cur_u] - nsz_u) \
         - term(W[cur_u], SO[cur_u], SI[cur_u], SZ[cur_u])
-    dq_e = scale * (d_new_e + d_old_e)
+    dq_e = dq_of(d_new_e, d_old_e)
     # only meaningful if the vertex is not alone in its community
     alone = (SZ[cur_u] - nsz_u) <= 0
     dq_e[alone] = -np.inf

@@ -604,6 +604,22 @@ def q_leiden_modularity_cliques(sf_dir):
                      "comm": pa.array(_renumber_dense(mem, n))})
 
 
+def q_leiden_surprise_cliques(sf_dir):
+    """Distributed Leiden, Surprise quality, on the planted cliques:
+    the nonlinear combine runs distributed via the global-term-vector
+    delta (quality.SurpriseQuality.combine_many; reference
+    ``VertexPartition.py:470-492``); on disjoint cliques the optimum
+    is one community per clique (maximal internal density), same SQL
+    oracle."""
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    dl = DistLeiden(s, d, weight=w, n=n, directed=False,
+                    quality="surprise", P=8, seed=42)
+    mem, q, info = dl.run()
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
 def q_leiden_cpm_stars(sf_dir):
     """Distributed Leiden, CPM at gamma->0 (0.001), on disjoint
     per-nation stars: the optimum is the connected components, i.e.
@@ -1015,6 +1031,7 @@ QUERIES = {
     "leiden_cpm_cliques": q_leiden_cpm_cliques,
     "leiden_modularity_cliques": q_leiden_modularity_cliques,
     "leiden_cpm_stars": q_leiden_cpm_stars,
+    "leiden_surprise_cliques": q_leiden_surprise_cliques,
     "leiden_multiplex_cliques": q_leiden_multiplex_cliques,
     "resolution_profile_co": q_resolution_profile_co,
     "leiden_multiplex": q_leiden_multiplex,
@@ -1050,6 +1067,7 @@ ORACLE_SQL = {
     "leiden_cpm_cliques": SQL_LEIDEN_NATIONS,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
+    "leiden_surprise_cliques": SQL_LEIDEN_NATIONS,
     "leiden_multiplex_cliques": SQL_LEIDEN_NATIONS,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,

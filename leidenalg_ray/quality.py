@@ -95,6 +95,17 @@ class QualityFunction:
         diffs); None for nonlinear combines (Surprise)."""
         return None
 
+    def combine_many(self, aggs, gamma):
+        """Vectorised ``combine`` over a (term_dim, k) matrix of
+        aggregated term vectors -> k quality values. Nonlinear
+        quality functions (Surprise) override this so the distributed
+        propose kernel can evaluate every candidate move's exact
+        global delta in one shot; the default falls back to per-column
+        ``combine``."""
+        aggs = np.atleast_2d(aggs)
+        return np.array([self.combine(aggs[:, i], gamma)
+                         for i in range(aggs.shape[1])])
+
 
 class ModularityQuality(QualityFunction):
     name = "modularity"
@@ -217,6 +228,19 @@ class SurpriseQuality(QualityFunction):
         if qe <= 0 or qe >= 1:
             return 0.0
         return m * float(binary_kl(q, qe))
+
+    def combine_many(self, aggs, gamma):
+        aggs = np.atleast_2d(aggs)
+        m = self.g.total_weight
+        total_pe = float(self.g.possible_edges(self.g.total_size,
+                                               self.correct_self_loops))
+        if m <= 0 or total_pe <= 0:
+            return np.zeros(aggs.shape[1])
+        q = aggs[0] / m
+        qe = aggs[1] / total_pe
+        out = m * binary_kl(q, qe)
+        out[(qe <= 0) | (qe >= 1)] = 0.0
+        return out
 
 
 QUALITY_REGISTRY = {

@@ -334,3 +334,19 @@ def test_checkpoint_shape_mismatch_ignored(tmp_path, random_graph):
     from leidenalg_ray.oracle import pagerank_serial
     r_ser, _ = pagerank_serial(src, dst, n, tol=1e-10)
     assert np.abs(r - r_ser).max() < 1e-12
+
+
+def test_dist_leiden_surprise_matches_inmemory():
+    """Surprise runs distributed via the global-term-vector delta
+    (nonlinear combine_many); quality must match the exact in-memory
+    solver on a planted graph."""
+    g, truth = planted_partition(n_comm=5, per=30, p_in=0.45,
+                                 p_out=0.005, seed=9)
+    dl = DistLeiden(g.src, g.dst, n=g.n, directed=False,
+                    quality="surprise", P=4, seed=2)
+    mem, q, info = dl.run()
+    from leidenalg_ray import SurpriseVertexPartition, find_partition
+    p = find_partition(g, SurpriseVertexPartition, seed=2)
+    assert q == pytest.approx(p.quality(), rel=1e-6)
+    pairs = set(zip(mem.tolist(), truth.tolist()))
+    assert len(pairs) == 5

@@ -20,7 +20,8 @@ from leidenalg_ray.pipelines.queries import (
 )
 
 PLANTED = ["leiden_cpm_cliques", "leiden_modularity_cliques",
-           "leiden_cpm_stars", "leiden_multiplex_cliques"]
+           "leiden_cpm_stars", "leiden_multiplex_cliques",
+           "leiden_surprise_cliques"]
 
 
 def nation_oracle(sf):
