@@ -620,6 +620,46 @@ def q_leiden_surprise_cliques(sf_dir):
                      "comm": pa.array(_renumber_dense(mem, n))})
 
 
+def q_leiden_significance_cliques(sf_dir):
+    """Distributed Leiden, Significance quality (unweighted-only —
+    reference ``VertexPartition.py:554,580``; the planted cliques are
+    weight-1), same closed-form optimum: one community per clique.
+    With this row every one of the six quality functions is
+    driver-SQL-verified through the distributed schedule."""
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    dl = DistLeiden(s, d, weight=None, n=n, directed=False,
+                    quality="significance", P=8, seed=42)
+    mem, q, info = dl.run()
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
+def _leiden_planted_cliques(sf_dir, quality, gamma, weighted=True):
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    dl = DistLeiden(s, d, weight=(w if weighted else None), n=n,
+                    directed=False, quality=quality,
+                    resolution_parameter=gamma, P=8, seed=42)
+    mem, q, info = dl.run()
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
+def q_leiden_rbconfig_cliques(sf_dir):
+    """Distributed Leiden, RBConfiguration gamma=1 (== modularity up
+    to scale — reference ``VertexPartition.py:794-796``), planted
+    cliques, same closed-form optimum."""
+    return _leiden_planted_cliques(sf_dir, "rb_configuration", 1.0)
+
+
+def q_leiden_rber_cliques(sf_dir):
+    """Distributed Leiden, RBER gamma=1 (Erdos-Renyi null — reference
+    ``VertexPartition.py:680-698``), planted cliques, same closed-form
+    optimum."""
+    return _leiden_planted_cliques(sf_dir, "rber", 1.0)
+
+
 def q_leiden_cpm_stars(sf_dir):
     """Distributed Leiden, CPM at gamma->0 (0.001), on disjoint
     per-nation stars: the optimum is the connected components, i.e.
@@ -668,6 +708,47 @@ def q_leiden_multiplex_cliques(sf_dir):
 
 def q_leiden_modularity_co(sf_dir):
     return _leiden_co_dataset(sf_dir, "modularity", 1.0)
+
+
+def q_resolution_profile_cliques(sf_dir):
+    """Resolution profile (reference ``Optimiser.py:661-861``) on the
+    planted per-nation cliques, reported as the DISTINCT
+    (n_communities, bisect_value) partitions found. Every clique has
+    uniform internal density 1, so over gamma in (0.05, 2) exactly two
+    partitions exist — one community per nation below gamma=1
+    (bisect value = sum k(k-1)/2) and singletons above (0) — making
+    the profile driver-SQL-verifiable (the probe gamma sequence itself
+    is bisection-internal and deliberately not part of the output)."""
+    from ..graph import Graph as G
+    from ..optimiser import Optimiser
+    from ..partition import CPMVertexPartition as CPM
+
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    g = G(n, src=s, dst=d, weights=w)
+    opt = Optimiser()
+    opt.set_rng_seed(42)
+    prof = opt.resolution_profile(g, CPM, resolution_range=(0.05, 2))
+    rows = sorted({(int(p.n_communities()),
+                    float(round_half_away(p.bisect_value(), 6)))
+                   for p in prof})
+    return pa.table({
+        "n_communities": pa.array([r[0] for r in rows], pa.int64()),
+        "bisect_value": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+SQL_RESOLUTION_PROFILE_CLIQUES = """
+WITH sz AS (SELECT s_nationkey, count(*) AS k
+            FROM supplier GROUP BY s_nationkey)
+SELECT DISTINCT * FROM (
+  SELECT CAST((SELECT count(*) FROM sz) AS BIGINT) AS n_communities,
+         CAST((SELECT sum(k * (k - 1) / 2) FROM sz) AS DOUBLE)
+             AS bisect_value
+  UNION ALL
+  SELECT CAST(count(*) AS BIGINT), 0.0 FROM supplier
+)
+"""
 
 
 # ======================================================================
@@ -1032,8 +1113,12 @@ QUERIES = {
     "leiden_modularity_cliques": q_leiden_modularity_cliques,
     "leiden_cpm_stars": q_leiden_cpm_stars,
     "leiden_surprise_cliques": q_leiden_surprise_cliques,
+    "leiden_significance_cliques": q_leiden_significance_cliques,
+    "leiden_rbconfig_cliques": q_leiden_rbconfig_cliques,
+    "leiden_rber_cliques": q_leiden_rber_cliques,
     "leiden_multiplex_cliques": q_leiden_multiplex_cliques,
     "resolution_profile_co": q_resolution_profile_co,
+    "resolution_profile_cliques": q_resolution_profile_cliques,
     "leiden_multiplex": q_leiden_multiplex,
     "token_counts": q_token_counts,
     "doc_quality": q_doc_quality,
@@ -1068,6 +1153,10 @@ ORACLE_SQL = {
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
     "leiden_surprise_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_significance_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_rbconfig_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_rber_cliques": SQL_LEIDEN_NATIONS,
+    "resolution_profile_cliques": SQL_RESOLUTION_PROFILE_CLIQUES,
     "leiden_multiplex_cliques": SQL_LEIDEN_NATIONS,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,

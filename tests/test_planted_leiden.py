@@ -21,7 +21,9 @@ from leidenalg_ray.pipelines.queries import (
 
 PLANTED = ["leiden_cpm_cliques", "leiden_modularity_cliques",
            "leiden_cpm_stars", "leiden_multiplex_cliques",
-           "leiden_surprise_cliques"]
+           "leiden_surprise_cliques",
+           "leiden_significance_cliques",
+           "leiden_rbconfig_cliques", "leiden_rber_cliques"]
 
 
 def nation_oracle(sf):
