@@ -660,6 +660,47 @@ def q_leiden_rber_cliques(sf_dir):
     return _leiden_planted_cliques(sf_dir, "rber", 1.0)
 
 
+def q_leiden_temporal_cliques(sf_dir):
+    """find_partition_temporal (reference ``functions.py:178-306``)
+    over two identical clique time-slices with interslice coupling
+    weight 1, CPM gamma=0.5: the coupled optimum is one community per
+    nation SPANNING both slices, so each slice's membership equals the
+    nation grouping — the temporal entry point's driver-SQL row."""
+    from ..functions_api import find_partition_temporal
+    from ..graph import Graph as G
+    from ..partition import CPMVertexPartition as CPM
+
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    g = G(n, src=s, dst=d, weights=w)
+    mems, imp = find_partition_temporal(
+        [g, g], CPM, interslice_weight=1.0,
+        resolution_parameter=0.5, seed=42)
+    cat = np.concatenate([np.asarray(m) for m in mems])
+    comm = _renumber_dense(cat, 2 * n)
+    vids = np.arange(n, dtype=np.int64)
+    return pa.table({
+        "slice": pa.array(np.repeat(np.array([0, 1], np.int64), n)),
+        "vid": pa.array(np.concatenate([vids, vids])),
+        "comm": pa.array(comm),
+    })
+
+
+SQL_LEIDEN_TEMPORAL = """
+WITH sz AS (SELECT s_nationkey, count(*) AS cnt, min(s_suppkey) AS mv
+            FROM supplier GROUP BY s_nationkey),
+r AS (SELECT s_nationkey,
+             CAST(dense_rank() OVER (ORDER BY cnt DESC, mv ASC)
+                  AS BIGINT) - 1 AS comm
+      FROM sz)
+SELECT CAST(sl.s AS BIGINT) AS slice,
+       CAST(s.s_suppkey AS BIGINT) AS vid, r.comm AS comm
+FROM supplier s
+JOIN r ON s.s_nationkey = r.s_nationkey
+CROSS JOIN (SELECT 0 AS s UNION ALL SELECT 1) sl
+"""
+
+
 def q_leiden_cpm_stars(sf_dir):
     """Distributed Leiden, CPM at gamma->0 (0.001), on disjoint
     per-nation stars: the optimum is the connected components, i.e.
@@ -1116,6 +1157,7 @@ QUERIES = {
     "leiden_significance_cliques": q_leiden_significance_cliques,
     "leiden_rbconfig_cliques": q_leiden_rbconfig_cliques,
     "leiden_rber_cliques": q_leiden_rber_cliques,
+    "leiden_temporal_cliques": q_leiden_temporal_cliques,
     "leiden_multiplex_cliques": q_leiden_multiplex_cliques,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
@@ -1156,6 +1198,7 @@ ORACLE_SQL = {
     "leiden_significance_cliques": SQL_LEIDEN_NATIONS,
     "leiden_rbconfig_cliques": SQL_LEIDEN_NATIONS,
     "leiden_rber_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_temporal_cliques": SQL_LEIDEN_TEMPORAL,
     "resolution_profile_cliques": SQL_RESOLUTION_PROFILE_CLIQUES,
     "leiden_multiplex_cliques": SQL_LEIDEN_NATIONS,
     "triangles_co": SQL_TRIANGLES_CO,
