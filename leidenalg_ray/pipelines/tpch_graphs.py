@@ -206,6 +206,11 @@ def supplier_count(sf_dir):
                            columns=["s_suppkey"]).count()
 
 
+def part_count(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey"]).count()
+
+
 _CO_CACHE = {}
 
 
