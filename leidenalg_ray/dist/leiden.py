@@ -115,16 +115,36 @@ def _colour_hash(vids):
         .astype(np.int64)
 
 
-def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
+def _lab_idx(stat_labels, lab):
+    """Translate global community labels into the shard's compressed
+    stats index; raises on an untracked label (protocol violation)
+    rather than silently reading a neighbour's slot."""
+    i = np.searchsorted(stat_labels, lab)
+    if len(stat_labels) == 0:
+        if len(lab) == 0:
+            return i
+        raise ValueError("untracked community label in propose")
+    i = np.minimum(i, len(stat_labels) - 1)
+    if not np.array_equal(stat_labels[i], lab):
+        raise ValueError("untracked community label in propose")
+    return i
+
+
+def _propose_kernel(block, kv, st, scal, color, n_colors):
     """Gather + propose for one shard's block.
 
-    block: dict(src_local, dst_global, weight) sorted by src_local
-    (symmetrised incidence: weight(v, c) sums each edge once from v's
-    side; for directed graphs the pair carries w_to + w_from combined,
-    which is exactly what the quality delta needs).
+    block: dict(src_local, dst_global, weight, dst_ref_idx) sorted by
+    src_local (symmetrised incidence: weight(v, c) sums each edge once
+    from v's side; for directed graphs the pair carries w_to + w_from
+    combined, which is exactly what the quality delta needs).
     kv: per-local-vertex arrays (k_out, k_in, loop, nsz) for this
     shard's own vertices.
-    mem / stats: full membership + label-indexed community stats.
+    st: the shard's compressed state — membership over the shard's
+    REFERENCED vids only (``mem_ref`` indexed via ``own_ref_idx`` /
+    ``dst_ref_idx``) and label-compressed community stats
+    (``stat_labels`` + w_in/s_out/s_in/size aligned to it, plus the
+    global term-sum vector ``agg0`` for nonlinear qualities). No O(n)
+    array is resident.
     Returns accepted proposals for the active colour class, each row
     carrying the per-vid scalars needed to apply the move anywhere:
     (vids, targets, dq, wnew, wcur, loop, k_out, k_in, nsz, cur).
@@ -145,11 +165,11 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
         if not row_active.any():
             return _EMPTY_PROPS
         src_local = src_local[row_active]
-        dst_global = block["dst_global"][row_active]
         weight = block["weight"][row_active]
+        dref = block["dst_ref_idx"][row_active]
     else:
-        dst_global = block["dst_global"]
         weight = block["weight"]
+        dref = block["dst_ref_idx"]
 
     sg = _ScalarGraph(scal["n"], scal["directed"], scal["m"],
                       scal["total_size"])
@@ -158,7 +178,9 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
     scale = qf.linear_scale()
     gamma = scal["gamma"]
 
-    dst_comm = mem[dst_global]
+    mem_ref = st["mem_ref"]
+    own_idx = st["own_ref_idx"]
+    dst_comm = mem_ref[dref]
     key = src_local.astype(np.int64) * M + dst_comm
     uniq, inv = np.unique(key, return_inverse=True)
     w_vc = np.zeros(len(uniq))
@@ -167,7 +189,7 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
     pc_ = (uniq % M).astype(np.int64)   # candidate community per pair
 
     vids = pv * P + vid_base            # global vid per pair
-    cur = mem[vids]
+    cur = mem_ref[own_idx[pv]]
 
     # per-vertex weight to current community, as a dense local-vertex
     # indexed array (vectorised; no per-pair Python lookups)
@@ -192,8 +214,8 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
     loop = kv["loop"][v_loc]
     nsz = kv["nsz"][v_loc]
 
-    W, SO, SI, SZ = (stats["w_in"], stats["s_out"], stats["s_in"],
-                     stats["size"])
+    SL = st["stat_labels"]
+    W, SO, SI, SZ = (st["w_in"], st["s_out"], st["s_in"], st["size"])
 
     def term(w, so, si, sz):
         return np.atleast_2d(qf.term(w, so, si, sz, gamma))
@@ -201,11 +223,12 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
     if scale is None:
         # nonlinear combine (Surprise): every candidate's exact global
         # delta = combine(global term sum + local term shift) - Q0.
-        # The global sums come from the broadcast stats snapshot —
-        # the two-pass scheme VERDICT r1 sketched, with the formula
-        # still living only in quality.py (combine_many).
-        nz = (SZ > 0) | (W != 0)
-        agg0 = term(W[nz], SO[nz], SI[nz], SZ[nz]).sum(axis=1)
+        # The global term-sum vector agg0 (term_dim scalars, not O(n))
+        # is maintained by the driver from its full stats and shipped
+        # with every state push — the two-pass scheme VERDICT r1
+        # sketched, with the formula still living only in quality.py
+        # (combine_many).
+        agg0 = np.atleast_1d(np.asarray(st["agg0"], dtype=np.float64))
         q0 = qf.combine(agg0, gamma)
 
         def dq_of(d_new, d_old):
@@ -215,15 +238,18 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
         def dq_of(d_new, d_old):
             return scale * (d_new + d_old)[0]
 
-    d_new = term(W[cs] + wv + loop, SO[cs] + k_out, SI[cs] + k_in,
-                 SZ[cs] + nsz) - term(W[cs], SO[cs], SI[cs], SZ[cs])
-    d_old = term(W[cur_c] - w_cur - loop, SO[cur_c] - k_out,
-                 SI[cur_c] - k_in, SZ[cur_c] - nsz) \
-        - term(W[cur_c], SO[cur_c], SI[cur_c], SZ[cur_c])
+    csi = _lab_idx(SL, cs)
+    curci = _lab_idx(SL, cur_c)
+    d_new = term(W[csi] + wv + loop, SO[csi] + k_out, SI[csi] + k_in,
+                 SZ[csi] + nsz) - term(W[csi], SO[csi], SI[csi],
+                                       SZ[csi])
+    d_old = term(W[curci] - w_cur - loop, SO[curci] - k_out,
+                 SI[curci] - k_in, SZ[curci] - nsz) \
+        - term(W[curci], SO[curci], SI[curci], SZ[curci])
     dq = dq_of(d_new, d_old)
     max_size = scal.get("max_comm_size", 0)
     if max_size > 0:
-        dq = np.where(SZ[cs] + nsz > max_size, -np.inf, dq)
+        dq = np.where(SZ[csi] + nsz > max_size, -np.inf, dq)
 
     # empty-community candidate per active vertex (label = n + vid).
     # candidate rows are sorted by (vertex, community) — the np.unique
@@ -231,7 +257,8 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
     starts = np.flatnonzero(np.r_[True, v_loc[1:] != v_loc[:-1]])
     vu = v_loc[starts]
     vids_u = vu * P + vid_base
-    cur_u = mem[vids_u]
+    cur_u = mem_ref[own_idx[vu]]
+    curui = _lab_idx(SL, cur_u)
     w_cur_u = w_cur_arr[vu]
     k_out_u = kv["k_out"][vu]
     k_in_u = kv["k_in"][vu]
@@ -240,12 +267,12 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
     zero = np.zeros(len(vu))
     d_new_e = term(zero + loop_u, k_out_u, k_in_u, nsz_u) \
         - term(zero, zero, zero, zero)
-    d_old_e = term(W[cur_u] - w_cur_u - loop_u, SO[cur_u] - k_out_u,
-                   SI[cur_u] - k_in_u, SZ[cur_u] - nsz_u) \
-        - term(W[cur_u], SO[cur_u], SI[cur_u], SZ[cur_u])
+    d_old_e = term(W[curui] - w_cur_u - loop_u, SO[curui] - k_out_u,
+                   SI[curui] - k_in_u, SZ[curui] - nsz_u) \
+        - term(W[curui], SO[curui], SI[curui], SZ[curui])
     dq_e = dq_of(d_new_e, d_old_e)
     # only meaningful if the vertex is not alone in its community
-    alone = (SZ[cur_u] - nsz_u) <= 0
+    alone = (SZ[curui] - nsz_u) <= 0
     dq_e[alone] = -np.inf
     empty_target = scal["n"] + vids_u
 
@@ -272,8 +299,11 @@ def _propose_kernel(block, kv, mem, stats, scal, color, n_colors):
 
 
 def _apply_moves_inplace(mem, stats, mv):
-    """Identical incremental commit, applied on the driver and on every
-    shard — bit-for-bit deterministic, so copies never diverge."""
+    """Incremental commit against the driver's full label-indexed
+    copies. Shards apply the same moves to their compressed state via
+    ``LeidenShard._apply_moves`` — membership deltas for referenced
+    vids plus driver-authoritative stat values for touched labels, so
+    copies never diverge."""
     vids, targs = mv["vids"], mv["targs"]
     old = mem[vids]
     np.subtract.at(stats["w_in"], old, mv["wcur"] + mv["loop"])
@@ -290,17 +320,23 @@ def _apply_moves_inplace(mem, stats, mv):
 @ray.remote(num_cpus=0)
 class LeidenShard:
     """One partition's state: incidence block + per-vertex shards +
-    (broadcast) membership and community stats. ``num_cpus=0`` so a
-    small test cluster isn't starved while the pool idles between
-    supersteps; on a real cluster pin via custom resources."""
+    membership over the shard's REFERENCED vids only and
+    label-compressed community stats — O((n + E)/P) resident, no O(n)
+    array per actor. Full arrays are read zero-copy from broadcast
+    objects only at cycle boundaries (init/rollback) and sliced.
+    ``num_cpus=0`` so a small test cluster isn't starved while the
+    pool idles between supersteps; on a real cluster pin via custom
+    resources."""
 
     def __init__(self, p, P, block=None, parquet_dir=None):
         self.p, self.P = int(p), int(P)
         if block is None:
             block = self._load_parquet(parquet_dir)
         self._set_block(block)
-        self.mem = None
+        self.mem_ref = None
+        self.stat_labels = None
         self.stats = None
+        self.agg0 = None
         self.scal = None
 
     def _load_parquet(self, parquet_dir):
@@ -334,8 +370,10 @@ class LeidenShard:
     def load_level(self, block):
         """Reuse this actor for the next (smaller) level's graph."""
         self._set_block(block)
-        self.mem = None
+        self.mem_ref = None
+        self.stat_labels = None
         self.stats = None
+        self.agg0 = None
         self.scal = None
         return True
 
@@ -367,6 +405,13 @@ class LeidenShard:
                    "nsz": nsz}
         deg = np.zeros(n_local, dtype=np.int64)
         np.add.at(deg, sl, 1)
+        # the shard's referenced vid set (own vertices + block
+        # neighbours) and the precomputed lookup indices into it — the
+        # only membership this actor ever needs
+        own_vids = np.arange(n_local, dtype=np.int64) * P + p
+        self.ref_vids = np.union1d(own_vids, dst)
+        self.own_ref_idx = np.searchsorted(self.ref_vids, own_vids)
+        self.block["dst_ref_idx"] = np.searchsorted(self.ref_vids, dst)
         return {
             "m": float(w[~rev].sum()),
             "n_edges": int((~rev).sum()),
@@ -381,30 +426,117 @@ class LeidenShard:
         self.scal = scal
         return True
 
-    def set_state(self, mem, stats):
-        self.mem = np.array(mem, dtype=np.int64, copy=True)
-        self.stats = {k: np.array(v, copy=True) for k, v in stats.items()}
+    def set_state(self, mem, stats, agg0=None):
+        """Adopt a (broadcast) full state snapshot: slice membership to
+        the referenced vids, compress stats to the referenced labels.
+        The full arrays are read zero-copy from the object store; only
+        the slices stay resident."""
+        self.mem_ref = np.asarray(mem)[self.ref_vids].astype(np.int64)
+        self._compress_stats(stats, agg0)
         return True
 
-    def set_stats(self, stats):
-        self.stats = {k: np.array(v, copy=True) for k, v in stats.items()}
+    def set_stats(self, stats, agg0=None):
+        self._compress_stats(stats, agg0)
         return True
+
+    def _compress_stats(self, stats, agg0):
+        labels = np.unique(self.mem_ref)
+        self.stat_labels = labels
+        self.stats = {k: np.asarray(stats[k])[labels].astype(np.float64)
+                      for k in ("w_in", "s_out", "s_in", "size")}
+        self.agg0 = None if agg0 is None else np.asarray(agg0)
+
+    def _upsert(self, labels, vals, allow_new=None):
+        """Adopt driver-authoritative stat values for the given labels.
+        ``allow_new=None`` inserts any untracked label; a boolean mask
+        restricts insertion to the flagged labels (untracked,
+        un-flagged labels are dropped — this shard never reads them,
+        and a later move that makes one relevant re-ships its value),
+        keeping the tracked set O(referenced labels), not O(moves)."""
+        labels = np.asarray(labels, dtype=np.int64)
+        if len(labels) == 0:
+            return
+        sl = self.stat_labels
+        if len(sl):
+            i = np.searchsorted(sl, labels)
+            tracked = sl[np.minimum(i, len(sl) - 1)] == labels
+        else:
+            tracked = np.zeros(len(labels), dtype=bool)
+        if allow_new is not None:
+            keep = tracked | allow_new
+            if not keep.all():
+                labels = labels[keep]
+                vals = {k: np.asarray(v)[keep] for k, v in vals.items()}
+                tracked = tracked[keep]
+                if len(labels) == 0:
+                    return
+        miss = ~tracked
+        if miss.any():
+            merged = np.union1d(sl, labels[miss])
+            remap = np.searchsorted(merged, sl)
+            for k in self.stats:
+                arr = np.zeros(len(merged))
+                arr[remap] = self.stats[k]
+                self.stats[k] = arr
+            self.stat_labels = sl = merged
+        i = np.searchsorted(sl, labels)
+        for k in self.stats:
+            self.stats[k][i] = np.asarray(vals[k])
+
+    def _apply_moves(self, moves):
+        """Commit a broadcast move set: membership deltas for the vids
+        this shard references, stat values for the touched labels —
+        inserting only labels a referenced vid just moved to."""
+        vids, targs = moves["vids"], moves["targs"]
+        rv = self.ref_vids
+        new_ref = targs[:0]
+        if len(rv):
+            i = np.minimum(np.searchsorted(rv, vids), len(rv) - 1)
+            found = rv[i] == vids
+            self.mem_ref[i[found]] = targs[found]
+            new_ref = targs[found]
+        labels = np.asarray(moves["upd_labels"], dtype=np.int64)
+        self._upsert(labels, moves["upd_vals"],
+                     allow_new=np.isin(labels, new_ref))
+        if "agg0" in moves:
+            self.agg0 = np.asarray(moves["agg0"])
 
     # ------------------------------------------------------------------
-    def step(self, moves, color, n_colors, stats=None):
+    def step(self, moves, color, n_colors, push=None):
         """Apply the previously-committed moves (broadcast deltas) —
-        or adopt driver-verified ``stats`` at a cycle boundary — then
-        propose for the given colour: one actor round per colour
-        superstep, no full-array broadcast in the steady state."""
-        if stats is not None:
-            self.stats = {k: np.array(v, copy=True)
-                          for k, v in stats.items()}
+        or adopt a driver-verified stats upsert ``push`` at a cycle
+        boundary — then propose for the given colour: one actor round
+        per colour superstep, no full-array broadcast in the steady
+        state."""
+        if push is not None:
+            # boundary correction: update tracked labels only (an
+            # untracked label can't be read until a move references
+            # it, and that move re-ships its value)
+            nlab = len(push["labels"])
+            self._upsert(push["labels"], push["vals"],
+                         allow_new=np.zeros(nlab, dtype=bool))
+            if "agg0" in push:
+                self.agg0 = np.asarray(push["agg0"])
         if moves is not None and len(moves["vids"]):
-            _apply_moves_inplace(self.mem, self.stats, moves)
+            self._apply_moves(moves)
         if color is None:
             return None
-        return _propose_kernel(self.block, self.kv, self.mem,
-                               self.stats, self.scal, color, n_colors)
+        st = {"mem_ref": self.mem_ref, "own_ref_idx": self.own_ref_idx,
+              "stat_labels": self.stat_labels, "agg0": self.agg0,
+              **self.stats}
+        return _propose_kernel(self.block, self.kv, st, self.scal,
+                               color, n_colors)
+
+    def state_footprint(self):
+        """Resident-state sizes (diagnostics / scale tests): the shard
+        holds membership only for its referenced vids and stats only
+        for its tracked labels — never O(n) arrays."""
+        return {
+            "ref_vids": int(len(self.ref_vids)),
+            "stat_labels": (0 if self.stat_labels is None
+                            else int(len(self.stat_labels))),
+            "block_rows": int(len(self.block["src_local"])),
+        }
 
     def stats_partials(self, moves=None):
         """Label-compressed community stat partials from local state:
@@ -413,24 +545,22 @@ class LeidenShard:
         sides across shards -> driver divides by 2. ``moves`` lets the
         cycle's last colour commit fold into this round."""
         if moves is not None and len(moves["vids"]):
-            _apply_moves_inplace(self.mem, self.stats, moves)
+            self._apply_moves(moves)
         b = self.block
-        src_g = b["src_local"] * self.P + self.p
-        dst_g = b["dst_global"]
-        mem = self.mem
-        same = mem[src_g] == mem[dst_g]
-        lab = mem[src_g[same]]
+        mem_src = self.mem_ref[self.own_ref_idx[b["src_local"]]]
+        mem_dst = self.mem_ref[b["dst_ref_idx"]]
+        same = mem_src == mem_dst
+        lab = mem_src[same]
         w = b["weight"][same]
-        isloop = src_g[same] == dst_g[same]
+        src_g = b["src_local"] * self.P + self.p
+        isloop = src_g[same] == b["dst_global"][same]
         uniq, inv = np.unique(lab, return_inverse=True)
         wn = np.zeros(len(uniq))
         wl = np.zeros(len(uniq))
         np.add.at(wn, inv[~isloop], w[~isloop])
         np.add.at(wl, inv[isloop], w[isloop])
         # own-vertex strength/size partials
-        own_vids = np.arange(len(self.kv["nsz"]),
-                             dtype=np.int64) * self.P + self.p
-        vlab = mem[own_vids]
+        vlab = self.mem_ref[self.own_ref_idx]
         u2, inv2 = np.unique(vlab, return_inverse=True)
         so = np.zeros(len(u2))
         si = np.zeros(len(u2))
@@ -448,10 +578,11 @@ class LeidenShard:
         b = self.block
         src_g = b["src_local"] * self.P + self.p
         dst_g = b["dst_global"]
-        mem = self.mem
-        same = (mem[src_g] == mem[dst_g]) & ~b["is_rev"]
+        mem_src = self.mem_ref[self.own_ref_idx[b["src_local"]]]
+        mem_dst = self.mem_ref[b["dst_ref_idx"]]
+        same = (mem_src == mem_dst) & ~b["is_rev"]
         s, d, w = src_g[same], dst_g[same], b["weight"][same]
-        lab = mem[s]
+        lab = mem_src[same]
         bucket = lab % R
         order = np.argsort(bucket, kind="stable")
         s, d, w, lab, bucket = (s[order], d[order], w[order], lab[order],
@@ -746,10 +877,26 @@ class DistLeiden:
         return float(qf.combine(agg if qf.term_dim > 1 else agg[0],
                                 self.gamma))
 
+    def _term_sum(self, stats):
+        """Global term-sum vector for nonlinear combines (Surprise);
+        None for linear qualities — their kernels don't need it."""
+        sg = _ScalarGraph(self.n, self.directed, self.m,
+                          self.total_size)
+        qf = _make_qf(self.quality, sg, self.gamma,
+                      self.correct_self_loops)
+        if qf.linear_scale() is not None:
+            return None
+        nz = (stats["size"] > 0) | (stats["w_in"] != 0)
+        t = np.atleast_2d(qf.term(stats["w_in"][nz], stats["s_out"][nz],
+                                  stats["s_in"][nz], stats["size"][nz],
+                                  self.gamma))
+        return t.sum(axis=1)
+
     def _broadcast_state(self, mem, stats):
         mem_ref = ray.put(mem)
         stats_ref = ray.put(stats)
-        ray.get([a.set_state.remote(mem_ref, stats_ref)
+        agg0 = self._term_sum(stats)
+        ray.get([a.set_state.remote(mem_ref, stats_ref, agg0)
                  for a in self.actors])
 
     @staticmethod
@@ -839,7 +986,21 @@ class DistLeiden:
                     mv = {k: v[admit] for k, v in mv.items()}
                     vids = mv["vids"]
                 if len(vids):
+                    old_lab = mem[vids].copy()
                     _apply_moves_inplace(mem, stats, mv)
+                    # ship the post-commit stat values for every label
+                    # this colour touched: shards upsert them into
+                    # their compressed stores (absolute values from
+                    # the driver's authoritative copy, so a label a
+                    # shard newly references arrives with full history)
+                    touched = np.unique(np.concatenate(
+                        [old_lab, mv["targs"]]))
+                    mv["upd_labels"] = touched
+                    mv["upd_vals"] = {k: stats[k][touched].copy()
+                                      for k in stats}
+                    a0 = self._term_sum(stats)
+                    if a0 is not None:
+                        mv["agg0"] = a0
                     # one put: every shard reads the same ref zero-copy
                     pending_ref = ray.put(mv)
                     cycle_moves += len(vids)
@@ -851,6 +1012,7 @@ class DistLeiden:
                 # community internal weights can drift when same-step
                 # moves interact); the last colour's deltas fold into
                 # the same round
+                stats_inc = stats
                 stats = self._stats_of(moves_ref=pending_ref)
                 pending_ref = None
                 q2 = self._quality_of(stats)
@@ -862,8 +1024,23 @@ class DistLeiden:
                                     "safe": True})
                 else:
                     # shards adopt the verified stats with the next
-                    # step call (no extra round)
-                    stats_push = ray.put(stats)
+                    # step call (no extra round) — only the labels
+                    # whose values drifted from the incremental copies
+                    # ship (shards' copies drift identically to the
+                    # driver's, so an un-drifted label is already
+                    # exact everywhere)
+                    dl = np.flatnonzero(
+                        (stats_inc["w_in"] != stats["w_in"])
+                        | (stats_inc["s_out"] != stats["s_out"])
+                        | (stats_inc["s_in"] != stats["s_in"])
+                        | (stats_inc["size"] != stats["size"]))
+                    push = {"labels": dl.astype(np.int64),
+                            "vals": {k: stats[k][dl].copy()
+                                     for k in stats}}
+                    a0 = self._term_sum(stats)
+                    if a0 is not None:
+                        push["agg0"] = a0
+                    stats_push = ray.put(push)
                 q = q2
                 converged = (q - q_cycle_start
                              < min_rel_improvement * (1 + abs(q)))
@@ -915,7 +1092,8 @@ class DistLeiden:
             total_moves += len(sel)
             stats = self._stats_of(mem)
             stats_ref = ray.put(stats)
-            ray.get([a.set_stats.remote(stats_ref)
+            agg0 = self._term_sum(stats)
+            ray.get([a.set_stats.remote(stats_ref, agg0)
                      for a in self.actors])
         q = self._quality_of(stats)
         return mem, stats, q, total_moves

@@ -106,6 +106,30 @@ def test_dist_leiden_matches_inmemory():
     assert len(pairs) == 6
 
 
+def test_leiden_shard_state_is_sublinear():
+    """Each LeidenShard holds membership/stats only for its referenced
+    vids/labels — O((n + E)/P) resident, not O(n). On a perfect
+    matching (degree 1) with P=16 every shard must reference ~2n/P
+    vids even though n is 8x larger."""
+    import ray
+    n = 2000
+    src = np.arange(0, n, 2, dtype=np.int64)
+    dst = np.arange(1, n, 2, dtype=np.int64)
+    dl = DistLeiden(src, dst, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.1, P=16, seed=3)
+    mem, q, info = dl.run()
+    # every matched pair is one community at gamma < 1
+    assert np.array_equal(mem[src], mem[dst])
+    assert len(np.unique(mem)) == n // 2
+    fps = ray.get([a.state_footprint.remote() for a in dl.actors])
+    for fp in fps:
+        # structural bound: own vids + block rows
+        assert fp["ref_vids"] <= n // 16 + fp["block_rows"] + 1
+        # the scale property: nowhere near O(n)
+        assert fp["ref_vids"] < n // 4
+        assert fp["stat_labels"] < n // 2
+
+
 def test_checkpoint_resume(tmp_path, random_graph):
     src, dst, n = random_graph
     g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
