@@ -32,10 +32,13 @@ remaining levels run the exact in-memory schedule
 Scale notes: the driver holds O(n) state (membership, node sizes,
 community stats) but never O(edges); edges live only in the shard
 actors (or, for ``from_dataset``, in partitioned parquet spill that
-doubles as the resumable L0 input). Each shard holds a full membership
-copy — the standard broadcast-membership Leiden layout; sharding the
-membership itself (message-passing per superstep) is the next
-frontier beyond this sandbox.
+doubles as the resumable L0 input). Each shard's resident state is
+O((n + E)/P): membership only for the vids its block references
+(``ref_vids``/``mem_ref``) and community stats compressed to its
+tracked labels (``stat_labels``), with driver-authoritative values
+upserted from each move broadcast. Full O(n) arrays appear on shards
+only transiently, as zero-copy reads of broadcast objects at cycle
+boundaries (init/rollback), and are sliced before retention.
 
 All six quality families run distributed. The linear ones
 (Modularity, RBConfiguration, RBER, CPM, Significance) evaluate move
