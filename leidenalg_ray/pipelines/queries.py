@@ -866,6 +866,46 @@ def q_fingerprint_rolling(sf_dir):
     return tx.rolling_fingerprint(_docs(sf_dir))
 
 
+# ``hash_token`` is the first 8 bytes of md5, big-endian — exactly this
+# DuckDB expression, which makes every hash-derived operator (rolling
+# fingerprints, SimHash, MinHash) SQL-oracle-able.
+_SQL_TOKHASH = "('0x' || substr(md5({w}), 1, 16))::UBIGINT"
+_T64 = "18446744073709551616::HUGEINT"   # 2^64: numpy uint64 wrap
+_M61_SQL = f"{(1 << 61) - 1}::HUGEINT"
+
+# documents -> (doc_id, h: UBIGINT[] token hashes, n: token count),
+# duplicates preserved (token-stream operators need occurrences).
+_SQL_TOKEN_HASHES = f"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         [{_SQL_TOKHASH.format(w='w')} for w in tk] AS h,
+         len(tk) AS n
+  FROM toks
+)"""
+
+_POW257 = [257 ** k for k in range(8)]
+_SQL_WINDOW8 = " + ".join(
+    f"h[j+{t}]::HUGEINT*{_POW257[7 - t]}" for t in range(8))
+
+SQL_FINGERPRINT_ROLLING = f"""
+WITH {_SQL_TOKEN_HASHES}
+SELECT doc_id,
+  CASE WHEN len(h) = 0 THEN 0::UBIGINT
+       WHEN len(h) >= 8 THEN
+         (list_min([({_SQL_WINDOW8}) % {_M61_SQL}
+                    for j in range(1, len(h) - 6)]))::UBIGINT
+       ELSE
+         (list_sum([h[t]::HUGEINT * ({_POW257}[len(h) - t + 1])
+                    for t in range(1, len(h) + 1)]) % {_M61_SQL})::UBIGINT
+  END AS fingerprint
+FROM th
+"""
+
+
 # ======================================================================
 # Dedup
 # ======================================================================
@@ -890,6 +930,80 @@ FROM documents GROUP BY md5(text)
 
 def q_dedup_minhash(sf_dir):
     return dd.minhash_dedup(_docs(sf_dir), threshold=0.8)
+
+
+def _sql_dedup_minhash(num_hashes=64, bands=16, rows=4, seed=7,
+                       threshold=0.8):
+    """Exact DuckDB replica of the MinHash-LSH pipeline: word-3-gram
+    shingles -> md5-derived 64-bit hashes -> per-permutation min of
+    ((h*a) mod 2^64 + b) mod 2^64 mod M61 (numpy uint64 wrap semantics
+    in HUGEINT) -> per-band polynomial fold bucket keys -> candidate
+    pairs sharing a bucket -> exact Jaccard over the hash sets. The
+    (a, b) permutation constants are inlined from the same seeded
+    generator the engine uses. The engine's >2000-id bucket cap cannot
+    trigger at oracle scale (500 docs) and is omitted."""
+    a, b = dd._minhash_params(num_hashes, seed)
+    params = ",".join(f"({i},{int(a[i])},{int(b[i])})"
+                      for i in range(num_hashes))
+    band_c = int(dd.MinHasher._BAND_C)
+    fold = "l[1]"
+    for r in range(2, rows + 1):
+        fold = f"(({fold})*{band_c} + l[{r}]) % {_T64}"
+    jac = """CASE WHEN len(ha.h) = 0 AND len(hb.h) = 0 THEN 1.0
+      ELSE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
+           / (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h)))
+      END"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents
+),
+sh_str AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3 THEN
+              CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE [array_to_string(tk, ' ')] END
+         ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+                             for i in range(1, len(tk) - 1)])
+         END AS shingles
+  FROM toks
+),
+hs AS (
+  SELECT doc_id,
+         list_distinct([{_SQL_TOKHASH.format(w='s')}
+                        for s in shingles]) AS h
+  FROM sh_str
+),
+params(i, a, b) AS (VALUES {params}),
+sig AS (
+  SELECT t.doc_id, p.i,
+         min(((t.hv::HUGEINT * p.a) % {_T64} + p.b) % {_T64}
+             % {_M61_SQL}) AS v
+  FROM (SELECT doc_id, unnest(h) AS hv FROM hs) t, params p
+  GROUP BY t.doc_id, p.i
+),
+folds AS (
+  SELECT doc_id, (i // {rows})::INT AS band_id, list(v ORDER BY i) AS l
+  FROM sig GROUP BY doc_id, (i // {rows})::INT
+),
+allbands AS (
+  SELECT doc_id, band_id, ({fold}) AS bh FROM folds
+  UNION ALL
+  SELECT doc_id, r.b::INT AS band_id, 0::HUGEINT AS bh
+  FROM hs, range({bands}) r(b) WHERE len(h) = 0
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM allbands x JOIN allbands y
+    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
+)
+SELECT c.a::BIGINT AS a, c.b::BIGINT AS b, round({jac}, 6) AS jaccard
+FROM cand c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b
+WHERE {jac} >= {threshold}
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_dedup_minhash()
 
 
 def q_dedup_jaccard(sf_dir):
@@ -935,6 +1049,41 @@ WHERE CASE WHEN len(s1.shingles) = 0 AND len(s2.shingles) = 0 THEN 1.0
 
 def q_dedup_simhash(sf_dir):
     return dd.simhash_dedup(_docs(sf_dir), max_hamming=3)
+
+
+_SQL_POW2 = ",".join(f"({j},{1 << j})" for j in range(64))
+
+# Exact DuckDB replica of the SimHash pipeline: per-bit majority vote
+# over md5-derived token hashes (occurrences, not distinct), 64-bit
+# signature, 4x16-bit pigeonhole blocking, Hamming verify <= 3.
+SQL_DEDUP_SIMHASH = f"""
+WITH {_SQL_TOKEN_HASHES},
+jtab(j, p) AS (VALUES {_SQL_POW2}),
+bits AS (
+  SELECT r.doc_id, jt.j, jt.p,
+         sum(((r.hv >> jt.j) & 1)::BIGINT) AS ones
+  FROM (SELECT doc_id, unnest(h) AS hv FROM th) r, jtab jt
+  GROUP BY r.doc_id, jt.j, jt.p
+),
+sigs AS (
+  SELECT b.doc_id,
+         sum(CASE WHEN 2*b.ones > t.n THEN b.p::HUGEINT
+                  ELSE 0::HUGEINT END)::UBIGINT AS s
+  FROM bits b JOIN th t USING(doc_id)
+  GROUP BY b.doc_id
+  UNION ALL
+  SELECT doc_id, 0::UBIGINT AS s FROM th WHERE n = 0
+),
+chunks AS (
+  SELECT doc_id, s, t.c, (s >> (16*t.c)::INT) & 65535 AS cv
+  FROM sigs, range(4) t(c)
+)
+SELECT DISTINCT x.doc_id::BIGINT AS a, y.doc_id::BIGINT AS b,
+       bit_count(xor(x.s, y.s))::BIGINT AS hamming
+FROM chunks x JOIN chunks y
+  ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= 3
+"""
 
 
 def q_embed_cosine_pairs(sf_dir):
@@ -1207,8 +1356,11 @@ ORACLE_SQL = {
     "doc_quality": SQL_DOC_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint_md5": SQL_FINGERPRINT_MD5,
+    "fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "events_window": SQL_EVENTS_WINDOW,

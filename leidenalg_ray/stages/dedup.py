@@ -99,23 +99,32 @@ class MinHasher:
             % np.uint64(_M61)
         return vals.min(axis=1)
 
+    # Band bucket key: polynomial fold of the band's minhash values in
+    # wrapping uint64 (FNV-64 prime) — SQL-expressible (HUGEINT mod
+    # 2^64), unlike the r1 blake2b digest, so the LSH candidate set
+    # has an exact DuckDB oracle.
+    _BAND_C = np.uint64(1099511628211)
+
+    def band_hashes(self, sig):
+        """(bands,) uint64 bucket keys from a (num_hashes,) signature."""
+        chunks = sig.reshape(self.bands, self.rows)
+        bh = np.zeros(self.bands, dtype=np.uint64)
+        for r in range(self.rows):
+            bh = bh * self._BAND_C + chunks[:, r]
+        return bh
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
-        band_id, band_hash, out_ids = [], [], []
-        for did, text in zip(doc_ids, batch["text"].to_pylist()):
-            sig = self.signature(text)
-            for bnd in range(self.bands):
-                chunk = sig[bnd * self.rows:(bnd + 1) * self.rows]
-                bh = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(),
-                                    digest_size=8).digest(), "little")
-                band_id.append(bnd)
-                band_hash.append(bh)
-                out_ids.append(did)
+        n = len(doc_ids)
+        band_hash = np.empty((n, self.bands), dtype=np.uint64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            band_hash[i] = self.band_hashes(self.signature(text))
         return pa.table({
-            "band_id": pa.array(band_id, pa.int32()),
-            "band_hash": pa.array(band_hash, pa.uint64()),
-            "doc_id": pa.array(out_ids, pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hash.ravel()),
+            "doc_id": pa.array(np.repeat(
+                np.asarray(doc_ids, dtype=np.int64), self.bands)),
         })
 
 

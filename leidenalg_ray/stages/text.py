@@ -150,7 +150,8 @@ def rolling_fingerprint(docs_ds, window=8, base=257,
                         mod=(1 << 61) - 1):
     """Document fingerprint via a rolling polynomial hash over the token
     stream: the minimum window-hash (a winnowing-style signature).
-    Not SQL-expressible — covered by the rows-only check + unit tests."""
+    SQL oracle: per-window polynomial sums over md5-derived token
+    hashes in HUGEINT, min per document (``SQL_FINGERPRINT_ROLLING``)."""
     def fp(batch: pa.Table) -> pa.Table:
         out = np.empty(batch.num_rows, dtype=np.uint64)
         for i, t in enumerate(batch["text"].to_pylist()):
@@ -180,6 +181,8 @@ def rolling_fingerprint(docs_ds, window=8, base=257,
 
 
 def hash_token(w: str) -> int:
-    """Stable 64-bit token hash (blake2b, process-independent)."""
-    return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8)
-                          .digest(), "little")
+    """Stable 64-bit token hash: first 8 bytes of md5, big-endian —
+    exactly ``('0x' || substr(md5(w), 1, 16))::UBIGINT`` in DuckDB, so
+    every hash-derived operator (MinHash shingles, SimHash bits,
+    rolling fingerprints) has an exact SQL oracle."""
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
