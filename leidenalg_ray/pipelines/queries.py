@@ -1148,6 +1148,71 @@ def q_ann_ivf(sf_dir):
     return annm.ivf_topk(emb, qv, qdf["vec_id"].to_numpy(), k=10)
 
 
+def q_ann_ivf_fixed(sf_dir):
+    """IVF with deterministic centroids (the first 16 vectors by
+    vec_id) instead of k-means — the SQL-verifiable form: assignment
+    argmax, probe ranking and bucketed top-k search are identical to
+    the k-means path, but the coarse quantiser is closed-form so the
+    DuckDB oracle reproduces the whole pipeline exactly."""
+    emb = _emb(sf_dir)
+    head = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id < 16").to_pandas().sort_values("vec_id")
+    cent = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in head["embedding"]])
+    qdf = head[head.vec_id < 5]
+    qv = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in qdf["embedding"]])
+    return annm.ivf_topk(emb, qv, qdf["vec_id"].to_numpy(), k=10,
+                         nprobe=4, centroids=cent)
+
+
+SQL_ANN_IVF_FIXED = """
+WITH cent AS (
+  SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS (  -- every vector -> nearest centroid (ties: lowest c)
+  SELECT vec_id, c AS bucket FROM (
+    SELECT e.vec_id, cent.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), cent.cv) DESC, cent.c)
+             AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probes AS (  -- every query -> its nprobe=4 nearest centroids
+  SELECT query_id, c FROM (
+    SELECT q.vec_id AS query_id, cent.c,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), cent.cv) DESC, cent.c)
+             AS rn
+    FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5
+  ) WHERE rn <= 4
+)
+SELECT query_id, vec_id,
+       round(list_cosine_similarity(qe, ee), 6) AS cos,
+       CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_cosine_similarity(qe, ee) DESC, vec_id)
+         AS BIGINT) AS rank
+FROM (
+  SELECT p.query_id, e.vec_id,
+         CAST(q.embedding AS DOUBLE[]) AS qe,
+         CAST(e.embedding AS DOUBLE[]) AS ee
+  FROM probes p
+  JOIN assign a ON a.bucket = p.c
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+)
+QUALIFY rank <= 10
+"""
+
+
 # ======================================================================
 # Events: windowed aggregation + sessionisation
 # ======================================================================
@@ -1323,6 +1388,7 @@ QUERIES = {
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_fixed": q_ann_ivf_fixed,
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
     "events_props_json": q_events_props_json,
@@ -1363,6 +1429,7 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf_fixed": SQL_ANN_IVF_FIXED,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_props_json": SQL_EVENTS_PROPS_JSON,

@@ -83,24 +83,35 @@ def brute_force_topk(emb_ds, query_vecs, query_ids, k=10):
 
 
 def ivf_topk(emb_ds, query_vecs, query_ids, k=10, n_centroids=16,
-             nprobe=4, seed=3, sample_size=2048, kmeans_iters=10):
+             nprobe=4, seed=3, sample_size=2048, kmeans_iters=10,
+             centroids=None):
     """IVF approximate top-k: k-means centroids from a sample, vectors
     assigned to nearest centroid (groupby shuffle), queries search the
-    nprobe nearest centroid buckets."""
-    sample = emb_ds.limit(sample_size).to_pandas()
-    X = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in sample["embedding"]])
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
-    rng = np.random.default_rng(seed)
-    cent = Xn[rng.choice(len(Xn), min(n_centroids, len(Xn)),
-                         replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(Xn @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = Xn[m].mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    nprobe nearest centroid buckets.
+
+    Pass ``centroids`` (array, normalised or not) to skip the k-means
+    training — with a deterministic centroid choice the whole pipeline
+    (assignment argmax, probe ranking, bucketed search) has an exact
+    SQL oracle (``SQL_ANN_IVF_FIXED``)."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1),
+                                 1e-12)[:, None]
+    else:
+        sample = emb_ds.limit(sample_size).to_pandas()
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in sample["embedding"]])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+        rng = np.random.default_rng(seed)
+        cent = Xn[rng.choice(len(Xn), min(n_centroids, len(Xn)),
+                             replace=False)]
+        for _ in range(kmeans_iters):
+            assign = np.argmax(Xn @ cent.T, axis=1)
+            for c in range(len(cent)):
+                m = assign == c
+                if m.any():
+                    v = Xn[m].mean(axis=0)
+                    cent[c] = v / max(np.linalg.norm(v), 1e-12)
     cent_ref = ray.put(cent)
 
     def bucketize(t: pa.Table) -> pa.Table:
@@ -118,7 +129,12 @@ def ivf_topk(emb_ds, query_vecs, query_ids, k=10, n_centroids=16,
 
     q = np.asarray(query_vecs, dtype=np.float64)
     q_unit = q / np.maximum(np.linalg.norm(q, axis=1), 1e-12)[:, None]
-    probes = np.argsort(-(q_unit @ cent.T), axis=1)[:, :nprobe]
+    # lexsort: deterministic tie-break (higher dot first, lower
+    # centroid id on ties) — matches the SQL oracle's ORDER BY
+    qdots = q_unit @ cent.T
+    probes = np.stack([
+        np.lexsort((np.arange(cent.shape[0]), -qdots[j]))[:nprobe]
+        for j in range(qdots.shape[0])])
     qid = np.asarray(query_ids, dtype=np.int64)
     q_ref = ray.put((q_unit, probes, qid))
 
