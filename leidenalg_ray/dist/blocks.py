@@ -43,6 +43,27 @@ def part_sizes(n, P):
     return [int((n - p + P - 1) // P) for p in range(P)]
 
 
+def symmetrize_edges(edges_ds):
+    """Dataset (src, dst[, weight]) -> both directions per non-loop
+    edge, emitted batch-locally (no shuffle). Undirected kernels over
+    ``from_dataset`` need the reversed copies present in the input
+    because each direction hash-partitions to a different block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def both(t: pa.Table) -> pa.Table:
+        w = (t["weight"] if "weight" in t.column_names
+             else pa.array(np.ones(t.num_rows)))
+        fwd = pa.table({"src": t["src"], "dst": t["dst"], "weight": w})
+        nl = pc.invert(pc.equal(t["src"], t["dst"]))
+        rev = pa.table({"src": t["dst"], "dst": t["src"],
+                        "weight": w}).filter(nl)
+        return pa.concat_tables([fwd, rev])
+
+    return edges_ds.map_batches(both, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def _build_block(src, dst, weight, P):
     order = np.argsort(dst % P, kind="stable")
     src, dst, weight = src[order], dst[order], weight[order]
@@ -71,6 +92,72 @@ class DistGraph:
         self.out_deg = out_deg_refs
         self.out_strength = out_strength_refs
         self.sizes = part_sizes(n, P)
+        self._in_deg = None
+        self._active = None
+
+    # ------------------------------------------------------------------
+    # Sparse-id support: kernels that need "the vertex set is the
+    # vertices with at least one edge" (PageRank teleport/dangling
+    # denominators, output filtering) run on the raw id space with an
+    # active mask instead of requiring a driver-side id compaction.
+    # ------------------------------------------------------------------
+    def in_degree_shards(self):
+        """Per-partition in-degree arrays (one scatter pass over the
+        blocks, P x P worker-to-worker like a superstep; cached)."""
+        if self._in_deg is not None:
+            return self._in_deg
+        P, sizes = self.P, self.sizes
+
+        @ray.remote
+        def gather(block):
+            off = block["dst_offsets"]
+            outs = []
+            for q in range(P):
+                sl = slice(int(off[q]), int(off[q + 1]))
+                arr = np.zeros(sizes[q], dtype=np.int64)
+                np.add.at(arr, block["dst_local"][sl], 1)
+                outs.append(arr)
+            return outs
+
+        @ray.remote
+        def reduce(*incoming):
+            tot = incoming[0].copy()
+            for arr in incoming[1:]:
+                tot += arr
+            return tot
+
+        msg = [gather.options(num_returns=P).remote(self.blocks[p])
+               for p in range(P)]
+        self._in_deg = [reduce.remote(*[msg[p][q] for p in range(P)])
+                        for q in range(P)]
+        return self._in_deg
+
+    def active_masks(self):
+        """(per-partition bool mask refs, n_active): vertex is active
+        iff it has any in- or out-edge."""
+        if self._active is not None:
+            return self._active
+        ind = self.in_degree_shards()
+
+        @ray.remote(num_returns=2)
+        def mk(outd, indd):
+            m = (outd > 0) | (indd > 0)
+            return m, int(m.sum())
+
+        res = [mk.remote(self.out_deg[p], ind[p]) for p in range(self.P)]
+        masks = [r[0] for r in res]
+        n_active = int(sum(ray.get([r[1] for r in res])))
+        self._active = (masks, n_active)
+        return self._active
+
+    def active_global(self):
+        """Driver-side bool mask over the raw id space (O(n) — the
+        size of the query output, not of the edge set)."""
+        masks, _ = self.active_masks()
+        out = np.zeros(self.n, dtype=bool)
+        for p in range(self.P):
+            out[p::self.P] = ray.get(masks[p])
+        return out
 
     # ------------------------------------------------------------------
     @classmethod

@@ -30,7 +30,7 @@ from .checkpoint import CheckpointManager
 # ----------------------------------------------------------------------
 def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
              weighted=False, checkpoint=None,
-             message_dtype=np.float64):
+             message_dtype=np.float64, active=False):
     """North-rule semantics: rank = (1-d)/n + d*(sum_in rank/outdeg +
     dangling_mass/n); iterate until L1 delta < tol. ``weighted`` uses
     strength-normalised contributions instead of degree.
@@ -38,8 +38,18 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
     through the object store (messages accumulate partition-locally in
     float64 and downcast only for the exchange; rank state stays
     float64) — for throughput probes and bandwidth-tight clusters, not
-    for 1e-6-oracle runs."""
+    for 1e-6-oracle runs.
+
+    ``active=True``: the vertex set is the vertices with >= 1 edge
+    (per-partition masks from the graph itself), so sparse raw id
+    spaces — ``DistGraph.from_dataset`` without any driver-side id
+    compaction — get the same n/teleport/dangling denominators a
+    compacted build would; inactive ids hold rank 0."""
     P, n, sizes = g.P, g.n, g.sizes
+    if active:
+        act_refs, n_eff = g.active_masks()
+    else:
+        act_refs, n_eff = [None] * P, n
 
     @ray.remote
     def gather(block, rank, norm):
@@ -60,19 +70,30 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
         return outs
 
     @ray.remote
-    def dangling_of(rank, norm):
-        return float(rank[norm <= 0].sum())
+    def dangling_of(rank, norm, act):
+        m = norm <= 0 if act is None else (act & (norm <= 0))
+        return float(rank[m].sum())
 
     @ray.remote
-    def reduce(q_size, old, dangling_total, *incoming):
-        new = np.full(q_size, (1.0 - damping) / n)
-        new += damping * dangling_total / n
+    def reduce(q_size, old, dangling_total, act, *incoming):
+        new = np.full(q_size, (1.0 - damping) / n_eff)
+        new += damping * dangling_total / n_eff
         for arr in incoming:
             new += damping * arr
+        if act is not None:
+            new[~act] = 0.0
         return new, float(np.abs(new - old).sum())
 
+    @ray.remote
+    def init_shard(q_size, act):
+        r = np.full(q_size, 1.0 / n_eff)
+        if act is not None:
+            r[~act] = 0.0
+        return r
+
     norm_refs = g.out_strength if weighted else g.out_deg
-    rank_refs = [ray.put(np.full(sizes[p], 1.0 / n)) for p in range(P)]
+    rank_refs = [init_shard.remote(sizes[p], act_refs[p])
+                 for p in range(P)]
     ckpt = CheckpointManager(checkpoint, "pagerank", P, n=n) \
         if checkpoint else None
     start_iter = 0
@@ -89,13 +110,13 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
     for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(
             g.blocks[p], rank_refs[p], norm_refs[p]) for p in range(P)]
-        dang_refs = [dangling_of.remote(rank_refs[p], norm_refs[p])
-                     for p in range(P)]
+        dang_refs = [dangling_of.remote(rank_refs[p], norm_refs[p],
+                                        act_refs[p]) for p in range(P)]
         dangling_total = sum(ray.get(dang_refs))
         outs = []
         for q in range(P):
             outs.append(reduce.options(num_returns=2).remote(
-                sizes[q], rank_refs[q], dangling_total,
+                sizes[q], rank_refs[q], dangling_total, act_refs[q],
                 *[msg_refs[p][q] for p in range(P)]))
         rank_refs = [o[0] for o in outs]
         delta = sum(ray.get([o[1] for o in outs]))

@@ -48,6 +48,51 @@ def _compact(src, dst):
             np.searchsorted(vids, dst).astype(np.int64))
 
 
+# Dataset-built CSR substrates for the BSP graph queries (PageRank,
+# CC, LP): edges stream through `DistGraph.from_dataset` on the RAW id
+# space — no driver-side edge arrays, no driver-side id compaction
+# (kernels take the vertex set from per-partition active masks). One
+# build per (sf_dir, graph) is shared by every query on that graph.
+_G_CACHE = {}
+
+
+def _co_distgraph(sf_dir, P=8):
+    """Symmetrised weighted co-occurrence graph from the multi-edge
+    Dataset; exact dedup happens partition-locally in the block
+    build."""
+    key = (sf_dir, "co")
+    if key not in _G_CACHE:
+        from ..dist.blocks import symmetrize_edges
+        n = int(rd.read_parquet(f"{sf_dir}/part.parquet",
+                                columns=["p_partkey"])
+                .max("p_partkey")) + 1
+        edges = symmetrize_edges(tg.co_edge_rows(sf_dir))
+        _G_CACHE[key] = DistGraph.from_dataset(
+            edges, n=n, P=P, directed=False, dedup=True)
+    return _G_CACHE[key]
+
+
+def _ps_distgraph(sf_dir, symmetric, P=8):
+    """Part–supplier bipartite graph (vids: partkey*2 / suppkey*2+1)
+    from the already-deduped edge Dataset."""
+    key = (sf_dir, "ps", symmetric)
+    if key not in _G_CACHE:
+        from ..dist.blocks import symmetrize_edges
+        np_ = int(rd.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey"])
+                  .max("p_partkey"))
+        ns = int(rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey"])
+                 .max("s_suppkey"))
+        n = max(2 * np_, 2 * ns + 1) + 1
+        edges = tg.ps_edges(sf_dir)
+        if symmetric:
+            edges = symmetrize_edges(edges)
+        _G_CACHE[key] = DistGraph.from_dataset(
+            edges, n=n, P=P, directed=not symmetric, dedup=False)
+    return _G_CACHE[key]
+
+
 # ======================================================================
 # Relational / aggregate baseline
 # ======================================================================
@@ -216,14 +261,13 @@ ORDER BY out_strength DESC, src ASC LIMIT 20
 # Connected components
 # ======================================================================
 def q_cc_ps(sf_dir):
-    src, dst, w = tg.ps_edge_arrays(sf_dir)
-    vids, s, d = _compact(src, dst)
-    g = DistGraph.from_edges(s, d, n=len(vids), P=8,
-                             both_directions=True)
+    g = _ps_distgraph(sf_dir, symmetric=True)
     comp, _ = ss.connected_components(g)
-    # component label: smallest ORIGINAL vid in the component
+    # labels propagate over RAW vids, so the component label is already
+    # the smallest original vid in the component
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
     return pa.table({"vid": pa.array(vids),
-                     "component": pa.array(vids[comp])})
+                     "component": pa.array(comp[vids])})
 
 
 SQL_CC_PS = """
@@ -271,15 +315,16 @@ SELECT component, count(*) AS n_vertices FROM comp GROUP BY component
 def q_pagerank_co(sf_dir):
     """Weighted PageRank on the symmetrised co-occurrence graph,
     exactly PAGERANK_ITERS iterations (fixed, so the SQL oracle can
-    reproduce it); ranks rounded to 6 decimals."""
-    a, b, w = tg.co_edge_arrays(sf_dir)
-    vids, s, d = _compact(a, b)
-    g = DistGraph.from_edges(s, d, weight=w, n=len(vids), P=8,
-                             both_directions=True)
+    reproduce it); ranks rounded to 6 decimals. Dataset-built CSR on
+    the raw part-key id space, vertex set = active mask — the driver
+    never holds the edge list or an id map."""
+    g = _co_distgraph(sf_dir)
     rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
-                          max_iter=PAGERANK_ITERS, weighted=True)
+                          max_iter=PAGERANK_ITERS, weighted=True,
+                          active=True)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
     return pa.table({"vid": pa.array(vids),
-                     "rank": pa.array(round6(rank))})
+                     "rank": pa.array(round6(rank[vids]))})
 
 
 SQL_PAGERANK_CO = f"""
@@ -316,14 +361,13 @@ def q_pagerank_ps(sf_dir):
     the recursive-CTE oracle reproduces it exactly (the oracle's
     per-iteration dangling sum references the recursive table twice —
     DuckDB supports this)."""
-    src, dst, w = tg.ps_edge_arrays(sf_dir)
-    vids, s, d = _compact(src, dst)
-    g = DistGraph.from_edges(s, d, weight=w, n=len(vids), P=8,
-                             directed=True)
+    g = _ps_distgraph(sf_dir, symmetric=False)
     rank, iters = ss.pagerank(g, damping=DAMPING, tol=0.0,
-                              max_iter=PAGERANK_ITERS, weighted=False)
+                              max_iter=PAGERANK_ITERS, weighted=False,
+                              active=True)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
     return pa.table({"vid": pa.array(vids),
-                     "rank": pa.array(round6(rank))})
+                     "rank": pa.array(round6(rank[vids]))})
 
 
 SQL_PAGERANK_PS = f"""
@@ -435,13 +479,11 @@ SELECT v AS vid, lab AS label FROM lp WHERE i = 20
 
 
 def q_label_propagation_co(sf_dir):
-    a, b, w = tg.co_edge_arrays(sf_dir)
-    vids, s, d = _compact(a, b)
-    g = DistGraph.from_edges(s, d, weight=w, n=len(vids), P=8,
-                             both_directions=True)
+    g = _co_distgraph(sf_dir)
     lab, _ = ss.label_propagation(g, max_iter=20)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
     return pa.table({"vid": pa.array(vids),
-                     "label": pa.array(vids[lab])})
+                     "label": pa.array(lab[vids])})
 
 
 def _leiden_co_dataset(sf_dir, quality, gamma):

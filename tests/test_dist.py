@@ -42,6 +42,27 @@ def test_pagerank_dangling_mass(random_graph):
     assert r.sum() == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_active_mask_equals_compacted(random_graph):
+    """active=True on a sparse raw id space == PageRank on the
+    compacted id space (the Dataset-native query substrate)."""
+    src, dst, n = random_graph
+    # embed the graph in an id space 3x larger with holes
+    raw_src, raw_dst = src * 3 + 1, dst * 3 + 1
+    g = DistGraph.from_edges(raw_src, raw_dst, n=3 * n + 1, P=4,
+                             directed=True)
+    r_act, _ = ss.pagerank(g, tol=1e-10, active=True)
+    # compact to exactly the appearing vertex set
+    vids = np.unique(np.concatenate([raw_src, raw_dst]))
+    s = np.searchsorted(vids, raw_src)
+    d = np.searchsorted(vids, raw_dst)
+    g_c = DistGraph.from_edges(s, d, n=len(vids), P=4, directed=True)
+    r_c, _ = ss.pagerank(g_c, tol=1e-10)
+    act = g.active_global()
+    assert act.sum() == len(vids)
+    assert np.abs(r_act[vids] - r_c).max() < 1e-12
+    assert np.abs(r_act[~act]).max() == 0.0
+
+
 def test_connected_components_exact():
     rng = np.random.default_rng(5)
     parts = []
