@@ -404,10 +404,10 @@ FROM pr WHERE i = {PAGERANK_ITERS}
 # Triangles
 # ======================================================================
 def q_triangles_co(sf_dir):
-    from ..dist.triangles import triangle_count_fast
-    a, b, w = tg.co_edge_arrays(sf_dir)
-    n = int(max(a.max(initial=0), b.max(initial=0))) + 1
-    n_tri = triangle_count_fast(a, b, n, P=16)
+    """Partitioned compact-forward triangle count over the edge
+    Dataset (the >node-memory plan; the broadcast-arrays fast path is
+    benchmarked separately in bench.py)."""
+    n_tri = triangle_count(tg.co_edge_rows(sf_dir), num_partitions=8)
     return pa.table({"n_triangles": pa.array([n_tri], pa.int64())})
 
 
@@ -424,13 +424,15 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
 
 
 def q_triangles_co_per_vertex(sf_dir):
-    from ..dist.triangles import triangle_count_fast
-    a, b, w = tg.co_edge_arrays(sf_dir)
-    n = int(max(a.max(initial=0), b.max(initial=0))) + 1
-    _, pv = triangle_count_fast(a, b, n, P=16, per_vertex=True)
-    nz = np.flatnonzero(pv)
-    return pa.table({"vid": pa.array(nz.astype(np.int64)),
-                     "n_triangles": pa.array(pv[nz])})
+    _, pv = triangle_count(tg.co_edge_rows(sf_dir), num_partitions=8,
+                           per_vertex=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": pc.cast(t["v"], pa.int64()),
+            "n_triangles": pc.cast(t["count()"], pa.int64()),
+        })
+    return pv.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_TRIANGLES_CO_PV = """

@@ -81,6 +81,9 @@ def co_edges(sf_dir, num_partitions=16):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+_CO_ROWS_CACHE = {}
+
+
 def co_edge_rows(sf_dir, num_partitions=16):
     """Multi-edge variant of ``co_edges``: per-batch pre-aggregated
     (a, b, weight) rows WITHOUT the global groupby dedup. Consumers
@@ -88,7 +91,12 @@ def co_edge_rows(sf_dir, num_partitions=16):
     CSR block builds with partition-local dedup) don't need the exact
     one-row-per-pair table, and Ray Data's groupby-aggregate carries a
     ~12 s fixed shuffle cost at sandbox scale — the single most
-    expensive avoidable stage in the bench."""
+    expensive avoidable stage in the bench. Memoised (materialized)
+    per sf_dir: every graph query on the co graph shares one
+    self-join."""
+    key = (sf_dir, num_partitions)
+    if key in _CO_ROWS_CACHE:
+        return _CO_ROWS_CACHE[key]
     li = read_lineitem(sf_dir, ["l_orderkey", "l_partkey"])
     right = li.map_batches(
         lambda t: t.rename_columns(["l_orderkey", "partkey_r"]),
@@ -107,8 +115,10 @@ def co_edge_rows(sf_dir, num_partitions=16):
             "weight": pc.cast(out["weight"], pa.float64()),
         })
 
-    return joined.map_batches(pairs, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    _CO_ROWS_CACHE[key] = joined.map_batches(
+        pairs, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    return _CO_ROWS_CACHE[key]
 
 
 # ----------------------------------------------------------------------
