@@ -43,6 +43,7 @@ from .optimiser import (
 )
 from .functions_api import (
     find_partition,
+    find_partition_dataset,
     find_partition_multiplex,
     find_partition_temporal,
     slices_to_layers,
@@ -68,6 +69,7 @@ __all__ = [
     "MOVE_NODES",
     "MERGE_NODES",
     "find_partition",
+    "find_partition_dataset",
     "find_partition_multiplex",
     "find_partition_temporal",
     "slices_to_layers",

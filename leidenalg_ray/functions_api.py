@@ -36,6 +36,29 @@ def find_partition(graph, partition_type, initial_membership=None,
     return partition
 
 
+def find_partition_dataset(edges_ds, n, quality="modularity",
+                           resolution_parameter=1.0, P=8, seed=42,
+                           n_iterations=2, max_comm_size=0, **kwargs):
+    """Ray-Data-first ``find_partition``: Leiden over an edge Dataset
+    ``(src, dst[, weight])`` on the raw id space — the >node-memory
+    entry point (reference ``functions.py:21-93`` semantics; the
+    reference itself is in-RAM by design, ``__init__.py:3-5``).
+
+    The Dataset spills to partitioned parquet and each shard actor
+    loads only its own partition; the driver never materialises the
+    edge list. Returns ``(membership, quality, info, active_vids)``
+    where membership indexes the raw id space and ``active_vids`` is
+    the actual (degree > 0) vertex set."""
+    from .dist.leiden import DistLeiden
+
+    dl = DistLeiden.from_dataset(
+        edges_ds, n=n, quality=quality,
+        resolution_parameter=resolution_parameter, P=P, seed=seed,
+        max_comm_size=max_comm_size, **kwargs)
+    mem, q, info = dl.run(n_iterations=n_iterations)
+    return mem, q, info, dl.active_vids()
+
+
 def find_partition_multiplex(graphs, partition_type, layer_weights=None,
                              n_iterations=2, max_comm_size=0, seed=None,
                              **kwargs):

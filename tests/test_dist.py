@@ -42,6 +42,33 @@ def test_pagerank_dangling_mass(random_graph):
     assert r.sum() == pytest.approx(1.0, abs=1e-6)
 
 
+def test_find_partition_dataset_recovers_cliques():
+    """Top-level Ray-Data entry point: Leiden over an edge Dataset on
+    a sparse raw id space recovers planted cliques."""
+    import pyarrow as pa
+    import ray.data as rd
+    from leidenalg_ray import find_partition_dataset
+
+    srcs, dsts = [], []
+    for c in range(5):
+        vids = np.arange(30) * 7 + c * 210  # sparse, disjoint cliques
+        ii, jj = np.triu_indices(30, k=1)
+        srcs.append(vids[ii])
+        dsts.append(vids[jj])
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)}))
+    n = int(dst.max()) + 1
+    mem, q, info, active = find_partition_dataset(
+        ds, n=n, quality="cpm", resolution_parameter=0.1, P=4, seed=1)
+    assert len(active) == 150
+    labels = {tuple(np.unique(mem[np.arange(30) * 7 + c * 210]))
+              for c in range(5)}
+    assert all(len(l) == 1 for l in labels)   # each clique one comm
+    assert len(labels) == 5                   # five distinct comms
+
+
 def test_pagerank_active_mask_equals_compacted(random_graph):
     """active=True on a sparse raw id space == PageRank on the
     compacted id space (the Dataset-native query substrate)."""
