@@ -196,6 +196,232 @@ def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None):
 
 
 # ----------------------------------------------------------------------
+# BFS distances: frontier min-distance propagation from seed vertices
+# ----------------------------------------------------------------------
+def bfs_distances(g: DistGraph, sources, max_iter=10_000,
+                  checkpoint=None):
+    """Unweighted hop distance from ``sources`` to every reachable
+    vertex; unreachable vertices hold ``INF`` (int64 max). Same
+    superstep shape as connected components (min-combine), so it
+    inherits the scale properties: per-block pre-aggregation by
+    destination partition, worker-to-worker message refs, the driver
+    only sums per-partition change counts. Blocks must hold both
+    directions for undirected semantics."""
+    P, n, sizes = g.P, g.n, g.sizes
+    INF = np.iinfo(np.int64).max
+
+    @ray.remote
+    def gather(block, dist):
+        # dist+1 per edge; saturating so INF stays INF
+        d = dist[block["src_local"]]
+        per_edge = np.where(d == INF, INF, d + 1)
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full(sizes[q], INF, dtype=np.int64)
+            np.minimum.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(old, *incoming):
+        new = old.copy()
+        for arr in incoming:
+            np.minimum(new, arr, out=new)
+        return new, int((new != old).sum())
+
+    sources = np.asarray(sources, dtype=np.int64)
+    dist_refs = []
+    for p in range(P):
+        shard = np.full(sizes[p], INF, dtype=np.int64)
+        sp = sources[sources % P == p]
+        shard[sp // P] = 0
+        dist_refs.append(ray.put(shard))
+    ckpt = CheckpointManager(checkpoint, "bfs", P, n=n) \
+        if checkpoint else None
+    start_iter = 0
+    if ckpt is not None:
+        resumed = ckpt.resume()
+        if resumed is not None:
+            start_iter, shards, metrics = resumed
+            dist_refs = [ray.put(s) for s in shards]
+            if metrics.get("changed", -1) == 0:
+                return assemble(g, dist_refs), start_iter
+    it = start_iter
+    for it in range(start_iter, max_iter):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], dist_refs[p]) for p in range(P)]
+        outs = [reduce.options(num_returns=2).remote(
+            dist_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        dist_refs = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        if ckpt is not None:
+            ckpt.save(it + 1, ray.get(dist_refs),
+                      metrics={"changed": changed})
+        if changed == 0:
+            break
+    return assemble(g, dist_refs), it + 1
+
+
+# ----------------------------------------------------------------------
+# k-core: iterative peel to the maximal subgraph with min degree >= k
+# ----------------------------------------------------------------------
+def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None):
+    """Boolean per-partition membership masks; each superstep counts,
+    per vertex, its edges whose *source* endpoint is still in the core
+    candidate set (blocks hold both directions, so that is the degree
+    within the remaining subgraph) and drops vertices below ``k``.
+    Fixed point = the k-core. Returns (mask over vids, iterations).
+
+    Idempotent after convergence, so a fixed-iteration SQL oracle that
+    runs past the fixed point reproduces it exactly."""
+    P, n, sizes = g.P, g.n, g.sizes
+
+    @ray.remote
+    def gather(block, alive):
+        per_edge = alive[block["src_local"]].astype(np.int64)
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q], dtype=np.int64)
+            np.add.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(old, *incoming):
+        deg = incoming[0].copy()
+        for arr in incoming[1:]:
+            deg += arr
+        new = old & (deg >= k)
+        return new, int((new != old).sum())
+
+    # start from the active vertex set (vertices with >= 1 edge)
+    act_refs, _ = g.active_masks()
+    alive_refs = [ray.put(np.asarray(ray.get(act_refs[p])).copy())
+                  for p in range(P)]
+    ckpt = CheckpointManager(checkpoint, f"kcore{k}", P, n=n) \
+        if checkpoint else None
+    start_iter = 0
+    if ckpt is not None:
+        resumed = ckpt.resume()
+        if resumed is not None:
+            start_iter, shards, metrics = resumed
+            alive_refs = [ray.put(s) for s in shards]
+            if metrics.get("changed", -1) == 0:
+                return assemble(g, alive_refs), start_iter
+    it = start_iter
+    for it in range(start_iter, max_iter):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], alive_refs[p]) for p in range(P)]
+        outs = [reduce.options(num_returns=2).remote(
+            alive_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        alive_refs = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        if ckpt is not None:
+            ckpt.save(it + 1, ray.get(alive_refs),
+                      metrics={"changed": changed})
+        if changed == 0:
+            break
+    return assemble(g, alive_refs), it + 1
+
+
+# ----------------------------------------------------------------------
+# HITS: hubs & authorities, simultaneous (Jacobi) update, L1 normalise
+# ----------------------------------------------------------------------
+def hits(g: DistGraph, g_rev: DistGraph, iters=20):
+    """Fixed-iteration HITS on a directed graph. Per iteration, from
+    the OLD state: authority_raw(v) = sum of hub over in-edges,
+    hub_raw(v) = sum of authority over out-edges; both vectors L1
+    normalise (sum = 1). The simultaneous update keeps the recursion
+    single-step so the SQL oracle can reproduce it exactly; it
+    converges to the same principal eigenvectors as the Gauss–Seidel
+    form. ``g_rev`` is the same edge set with src/dst swapped (built
+    once via ``DistGraph.from_dataset`` on the swapped Dataset): the
+    hub gather reads authority state partition-locally there instead
+    of shipping destination state into source blocks.
+
+    Isolated ids (no in- or out-edge anywhere) are excluded from the
+    vertex set via the union of both graphs' active masks."""
+    P, n, sizes = g.P, g.n, g.sizes
+    assert g_rev.P == P and g_rev.n == n
+
+    @ray.remote
+    def gather(block, state):
+        per_edge = state[block["src_local"]]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q])
+            np.add.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote(num_returns=2)
+    def combine(act, *incoming):
+        tot = incoming[0].copy()
+        for arr in incoming[1:]:
+            tot += arr
+        tot[~act] = 0.0
+        return tot, float(tot.sum())
+
+    @ray.remote
+    def scale(arr, s):
+        return arr / s if s > 0 else arr
+
+    # vertex set: active in either orientation
+    fwd_masks, _ = g.active_masks()
+    rev_masks, _ = g_rev.active_masks()
+
+    @ray.remote(num_returns=2)
+    def union_mask(a, b):
+        m = a | b
+        return m, int(m.sum())
+
+    res = [union_mask.remote(fwd_masks[p], rev_masks[p])
+           for p in range(P)]
+    act_refs = [r[0] for r in res]
+    n_act = int(sum(ray.get([r[1] for r in res])))
+
+    @ray.remote
+    def init_shard(act):
+        v = np.zeros(len(act))
+        v[act] = 1.0 / n_act
+        return v
+
+    hub_refs = [init_shard.remote(act_refs[p]) for p in range(P)]
+    auth_refs = [init_shard.remote(act_refs[p]) for p in range(P)]
+
+    for _ in range(iters):
+        # authority_raw <- forward edges carrying OLD hub
+        a_msgs = [gather.options(num_returns=P).remote(
+            g.blocks[p], hub_refs[p]) for p in range(P)]
+        # hub_raw <- reversed edges carrying OLD authority
+        h_msgs = [gather.options(num_returns=P).remote(
+            g_rev.blocks[p], auth_refs[p]) for p in range(P)]
+        a_out = [combine.remote(act_refs[q],
+                                *[a_msgs[p][q] for p in range(P)])
+                 for q in range(P)]
+        h_out = [combine.remote(act_refs[q],
+                                *[h_msgs[p][q] for p in range(P)])
+                 for q in range(P)]
+        a_tot = sum(ray.get([o[1] for o in a_out]))
+        h_tot = sum(ray.get([o[1] for o in h_out]))
+        auth_refs = [scale.remote(a_out[q][0], a_tot) for q in range(P)]
+        hub_refs = [scale.remote(h_out[q][0], h_tot) for q in range(P)]
+
+    act = np.zeros(n, dtype=bool)
+    for p in range(P):
+        act[p::P] = ray.get(act_refs[p])
+    return assemble(g, hub_refs), assemble(g, auth_refs), act
+
+
+# ----------------------------------------------------------------------
 # Label propagation: plurality label of neighbours, ties -> lowest label
 # ----------------------------------------------------------------------
 def label_propagation(g: DistGraph, max_iter=100, weighted=True,

@@ -85,6 +85,78 @@ def label_propagation_serial(src, dst, n, weight=None, max_iter=100,
     return label, it + 1
 
 
+def bfs_serial(src, dst, n, sources):
+    """Unweighted hop distances from ``sources`` over the directed edge
+    list as given (pass both directions for undirected semantics);
+    unreachable = int64 max."""
+    INF = np.iinfo(np.int64).max
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[np.asarray(sources, dtype=np.int64)] = 0
+    frontier = set(int(s) for s in sources)
+    adj = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[int(a)].append(int(b))
+    d = 0
+    while frontier:
+        nxt = set()
+        for v in frontier:
+            for u in adj[v]:
+                if dist[u] > d + 1:
+                    dist[u] = d + 1
+                    nxt.add(u)
+        frontier = nxt
+        d += 1
+    return dist
+
+
+def kcore_serial(src, dst, n, k):
+    """Boolean mask of the k-core (max subgraph with min degree >= k)
+    of the undirected simple graph; both directions expected in the
+    edge list, duplicates collapsed here."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    nl = src != dst
+    pairs = np.unique(src[nl] * np.int64(n) + dst[nl])
+    a = (pairs // n).astype(np.int64)
+    b = (pairs % n).astype(np.int64)
+    alive = np.zeros(n, dtype=bool)
+    alive[a] = True
+    alive[b] = True
+    while True:
+        deg = np.zeros(n, dtype=np.int64)
+        m = alive[a] & alive[b]
+        np.add.at(deg, b[m], 1)
+        new = alive & (deg >= k)
+        if np.array_equal(new, alive):
+            return alive
+        alive = new
+
+
+def hits_serial(src, dst, n, iters=20):
+    """Fixed-iteration HITS, simultaneous (Jacobi) update from the old
+    state, L1 normalisation each iteration; vertex set = endpoints of
+    at least one edge."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    act = np.zeros(n, dtype=bool)
+    act[src] = True
+    act[dst] = True
+    na = int(act.sum())
+    hub = np.where(act, 1.0 / na, 0.0)
+    auth = np.where(act, 1.0 / na, 0.0)
+    for _ in range(iters):
+        ar = np.zeros(n)
+        np.add.at(ar, dst, hub[src])
+        hr = np.zeros(n)
+        np.add.at(hr, src, auth[dst])
+        s_a, s_h = ar.sum(), hr.sum()
+        auth = ar / s_a if s_a > 0 else ar
+        hub = hr / s_h if s_h > 0 else hr
+    return hub, auth, act
+
+
 def triangles_serial(src, dst, n):
     """Per-vertex and global triangle counts (undirected simple graph:
     parallel edges and loops are collapsed/dropped first; each triangle

@@ -488,6 +488,192 @@ def q_label_propagation_co(sf_dir):
                      "label": pa.array(lab[vids])})
 
 
+# ======================================================================
+# BFS distances / k-core / HITS / clustering coefficient
+# ======================================================================
+_SQL_CO_EDGES_BOTH = """
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)"""
+
+
+def q_bfs_dist_co(sf_dir):
+    """Unweighted hop distance from the smallest active part key,
+    via the frontier-min BSP kernel; output = reachable vertices
+    only (matching the SQL reachability CTE)."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    source = int(np.flatnonzero(act)[0])
+    dist, _ = ss.bfs_distances(g, [source])
+    INF = np.iinfo(np.int64).max
+    vids = np.flatnonzero(act & (dist < INF)).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "dist": pa.array(dist[vids])})
+
+
+SQL_BFS_DIST_CO = f"""
+WITH RECURSIVE
+{_SQL_CO_EDGES_BOTH},
+s AS (SELECT min(a) AS v FROM e),
+bfs(v, d) AS (
+  SELECT v, 0 FROM s
+  UNION
+  SELECT e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.v
+  WHERE bfs.d < 30
+)
+SELECT v AS vid, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY v
+"""
+
+
+KCORE_K = 80
+_KCORE_SQL_ITERS = 12
+
+
+def q_kcore_co(sf_dir):
+    """k-core membership (k=80) via the distributed peel kernel; the
+    kernel is idempotent past its fixed point, so the fixed-iteration
+    SQL peel reproduces it exactly (fixed point is ~6 supersteps at
+    sf0.01; the oracle runs 12)."""
+    g = _co_distgraph(sf_dir)
+    mask, _ = ss.kcore(g, KCORE_K)
+    vids = np.flatnonzero(mask).astype(np.int64)
+    return pa.table({"vid": pa.array(vids)})
+
+
+SQL_KCORE_CO = f"""
+WITH RECURSIVE
+{_SQL_CO_EDGES_BOTH},
+verts AS (SELECT DISTINCT a AS v FROM e),
+peel(i, v) AS (
+  SELECT 0, v FROM verts
+  UNION ALL
+  SELECT q.i + 1, q.v FROM (
+    SELECT p.i AS i, e.b AS v, count(*) AS deg
+    FROM peel p JOIN e ON e.a = p.v
+    JOIN peel p2 ON p2.v = e.b AND p2.i = p.i
+    WHERE p.i < {_KCORE_SQL_ITERS}
+    GROUP BY p.i, e.b) q
+  WHERE q.deg >= {KCORE_K}
+)
+SELECT CAST(v AS BIGINT) AS vid FROM peel WHERE i = {_KCORE_SQL_ITERS}
+"""
+
+
+HITS_ITERS = 20
+
+
+def q_hits_ps(sf_dir):
+    """HITS hubs/authorities on the directed part->supplier graph
+    (parts are pure hubs, suppliers pure authorities). Fixed
+    HITS_ITERS simultaneous-update iterations with L1 normalisation,
+    so the recursive-CTE oracle reproduces it; rounded to 6
+    decimals."""
+    g = _ps_distgraph(sf_dir, symmetric=False)
+    g_rev = _ps_rev_distgraph(sf_dir)
+    hub, auth, act = ss.hits(g, g_rev, iters=HITS_ITERS)
+    vids = np.flatnonzero(act).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "hub": pa.array(round6(hub[vids])),
+                     "authority": pa.array(round6(auth[vids]))})
+
+
+SQL_HITS_PS = f"""
+WITH RECURSIVE
+e AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem GROUP BY 1, 2),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+hits(i, v, h, a) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn), 1.0 / (SELECT n FROM nn)
+  FROM verts
+  UNION ALL
+  SELECT q.i, q.v,
+         q.hr / sum(q.hr) OVER (),
+         q.ar / sum(q.ar) OVER ()
+  FROM (
+    SELECT p.i + 1 AS i, p.v AS v,
+           COALESCE((SELECT sum(p2.a) FROM hits p2 JOIN e ON e.b = p2.v
+                     WHERE e.a = p.v AND p2.i = p.i), 0) AS hr,
+           COALESCE((SELECT sum(p2.h) FROM hits p2 JOIN e ON e.a = p2.v
+                     WHERE e.b = p.v AND p2.i = p.i), 0) AS ar
+    FROM hits p WHERE p.i < {HITS_ITERS}
+  ) q
+)
+SELECT v AS vid, round(h, 6) AS hub, round(a, 6) AS authority
+FROM hits WHERE i = {HITS_ITERS}
+"""
+
+
+def _ps_rev_distgraph(sf_dir, P=8):
+    """Reversed part->supplier graph (supplier -> part), built once via
+    the same Dataset path; the HITS hub gather reads authority state
+    partition-locally on this orientation."""
+    key = (sf_dir, "ps_rev")
+    if key not in _G_CACHE:
+        fwd = _ps_distgraph(sf_dir, symmetric=False)
+
+        def swap(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t["dst"], "dst": t["src"],
+                             "weight": t["weight"]})
+
+        edges = tg.ps_edges(sf_dir).map_batches(
+            swap, batch_format="pyarrow", zero_copy_batch=True)
+        _G_CACHE[key] = DistGraph.from_dataset(
+            edges, n=fwd.n, P=P, directed=True, dedup=False)
+    return _G_CACHE[key]
+
+
+def q_clustering_coeff_co(sf_dir):
+    """Local clustering coefficient: 2*triangles(v) / (deg(v)*(deg(v)-1))
+    on the simple co graph (0 when deg < 2). Triangles come from the
+    partitioned compact-forward plan; degrees from the Dataset-built
+    CSR shards. Driver work is O(n) output assembly only."""
+    g = _co_distgraph(sf_dir)
+    _, pv = triangle_count(tg.co_edge_rows(sf_dir), num_partitions=8,
+                           per_vertex=True)
+    tri = np.zeros(g.n, dtype=np.float64)
+    for batch in pv.iter_batches(batch_format="pyarrow"):
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["count()"].to_numpy(zero_copy_only=False)
+        tri[v] = c
+    deg = ss.assemble(g, g.out_deg).astype(np.float64)
+    act = g.active_global()
+    vids = np.flatnonzero(act).astype(np.int64)
+    d = deg[vids]
+    coeff = np.zeros(len(vids))
+    m = d >= 2
+    coeff[m] = 2.0 * tri[vids][m] / (d[m] * (d[m] - 1.0))
+    return pa.table({"vid": pa.array(vids),
+                     "coeff": pa.array(round6(coeff))})
+
+
+SQL_CLUSTERING_COEFF_CO = """
+WITH e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b JOIN e0 e3
+        ON e3.a = e1.a AND e3.b = e2.b),
+tc AS (SELECT vid, count(*) AS n_tri FROM (
+         SELECT x AS vid FROM t UNION ALL SELECT y FROM t
+         UNION ALL SELECT z FROM t) GROUP BY vid),
+deg AS (SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        GROUP BY v)
+SELECT deg.v AS vid,
+       round(CASE WHEN deg.d >= 2
+                  THEN 2.0 * COALESCE(tc.n_tri, 0) / (deg.d * (deg.d - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg LEFT JOIN tc ON tc.vid = deg.v
+"""
+
+
 def _leiden_co_dataset(sf_dir, quality, gamma):
     """Dataset-native Leiden on the co graph: the edge Dataset spills
     to partitioned parquet and each shard actor loads only its own
@@ -1406,6 +1592,10 @@ QUERIES = {
     "triangles_co": q_triangles_co,
     "triangles_co_per_vertex": q_triangles_co_per_vertex,
     "label_propagation_co": q_label_propagation_co,
+    "bfs_dist_co": q_bfs_dist_co,
+    "kcore_co": q_kcore_co,
+    "hits_ps": q_hits_ps,
+    "clustering_coeff_co": q_clustering_coeff_co,
     "leiden_cpm_co": q_leiden_cpm_co,
     "leiden_modularity_co": q_leiden_modularity_co,
     "leiden_cpm_cliques": q_leiden_cpm_cliques,
@@ -1450,6 +1640,10 @@ ORACLE_SQL = {
     "pagerank_co": SQL_PAGERANK_CO,
     "pagerank_ps": SQL_PAGERANK_PS,
     "label_propagation_co": SQL_LABEL_PROPAGATION_CO,
+    "bfs_dist_co": SQL_BFS_DIST_CO,
+    "kcore_co": SQL_KCORE_CO,
+    "hits_ps": SQL_HITS_PS,
+    "clustering_coeff_co": SQL_CLUSTERING_COEFF_CO,
     "leiden_cpm_cliques": SQL_LEIDEN_NATIONS,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,

@@ -105,6 +105,76 @@ def test_connected_components_exact():
     assert np.array_equal(lab, connected_components_serial(src, dst, n))
 
 
+def test_bfs_matches_serial(random_graph):
+    from leidenalg_ray.oracle import bfs_serial
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    dist, _ = ss.bfs_distances(g, [0, 7])
+    nl = src != dst
+    s2 = np.concatenate([src, dst[nl]])
+    d2 = np.concatenate([dst, src[nl]])
+    assert np.array_equal(dist, bfs_serial(s2, d2, n, [0, 7]))
+
+
+def test_bfs_directed_unreachable():
+    from leidenalg_ray.oracle import bfs_serial
+    # 0 -> 1 -> 2, 3 isolated-but-active via 4 -> 3
+    src = np.array([0, 1, 4])
+    dst = np.array([1, 2, 3])
+    g = DistGraph.from_edges(src, dst, n=5, P=2, directed=True)
+    dist, _ = ss.bfs_distances(g, [0])
+    assert np.array_equal(dist, bfs_serial(src, dst, 5, [0]))
+    INF = np.iinfo(np.int64).max
+    assert dist[2] == 2 and dist[3] == INF and dist[4] == INF
+
+
+def test_kcore_matches_serial(random_graph):
+    from leidenalg_ray.oracle import kcore_serial
+    src, dst, n = random_graph
+    # simple graph: dedup + drop loops, both directions
+    nl = src != dst
+    a = np.minimum(src[nl], dst[nl])
+    b = np.maximum(src[nl], dst[nl])
+    pairs = np.unique(a * np.int64(n) + b)
+    a = (pairs // n).astype(np.int64)
+    b = (pairs % n).astype(np.int64)
+    g = DistGraph.from_edges(a, b, n=n, P=4, both_directions=True)
+    for k in (3, 8, 14):
+        mask, iters = ss.kcore(g, k)
+        s2 = np.concatenate([a, b])
+        d2 = np.concatenate([b, a])
+        assert np.array_equal(mask, kcore_serial(s2, d2, n, k)), k
+
+
+def test_kcore_planted_clique():
+    """A 12-clique plus a long tail: the 11-core is exactly the
+    clique."""
+    cl = np.arange(12)
+    ca, cb = np.meshgrid(cl, cl)
+    m = ca < cb
+    tail_a = np.arange(12, 40)
+    tail_b = np.arange(13, 41)
+    src = np.concatenate([ca[m], tail_a, [0]])
+    dst = np.concatenate([cb[m], tail_b, [12]])
+    g = DistGraph.from_edges(src, dst, n=41, P=4, both_directions=True)
+    mask, _ = ss.kcore(g, 11)
+    assert np.flatnonzero(mask).tolist() == list(range(12))
+
+
+def test_hits_matches_serial(random_graph):
+    from leidenalg_ray.oracle import hits_serial
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    g_rev = DistGraph.from_edges(dst, src, n=n, P=4, directed=True)
+    hub, auth, act = ss.hits(g, g_rev, iters=12)
+    hub_s, auth_s, act_s = hits_serial(src, dst, n, iters=12)
+    assert np.array_equal(act, act_s)
+    assert np.abs(hub - hub_s).max() < 1e-12
+    assert np.abs(auth - auth_s).max() < 1e-12
+    assert hub.sum() == pytest.approx(1.0) and \
+        auth.sum() == pytest.approx(1.0)
+
+
 def test_label_propagation_matches_serial(random_graph):
     src, dst, n = random_graph
     g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
