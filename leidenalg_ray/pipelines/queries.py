@@ -1533,6 +1533,89 @@ FROM y GROUP BY user_id, session_id
 """
 
 
+def _events(sf_dir, columns):
+    return rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=list(columns))
+
+
+def _events_of_type(sf_dir, etype):
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], etype)
+        return t.filter(m).select(["event_id", "user_id", "ts"])
+
+    return ev.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_events_asof(sf_dir):
+    """As-of join: each click matched to the user's most recent view
+    at or before it (ties on the timestamp -> largest view id). One
+    hash shuffle on user_id + per-group searchsorted
+    (``stages/joins.asof_join``); gap reported in whole microseconds
+    so the comparison is float-free."""
+    from ..stages.joins import asof_join
+    clicks = _events_of_type(sf_dir, "click")
+    views = _events_of_type(sf_dir, "view")
+    out = asof_join(clicks, views, by="user_id", on="ts",
+                    left_id="event_id", right_id="event_id",
+                    right_out="prev_view_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "prev_view_id": pc.cast(t["prev_view_id"], pa.int64()),
+            "gap_us": pc.cast(t["gap_us"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF = """
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+v AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'view'),
+j AS (SELECT c.event_id AS event_id, v.event_id AS prev_view_id,
+             date_diff('microsecond', v.ts, c.ts) AS gap_us,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC)
+               AS rn
+      FROM c JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts)
+SELECT event_id, prev_view_id, gap_us FROM j WHERE rn = 1
+"""
+
+
+def q_events_range_join(sf_dir):
+    """Preceding-interval join: per error event, how many events the
+    same user produced in the strict 5 minutes before it (0 kept)."""
+    from ..stages.joins import range_join_count
+    errors = _events_of_type(sf_dir, "error")
+    allev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    out = range_join_count(errors, allev, by="user_id", on="ts",
+                           left_id="event_id", right_id="event_id",
+                           window_us=300_000_000)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "n_in_range": pc.cast(t["n_in_range"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH er AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'error')
+SELECT er.event_id AS event_id, count(e2.event_id) AS n_in_range
+FROM er LEFT JOIN events e2
+  ON e2.user_id = er.user_id
+ AND e2.ts < er.ts
+ AND e2.ts >= er.ts - INTERVAL 5 MINUTE
+GROUP BY er.event_id
+"""
+
+
 def q_events_props_json(sf_dir):
     """JSON property extraction from the events ``props`` column (the
     engine's parser-stage shape on semi-structured payloads): per
@@ -1625,6 +1708,8 @@ QUERIES = {
     "ann_ivf_fixed": q_ann_ivf_fixed,
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "events_props_json": q_events_props_json,
 }
 
@@ -1670,5 +1755,7 @@ ORACLE_SQL = {
     "ann_ivf_fixed": SQL_ANN_IVF_FIXED,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
 }
