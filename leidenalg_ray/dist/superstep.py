@@ -30,7 +30,7 @@ from .checkpoint import CheckpointManager
 # ----------------------------------------------------------------------
 def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
              weighted=False, checkpoint=None,
-             message_dtype=np.float64, active=False):
+             message_dtype=np.float64, active=False, personalize=None):
     """North-rule semantics: rank = (1-d)/n + d*(sum_in rank/outdeg +
     dangling_mass/n); iterate until L1 delta < tol. ``weighted`` uses
     strength-normalised contributions instead of degree.
@@ -44,12 +44,26 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
     (per-partition masks from the graph itself), so sparse raw id
     spaces — ``DistGraph.from_dataset`` without any driver-side id
     compaction — get the same n/teleport/dangling denominators a
-    compacted build would; inactive ids hold rank 0."""
+    compacted build would; inactive ids hold rank 0.
+
+    ``personalize``: seed vids — teleport (and dangling
+    redistribution) becomes uniform over the seeds (personalized
+    PageRank) instead of uniform over the vertex set."""
     P, n, sizes = g.P, g.n, g.sizes
     if active:
         act_refs, n_eff = g.active_masks()
     else:
         act_refs, n_eff = [None] * P, n
+    if personalize is not None:
+        seeds = np.asarray(personalize, dtype=np.int64)
+        p_refs = []
+        for p in range(P):
+            shard = np.zeros(sizes[p])
+            sp = seeds[seeds % P == p]
+            shard[sp // P] = 1.0 / len(seeds)
+            p_refs.append(ray.put(shard))
+    else:
+        p_refs = [None] * P
 
     @ray.remote
     def gather(block, rank, norm):
@@ -75,9 +89,12 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
         return float(rank[m].sum())
 
     @ray.remote
-    def reduce(q_size, old, dangling_total, act, *incoming):
-        new = np.full(q_size, (1.0 - damping) / n_eff)
-        new += damping * dangling_total / n_eff
+    def reduce(q_size, old, dangling_total, act, pvec, *incoming):
+        if pvec is None:
+            new = np.full(q_size, (1.0 - damping) / n_eff)
+            new += damping * dangling_total / n_eff
+        else:
+            new = (1.0 - damping + damping * dangling_total) * pvec
         for arr in incoming:
             new += damping * arr
         if act is not None:
@@ -85,14 +102,14 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
         return new, float(np.abs(new - old).sum())
 
     @ray.remote
-    def init_shard(q_size, act):
-        r = np.full(q_size, 1.0 / n_eff)
+    def init_shard(q_size, act, pvec):
+        r = np.full(q_size, 1.0 / n_eff) if pvec is None else pvec.copy()
         if act is not None:
             r[~act] = 0.0
         return r
 
     norm_refs = g.out_strength if weighted else g.out_deg
-    rank_refs = [init_shard.remote(sizes[p], act_refs[p])
+    rank_refs = [init_shard.remote(sizes[p], act_refs[p], p_refs[p])
                  for p in range(P)]
     ckpt = CheckpointManager(checkpoint, "pagerank", P, n=n) \
         if checkpoint else None
@@ -117,7 +134,7 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
         for q in range(P):
             outs.append(reduce.options(num_returns=2).remote(
                 sizes[q], rank_refs[q], dangling_total, act_refs[q],
-                *[msg_refs[p][q] for p in range(P)]))
+                p_refs[q], *[msg_refs[p][q] for p in range(P)]))
         rank_refs = [o[0] for o in outs]
         delta = sum(ray.get([o[1] for o in outs]))
         if ckpt is not None:
@@ -239,6 +256,71 @@ def bfs_distances(g: DistGraph, sources, max_iter=10_000,
         shard[sp // P] = 0
         dist_refs.append(ray.put(shard))
     ckpt = CheckpointManager(checkpoint, "bfs", P, n=n) \
+        if checkpoint else None
+    start_iter = 0
+    if ckpt is not None:
+        resumed = ckpt.resume()
+        if resumed is not None:
+            start_iter, shards, metrics = resumed
+            dist_refs = [ray.put(s) for s in shards]
+            if metrics.get("changed", -1) == 0:
+                return assemble(g, dist_refs), start_iter
+    it = start_iter
+    for it in range(start_iter, max_iter):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], dist_refs[p]) for p in range(P)]
+        outs = [reduce.options(num_returns=2).remote(
+            dist_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        dist_refs = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        if ckpt is not None:
+            ckpt.save(it + 1, ray.get(dist_refs),
+                      metrics={"changed": changed})
+        if changed == 0:
+            break
+    return assemble(g, dist_refs), it + 1
+
+
+# ----------------------------------------------------------------------
+# Weighted SSSP: Bellman-Ford min-plus relaxation to fixed point
+# ----------------------------------------------------------------------
+def sssp(g: DistGraph, sources, max_iter=10_000, checkpoint=None):
+    """Weighted shortest distances from ``sources`` (min-plus
+    relaxation per superstep — the BSP Bellman-Ford); unreachable
+    vertices hold ``inf``. Same exchange shape as ``bfs_distances``
+    with ``dist[src] + weight`` as the per-edge message; weights must
+    be non-negative. Blocks must hold both directions for undirected
+    semantics."""
+    P, n, sizes = g.P, g.n, g.sizes
+
+    @ray.remote
+    def gather(block, dist):
+        per_edge = dist[block["src_local"]] + block["weight"]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full(sizes[q], np.inf)
+            np.minimum.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(old, *incoming):
+        new = old.copy()
+        for arr in incoming:
+            np.minimum(new, arr, out=new)
+        return new, int((new != old).sum())
+
+    sources = np.asarray(sources, dtype=np.int64)
+    dist_refs = []
+    for p in range(P):
+        shard = np.full(sizes[p], np.inf)
+        sp = sources[sources % P == p]
+        shard[sp // P] = 0.0
+        dist_refs.append(ray.put(shard))
+    ckpt = CheckpointManager(checkpoint, "sssp", P, n=n) \
         if checkpoint else None
     start_iter = 0
     if ckpt is not None:

@@ -8,7 +8,10 @@ import numpy as np
 
 
 def pagerank_serial(src, dst, n, damping=0.85, tol=1e-6, max_iter=200,
-                    weight=None, weighted=False):
+                    weight=None, weighted=False, personalize=None):
+    """``personalize``: seed vids; the teleport vector (and dangling
+    redistribution) becomes uniform over the seeds instead of over all
+    vertices (personalized PageRank)."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     w = (np.asarray(weight, dtype=np.float64) if weight is not None
@@ -18,7 +21,13 @@ def pagerank_serial(src, dst, n, damping=0.85, tol=1e-6, max_iter=200,
         np.add.at(norm, src, w)
     else:
         np.add.at(norm, src, 1.0)
-    rank = np.full(n, 1.0 / n)
+    if personalize is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        seeds = np.asarray(personalize, dtype=np.int64)
+        p = np.zeros(n)
+        p[seeds] = 1.0 / len(seeds)
+    rank = p.copy()
     for it in range(max_iter):
         contrib = np.zeros(n)
         nz = norm > 0
@@ -27,12 +36,32 @@ def pagerank_serial(src, dst, n, damping=0.85, tol=1e-6, max_iter=200,
         agg = np.zeros(n)
         np.add.at(agg, dst, per_edge)
         dangling = rank[~nz].sum()
-        new = (1.0 - damping) / n + damping * (agg + dangling / n)
+        new = (1.0 - damping) * p + damping * (agg + dangling * p)
         if np.abs(new - rank).sum() < tol:
             rank = new
             break
         rank = new
     return rank, it + 1
+
+
+def sssp_serial(src, dst, n, sources, weight=None):
+    """Weighted single-source (multi-seed) shortest distances by
+    Bellman-Ford relaxation; unreachable = +inf. Pass both edge
+    directions for undirected semantics."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = (np.asarray(weight, dtype=np.float64) if weight is not None
+         else np.ones(len(src)))
+    dist = np.full(n, np.inf)
+    dist[np.asarray(sources, dtype=np.int64)] = 0.0
+    for _ in range(n):
+        cand = dist[src] + w
+        new = dist.copy()
+        np.minimum.at(new, dst, cand)
+        if np.array_equal(new, dist):  # inf == inf -> equal; no NaNs
+            break
+        dist = new
+    return dist
 
 
 def connected_components_serial(src, dst, n):

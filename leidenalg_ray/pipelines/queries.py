@@ -528,6 +528,140 @@ SELECT v AS vid, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY v
 """
 
 
+# Bellman-Ford rounds for the SQL oracle: the co graph converges in
+# <= 10 min-plus relaxations at the gate scales (measured 9 at
+# sf0.001, 10 at sf0.01); the engine iterates to fixed point, so any
+# K >= convergence matches.
+SSSP_SQL_ITERS = 14
+
+
+def _co_sssp_distgraph(sf_dir, P=8):
+    """Co-occurrence graph re-weighted with a deterministic modular
+    weight per canonical (a < b) pair: the count weights make every
+    shortest path trivial on this dense graph (unweighted diameter 2),
+    while ``(a*7919 + b*104729) % 97 + 1`` is reproducible verbatim in
+    SQL. Multi-edge duplicate rows carry identical derived weights, so
+    min-plus semantics need no dedup."""
+    key = (sf_dir, "co_sssp")
+    if key not in _G_CACHE:
+        from ..dist.blocks import symmetrize_edges
+        n = int(rd.read_parquet(f"{sf_dir}/part.parquet",
+                                columns=["p_partkey"])
+                .max("p_partkey")) + 1
+
+        def derive(t: pa.Table) -> pa.Table:
+            a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = ((a * 7919 + b * 104729) % 97 + 1).astype(np.float64)
+            return pa.table({"src": pa.array(a), "dst": pa.array(b),
+                             "weight": pa.array(w)})
+
+        edges = symmetrize_edges(
+            tg.co_edge_rows(sf_dir).map_batches(
+                derive, batch_format="pyarrow", zero_copy_batch=True))
+        _G_CACHE[key] = DistGraph.from_dataset(
+            edges, n=n, P=P, directed=False, dedup=False)
+    return _G_CACHE[key]
+
+
+def q_sssp_co(sf_dir):
+    """Weighted shortest distances from the smallest active part key
+    via the BSP Bellman-Ford kernel (min-plus relaxation per superstep
+    to fixed point). Distances are integer-valued sums of the modular
+    edge weights, so the output casts exactly to int64; unreachable
+    vertices are dropped (matching the SQL's reachability filter)."""
+    g = _co_sssp_distgraph(sf_dir)
+    act = g.active_global()
+    source = int(np.flatnonzero(act)[0])
+    dist, _ = ss.sssp(g, [source])
+    vids = np.flatnonzero(act & np.isfinite(dist)).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "dist": pa.array(dist[vids].astype(np.int64))})
+
+
+SQL_SSSP_CO = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+ew AS (SELECT a, b,
+              CAST((a * 7919 + b * 104729) % 97 + 1 AS DOUBLE) AS w
+       FROM e0),
+e AS (SELECT a, b, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+verts AS (SELECT DISTINCT a AS v FROM e),
+s AS (SELECT min(v) AS v FROM verts),
+ee AS (SELECT a, b, w FROM e
+       UNION ALL SELECT v, v, 0.0 FROM verts),
+bf(i, v, d) AS (
+  SELECT 0, v, CASE WHEN v = (SELECT v FROM s) THEN 0.0 ELSE 1e18 END
+  FROM verts
+  UNION ALL
+  SELECT p.i + 1, ee.b, min(p.d + ee.w)
+  FROM bf p JOIN ee ON ee.a = p.v
+  WHERE p.i < {SSSP_SQL_ITERS}
+  GROUP BY p.i, ee.b
+)
+SELECT v AS vid, CAST(d AS BIGINT) AS dist
+FROM bf WHERE i = {SSSP_SQL_ITERS} AND d < 1e17
+"""
+
+
+PPR_SEEDS = 5
+
+
+def q_pagerank_personalized_co(sf_dir):
+    """Personalized PageRank on the weighted co graph: teleport (and
+    dangling redistribution — zero here, the symmetric graph has no
+    sinks) uniform over the PPR_SEEDS smallest active vids instead of
+    the whole vertex set. Fixed PAGERANK_ITERS iterations so the
+    recursive-CTE oracle reproduces it; ranks rounded to 6 decimals."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    seeds = np.flatnonzero(act)[:PPR_SEEDS].astype(np.int64)
+    rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                          max_iter=PAGERANK_ITERS, weighted=True,
+                          active=True, personalize=seeds)
+    vids = np.flatnonzero(act).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "rank": pa.array(round6(rank[vids]))})
+
+
+SQL_PAGERANK_PERSONALIZED_CO = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT a AS v, sum(w) AS strength FROM e GROUP BY a),
+seeds AS (SELECT v FROM verts ORDER BY v LIMIT {PPR_SEEDS}),
+ks AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+pr(i, v, r) AS (
+  SELECT 0, v,
+         CASE WHEN v IN (SELECT v FROM seeds)
+              THEN 1.0 / (SELECT k FROM ks) ELSE 0.0 END
+  FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         (1 - {DAMPING}) * (CASE WHEN e.b IN (SELECT v FROM seeds)
+                                 THEN 1.0 / (SELECT k FROM ks)
+                                 ELSE 0.0 END)
+         + {DAMPING} * sum(p.r * e.w / vs.strength)
+  FROM pr p
+  JOIN verts vs ON vs.v = p.v
+  JOIN e ON e.a = p.v
+  WHERE p.i < {PAGERANK_ITERS}
+  GROUP BY p.i, e.b
+)
+SELECT v AS vid, round(r, 6) AS rank
+FROM pr WHERE i = {PAGERANK_ITERS}
+"""
+
+
 KCORE_K = 80
 _KCORE_SQL_ITERS = 12
 
@@ -1676,6 +1810,8 @@ QUERIES = {
     "triangles_co_per_vertex": q_triangles_co_per_vertex,
     "label_propagation_co": q_label_propagation_co,
     "bfs_dist_co": q_bfs_dist_co,
+    "sssp_co": q_sssp_co,
+    "pagerank_personalized_co": q_pagerank_personalized_co,
     "kcore_co": q_kcore_co,
     "hits_ps": q_hits_ps,
     "clustering_coeff_co": q_clustering_coeff_co,
@@ -1726,6 +1862,8 @@ ORACLE_SQL = {
     "pagerank_ps": SQL_PAGERANK_PS,
     "label_propagation_co": SQL_LABEL_PROPAGATION_CO,
     "bfs_dist_co": SQL_BFS_DIST_CO,
+    "sssp_co": SQL_SSSP_CO,
+    "pagerank_personalized_co": SQL_PAGERANK_PERSONALIZED_CO,
     "kcore_co": SQL_KCORE_CO,
     "hits_ps": SQL_HITS_PS,
     "clustering_coeff_co": SQL_CLUSTERING_COEFF_CO,

@@ -128,6 +128,43 @@ def test_bfs_directed_unreachable():
     assert dist[2] == 2 and dist[3] == INF and dist[4] == INF
 
 
+def test_sssp_matches_serial(random_graph):
+    from leidenalg_ray.oracle import sssp_serial
+    src, dst, n = random_graph
+    rng = np.random.default_rng(11)
+    w = rng.integers(1, 10, len(src)).astype(np.float64)
+    g = DistGraph.from_edges(src, dst, weight=w, n=n, P=4,
+                             both_directions=True)
+    dist, _ = ss.sssp(g, [0, 7])
+    nl = src != dst
+    s2 = np.concatenate([src, dst[nl]])
+    d2 = np.concatenate([dst, src[nl]])
+    w2 = np.concatenate([w, w[nl]])
+    assert np.array_equal(dist, sssp_serial(s2, d2, n, [0, 7], weight=w2))
+
+
+def test_sssp_directed_unreachable():
+    from leidenalg_ray.oracle import sssp_serial
+    # 0 -> 1 -> 2 (2+3=5) beats the direct 0 -> 2 (10); 3, 4 unreachable
+    src = np.array([0, 1, 4, 0])
+    dst = np.array([1, 2, 3, 2])
+    w = np.array([2.0, 3.0, 1.0, 10.0])
+    g = DistGraph.from_edges(src, dst, weight=w, n=5, P=2, directed=True)
+    dist, _ = ss.sssp(g, [0])
+    assert np.array_equal(dist, sssp_serial(src, dst, 5, [0], weight=w))
+    assert dist[2] == 5.0 and np.isinf(dist[3]) and np.isinf(dist[4])
+
+
+def test_pagerank_personalized_matches_serial(random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    seeds = [3, 500, 1234]
+    r, _ = ss.pagerank(g, tol=1e-10, personalize=seeds)
+    r_ser, _ = pagerank_serial(src, dst, n, tol=1e-10, personalize=seeds)
+    assert np.abs(r - r_ser).max() < 1e-12
+    assert r.sum() == pytest.approx(1.0, abs=1e-6)
+
+
 def test_kcore_matches_serial(random_graph):
     from leidenalg_ray.oracle import kcore_serial
     src, dst, n = random_graph
