@@ -808,6 +808,100 @@ FROM deg LEFT JOIN tc ON tc.vid = deg.v
 """
 
 
+# SQL fragment: canonical co pairs + both-directions expansion shared
+# by the link-prediction / sampling / assortativity oracles.
+_SQL_CO_PAIRS = """e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey < l2.l_partkey
+      GROUP BY 1, 2)"""
+
+
+def q_link_predict_co(sf_dir):
+    """Top-20 NON-adjacent co-graph pairs by common-neighbor count
+    (Adamic-Adar score as the companion signal): partitioned wedge
+    plan — per-middle-vertex pair enumeration in the bucket owning the
+    middle, bucket-local aggregation, per-bucket top-k, driver merges
+    K*k rows (never the pair stream)."""
+    from ..dist.linkpred import adamic_adar_topk
+    return adamic_adar_topk(tg.co_edge_rows(sf_dir), k_top=20,
+                            num_partitions=8)
+
+
+SQL_LINK_PREDICT_CO = f"""
+WITH
+{_SQL_CO_PAIRS},
+ee AS (SELECT a AS w, b AS v FROM e0
+       UNION ALL SELECT b AS w, a AS v FROM e0),
+deg AS (SELECT w, count(*) AS dg FROM ee GROUP BY w),
+wedges AS (SELECT x.v AS a, y.v AS b, 1.0 / ln(d.dg) AS s
+           FROM ee x JOIN ee y ON x.w = y.w AND x.v < y.v
+           JOIN deg d ON d.w = x.w),
+agg AS (SELECT a, b, count(*) AS cn, sum(s) AS aa
+        FROM wedges GROUP BY a, b),
+ne AS (SELECT g.a, g.b, g.cn, g.aa FROM agg g
+       LEFT JOIN e0 ON e0.a = g.a AND e0.b = g.b
+       WHERE e0.a IS NULL)
+SELECT a, b, cn AS common_neighbors, round(aa, 6) AS aa_score
+FROM ne ORDER BY cn DESC, a ASC, b ASC LIMIT 20
+"""
+
+
+NEIGHBOR_FANOUT = 5
+
+
+def q_neighbor_sample_co(sf_dir):
+    """Deterministic fan-out-5 neighbor sampling (the GraphSAGE
+    mini-batch shape): per-vertex neighbor rank by the modular hash
+    ``(src*7919 + dst*104729) % 1000003`` with dst tie-break,
+    assembled as a Dataset from per-bucket Arrow tables."""
+    from ..dist.linkpred import neighbor_sample
+    return neighbor_sample(tg.co_edge_rows(sf_dir),
+                           fanout=NEIGHBOR_FANOUT, num_partitions=8)
+
+
+SQL_NEIGHBOR_SAMPLE_CO = f"""
+WITH
+{_SQL_CO_PAIRS},
+ee AS (SELECT a AS src, b AS dst FROM e0
+       UNION ALL SELECT b AS src, a AS dst FROM e0),
+r AS (SELECT src, dst,
+             row_number() OVER (
+               PARTITION BY src
+               ORDER BY (src * 7919 + dst * 104729) % 1000003, dst)
+               AS rk
+      FROM ee)
+SELECT src, dst, rk FROM r WHERE rk <= {NEIGHBOR_FANOUT}
+"""
+
+
+def q_assortativity_co(sf_dir):
+    """Degree assortativity of the co graph (scalar): exact integer
+    partial sums per bucket; the driver evaluates the Pearson
+    expression in the same float operation order as the SQL."""
+    from ..dist.linkpred import degree_assortativity
+    r = degree_assortativity(tg.co_edge_rows(sf_dir), num_partitions=8)
+    return pa.table({"assortativity": pa.array(round6([r]))})
+
+
+SQL_ASSORTATIVITY_CO = f"""
+WITH
+{_SQL_CO_PAIRS},
+ee AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT s, count(*) AS dg FROM ee GROUP BY s),
+xy AS (SELECT d1.dg AS x, d2.dg AS y
+       FROM ee JOIN deg d1 ON d1.s = ee.s JOIN deg d2 ON d2.s = ee.d)
+SELECT round(
+  (sum(x * y) / count(*) - (sum(x) / count(*)) * (sum(y) / count(*)))
+  / (sqrt(sum(x * x) / count(*)
+          - (sum(x) / count(*)) * (sum(x) / count(*)))
+     * sqrt(sum(y * y) / count(*)
+            - (sum(y) / count(*)) * (sum(y) / count(*)))), 6)
+  AS assortativity
+FROM xy
+"""
+
+
 def _leiden_co_dataset(sf_dir, quality, gamma):
     """Dataset-native Leiden on the co graph: the edge Dataset spills
     to partitioned parquet and each shard actor loads only its own
@@ -1273,6 +1367,28 @@ FROM th
 # ======================================================================
 # Dedup
 # ======================================================================
+VOCAB_TOP_K = 50
+
+
+def q_vocab_top_terms(sf_dir):
+    """Corpus vocabulary build (the BPE-ish pre-tokenization stat a
+    training pipeline runs first): top-50 ``[a-z0-9]+`` tokens by
+    frequency across all documents."""
+    return tx.vocab_top_terms(_docs(sf_dir, columns=("text",)),
+                              k=VOCAB_TOP_K)
+
+
+SQL_VOCAB_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+           AS term
+  FROM documents),
+agg AS (SELECT term, count(*) AS n FROM toks WHERE term <> ''
+        GROUP BY term)
+SELECT term, n FROM agg ORDER BY n DESC, term ASC LIMIT {VOCAB_TOP_K}
+"""
+
+
 def q_dedup_exact(sf_dir):
     out = dd.exact_dedup(_docs(sf_dir))
 
@@ -1795,6 +1911,43 @@ FROM events GROUP BY event_type
 # ======================================================================
 # Registry
 # ======================================================================
+def q_events_transitions(sf_dir):
+    """Event-type Markov transitions: per-user event sequences
+    ordered by (ts, event_id), bigram counts over consecutive events.
+    One hash shuffle on user_id (``groupby.map_groups``), then a tiny
+    groupby over the type-pair space."""
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        a = g["event_type"].to_numpy()
+        return pd.DataFrame({"from_type": a[:-1], "to_type": a[1:]})
+
+    pairs = ev.groupby("user_id").map_groups(trans,
+                                             batch_format="pandas")
+    agg = pairs.groupby(["from_type", "to_type"]).aggregate(
+        Count(alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "from_type": pc.cast(t["from_type"], pa.string()),
+            "to_type": pc.cast(t["to_type"], pa.string()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -1815,6 +1968,9 @@ QUERIES = {
     "kcore_co": q_kcore_co,
     "hits_ps": q_hits_ps,
     "clustering_coeff_co": q_clustering_coeff_co,
+    "link_predict_co": q_link_predict_co,
+    "neighbor_sample_co": q_neighbor_sample_co,
+    "assortativity_co": q_assortativity_co,
     "leiden_cpm_co": q_leiden_cpm_co,
     "leiden_modularity_co": q_leiden_modularity_co,
     "leiden_cpm_cliques": q_leiden_cpm_cliques,
@@ -1847,6 +2003,8 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
     "events_props_json": q_events_props_json,
+    "vocab_top_terms": q_vocab_top_terms,
+    "events_transitions": q_events_transitions,
 }
 
 ORACLE_SQL = {
@@ -1867,6 +2025,9 @@ ORACLE_SQL = {
     "kcore_co": SQL_KCORE_CO,
     "hits_ps": SQL_HITS_PS,
     "clustering_coeff_co": SQL_CLUSTERING_COEFF_CO,
+    "link_predict_co": SQL_LINK_PREDICT_CO,
+    "neighbor_sample_co": SQL_NEIGHBOR_SAMPLE_CO,
+    "assortativity_co": SQL_ASSORTATIVITY_CO,
     "leiden_cpm_cliques": SQL_LEIDEN_NATIONS,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
@@ -1896,4 +2057,6 @@ ORACLE_SQL = {
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_props_json": SQL_EVENTS_PROPS_JSON,
+    "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
 }

@@ -186,3 +186,35 @@ def hash_token(w: str) -> int:
     every hash-derived operator (MinHash shingles, SimHash bits,
     rolling fingerprints) has an exact SQL oracle."""
     return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+
+
+def vocab_top_terms(docs_ds, k=50):
+    """Corpus vocabulary: token -> total frequency, top-k by
+    (count desc, term asc). Tokens are ``[a-z0-9]+`` runs of the
+    lowercased text, split with pyarrow's RE2 kernel — identical
+    semantics to DuckDB ``regexp_split_to_array(lower(text),
+    '[^a-z0-9]+')``, so the whole pipeline has an exact SQL oracle.
+    Per-batch ``value_counts`` partials mean the vocabulary, not the
+    token stream, is what shuffles into the final groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    pre = docs_ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = pre.groupby("term").aggregate(Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"term": pc.cast(t["term"], pa.string()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+              .sort(["n", "term"], descending=[True, False]).limit(k)
