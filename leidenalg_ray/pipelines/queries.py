@@ -1367,6 +1367,68 @@ FROM th
 # ======================================================================
 # Dedup
 # ======================================================================
+# doc-id hash expression shared by the sampling / split oracles —
+# identical to stages/pack._id_hash (md5 first 8 bytes, big-endian)
+_SQL_DOC_HASH = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
+                 "::UBIGINT")
+
+
+def q_doc_sample(sf_dir):
+    """Deterministic ~10% corpus sample by id-hash residue."""
+    from ..stages import pack as pk
+    return pk.hash_sample(_docs(sf_dir, columns=("doc_id",)),
+                          mod=10, keep=0)
+
+
+SQL_DOC_SAMPLE = f"""
+SELECT doc_id FROM documents WHERE {_SQL_DOC_HASH} % 10 = 0
+"""
+
+
+def q_doc_split(sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by id-hash
+    percentile."""
+    from ..stages import pack as pk
+    return pk.hash_split(_docs(sf_dir, columns=("doc_id",)))
+
+
+SQL_DOC_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_SQL_DOC_HASH} % 100 < 80 THEN 'train'
+            WHEN {_SQL_DOC_HASH} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+PACK_BUDGET = 512
+
+
+def q_doc_pack_chunks(sf_dir):
+    """Sequence packing (greedy concat-and-cut): chunk assignment via
+    a distributed prefix scan over doc_id order — per-bucket token
+    totals, driver-side exclusive offsets (O(n_docs/bucket) state),
+    one hash shuffle on the bucket key."""
+    from ..stages import pack as pk
+    return pk.pack_chunks(_docs(sf_dir), budget=PACK_BUDGET)
+
+
+SQL_DOC_PACK_CHUNKS = f"""
+WITH tok AS (SELECT doc_id,
+                    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                      AS n_tokens
+             FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev
+      FROM tok)
+SELECT doc_id, n_tokens,
+       CAST(prev // {PACK_BUDGET} AS BIGINT) AS chunk_id
+FROM c
+"""
+
+
 VOCAB_TOP_K = 50
 
 
@@ -2005,6 +2067,9 @@ QUERIES = {
     "events_props_json": q_events_props_json,
     "vocab_top_terms": q_vocab_top_terms,
     "events_transitions": q_events_transitions,
+    "doc_sample": q_doc_sample,
+    "doc_split": q_doc_split,
+    "doc_pack_chunks": q_doc_pack_chunks,
 }
 
 ORACLE_SQL = {
@@ -2059,4 +2124,7 @@ ORACLE_SQL = {
     "events_props_json": SQL_EVENTS_PROPS_JSON,
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "doc_sample": SQL_DOC_SAMPLE,
+    "doc_split": SQL_DOC_SPLIT,
+    "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
 }
