@@ -1548,6 +1548,28 @@ WHERE {jac} >= {threshold}
 SQL_DEDUP_MINHASH = _sql_dedup_minhash()
 
 
+def q_dedup_cluster(sf_dir):
+    """Near-dup clusters: MinHash-LSH pairs -> connected components
+    over the dup graph (sharded min-label BSP on Dataset-built CSR
+    blocks) -> canonical min-doc_id representative per cluster."""
+    return dd.dedup_cluster(_docs(sf_dir), threshold=0.8)
+
+
+# the component step as a recursive min-label CTE over the (already
+# SQL-replicated) MinHash pair set
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE pairs AS ({_sql_dedup_minhash()}),
+ee AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+verts AS (SELECT DISTINCT a AS v FROM ee),
+reach(v, lab) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT ee.b, reach.lab FROM reach JOIN ee ON ee.a = reach.v
+)
+SELECT v AS doc_id, min(lab) AS rep_doc_id FROM reach GROUP BY v
+"""
+
+
 def q_dedup_jaccard(sf_dir):
     """Exact all-pairs word-3-gram Jaccard >= 0.3 — the SQL-verifiable
     form of the near-dup verify stage (the MinHash-LSH pipeline runs
@@ -2070,6 +2092,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "doc_split": q_doc_split,
     "doc_pack_chunks": q_doc_pack_chunks,
+    "dedup_cluster": q_dedup_cluster,
 }
 
 ORACLE_SQL = {
@@ -2127,4 +2150,5 @@ ORACLE_SQL = {
     "doc_sample": SQL_DOC_SAMPLE,
     "doc_split": SQL_DOC_SPLIT,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
+    "dedup_cluster": SQL_DEDUP_CLUSTER,
 }

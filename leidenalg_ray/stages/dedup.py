@@ -449,3 +449,39 @@ def embedding_cosine_pairs(emb_ds, threshold=0.95, n_planes=8, seed=11,
         concurrency=(1, 4), batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(pairs,
                                                  batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# Near-dup clustering (dup pairs -> components -> canonical keep list)
+# ----------------------------------------------------------------------
+def dedup_cluster(docs_ds, threshold=0.8, n=None, P=4, **kwargs):
+    """Near-duplicate CLUSTERS: MinHash-LSH verified pairs ->
+    connected components over the dup graph -> canonical
+    representative (= min doc_id in the component, which is exactly
+    the min-label the BSP kernel converges to over raw vids). The
+    removal list a training pipeline acts on is ``doc_id !=
+    rep_doc_id``.
+
+    Scale shape: the dup-pair graph is a tiny fraction of the corpus
+    (only docs with a near-duplicate appear), the edges stay a
+    Dataset into ``DistGraph.from_dataset`` (partitioned CSR blocks,
+    no driver edge list), and components run as the same sharded
+    min-label supersteps as ``connected_components``. Output:
+    (doc_id, rep_doc_id) for every doc in at least one dup pair.
+    """
+    from ..dist.blocks import DistGraph, symmetrize_edges
+    from ..dist import superstep as ss
+
+    if n is None:
+        n = int(docs_ds.max("doc_id")) + 1
+    pairs = minhash_dedup(docs_ds, threshold=threshold, **kwargs)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": pc.cast(t["a"], pa.int64()),
+                            "dst": pc.cast(t["b"], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    g = DistGraph.from_dataset(symmetrize_edges(edges), n=n, P=P,
+                               directed=False, dedup=True)
+    comp, _ = ss.connected_components(g)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
+    return pa.table({"doc_id": pa.array(vids),
+                     "rep_doc_id": pa.array(comp[vids].astype(np.int64))})

@@ -131,3 +131,29 @@ def test_rolling_fingerprint_shift_invariance():
         .sort_values("doc_id")
     assert out.fingerprint.iloc[0] == out.fingerprint.iloc[1]
     assert out.fingerprint.iloc[0] != out.fingerprint.iloc[2]
+
+
+def test_dedup_cluster_transitive(docs):
+    """0-1 and 0-4 are near-dup pairs -> {0,1,4} one cluster with rep
+    0 via transitivity (even if 1-4 were never an LSH candidate);
+    matches a serial union-find over the verified pair set."""
+    out = dd.dedup_cluster(docs, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert set(out.doc_id) == {0, 1, 4}
+    assert (out.rep_doc_id == 0).all()
+
+    pairs = dd.minhash_dedup(docs, threshold=0.5).to_pandas()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs[["a", "b"]].to_numpy():
+        parent[find(int(a))] = find(int(b))
+    serial = {d: min(x for x in parent if find(x) == find(d))
+              for d in parent}
+    got = dict(zip(out.doc_id, out.rep_doc_id))
+    assert got == serial
