@@ -1451,6 +1451,39 @@ SELECT term, n FROM agg ORDER BY n DESC, term ASC LIMIT {VOCAB_TOP_K}
 """
 
 
+TFIDF_K = 5
+
+
+def q_tfidf_topk(sf_dir):
+    """Top-5 terms per document by tf-idf: one vocab-sized df groupby
+    (per-batch partials) + broadcast lookup; scoring and per-doc top-k
+    stay shuffle-free because a doc is complete within its row."""
+    return tx.tfidf_topk(_docs(sf_dir), k=TFIDF_K)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+           AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (SELECT tf.doc_id, tf.term,
+                  tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC)
+                    AS rn
+           FROM scored)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rn <= {TFIDF_K}
+"""
+
+
 def q_dedup_exact(sf_dir):
     out = dd.exact_dedup(_docs(sf_dir))
 
@@ -2093,6 +2126,7 @@ QUERIES = {
     "doc_split": q_doc_split,
     "doc_pack_chunks": q_doc_pack_chunks,
     "dedup_cluster": q_dedup_cluster,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 ORACLE_SQL = {
@@ -2151,4 +2185,5 @@ ORACLE_SQL = {
     "doc_split": SQL_DOC_SPLIT,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
+    "tfidf_topk": SQL_TFIDF_TOPK,
 }

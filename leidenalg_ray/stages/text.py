@@ -218,3 +218,84 @@ def vocab_top_terms(docs_ds, k=50):
 
     return agg.map_batches(finish, batch_format="pyarrow") \
               .sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def _doc_term_tf(t: pa.Table) -> pa.Table:
+    """Vectorised per-doc term frequencies for one batch: RE2 split
+    (same semantics as DuckDB ``regexp_split_to_array(lower(text),
+    '[^a-z0-9]+')``), then one Arrow group_by over (doc, term) —
+    exact because each row holds a complete document."""
+    import pyarrow.compute as pc
+    toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                  "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    ids = pc.take(t["doc_id"], par)
+    keep = pc.not_equal(flat, "")
+    pairs = pa.table({"doc_id": pc.filter(ids, keep),
+                      "term": pc.filter(flat, keep)})
+    tf = pairs.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+    return tf.rename_columns(["doc_id", "term", "tf"])
+
+
+def doc_frequencies(docs_ds):
+    """Document frequency per term: per-batch distinct-terms-per-doc
+    partials (the vocabulary, not the token stream, shuffles) -> one
+    vocab-sized groupby. Output: (term, df)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(t)
+        d = tf.group_by("term").aggregate([([], "count_all")])
+        return d.rename_columns(["term", "df"])
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+
+
+def tfidf_topk(docs_ds, k=5, concurrency=4):
+    """Top-k terms per document by tf-idf (tf * ln(N/df)), ties broken
+    term-ascending — fully deterministic and SQL-oracle-able.
+
+    Shape: ONE vocab-sized shuffle (the df groupby, fed by per-batch
+    partials) + a broadcast of the (term, df) table; scoring and the
+    per-doc top-k then run embarrassingly parallel because a document
+    is complete within its row — no second shuffle. When the
+    vocabulary exceeds worker memory, swap the broadcast for a
+    term-key hash join (groupby(term).map_groups) followed by a
+    doc_id-key top-k shuffle — same semantics, two exchanges.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    n_docs = docs_ds.count()
+    df_pd = doc_frequencies(docs_ds).to_pandas()
+    terms = df_pd["term"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(terms)
+    terms_sorted = terms[order]
+    df_sorted = df_pd["df"].to_numpy(np.float64)[order]
+    ref = ray.put((terms_sorted, df_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        ts, dfs = ray.get(ref)
+        tf = _doc_term_tf(t)
+        d = tf["doc_id"].to_numpy(zero_copy_only=False)
+        term = tf["term"].to_numpy(zero_copy_only=False).astype(str)
+        f = tf["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(ts, term)
+        tfidf = f * np.log(np.float64(n_docs) / dfs[pos])
+        o = np.lexsort((term, -tfidf, d))
+        d, term, tfidf = d[o], term[o], tfidf[o]
+        # rank within each doc run
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        rank = np.arange(len(d)) - np.repeat(starts, np.diff(
+            np.concatenate((starts, [len(d)]))))
+        m = rank < k
+        return pa.table({"doc_id": pa.array(d[m].astype(np.int64)),
+                         "term": pa.array(term[m], pa.string()),
+                         "tfidf": pa.array(round6(tfidf[m]))})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -157,3 +157,38 @@ def test_dedup_cluster_transitive(docs):
               for d in parent}
     got = dict(zip(out.doc_id, out.rep_doc_id))
     assert got == serial
+
+
+def test_tfidf_topk_serial_oracle(docs):
+    """tfidf == tf * ln(N/df) computed serially; output invariant to
+    batching (df shuffle + broadcast make it batch-independent)."""
+    import collections
+    import math
+    import re
+
+    out = tx.tfidf_topk(docs, k=3).to_pandas() \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+    texts = docs.to_pandas().set_index("doc_id")["text"]
+    tf = {d: collections.Counter(re.findall(r"[a-z0-9]+", t.lower()))
+          for d, t in texts.items()}
+    df = collections.Counter(w for c in tf.values() for w in set(c))
+    n = len(texts)
+    rows = []
+    for d, c in tf.items():
+        scored = sorted(((w, f * math.log(n / df[w]))
+                         for w, f in c.items()),
+                        key=lambda x: (-x[1], x[0]))[:3]
+        rows.extend((d, w, round(abs(s) * 1e6 + 0.5) // 1 / 1e6
+                     * (1 if s >= 0 else -1)) for w, s in scored)
+    import pandas as pd
+    exp = pd.DataFrame(rows, columns=["doc_id", "term", "tfidf"]) \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    assert list(out.doc_id) == list(exp.doc_id)
+    assert list(out.term) == list(exp.term)
+    assert np.allclose(out.tfidf, exp.tfidf, atol=1e-6)
+
+    rebatched = docs.repartition(3)
+    out2 = tx.tfidf_topk(rebatched, k=3).to_pandas() \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    assert out.equals(out2)
