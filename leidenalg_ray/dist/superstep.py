@@ -587,3 +587,119 @@ def label_propagation(g: DistGraph, max_iter=100, weighted=True,
         if changed == 0:
             break
     return assemble(g, label_refs), it + 1
+
+
+# ----------------------------------------------------------------------
+# Strongly connected components: FW-BW colouring
+# ----------------------------------------------------------------------
+def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000):
+    """SCC labels (= min vid in the component) via the distributed
+    FW-BW-colouring algorithm (Orzan-style; public BSP formulation):
+
+    per outer round, over the still-unassigned subgraph:
+      1. forward min-label colouring to fixed point: F[v] = min vid
+         that reaches v (same sharded min-propagation as
+         ``connected_components`` but along directed edges only);
+      2. backward root-mark sweep: every root (F[r] == r) marks,
+         along REVERSED edges, the vertices u that can reach it while
+         sharing its colour — those are exactly r's SCC. The mark
+         ships as the root's label; because F[w] <= F[u] on every
+         edge u->w, "some out-neighbour carries my colour" is a
+         max-reduce + equality test (no per-edge colour exchange).
+    Each round assigns >= the SCC of every current colour root (at
+    minimum the globally smallest unassigned vid), so rounds <=
+    number of SCCs and in practice a handful.
+
+    ``g_bwd`` must be the same edge set with src/dst swapped (same
+    ``n`` and ``P``). Returns (labels over raw vids, supersteps).
+    """
+    P, n, sizes = g_fwd.P, g_fwd.n, g_fwd.sizes
+    assert g_bwd.P == P and g_bwd.n == n
+    BIG = np.iinfo(np.int64).max
+
+    @ray.remote
+    def fgather(block, F):
+        per_edge = F[block["src_local"]]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full(sizes[q], BIG, dtype=np.int64)
+            np.minimum.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def freduce(old, assigned, *incoming):
+        new = old.copy()
+        for arr in incoming:
+            np.minimum(new, arr, out=new)
+        new[assigned] = BIG
+        return new, int((new != old).sum())
+
+    @ray.remote
+    def bgather(block, m):
+        per_edge = m[block["src_local"]]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full(sizes[q], -1, dtype=np.int64)
+            np.maximum.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def breduce(m_old, F, *incoming):
+        mx = np.full(len(m_old), -1, dtype=np.int64)
+        for arr in incoming:
+            np.maximum(mx, arr, out=mx)
+        hit = (m_old == -1) & (F != BIG) & (mx == F)
+        new = m_old.copy()
+        new[hit] = F[hit]
+        return new, int(hit.sum())
+
+    act_masks, n_active = g_fwd.active_masks()
+    act = [np.asarray(ray.get(m)) for m in act_masks]
+    vids = [np.arange(p, n, P, dtype=np.int64) for p in range(P)]
+    # inactive vertices are their own singleton (filtered by callers
+    # via active_global); start them assigned so they never colour
+    scc_shards = [np.where(act[p], -1, vids[p]) for p in range(P)]
+    steps = 0
+    for _round in range(max_rounds):
+        if all((s >= 0).all() for s in scc_shards):
+            break
+        assigned_refs = [ray.put(scc_shards[p] >= 0) for p in range(P)]
+        F_refs = [ray.put(np.where(scc_shards[p] < 0, vids[p], BIG))
+                  for p in range(P)]
+        while True:
+            msg = [fgather.options(num_returns=P).remote(
+                g_fwd.blocks[p], F_refs[p]) for p in range(P)]
+            outs = [freduce.options(num_returns=2).remote(
+                F_refs[q], assigned_refs[q],
+                *[msg[p][q] for p in range(P)]) for q in range(P)]
+            F_refs = [o[0] for o in outs]
+            steps += 1
+            if sum(ray.get([o[1] for o in outs])) == 0:
+                break
+        F_shards = ray.get(F_refs)
+        m_refs = [ray.put(np.where(
+            (F_shards[p] == vids[p]) & (scc_shards[p] < 0),
+            F_shards[p], np.int64(-1))) for p in range(P)]
+        while True:
+            msg = [bgather.options(num_returns=P).remote(
+                g_bwd.blocks[p], m_refs[p]) for p in range(P)]
+            outs = [breduce.options(num_returns=2).remote(
+                m_refs[q], F_refs[q],
+                *[msg[p][q] for p in range(P)]) for q in range(P)]
+            m_refs = [o[0] for o in outs]
+            steps += 1
+            if sum(ray.get([o[1] for o in outs])) == 0:
+                break
+        for p, m in enumerate(ray.get(m_refs)):
+            newly = m >= 0
+            scc_shards[p][newly] = m[newly]
+    out = np.zeros(n, dtype=np.int64)
+    for p in range(P):
+        out[p::P] = scc_shards[p]
+    return out, steps

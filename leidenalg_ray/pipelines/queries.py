@@ -902,6 +902,66 @@ FROM xy
 """
 
 
+def q_scc_items(sf_dir):
+    """Strongly connected components of the directed item-sequence
+    graph (within each order, consecutive line numbers give a
+    part->part transition edge): one l_orderkey hash shuffle builds
+    the edges, then the FW-BW-colouring BSP kernel
+    (``superstep.scc``) over Dataset-built CSR blocks — forward and
+    reversed block sets, no driver edge list."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    n = int(rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"]).max("p_partkey")) + 1
+
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_linenumber")
+        a = g["l_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"src": a[:-1], "dst": a[1:]})
+
+    edges = li.groupby("l_orderkey").map_groups(seq,
+                                                batch_format="pandas")
+    import tempfile
+    spill = tempfile.mkdtemp(prefix="lray_scc_")
+    gf = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
+                                dedup=True, spill_dir=spill)
+    # reversed blocks from the forward build's parquet spill — the
+    # l_orderkey shuffle runs once, not twice
+    swapped = rd.read_parquet(spill, columns=["src", "dst"]) \
+        .map_batches(
+            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    gb = DistGraph.from_dataset(swapped, n=n, P=8, directed=True,
+                                dedup=True)
+    lab, _ = ss.scc(gf, gb)
+    vids = np.flatnonzero(gf.active_global()).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "scc_id": pa.array(lab[vids])})
+
+
+SQL_SCC_ITEMS = """
+WITH RECURSIVE
+seq AS (SELECT l_partkey AS a,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber) AS b
+        FROM lineitem),
+e AS (SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL),
+verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+reach(s, t) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t
+),
+mutual AS (SELECT r1.s AS v, r1.t AS u
+           FROM reach r1 JOIN reach r2 ON r1.s = r2.t AND r1.t = r2.s)
+SELECT vv.v AS vid,
+       CAST(least(vv.v, coalesce(min(m.u), vv.v)) AS BIGINT) AS scc_id
+FROM verts vv LEFT JOIN mutual m ON m.v = vv.v
+GROUP BY vv.v
+"""
+
+
 def _leiden_co_dataset(sf_dir, quality, gamma):
     """Dataset-native Leiden on the co graph: the edge Dataset spills
     to partitioned parquet and each shard actor loads only its own
@@ -2127,6 +2187,7 @@ QUERIES = {
     "doc_pack_chunks": q_doc_pack_chunks,
     "dedup_cluster": q_dedup_cluster,
     "tfidf_topk": q_tfidf_topk,
+    "scc_items": q_scc_items,
 }
 
 ORACLE_SQL = {
@@ -2186,4 +2247,5 @@ ORACLE_SQL = {
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "scc_items": SQL_SCC_ITEMS,
 }

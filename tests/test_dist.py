@@ -529,3 +529,78 @@ def test_dist_leiden_surprise_matches_inmemory():
     assert q == pytest.approx(p.quality(), rel=1e-6)
     pairs = set(zip(mem.tolist(), truth.tolist()))
     assert len(pairs) == 5
+
+
+def _serial_scc(src, dst, n):
+    """Iterative Tarjan; label = min vid per SCC."""
+    adj = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[a].append(b)
+    index = [-1] * n
+    low = [0] * n
+    on = [False] * n
+    stack = []
+    comp = [-1] * n
+    counter = [0]
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif on[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                lab = min(members)
+                for w in members:
+                    comp[w] = lab
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return np.array(comp)
+
+
+def test_scc_planted():
+    # cycle {0,1,2}, cycle {3,4}, bridge 2->3 (DAG edge), chain 5->0,
+    # self-loop 6, isolated-in-edge-set 7<-2
+    src = np.array([0, 1, 2, 3, 4, 2, 5, 6, 2])
+    dst = np.array([1, 2, 0, 4, 3, 3, 0, 6, 7])
+    n = 8
+    gf = DistGraph.from_edges(src, dst, n=n, P=3, directed=True)
+    gb = DistGraph.from_edges(dst, src, n=n, P=3, directed=True)
+    lab, _ = ss.scc(gf, gb)
+    assert list(lab) == [0, 0, 0, 3, 3, 5, 6, 7]
+
+
+def test_scc_matches_serial(random_graph):
+    src, dst, n = random_graph
+    src, dst = src[:4000], dst[:4000]
+    gf = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    gb = DistGraph.from_edges(dst, src, n=n, P=4, directed=True)
+    lab, _ = ss.scc(gf, gb)
+    exp = _serial_scc(src, dst, n)
+    active = gf.active_global()
+    assert (lab[active] == exp[active]).all()
