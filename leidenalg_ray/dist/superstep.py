@@ -703,3 +703,88 @@ def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000):
     for p in range(P):
         out[p::P] = scc_shards[p]
     return out, steps
+
+
+# ----------------------------------------------------------------------
+# Deterministic random walks (node2vec-style corpus prep)
+# ----------------------------------------------------------------------
+def random_walks(g: DistGraph, seeds, length):
+    """Fixed-length walks along directed edges; the step from ``cur``
+    for walk ``w`` at step ``s`` goes to the out-neighbour ``u``
+    minimising (md5(f"{w}-{s}-{u}"), u) — a deterministic hash choice
+    (reproducible across runs and parallelism levels, and exactly
+    replicable in SQL), standing in for the RNG draw of a production
+    walk engine (swap ``_walk_hash`` for a vectorised counter hash at
+    scale). Walks stop at dead ends.
+
+    BSP shape: each partition builds a src-sorted CSR view of its own
+    block once; per superstep the walk frontier is bucketed by
+    ``cur % P`` and each partition advances only its own walks — walk
+    state never exceeds O(frontier / P) per task and the driver holds
+    only the frontier (which IS the query output, O(walks x length)).
+
+    Returns (walk_id, step, vid) int64 arrays.
+    """
+    import hashlib
+
+    P, sizes = g.P, g.sizes
+
+    @ray.remote
+    def build_adj(block, p):
+        src = block["src_local"]
+        off = block["dst_offsets"]
+        dstg = np.empty(len(src), dtype=np.int64)
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            dstg[sl] = block["dst_local"][sl] * P + q
+        order = np.argsort(src, kind="stable")
+        ss_, dg = src[order], dstg[order]
+        starts = np.searchsorted(ss_, np.arange(sizes[p] + 1))
+        return starts, dg
+
+    @ray.remote
+    def step_task(adj, wids, curs, step):
+        starts, dg = adj
+        out = np.full(len(wids), -1, dtype=np.int64)
+        for i in range(len(wids)):
+            loc = curs[i] // P
+            nbrs = dg[starts[loc]:starts[loc + 1]]
+            if len(nbrs) == 0:
+                continue
+            best = None
+            for u in nbrs:
+                h = int.from_bytes(hashlib.md5(
+                    f"{wids[i]}-{step}-{u}".encode()).digest()[:8],
+                    "big")
+                k = (h, int(u))
+                if best is None or k < best[0]:
+                    best = (k, int(u))
+            out[i] = best[1]
+        return out
+
+    adj_refs = [build_adj.remote(g.blocks[p], p) for p in range(P)]
+    wids = np.asarray(seeds, dtype=np.int64)
+    cur = wids.copy()
+    out_w = [wids.copy()]
+    out_s = [np.zeros(len(wids), dtype=np.int64)]
+    out_v = [cur.copy()]
+    for s in range(1, length + 1):
+        if len(wids) == 0:
+            break
+        parts = (cur % P).astype(np.int64)
+        nxt = np.full(len(wids), -1, dtype=np.int64)
+        futs = {}
+        for p in range(P):
+            idx = np.flatnonzero(parts == p)
+            if len(idx):
+                futs[p] = (idx, step_task.remote(
+                    adj_refs[p], wids[idx], cur[idx], s))
+        for p, (idx, f) in futs.items():
+            nxt[idx] = ray.get(f)
+        alive = nxt >= 0
+        wids, cur = wids[alive], nxt[alive]
+        out_w.append(wids.copy())
+        out_s.append(np.full(len(wids), s, dtype=np.int64))
+        out_v.append(cur.copy())
+    return (np.concatenate(out_w), np.concatenate(out_s),
+            np.concatenate(out_v))

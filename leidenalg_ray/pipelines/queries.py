@@ -902,13 +902,10 @@ FROM xy
 """
 
 
-def q_scc_items(sf_dir):
-    """Strongly connected components of the directed item-sequence
-    graph (within each order, consecutive line numbers give a
-    part->part transition edge): one l_orderkey hash shuffle builds
-    the edges, then the FW-BW-colouring BSP kernel
-    (``superstep.scc``) over Dataset-built CSR blocks — forward and
-    reversed block sets, no driver edge list."""
+def _item_seq_edges(sf_dir):
+    """Directed item-sequence graph: within each order, consecutive
+    line numbers give a part->part transition edge. One l_orderkey
+    hash shuffle. Returns (edges Dataset, n)."""
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_partkey"])
@@ -916,12 +913,22 @@ def q_scc_items(sf_dir):
                             columns=["p_partkey"]).max("p_partkey")) + 1
 
     def seq(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("l_linenumber")
+        # (l_orderkey, l_linenumber) has ties in the synthetic data:
+        # break on l_partkey for a total, oracle-replicable order
+        g = g.sort_values(["l_linenumber", "l_partkey"])
         a = g["l_partkey"].to_numpy(np.int64)
         return pd.DataFrame({"src": a[:-1], "dst": a[1:]})
 
-    edges = li.groupby("l_orderkey").map_groups(seq,
-                                                batch_format="pandas")
+    return li.groupby("l_orderkey").map_groups(
+        seq, batch_format="pandas"), n
+
+
+def q_scc_items(sf_dir):
+    """Strongly connected components of the directed item-sequence
+    graph: the FW-BW-colouring BSP kernel (``superstep.scc``) over
+    Dataset-built CSR blocks — forward and reversed block sets, no
+    driver edge list."""
+    edges, n = _item_seq_edges(sf_dir)
     import tempfile
     spill = tempfile.mkdtemp(prefix="lray_scc_")
     gf = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
@@ -944,7 +951,7 @@ SQL_SCC_ITEMS = """
 WITH RECURSIVE
 seq AS (SELECT l_partkey AS a,
                lead(l_partkey) OVER (PARTITION BY l_orderkey
-                                     ORDER BY l_linenumber) AS b
+                                     ORDER BY l_linenumber, l_partkey) AS b
         FROM lineitem),
 e AS (SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL),
 verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
@@ -959,6 +966,55 @@ SELECT vv.v AS vid,
        CAST(least(vv.v, coalesce(min(m.u), vv.v)) AS BIGINT) AS scc_id
 FROM verts vv LEFT JOIN mutual m ON m.v = vv.v
 GROUP BY vv.v
+"""
+
+
+WALK_SEEDS = 8
+WALK_LEN = 8
+
+
+def q_random_walks(sf_dir):
+    """Deterministic random walks over the directed item-sequence
+    graph (node2vec-style corpus prep): 8 walks of length 8 from the
+    8 smallest active vids; each step is the out-neighbour minimising
+    (md5(walk-step-neighbour), vid) — the BSP frontier kernel
+    ``superstep.random_walks`` over Dataset-built CSR blocks."""
+    edges, n = _item_seq_edges(sf_dir)
+    g = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
+                               dedup=True)
+    act = np.flatnonzero(g.active_global())
+    seeds = act[:WALK_SEEDS].astype(np.int64)
+    w, s, v = ss.random_walks(g, seeds, length=WALK_LEN)
+    return pa.table({"walk_id": pa.array(w), "step": pa.array(s),
+                     "vid": pa.array(v)})
+
+
+SQL_RANDOM_WALKS = f"""
+WITH RECURSIVE
+seq AS (SELECT l_partkey AS a,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS b
+        FROM lineitem),
+e AS (SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL),
+-- UNION ALL + DISTINCT: a bare UNION CTE mis-executes under
+-- WITH RECURSIVE in DuckDB 1.0.0 (returns duplicated first value)
+verts AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+seeds AS (SELECT v FROM verts ORDER BY v LIMIT {WALK_SEEDS}),
+walk(w, s, cur) AS (
+  SELECT v, 0, v FROM seeds
+  UNION ALL
+  SELECT w, s + 1,
+         (SELECT eb.b FROM e eb WHERE eb.a = walk.cur
+          ORDER BY ('0x' || substr(md5(walk.w::VARCHAR || '-' ||
+                    (walk.s + 1)::VARCHAR || '-' || eb.b::VARCHAR),
+                    1, 16))::UBIGINT, eb.b
+          LIMIT 1)
+  FROM walk
+  WHERE s < {WALK_LEN}
+    AND EXISTS (SELECT 1 FROM e eb WHERE eb.a = walk.cur)
+)
+SELECT w AS walk_id, s AS step, cur AS vid FROM walk
 """
 
 
@@ -1911,6 +1967,93 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_window_sliding(sf_dir):
+    """Sliding (hopping) windows — 600 s size, 300 s hop, so every
+    event lands in exactly two windows: the per-batch combiner
+    EXPLODES each event into its covering windows before the partial
+    aggregate, then the same small groupby as the tumbling case. The
+    fan-out happens inside the batch, so the shuffle still carries
+    (user, window) partials, not the doubled event stream."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(t["ts"], pa.int64()), 300_000_000)
+        tt = pa.concat_tables([
+            pa.table({"user_id": t["user_id"],
+                      "win": pc.subtract(h, o), "value": t["value"]})
+            for o in (0, 1)])
+        return tt.group_by(["user_id", "win"]).aggregate(
+            [("value", "sum"), ([], "count_all")]) \
+            .rename_columns(["user_id", "win", "sum_value", "n_events"])
+
+    pre = ev.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = pre.groupby(["user_id", "win"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n_events", alias_name="n_events"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "win": pc.cast(t["win"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pa.array(round6(
+                pc.cast(t["sum_value"], pa.float64()).to_numpy(
+                    zero_copy_only=False))),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW_SLIDING = """
+WITH x AS (SELECT user_id, value,
+                  CAST(floor(epoch(ts) / 300) AS BIGINT) AS h
+           FROM events)
+SELECT user_id, h - o AS win, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM x, unnest([0, 1]) AS t(o)
+GROUP BY 1, 2
+"""
+
+
+def q_events_quantiles(sf_dir):
+    """Exact per-type order-statistic quantiles (percentile_disc
+    semantics: sorted[ceil(q*n) - 1]) of the event value: one hash
+    shuffle on event_type, per-group vectorised sort. For groups past
+    node memory the same output comes from a per-batch value
+    histogram + a tiny cumulative groupby (values are discrete);
+    the sort form is the general-dtype path."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(np.float64))
+        n = len(v)
+        pick = lambda q: v[max(int(np.ceil(q * n)) - 1, 0)]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": np.array([n], np.int64),
+            "p50": round6([pick(0.5)]),
+            "p90": round6([pick(0.9)]),
+            "p99": round6([pick(0.99)]),
+        })
+
+    return ev.groupby("event_type").map_groups(qtile,
+                                               batch_format="pandas")
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 6)
+         AS p50,
+       round(percentile_disc(0.9) WITHIN GROUP (ORDER BY value), 6)
+         AS p90,
+       round(percentile_disc(0.99) WITHIN GROUP (ORDER BY value), 6)
+         AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_sessionize(sf_dir):
     """Session windows (30-min inactivity gap) per user: sorted
     ``map_groups`` over the user partition — the engine's
@@ -2188,6 +2331,9 @@ QUERIES = {
     "dedup_cluster": q_dedup_cluster,
     "tfidf_topk": q_tfidf_topk,
     "scc_items": q_scc_items,
+    "events_window_sliding": q_events_window_sliding,
+    "events_quantiles": q_events_quantiles,
+    "random_walks": q_random_walks,
 }
 
 ORACLE_SQL = {
@@ -2248,4 +2394,7 @@ ORACLE_SQL = {
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "scc_items": SQL_SCC_ITEMS,
+    "events_window_sliding": SQL_EVENTS_WINDOW_SLIDING,
+    "events_quantiles": SQL_EVENTS_QUANTILES,
+    "random_walks": SQL_RANDOM_WALKS,
 }

@@ -604,3 +604,54 @@ def test_scc_matches_serial(random_graph):
     exp = _serial_scc(src, dst, n)
     active = gf.active_global()
     assert (lab[active] == exp[active]).all()
+
+
+def _serial_walks(src, dst, n, seeds, length):
+    """Oracle for ss.random_walks: per-step min over
+    (md5(f"{w}-{s}-{u}"), u) out-neighbour choice."""
+    import hashlib
+
+    adj = {}
+    for a, b in set(zip(src.tolist(), dst.tolist())):
+        adj.setdefault(a, []).append(b)
+    rows = []
+    for w in seeds:
+        cur = int(w)
+        rows.append((int(w), 0, cur))
+        for s in range(1, length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda u: (int.from_bytes(
+                hashlib.md5(f"{w}-{s}-{u}".encode()).digest()[:8],
+                "big"), u))
+            rows.append((int(w), s, cur))
+    return sorted(rows)
+
+
+def test_random_walks_matches_serial(random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    seeds = np.array([0, 1, 7, 500, 1999], dtype=np.int64)
+    w, s, v = ss.random_walks(g, seeds, length=6)
+    got = sorted(zip(w.tolist(), s.tolist(), v.tolist()))
+    assert got == _serial_walks(src, dst, n, seeds, 6)
+
+
+def test_random_walks_parallelism_invariant(random_graph):
+    src, dst, n = random_graph
+    seeds = np.arange(12, dtype=np.int64) * 7
+    outs = []
+    for P in (2, 5):
+        g = DistGraph.from_edges(src, dst, n=n, P=P, directed=True)
+        w, s, v = ss.random_walks(g, seeds, length=4)
+        outs.append(sorted(zip(w.tolist(), s.tolist(), v.tolist())))
+    assert outs[0] == outs[1]
+
+
+def test_random_walks_dead_end():
+    # 0 -> 1 -> 2 (sink): walk from 0 stops after step 2
+    g = DistGraph.from_edges(np.array([0, 1]), np.array([1, 2]),
+                             n=3, P=2, directed=True)
+    w, s, v = ss.random_walks(g, np.array([0], dtype=np.int64), length=5)
+    assert list(s) == [0, 1, 2] and list(v) == [0, 1, 2]
