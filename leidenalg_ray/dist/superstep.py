@@ -708,14 +708,26 @@ def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000):
 # ----------------------------------------------------------------------
 # Deterministic random walks (node2vec-style corpus prep)
 # ----------------------------------------------------------------------
+WALK_MOD = 1_000_003
+
+
+def walk_hash(w, s, u):
+    """Deterministic per-step ranking hash, fully numpy-vectorised
+    and reproducible verbatim in SQL:
+    ``((w % M) * 7919 + (s % M) * 104729 + (u % M) * 15485863) % M``
+    (same modular-hash idiom as ``linkpred.neighbor_sample``)."""
+    M = WALK_MOD
+    return ((w % M) * 7919 + (s % M) * 104729
+            + (u % M) * 15485863) % M
+
+
 def random_walks(g: DistGraph, seeds, length):
     """Fixed-length walks along directed edges; the step from ``cur``
     for walk ``w`` at step ``s`` goes to the out-neighbour ``u``
-    minimising (md5(f"{w}-{s}-{u}"), u) — a deterministic hash choice
-    (reproducible across runs and parallelism levels, and exactly
-    replicable in SQL), standing in for the RNG draw of a production
-    walk engine (swap ``_walk_hash`` for a vectorised counter hash at
-    scale). Walks stop at dead ends.
+    minimising ``(walk_hash(w, s, u), u)`` — a deterministic hash
+    choice (reproducible across runs and parallelism levels, and
+    exactly replicable in SQL), standing in for the RNG draw of a
+    production walk engine. Walks stop at dead ends.
 
     BSP shape: each partition builds a src-sorted CSR view of its own
     block once; per superstep the walk frontier is bucketed by
@@ -725,8 +737,6 @@ def random_walks(g: DistGraph, seeds, length):
 
     Returns (walk_id, step, vid) int64 arrays.
     """
-    import hashlib
-
     P, sizes = g.P, g.sizes
 
     @ray.remote
@@ -745,21 +755,22 @@ def random_walks(g: DistGraph, seeds, length):
     @ray.remote
     def step_task(adj, wids, curs, step):
         starts, dg = adj
+        loc = curs // P
+        deg = starts[loc + 1] - starts[loc]
         out = np.full(len(wids), -1, dtype=np.int64)
-        for i in range(len(wids)):
-            loc = curs[i] // P
-            nbrs = dg[starts[loc]:starts[loc + 1]]
-            if len(nbrs) == 0:
-                continue
-            best = None
-            for u in nbrs:
-                h = int.from_bytes(hashlib.md5(
-                    f"{wids[i]}-{step}-{u}".encode()).digest()[:8],
-                    "big")
-                k = (h, int(u))
-                if best is None or k < best[0]:
-                    best = (k, int(u))
-            out[i] = best[1]
+        live = np.flatnonzero(deg > 0)
+        if len(live) == 0:
+            return out
+        # flatten every live walk's neighbour list, rank by
+        # (hash, u) packed into one int64, segmented min
+        counts = deg[live]
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        flat = np.concatenate(
+            [dg[starts[loc[i]]:starts[loc[i] + 1]] for i in live])
+        w_rep = np.repeat(wids[live], counts)
+        key = walk_hash(w_rep, step, flat) * np.int64(g.n) + flat
+        best = np.minimum.reduceat(key, offs[:-1])
+        out[live] = best % g.n
         return out
 
     adj_refs = [build_adj.remote(g.blocks[p], p) for p in range(P)]
@@ -788,3 +799,193 @@ def random_walks(g: DistGraph, seeds, length):
         out_v.append(cur.copy())
     return (np.concatenate(out_w), np.concatenate(out_s),
             np.concatenate(out_v))
+
+
+def multi_bfs(g: DistGraph, sources, max_iter=10_000):
+    """Per-source unweighted hop distances for a SMALL seed set
+    (closeness / eccentricity probes): one (k, size_p) int64 plane
+    per partition — state O(k * n / P), messages pre-aggregated by
+    destination partition exactly like ``bfs_distances``, driver only
+    sums change counts. Returns a (k, n) distance matrix (INF =
+    unreachable).
+    """
+    P, n, sizes = g.P, g.n, g.sizes
+    INF = np.iinfo(np.int64).max
+    k = len(sources)
+
+    @ray.remote
+    def gather(block, dist):
+        d = dist[:, block["src_local"]]
+        per_edge = np.where(d == INF, INF, d + 1)
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full((k, sizes[q]), INF, dtype=np.int64)
+            np.minimum.at(arr.T, block["dst_local"][sl],
+                          per_edge[:, sl].T)
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(old, *incoming):
+        new = old.copy()
+        for arr in incoming:
+            np.minimum(new, arr, out=new)
+        return new, int((new != old).sum())
+
+    sources = np.asarray(sources, dtype=np.int64)
+    dist_refs = []
+    for p in range(P):
+        shard = np.full((k, sizes[p]), INF, dtype=np.int64)
+        for i, s in enumerate(sources):
+            if s % P == p:
+                shard[i, s // P] = 0
+        dist_refs.append(ray.put(shard))
+    it = 0
+    for it in range(max_iter):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], dist_refs[p]) for p in range(P)]
+        outs = [reduce.options(num_returns=2).remote(
+            dist_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        dist_refs = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        if changed == 0:
+            break
+    shards = ray.get(dist_refs)
+    out = np.full((k, n), INF, dtype=np.int64)
+    for p in range(P):
+        out[:, p::P] = shards[p]
+    return out, it + 1
+
+
+def spath_counts(g: DistGraph, source, max_depth=64):
+    """Single-source shortest-path counts (the sigma of Brandes'
+    betweenness): level-synchronous BSP — at level d every edge
+    (u, v) with dist[u] == d contributes sigma[u] to v's incoming
+    sum, pre-aggregated per destination partition inside the block
+    task; the reduce assigns dist = d + 1 and sigma = total incoming
+    to still-unlabelled vertices. Integer-exact (int64 counts;
+    overflow only on pathological path-count blowups).
+
+    Returns (dist, sigma) length-n int64 arrays (INF / 0 where
+    unreached).
+    """
+    P, n, sizes = g.P, g.n, g.sizes
+    INF = np.iinfo(np.int64).max
+
+    @ray.remote
+    def gather(block, dist, sigma, d):
+        src = block["src_local"]
+        on = dist[src] == d
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            m = on[sl]
+            arr = np.zeros(sizes[q], dtype=np.int64)
+            np.add.at(arr, block["dst_local"][sl][m],
+                      sigma[src[sl][m]])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(dist, sigma, d, *incoming):
+        total = incoming[0].copy()
+        for arr in incoming[1:]:
+            total += arr
+        new = (dist == INF) & (total > 0)
+        nd, ns = dist.copy(), sigma.copy()
+        nd[new] = d + 1
+        ns[new] = total[new]
+        return nd, ns, int(new.sum())
+
+    dist_refs, sig_refs = [], []
+    for p in range(P):
+        dd = np.full(sizes[p], INF, dtype=np.int64)
+        sg = np.zeros(sizes[p], dtype=np.int64)
+        if source % P == p:
+            dd[source // P] = 0
+            sg[source // P] = 1
+        dist_refs.append(ray.put(dd))
+        sig_refs.append(ray.put(sg))
+    for d in range(max_depth):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], dist_refs[p], sig_refs[p], d)
+            for p in range(P)]
+        outs = [reduce.options(num_returns=3).remote(
+            dist_refs[q], sig_refs[q], d,
+            *[msg_refs[p][q] for p in range(P)]) for q in range(P)]
+        dist_refs = [o[0] for o in outs]
+        sig_refs = [o[1] for o in outs]
+        if sum(ray.get([o[2] for o in outs])) == 0:
+            break
+    dist = np.full(n, INF, dtype=np.int64)
+    sigma = np.zeros(n, dtype=np.int64)
+    dshards, sshards = ray.get(dist_refs), ray.get(sig_refs)
+    for p in range(P):
+        dist[p::P] = dshards[p]
+        sigma[p::P] = sshards[p]
+    return dist, sigma
+
+
+def betweenness(g: DistGraph, sources):
+    """Seed-sampled betweenness centrality (Brandes): forward
+    ``spath_counts`` per seed, then the backward dependency sweep
+    level by level — delta[v] += sigma[v]/sigma[w] * (1 + delta[w])
+    over DAG edges (v, w), dist[w] == dist[v] + 1 — run as one block
+    task round per level with destination-partition pre-aggregation.
+    Endpoints excluded (the classic definition). Blocks must hold
+    both directions (undirected semantics).
+
+    Sampled sources approximate full betweenness at 100-TB scale
+    (Brandes & Pich 2007); pass every vertex for the exact value.
+    Returns a length-n float64 array of summed dependencies.
+    """
+    P, n, sizes = g.P, g.n, g.sizes
+    INF = np.iinfo(np.int64).max
+    acc = np.zeros(n, dtype=np.float64)
+
+    @ray.remote
+    def back_gather(block, p, dist, sigma, delta, d):
+        # edges (src, dst) with dist[dst] == d, dist[src] == d - 1:
+        # contribution to src: sigma[src]/sigma[dst] * (1 + delta[dst])
+        # grouped per src partition owner == this block's partition
+        src = block["src_local"]
+        off = block["dst_offsets"]
+        contrib = np.zeros(len(src), dtype=np.float64)
+        keep = np.zeros(len(src), dtype=bool)
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            dl = block["dst_local"][sl]
+            m = dist[q][dl] == d
+            keep[sl] = m
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where(
+                    m, (1.0 + delta[q][dl]) / sigma[q][dl], 0.0)
+            contrib[sl] = c
+        out = np.zeros(sizes[p], dtype=np.float64)
+        np.add.at(out, src[keep], contrib[keep])
+        return out
+
+    for s in sources:
+        dist, sigma = spath_counts(g, int(s))
+        maxd = int(dist[dist < INF].max()) if (dist < INF).any() else 0
+        delta = np.zeros(n, dtype=np.float64)
+        # shard views per partition for the block tasks
+        for d in range(maxd, 0, -1):
+            dist_sh = [dist[q::P] for q in range(P)]
+            sig_sh = [sigma[q::P] for q in range(P)]
+            del_sh = [delta[q::P] for q in range(P)]
+            outs = ray.get([back_gather.remote(
+                g.blocks[p], p, dist_sh, sig_sh, del_sh, d)
+                for p in range(P)])
+            upd = np.zeros(n, dtype=np.float64)
+            for p in range(P):
+                upd[p::P] = outs[p]
+            mprev = dist == d - 1
+            delta[mprev] += sigma[mprev] * upd[mprev]
+        mask = (dist > 0) & (dist < INF)
+        acc[mask] += delta[mask]
+    return acc

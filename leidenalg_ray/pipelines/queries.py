@@ -499,6 +499,17 @@ e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
        GROUP BY 1, 2),
 e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)"""
 
+# materialized variant for oracles that reference ``e`` many times
+# (DuckDB inlines plain CTEs at every reference)
+_SQL_CO_EDGES_BOTH_MAT = """
+e0 AS MATERIALIZED (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT a, b FROM e0
+                   UNION ALL SELECT b AS a, a AS b FROM e0)"""
+
 
 def q_bfs_dist_co(sf_dir):
     """Unweighted hop distance from the smallest active part key,
@@ -977,7 +988,7 @@ def q_random_walks(sf_dir):
     """Deterministic random walks over the directed item-sequence
     graph (node2vec-style corpus prep): 8 walks of length 8 from the
     8 smallest active vids; each step is the out-neighbour minimising
-    (md5(walk-step-neighbour), vid) — the BSP frontier kernel
+    (walk_hash(w, s, u), u) — the BSP frontier kernel
     ``superstep.random_walks`` over Dataset-built CSR blocks."""
     edges, n = _item_seq_edges(sf_dir)
     g = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
@@ -1006,9 +1017,9 @@ walk(w, s, cur) AS (
   UNION ALL
   SELECT w, s + 1,
          (SELECT eb.b FROM e eb WHERE eb.a = walk.cur
-          ORDER BY ('0x' || substr(md5(walk.w::VARCHAR || '-' ||
-                    (walk.s + 1)::VARCHAR || '-' || eb.b::VARCHAR),
-                    1, 16))::UBIGINT, eb.b
+          ORDER BY ((walk.w % 1000003) * 7919
+                    + ((walk.s + 1) % 1000003) * 104729
+                    + (eb.b % 1000003) * 15485863) % 1000003, eb.b
           LIMIT 1)
   FROM walk
   WHERE s < {WALK_LEN}
@@ -2268,6 +2279,459 @@ FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_distinct_parts_per_supplier(sf_dir):
+    """Exact distributed count-distinct: distinct parts per supplier.
+    Per-batch (suppkey, partkey) dedup bounds what the single
+    supplier-key shuffle carries at the distinct-pair count, then a
+    per-group vectorised nunique."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": [g["l_suppkey"].iloc[0]],
+            "n_parts": np.array([g["l_partkey"].nunique()], np.int64),
+        })
+
+    return li.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("l_suppkey").map_groups(nunique, batch_format="pandas")
+
+
+SQL_DISTINCT_PARTS_PER_SUPPLIER = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_hll_parts_per_supplier(sf_dir):
+    """HyperLogLog approximate count-distinct per supplier
+    (``stages/sketch.py``): 64-register mergeable sketch, per-batch
+    partials, one (key, register) groupby — fixed state per group at
+    any corpus size. The register layout keeps the estimator
+    bit-identical to the SQL replica (dyadic partial sums)."""
+    from ..stages import sketch as sk
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+    est = sk.hll_count_distinct(li, "l_suppkey", "l_partkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": pc.cast(t["key"], pa.int64()),
+            "hll_est": pa.array(round6(
+                t["hll_est"].to_numpy(zero_copy_only=False))),
+        })
+    return est.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_HLL_PARTS_PER_SUPPLIER = """
+WITH d AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+h AS (SELECT l_suppkey,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+               ::UBIGINT AS h
+      FROM d),
+b AS (SELECT l_suppkey, CAST(h >> 26 AS BIGINT) AS bucket,
+             CAST(h % 67108864 AS BIGINT) AS rem
+      FROM h),
+b2 AS (SELECT l_suppkey, bucket,
+              CASE WHEN rem = 0 THEN 27
+                   ELSE 26 - (SELECT max(kk)
+                              FROM generate_series(0, 26) g(kk)
+                              WHERE rem >= (CAST(1 AS BIGINT) << kk))
+              END AS rho
+       FROM b),
+r AS (SELECT l_suppkey, bucket, max(rho) AS rho
+      FROM b2 GROUP BY 1, 2),
+agg AS (SELECT l_suppkey, 64 - count(*) AS v_empty,
+               sum(CAST(1 AS BIGINT) << (27 - rho))
+                 + (64 - count(*)) * 134217728 AS s_int
+        FROM r GROUP BY 1)
+SELECT l_suppkey,
+       round(CASE WHEN ((0.7213 / (1 + 1.079 / 64)) * 64 * 64)
+                       / (s_int / 134217728.0) <= 160.0
+                       AND v_empty > 0
+                  THEN 64 * ln(64.0 / v_empty)
+                  ELSE ((0.7213 / (1 + 1.079 / 64)) * 64 * 64)
+                       / (s_int / 134217728.0)
+             END, 6) AS hll_est
+FROM agg
+"""
+
+
+TOPN_PER_CUST = 3
+
+
+def q_top_orders_per_cust(sf_dir):
+    """Windowed rank: top-3 orders per customer by (totalprice desc,
+    orderkey asc). Per-batch partial top-3 per key prunes the shuffle
+    to <= 3 rows per (batch, key); final rank in a per-key group."""
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey",
+                                  "o_totalprice"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        return df.groupby("o_custkey", as_index=False,
+                          sort=False).head(TOPN_PER_CUST)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]) \
+            .head(TOPN_PER_CUST).reset_index(drop=True)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"],
+            "o_orderkey": g["o_orderkey"],
+            "o_totalprice": round6(g["o_totalprice"].to_numpy()),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return od.map_batches(pre, batch_format="pandas") \
+        .groupby("o_custkey").map_groups(rank, batch_format="pandas")
+
+
+SQL_TOP_ORDERS_PER_CUST = f"""
+WITH w AS (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)
+           AS rn
+  FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM w WHERE rn <= {TOPN_PER_CUST}
+"""
+
+
+CLOSENESS_SEEDS = 4
+
+
+def q_closeness_co(sf_dir):
+    """Closeness centrality for the 4 smallest active vertices of the
+    co graph: one multi-source BSP BFS (``superstep.multi_bfs`` —
+    per-partition (k, n/P) distance planes, messages pre-aggregated
+    by destination partition), closeness = reached / sum(dist)."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    seeds = np.flatnonzero(act)[:CLOSENESS_SEEDS].astype(np.int64)
+    dist, _ = ss.multi_bfs(g, seeds)
+    INF = np.iinfo(np.int64).max
+    reach = ((dist < INF) & (dist > 0)).sum(axis=1).astype(np.int64)
+    sum_d = np.where(dist < INF, dist, 0).sum(axis=1)
+    clo = np.where(sum_d > 0, reach / np.where(sum_d > 0, sum_d, 1), 0.0)
+    return pa.table({"vid": pa.array(seeds),
+                     "n_reached": pa.array(reach),
+                     "closeness": pa.array(round6(clo))})
+
+
+SQL_CLOSENESS_CO = f"""
+WITH RECURSIVE
+{_SQL_CO_EDGES_BOTH},
+seeds AS (SELECT a AS s FROM e GROUP BY a ORDER BY a
+          LIMIT {CLOSENESS_SEEDS}),
+bfs(s, v, d) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT bfs.s, e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.v
+  WHERE bfs.d < 30
+),
+sd AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v)
+SELECT s AS vid,
+       CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reached,
+       round(count(*) FILTER (WHERE d > 0) / sum(d), 6) AS closeness
+FROM sd GROUP BY s
+"""
+
+
+def q_orders_rollup(sf_dir):
+    """Grouping-sets rollup over (status, year): ONE per-batch
+    partial aggregate at the finest level feeds all three levels; the
+    (tiny) subtotal and grand-total rows derive from the finest
+    groupby output, so the input is shuffled once, pre-aggregated."""
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        # sum exact integer cents so subtotal sums are
+        # order-independent (float += order differs engine vs oracle)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        tt = pa.table({"o_orderstatus": t["o_orderstatus"],
+                       "yr": pc.cast(yr, pa.int64()),
+                       "cents": pa.array(cents)})
+        return tt.group_by(["o_orderstatus", "yr"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]) \
+            .rename_columns(["o_orderstatus", "yr", "sum_cents",
+                             "n_orders"])
+
+    fine = od.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["o_orderstatus", "yr"]).aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_orders", alias_name="n_orders")) \
+        .to_pandas()          # finest level: |status| x |years| rows
+    lvl0 = fine.assign(yr=fine["yr"].astype(np.int64).astype(str))
+    lvl1 = fine.groupby("o_orderstatus", as_index=False)[
+        ["sum_cents", "n_orders"]].sum().assign(yr="ALL")
+    lvl2 = pd.DataFrame({"o_orderstatus": ["ALL"], "yr": ["ALL"],
+                         "sum_cents": [fine["sum_cents"].sum()],
+                         "n_orders": [fine["n_orders"].sum()]})
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+    return pd.DataFrame({
+        "o_orderstatus": out["o_orderstatus"],
+        "yr": out["yr"],
+        "n_orders": out["n_orders"].astype(np.int64),
+        "sum_price": round6(
+            out["sum_cents"].to_numpy(np.int64) / 100.0),
+    })
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       count(*) AS n_orders,
+       round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             / 100.0, 6) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))
+"""
+
+
+def q_cust_no_finished_order(sf_dir):
+    """Broadcast anti-join: customers with no finished ('F') order.
+    The distinct blocked-key set (bounded by the customer count) is
+    built with per-batch dedup + a driver union, shipped once via
+    ``ray.put``, and each customer batch filters vectorised — no
+    all-to-all shuffle. For a blocked side past driver memory the
+    hash-shuffle groupby anti-join replaces the broadcast."""
+    import ray as _ray
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'")
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(t["o_custkey"])})
+
+    parts = [b["k"] for b in od.map_batches(
+        keys, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    blocked = np.unique(np.concatenate(
+        [p.to_numpy(zero_copy_only=False) for p in parts])
+        if parts else np.array([], dtype=np.int64))
+    blocked_ref = _ray.put(blocked)
+
+    cu = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        bl = _ray.get(blocked_ref)
+        keep = ~np.isin(t["c_custkey"].to_numpy(), bl)
+        return t.filter(pa.array(keep))
+
+    return cu.map_batches(anti, batch_format="pyarrow")
+
+
+SQL_CUST_NO_FINISHED_ORDER = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')
+"""
+
+
+def q_cust_order_counts(sf_dir):
+    """Left outer join with zero-fill: per-customer order count.
+    The aggregated side (one row per custkey, bounded by the customer
+    count) broadcasts once via ``ray.put``; each customer batch
+    attaches its count vectorised via ``searchsorted`` — no
+    all-to-all join shuffle for an aggregate-then-join pattern."""
+    import ray as _ray
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.group_by("o_custkey").aggregate([([], "count_all")]) \
+            .rename_columns(["o_custkey", "n"])
+
+    counts = od.map_batches(pre, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    keys = counts["o_custkey"].to_numpy(np.int64)
+    vals = counts["n"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    ref = _ray.put((keys[order], vals[order]))
+
+    cu = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        k, v = _ray.get(ref)
+        ck = t["c_custkey"].to_numpy()
+        pos = np.searchsorted(k, ck)
+        pos_c = np.clip(pos, 0, len(k) - 1)
+        hit = (len(k) > 0) & (k[pos_c] == ck)
+        n = np.where(hit, v[pos_c], 0).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "n_orders": pa.array(n)})
+
+    return cu.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_CUST_ORDER_COUNTS = """
+SELECT c_custkey, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+           GROUP BY o_custkey) o
+  ON o.o_custkey = c_custkey
+"""
+
+
+QBIN_SCALE = 16
+
+
+def q_events_quantiles_approx(sf_dir):
+    """Streaming approximate quantiles via a fixed-bin histogram
+    sketch (bin = floor(value * 16)): per-batch integer bin counts,
+    one tiny (type, bin) groupby, cumulative pick of the first bin
+    whose running count reaches ceil(q * n). All-integer decisions —
+    deterministic, mergeable, O(bins) state per group at any corpus
+    size (the exact-sort path is ``events_quantiles``). Reported
+    value = bin upper edge (bin + 1) / 16."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.floor(t["value"].to_numpy() * QBIN_SCALE).astype(np.int64)
+        tt = pa.table({"event_type": t["event_type"],
+                       "bin": pa.array(b)})
+        return tt.group_by(["event_type", "bin"]).aggregate(
+            [([], "count_all")]) \
+            .rename_columns(["event_type", "bin", "n"])
+
+    hist = ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["event_type", "bin"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin")
+        bins = g["bin"].to_numpy(np.int64)
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+
+        def q_at(q):
+            target = int(np.ceil(q * n))
+            return (bins[np.searchsorted(cum, target)] + 1) / QBIN_SCALE
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": np.array([n], np.int64),
+            "p50": round6([q_at(0.5)]),
+            "p90": round6([q_at(0.9)]),
+            "p99": round6([q_at(0.99)]),
+        })
+
+    return hist.groupby("event_type").map_groups(pick,
+                                                 batch_format="pandas")
+
+
+SQL_EVENTS_QUANTILES_APPROX = f"""
+WITH h AS (SELECT event_type,
+                  CAST(floor(value * {QBIN_SCALE}) AS BIGINT) AS bin,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+c AS (SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM h)
+SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+       round((min(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) + 1)
+             / {QBIN_SCALE}.0, 6) AS p50,
+       round((min(CASE WHEN cum >= ceil(0.9 * total) THEN bin END) + 1)
+             / {QBIN_SCALE}.0, 6) AS p90,
+       round((min(CASE WHEN cum >= ceil(0.99 * total) THEN bin END) + 1)
+             / {QBIN_SCALE}.0, 6) AS p99
+FROM c GROUP BY event_type
+"""
+
+
+SPATH_MAX_D = 6
+
+
+def q_spath_counts_co(sf_dir):
+    """Shortest-path counts (Brandes' sigma) from the smallest
+    active vertex of the co graph, to vertices within 6 hops: the
+    level-synchronous integer BSP kernel ``superstep.spath_counts``
+    — exact path counts, which is what makes the iterative part of
+    betweenness driver-verifiable (the float dependency sweep is
+    pinned by pytest against serial Brandes)."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    source = int(np.flatnonzero(act)[0])
+    dist, sigma = ss.spath_counts(g, source)
+    INF = np.iinfo(np.int64).max
+    keep = np.flatnonzero((dist < INF) & (dist <= SPATH_MAX_D))
+    return pa.table({"vid": pa.array(keep.astype(np.int64)),
+                     "dist": pa.array(dist[keep]),
+                     "n_paths": pa.array(sigma[keep])})
+
+
+def _sigma_levels_sql(max_d):
+    """Chained per-level aggregation CTEs (recursive CTEs cannot
+    aggregate): l_d = sum of l_{d-1} sigmas over edges into
+    still-unseen vertices."""
+    # MATERIALIZED: DuckDB inlines plain CTEs at every reference, so
+    # the chained levels re-evaluate exponentially without it
+    parts = ["l0 AS MATERIALIZED "
+             "(SELECT v, CAST(1 AS HUGEINT) AS sigma FROM s)"]
+    union = ["SELECT v, 0 AS d, sigma FROM l0"]
+    for d in range(1, max_d + 1):
+        seen = " UNION ALL ".join(
+            f"SELECT v FROM l{k}" for k in range(d))
+        parts.append(
+            f"l{d} AS MATERIALIZED "
+            f"(SELECT e.b AS v, sum(l{d-1}.sigma) AS sigma\n"
+            f"  FROM l{d-1} JOIN e ON e.a = l{d-1}.v\n"
+            f"  WHERE e.b NOT IN ({seen}) GROUP BY e.b)")
+        union.append(f"SELECT v, {d} AS d, sigma FROM l{d}")
+    return ",\n".join(parts), " UNION ALL ".join(union)
+
+
+_SIG_CTES, _SIG_UNION = _sigma_levels_sql(SPATH_MAX_D)
+
+SQL_SPATH_COUNTS_CO = f"""
+WITH
+{_SQL_CO_EDGES_BOTH_MAT},
+s AS (SELECT min(a) AS v FROM e),
+{_SIG_CTES}
+SELECT v AS vid, CAST(d AS BIGINT) AS dist,
+       CAST(sigma AS BIGINT) AS n_paths
+FROM ({_SIG_UNION})
+"""
+
+
+BETWEENNESS_SEEDS = 3
+
+
+def q_betweenness_co(sf_dir):
+    """Seed-sampled betweenness centrality (Brandes) on the co
+    graph: forward integer sigma BSP + backward float dependency
+    sweep (``superstep.betweenness``). The float accumulation is not
+    SQL-expressible order-stably, so this row is rows-only at the
+    driver; the sweep is pinned by
+    ``tests/test_dist.py::test_betweenness_matches_serial`` and the
+    integer forward pass is driver-verified via ``spath_counts_co``."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    seeds = np.flatnonzero(act)[:BETWEENNESS_SEEDS].astype(np.int64)
+    bc = ss.betweenness(g, seeds)
+    vids = np.flatnonzero(act).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "betweenness": pa.array(round6(bc[vids]))})
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -2334,6 +2798,16 @@ QUERIES = {
     "events_window_sliding": q_events_window_sliding,
     "events_quantiles": q_events_quantiles,
     "random_walks": q_random_walks,
+    "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+    "hll_parts_per_supplier": q_hll_parts_per_supplier,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "closeness_co": q_closeness_co,
+    "orders_rollup": q_orders_rollup,
+    "cust_no_finished_order": q_cust_no_finished_order,
+    "cust_order_counts": q_cust_order_counts,
+    "events_quantiles_approx": q_events_quantiles_approx,
+    "spath_counts_co": q_spath_counts_co,
+    "betweenness_co": q_betweenness_co,
 }
 
 ORACLE_SQL = {
@@ -2397,4 +2871,13 @@ ORACLE_SQL = {
     "events_window_sliding": SQL_EVENTS_WINDOW_SLIDING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "random_walks": SQL_RANDOM_WALKS,
+    "distinct_parts_per_supplier": SQL_DISTINCT_PARTS_PER_SUPPLIER,
+    "hll_parts_per_supplier": SQL_HLL_PARTS_PER_SUPPLIER,
+    "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
+    "closeness_co": SQL_CLOSENESS_CO,
+    "orders_rollup": SQL_ORDERS_ROLLUP,
+    "cust_no_finished_order": SQL_CUST_NO_FINISHED_ORDER,
+    "cust_order_counts": SQL_CUST_ORDER_COUNTS,
+    "events_quantiles_approx": SQL_EVENTS_QUANTILES_APPROX,
+    "spath_counts_co": SQL_SPATH_COUNTS_CO,
 }

@@ -299,3 +299,45 @@ def tfidf_topk(docs_ds, k=5, concurrency=4):
 
     return docs_ds.map_batches(score, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def bigram_top_terms(docs_ds, k=20):
+    """Adjacent-token collocations: top-k (a, b) bigram pairs by
+    (count desc, a, b). Same tokenizer as ``vocab_top_terms``
+    (lowercase, ``[a-z0-9]+`` runs); pairs never cross a document
+    boundary. Fully vectorised: flatten + parent indices, shift-by-one
+    pairing, per-batch pair counts so only the (bounded) bigram
+    vocabulary shuffles."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = flat != ""
+        f, p = flat[keep], par[keep]
+        if len(f) < 2:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = p[:-1] == p[1:]
+        tt = pa.table({"a": pa.array(f[:-1][same]),
+                       "b": pa.array(f[1:][same])})
+        return tt.group_by(["a", "b"]).aggregate([([], "count_all")]) \
+            .rename_columns(["a", "b", "n"])
+
+    pre = docs_ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = pre.groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t["a"], pa.string()),
+                         "b": pc.cast(t["b"], pa.string()),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+              .sort(["n", "a", "b"], descending=[True, False, False]) \
+              .limit(k)

@@ -608,9 +608,7 @@ def test_scc_matches_serial(random_graph):
 
 def _serial_walks(src, dst, n, seeds, length):
     """Oracle for ss.random_walks: per-step min over
-    (md5(f"{w}-{s}-{u}"), u) out-neighbour choice."""
-    import hashlib
-
+    (walk_hash(w, s, u), u) out-neighbour choice."""
     adj = {}
     for a, b in set(zip(src.tolist(), dst.tolist())):
         adj.setdefault(a, []).append(b)
@@ -622,9 +620,9 @@ def _serial_walks(src, dst, n, seeds, length):
             nbrs = adj.get(cur)
             if not nbrs:
                 break
-            cur = min(nbrs, key=lambda u: (int.from_bytes(
-                hashlib.md5(f"{w}-{s}-{u}".encode()).digest()[:8],
-                "big"), u))
+            cur = min(nbrs,
+                      key=lambda u: (int(ss.walk_hash(int(w), s, u)),
+                                     u))
             rows.append((int(w), s, cur))
     return sorted(rows)
 
@@ -655,3 +653,98 @@ def test_random_walks_dead_end():
                              n=3, P=2, directed=True)
     w, s, v = ss.random_walks(g, np.array([0], dtype=np.int64), length=5)
     assert list(s) == [0, 1, 2] and list(v) == [0, 1, 2]
+
+
+def test_multi_bfs_matches_single_source(random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    seeds = [0, 17, 1999]
+    dist, _ = ss.multi_bfs(g, seeds)
+    for i, s in enumerate(seeds):
+        single, _ = ss.bfs_distances(g, [s])
+        assert (dist[i] == single).all()
+
+
+def _serial_brandes(src, dst, n, sources):
+    """Reference Brandes accumulation (endpoints excluded)."""
+    adj = {}
+    for a, b in set(zip(src.tolist(), dst.tolist())) | \
+            set(zip(dst.tolist(), src.tolist())):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    acc = np.zeros(n)
+    for s in sources:
+        from collections import deque
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in adj.get(w, ()):
+                if dist.get(v, -2) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                acc[w] += delta[w]
+    return acc
+
+
+def _simple_undirected(src, dst, n):
+    nl = src != dst
+    a = np.minimum(src[nl], dst[nl])
+    b = np.maximum(src[nl], dst[nl])
+    pairs = np.unique(a * np.int64(n) + b)
+    return (pairs // n).astype(np.int64), (pairs % n).astype(np.int64)
+
+
+def test_spath_counts_matches_serial(random_graph):
+    src, dst, n = random_graph
+    src, dst = _simple_undirected(src, dst, n)
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    d_eng, sig_eng = ss.spath_counts(g, 0)
+    # serial BFS + sigma
+    from collections import deque
+    adj = {}
+    for a, b in set(zip(src.tolist(), dst.tolist())) | \
+            set(zip(dst.tolist(), src.tolist())):
+        adj.setdefault(a, set()).add(b)
+    dist = {0: 0}
+    sigma = {0: 1}
+    dq = deque([0])
+    while dq:
+        v = dq.popleft()
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                dq.append(w)
+            if dist[w] == dist[v] + 1 and w != v:
+                sigma[w] = sigma.get(w, 0) + sigma[v]
+    INF = np.iinfo(np.int64).max
+    for v in range(n):
+        if v in dist:
+            assert d_eng[v] == dist[v]
+            assert sig_eng[v] == sigma[v], v
+        else:
+            assert d_eng[v] == INF and sig_eng[v] == 0
+
+
+def test_betweenness_matches_serial():
+    rng = np.random.default_rng(11)
+    n, m = 120, 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    src, dst = _simple_undirected(src, dst, n)
+    g = DistGraph.from_edges(src, dst, n=n, P=3, both_directions=True)
+    seeds = [0, 5, 17]
+    eng = ss.betweenness(g, seeds)
+    ser = _serial_brandes(src, dst, n, seeds)
+    assert np.allclose(eng, ser, atol=1e-9)

@@ -1,0 +1,41 @@
+"""HyperLogLog sketch: estimator accuracy, merge associativity, and
+SQL-replicable arithmetic (exact dyadic partial sums)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from leidenalg_ray.stages import sketch as sk
+
+
+def _registers(values):
+    df = sk.hll_partial(np.zeros(len(values), dtype=np.int64), values)
+    return dict(zip(df["bucket"].astype(int), df["rho"].astype(int)))
+
+
+@pytest.mark.parametrize("n_true", [10, 60, 500, 5000, 50_000])
+def test_hll_estimate_accuracy(n_true):
+    est = sk.hll_estimate(_registers([f"v{i}" for i in range(n_true)]))
+    # m=64 -> ~13% std error; allow 3 sigma
+    assert abs(est - n_true) / n_true < 0.4
+
+
+def test_hll_partial_merge_equals_whole():
+    vals = [f"x{i}" for i in range(2000)]
+    whole = _registers(vals)
+    a, b = _registers(vals[:700]), _registers(vals[700:])
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
+    assert sk.hll_estimate(merged) == sk.hll_estimate(whole)
+
+
+def test_hll_sum_is_exact_dyadic():
+    # every register contribution is 2^(27-rho) with rho in [1,27]:
+    # the scaled sum fits in < 53 mantissa bits, so float summation
+    # order cannot change the estimate
+    regs = {i: (i % 27) + 1 for i in range(64)}
+    s = sum(1 << (sk.HLL_RHO_MAX - r) for r in regs.values())
+    assert s < 2 ** 53
+    assert float(s) == s
