@@ -2732,6 +2732,232 @@ def q_betweenness_co(sf_dir):
                      "betweenness": pa.array(round6(bc[vids]))})
 
 
+DOC_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_docs_pivot_lang(sf_dir):
+    """Pivot / conditional aggregation: documents per source with one
+    count column per language. The pivot happens INSIDE the per-batch
+    partial (one int64 column per known language), so the shuffle
+    carries |sources| x (|langs|+1) integers, not the document rows."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        cols = {"source": t["source"]}
+        for lg in DOC_LANGS:
+            cols[f"n_{lg}"] = pa.array(
+                (lang == lg).astype(np.int64))
+        return pa.table(cols).group_by("source").aggregate(
+            [(f"n_{lg}", "sum") for lg in DOC_LANGS]) \
+            .rename_columns(["source"] + [f"n_{lg}" for lg in DOC_LANGS])
+
+    agg = docs.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("source").aggregate(
+            *[Sum(f"n_{lg}", alias_name=f"n_{lg}") for lg in DOC_LANGS])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": t["source"],
+             **{f"n_{lg}": pc.cast(t[f"n_{lg}"], pa.int64())
+                for lg in DOC_LANGS}})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_PIVOT_LANG = """
+SELECT source,
+       count(*) FILTER (WHERE lang = 'de') AS n_de,
+       count(*) FILTER (WHERE lang = 'en') AS n_en,
+       count(*) FILTER (WHERE lang = 'es') AS n_es,
+       count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+       count(*) FILTER (WHERE lang = 'zh') AS n_zh
+FROM documents GROUP BY source
+"""
+
+
+EXCEPT_THRESHOLD = 200
+
+
+def q_users_click_no_signup(sf_dir):
+    """Set difference (EXCEPT): users with a high-value (>200) click
+    but no high-value signup. One user_id shuffle of per-batch
+    boolean partials, then a vectorised flag filter — both sides of
+    the EXCEPT come from a single pass over the events."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"]) \
+        .filter(expr=f"value > {EXCEPT_THRESHOLD}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "saw": pa.array((et == "click").astype(np.int64)),
+            "bought": pa.array((et == "signup").astype(np.int64)),
+        }).group_by("user_id").aggregate(
+            [("saw", "max"), ("bought", "max")]) \
+            .rename_columns(["user_id", "saw", "bought"])
+
+    from ray.data.aggregate import Max
+    agg = ev.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("user_id").aggregate(
+            Max("saw", alias_name="saw"),
+            Max("bought", alias_name="bought"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["saw"], 1), pc.equal(t["bought"], 0))
+        return t.filter(keep).select(["user_id"])
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_USERS_CLICK_NO_SIGNUP = f"""
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'click' AND value > {EXCEPT_THRESHOLD}
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'signup' AND value > {EXCEPT_THRESHOLD}
+"""
+
+
+BIGRAM_TOP_K = 20
+
+
+def q_bigram_topk(sf_dir):
+    """Top-20 adjacent-token collocations over the corpus
+    (``stages/text.bigram_top_terms``): flatten + parent-index
+    pairing, per-batch pair counts — the bigram vocabulary, not the
+    token stream, is what shuffles."""
+    return tx.bigram_top_terms(_docs(sf_dir), k=BIGRAM_TOP_K)
+
+
+SQL_BIGRAM_TOPK = f"""
+WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+           FROM documents),
+tok AS (SELECT doc_id, unnest(arr) AS w,
+               generate_subscripts(arr, 1) AS i FROM t),
+seq AS (SELECT w AS a,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        FROM tok),
+agg AS (SELECT a, b, count(*) AS n FROM seq WHERE b IS NOT NULL
+        GROUP BY a, b)
+SELECT a, b, n FROM agg ORDER BY n DESC, a, b LIMIT {BIGRAM_TOP_K}
+"""
+
+
+def q_eccentricity_co(sf_dir):
+    """Eccentricity (max finite hop distance) of the 4 smallest
+    active co-graph vertices — a diameter probe from the same
+    ``multi_bfs`` distance planes as closeness."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    seeds = np.flatnonzero(act)[:CLOSENESS_SEEDS].astype(np.int64)
+    dist, _ = ss.multi_bfs(g, seeds)
+    INF = np.iinfo(np.int64).max
+    ecc = np.where(dist < INF, dist, 0).max(axis=1).astype(np.int64)
+    return pa.table({"vid": pa.array(seeds),
+                     "eccentricity": pa.array(ecc)})
+
+
+SQL_ECCENTRICITY_CO = f"""
+WITH RECURSIVE
+{_SQL_CO_EDGES_BOTH},
+seeds AS (SELECT a AS s FROM e GROUP BY a ORDER BY a
+          LIMIT {CLOSENESS_SEEDS}),
+bfs(s, v, d) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT bfs.s, e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.v
+  WHERE bfs.d < 30
+),
+sd AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v)
+SELECT s AS vid, CAST(max(d) AS BIGINT) AS eccentricity
+FROM sd GROUP BY s
+"""
+
+
+FUNNEL_WINDOW_H = 72
+
+
+def q_events_funnel(sf_dir):
+    """Ordered-sequence funnel: per user, first 'view', then the
+    first 'click' within 72 h of it, then any 'purchase' within 72 h
+    of that click (order = strictly increasing (ts, event_id)). One
+    user_id hash shuffle; the per-group check is a vectorised
+    running-stage scan. Output = users per deepest stage (0-3)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    stages = ("view", "click", "purchase")
+    win = np.timedelta64(FUNNEL_WINDOW_H, "h")
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        stage, deadline = 0, None
+        for s in stages:
+            ok = et == s
+            if deadline is not None:
+                ok &= ts <= deadline
+            hit = np.flatnonzero(ok)
+            if len(hit) == 0:
+                break
+            stage += 1
+            deadline = ts[hit[0]] + win
+            et, ts = et[hit[0] + 1:], ts[hit[0] + 1:]
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "stage": np.array([stage], np.int64)})
+
+    per_user = ev.groupby("user_id").map_groups(funnel,
+                                                batch_format="pandas")
+
+    def agg(t: pa.Table) -> pa.Table:
+        return t.group_by("stage").aggregate([([], "count_all")]) \
+            .rename_columns(["stage", "n_users"])
+
+    return per_user.map_batches(agg, batch_format="pyarrow") \
+        .groupby("stage").aggregate(Sum("n_users",
+                                        alias_name="n_users")) \
+        .map_batches(lambda t: pa.table({
+            "stage": pc.cast(t["stage"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64())}),
+            batch_format="pyarrow")
+
+
+SQL_EVENTS_FUNNEL = """
+WITH v AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'view'
+                      THEN (ts, event_id) END) AS k1
+           FROM events GROUP BY user_id),
+c AS (SELECT ev.user_id,
+             min(CASE WHEN event_type = 'click'
+                  AND (ev.ts, ev.event_id) > v.k1
+                  AND ev.ts <= v.k1[1] + INTERVAL 72 HOUR
+                 THEN (ev.ts, ev.event_id) END) AS k2
+      FROM events ev JOIN v USING (user_id)
+      WHERE v.k1 IS NOT NULL GROUP BY ev.user_id),
+p AS (SELECT ev.user_id,
+             count(CASE WHEN event_type = 'purchase'
+                    AND (ev.ts, ev.event_id) > c.k2
+                    AND ev.ts <= c.k2[1] + INTERVAL 72 HOUR
+                   THEN 1 END) AS np
+      FROM events ev JOIN c USING (user_id)
+      WHERE c.k2 IS NOT NULL GROUP BY ev.user_id),
+stages AS (
+  SELECT v.user_id,
+         CASE WHEN v.k1 IS NULL THEN 0
+              WHEN c.k2 IS NULL THEN 1
+              WHEN COALESCE(p.np, 0) = 0 THEN 2
+              ELSE 3 END AS stage
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+SELECT stage, count(*) AS n_users FROM stages GROUP BY stage
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -2808,6 +3034,11 @@ QUERIES = {
     "events_quantiles_approx": q_events_quantiles_approx,
     "spath_counts_co": q_spath_counts_co,
     "betweenness_co": q_betweenness_co,
+    "docs_pivot_lang": q_docs_pivot_lang,
+    "users_click_no_signup": q_users_click_no_signup,
+    "bigram_topk": q_bigram_topk,
+    "eccentricity_co": q_eccentricity_co,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLE_SQL = {
@@ -2880,4 +3111,9 @@ ORACLE_SQL = {
     "cust_order_counts": SQL_CUST_ORDER_COUNTS,
     "events_quantiles_approx": SQL_EVENTS_QUANTILES_APPROX,
     "spath_counts_co": SQL_SPATH_COUNTS_CO,
+    "docs_pivot_lang": SQL_DOCS_PIVOT_LANG,
+    "users_click_no_signup": SQL_USERS_CLICK_NO_SIGNUP,
+    "bigram_topk": SQL_BIGRAM_TOPK,
+    "eccentricity_co": SQL_ECCENTRICITY_CO,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }
