@@ -63,6 +63,18 @@ def run_bench():
 
     times = {}
 
+    # Machine-health yardstick recorded with every run: the shared
+    # host's DRAM bandwidth drifts by orders of magnitude between
+    # windows (measured 7 MB/s-13 GB/s); every bandwidth-bound stage
+    # scales with it, so absolute walls are only comparable between
+    # runs with similar membw_gib_s.
+    _mb = np.empty(1 << 23)  # 64 MiB
+    _mb[:] = 1.0
+    _t0 = time.time()
+    _mb2 = _mb.copy()
+    membw = round((_mb.nbytes / 2**30) / max(time.time() - _t0, 1e-9), 3)
+    del _mb, _mb2
+
     # ------------------------------------------------------------------
     # Flagship: Common-Crawl-style pages -> extract -> graph -> ranks
     # (the north-star pipeline; corpus synthesized once and cached)
@@ -367,6 +379,7 @@ def run_bench():
                   "pages_per_sec": int(n_pages / max(pages_time, 1e-9)),
                   "pagerank_iters": int(p_iters)},
         "edges_traversed_per_sec": int(traversals / max(bsp_time, 1e-9)),
+        "membw_gib_s": membw,
     }
     print(json.dumps(result))
     ray.shutdown()
