@@ -13,6 +13,7 @@ scaling efficiency.
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import subprocess
@@ -447,8 +448,31 @@ def run_scaling():
     }))
 
 
+def _json_only_stdout(fn):
+    """Guarantee the ONE-JSON-LINE stdout contract at the fd level:
+    raylet log-monitor lines can reach fd 1 even with
+    ``log_to_driver=False``, so run the suite with fd 1 pointed at
+    stderr and emit only the final JSON on the real stdout."""
+    real = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        fn()
+    finally:
+        sys.stdout = old
+        sys.stdout.flush()
+        os.dup2(real, 1)
+        os.close(real)
+    line = buf.getvalue().strip().splitlines()[-1]
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling()
+        _json_only_stdout(run_scaling)
     else:
-        run_bench()
+        _json_only_stdout(run_bench)
