@@ -989,3 +989,227 @@ def betweenness(g: DistGraph, sources):
         mask = (dist > 0) & (dist < INF)
         acc[mask] += delta[mask]
     return acc
+
+
+MIS_KEY_STRIDE = 100_000_000
+
+
+def mis_key(v, r):
+    """Deterministic Luby priority for round ``r``, packed with the
+    vid tiebreak into one int64 (== the SQL oracle's expression):
+    ``walk-hash(v, r) * 1e8 + v`` — requires ``n < 1e8``; raise the
+    stride (or split the comparison) past that."""
+    M = WALK_MOD
+    h = ((v % M) * 7919 + (r % M) * 104729) % M
+    return h * MIS_KEY_STRIDE + v
+
+
+def luby_mis(g: DistGraph, max_rounds=64):
+    """Maximal independent set via deterministic Luby rounds: a
+    vertex joins the MIS when its priority key is strictly smaller
+    than every ACTIVE neighbour's; its neighbours then deactivate.
+    Two BSP half-steps per round (neighbour-min of keys, then
+    exclusion broadcast), destination-aggregated messages, driver
+    sums only change counts. Blocks must hold both directions.
+
+    Returns (state, rounds): state per vertex — 1 = in MIS,
+    2 = excluded, 0 = never active (no edges).
+    """
+    P, n, sizes = g.P, g.n, g.sizes
+    BIG = np.iinfo(np.int64).max
+
+    @ray.remote
+    def nbr_min(block, state, keys):
+        src = block["src_local"]
+        k = np.where(state[src] == 0, keys[src], BIG)
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full(sizes[q], BIG, dtype=np.int64)
+            np.minimum.at(arr, block["dst_local"][sl], k[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def join_mis(state, keys, *incoming):
+        m = incoming[0].copy()
+        for arr in incoming[1:]:
+            np.minimum(m, arr, out=m)
+        new = state.copy()
+        cand = (state == 0) & (keys < m)
+        new[cand] = 1
+        return new, int(cand.sum())
+
+    @ray.remote
+    def excl_gather(block, state, prev_state):
+        src = block["src_local"]
+        joined = (state[src] == 1) & (prev_state[src] == 0)
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q], dtype=bool)
+            np.logical_or.at(arr, block["dst_local"][sl], joined[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def exclude(state, *incoming):
+        hit = incoming[0].copy()
+        for arr in incoming[1:]:
+            np.logical_or(hit, arr, out=hit)
+        new = state.copy()
+        new[(state == 0) & hit] = 2
+        return new, int((state == 0).sum() - ((state == 0) & hit).sum())
+
+    # active = vertices with at least one edge
+    act_refs, _ = g.active_masks()
+    state_refs = []
+    for p in range(P):
+        act = ray.get(act_refs[p])
+        st = np.where(act, 0, 3).astype(np.int64)  # 3 = inactive/no-edge
+        state_refs.append(ray.put(st))
+
+    rounds = 0
+    for r in range(max_rounds):
+        key_refs = [ray.put(mis_key(np.arange(p, n, P, dtype=np.int64),
+                                    r)) for p in range(P)]
+        prev_refs = state_refs
+        msg = [nbr_min.options(num_returns=P).remote(
+            g.blocks[p], state_refs[p], key_refs[p]) for p in range(P)]
+        outs = [join_mis.options(num_returns=2).remote(
+            state_refs[q], key_refs[q],
+            *[msg[p][q] for p in range(P)]) for q in range(P)]
+        state_refs = [o[0] for o in outs]
+        joined = sum(ray.get([o[1] for o in outs]))
+        emsg = [excl_gather.options(num_returns=P).remote(
+            g.blocks[p], state_refs[p], prev_refs[p])
+            for p in range(P)]
+        outs = [exclude.options(num_returns=2).remote(
+            state_refs[q], *[emsg[p][q] for p in range(P)])
+            for q in range(P)]
+        state_refs = [o[0] for o in outs]
+        remaining = sum(ray.get([o[1] for o in outs]))
+        rounds = r + 1
+        if remaining == 0:
+            break
+    out = np.zeros(n, dtype=np.int64)
+    shards = ray.get(state_refs)
+    for p in range(P):
+        out[p::P] = shards[p]
+    out[out == 3] = 0
+    return out, rounds
+
+
+def mis_coloring(g: DistGraph, max_colors=256):
+    """Distributed greedy graph coloring by iterated Luby layers:
+    colour c = maximal independent set of the still-uncoloured
+    subgraph. Deterministic (inherits ``mis_key``), parallelism-
+    invariant, and every colour class is independent by construction;
+    the colour count is within the usual MIS-layering bound (no
+    optimality claim). Blocks must hold both directions.
+
+    Returns (colors, n_colors): colour per vertex (-1 = no edges).
+    """
+    P, n, sizes = g.P, g.n, g.sizes
+    BIG = np.iinfo(np.int64).max
+
+    @ray.remote
+    def nbr_min(block, avail, keys):
+        src = block["src_local"]
+        k = np.where(avail[src], keys[src], BIG)
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full(sizes[q], BIG, dtype=np.int64)
+            np.minimum.at(arr, block["dst_local"][sl], k[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def join(avail, keys, *incoming):
+        m = incoming[0].copy()
+        for arr in incoming[1:]:
+            np.minimum(m, arr, out=m)
+        cand = avail & (keys < m)
+        return cand, int(cand.sum())
+
+    @ray.remote
+    def excl_gather(block, cand):
+        src = block["src_local"]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q], dtype=bool)
+            np.logical_or.at(arr, block["dst_local"][sl],
+                             cand[src][sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def apply_round(colors, avail, cand, color, *incoming):
+        hit = incoming[0].copy()
+        for arr in incoming[1:]:
+            np.logical_or(hit, arr, out=hit)
+        nc = colors.copy()
+        nc[cand] = color
+        na = avail & ~cand & ~hit     # excluded this MIS round
+        return nc, na, int(na.sum()), int(avail.sum() - cand.sum())
+
+    act_refs, _ = g.active_masks()
+    color_refs, avail_refs, uncolored = [], [], 0
+    for p in range(P):
+        act = ray.get(act_refs[p])
+        color_refs.append(ray.put(np.full(sizes[p], -1, dtype=np.int64)))
+        avail_refs.append(ray.put(act.copy()))
+        uncolored += int(act.sum())
+    # 'remaining to colour' per colour layer: vertices not yet
+    # coloured; within a layer, Luby rounds shrink 'avail'
+    color = 0
+    remaining_refs = avail_refs
+    while uncolored > 0 and color < max_colors:
+        # one full MIS over the uncoloured subgraph, Luby round r
+        avail_refs = [ray.put(ray.get(r).copy())
+                      for r in remaining_refs]
+        r = 0
+        while True:
+            key_refs = [ray.put(mis_key(
+                np.arange(p, n, P, dtype=np.int64),
+                color * 1000 + r)) for p in range(P)]
+            msg = [nbr_min.options(num_returns=P).remote(
+                g.blocks[p], avail_refs[p], key_refs[p])
+                for p in range(P)]
+            outs = [join.options(num_returns=2).remote(
+                avail_refs[q], key_refs[q],
+                *[msg[p][q] for p in range(P)]) for q in range(P)]
+            cand_refs = [o[0] for o in outs]
+            joined = sum(ray.get([o[1] for o in outs]))
+            emsg = [excl_gather.options(num_returns=P).remote(
+                g.blocks[p], cand_refs[p]) for p in range(P)]
+            outs = [apply_round.options(num_returns=4).remote(
+                color_refs[q], avail_refs[q], cand_refs[q], color,
+                *[emsg[p][q] for p in range(P)]) for q in range(P)]
+            color_refs = [o[0] for o in outs]
+            avail_refs = [o[1] for o in outs]
+            left = sum(ray.get([o[2] for o in outs]))
+            r += 1
+            if left == 0:
+                break
+        # uncoloured = previous uncoloured minus this colour class
+        @ray.remote
+        def still_uncolored(colors, rem):
+            na = rem & (colors < 0)
+            return na, int(na.sum())
+        outs = [still_uncolored.options(num_returns=2).remote(
+            color_refs[p], remaining_refs[p]) for p in range(P)]
+        remaining_refs = [o[0] for o in outs]
+        uncolored = sum(ray.get([o[1] for o in outs]))
+        color += 1
+    out = np.full(n, -1, dtype=np.int64)
+    shards = ray.get(color_refs)
+    for p in range(P):
+        out[p::P] = shards[p]
+    return out, color

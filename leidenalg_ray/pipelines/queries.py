@@ -2958,6 +2958,128 @@ SELECT stage, count(*) AS n_users FROM stages GROUP BY stage
 """
 
 
+MIS_SQL_ROUNDS = 12
+
+
+def q_mis_co(sf_dir):
+    """Maximal independent set on the co graph via deterministic Luby
+    rounds (``superstep.luby_mis``): the classic BSP symmetry-breaking
+    primitive — a vertex joins when its per-round hash priority beats
+    every active neighbour's, then deactivates its neighbourhood.
+    Output = the MIS membership."""
+    g = _co_distgraph(sf_dir)
+    state, rounds = ss.luby_mis(g)
+    assert rounds <= MIS_SQL_ROUNDS, \
+        f"Luby took {rounds} rounds; raise MIS_SQL_ROUNDS"
+    vids = np.flatnonzero(state == 1).astype(np.int64)
+    return pa.table({"vid": pa.array(vids)})
+
+
+def _mis_rounds_sql(max_r):
+    """Round-unrolled Luby oracle (materialized — see sigma note):
+    c_r = active local-priority minima, m advances, a shrinks by the
+    joined set and its neighbourhood. Extra rounds no-op once a is
+    empty, so unrolling past convergence is safe."""
+    def key(col, r):
+        return (f"(((({col}) % 1000003) * 7919 + ({r} % 1000003) * "
+                f"104729) % 1000003) * 100000000 + ({col})")
+    parts = [
+        "a0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM e)",
+        "m0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS v "
+        "WHERE FALSE)",
+    ]
+    for r in range(max_r):
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT av.v FROM a{r} av\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM e JOIN a{r} nb\n"
+            f"    ON nb.v = e.b WHERE e.a = av.v\n"
+            f"    AND {key('nb.v', r)} < {key('av.v', r)}))")
+        parts.append(
+            f"m{r + 1} AS MATERIALIZED (SELECT v FROM m{r}\n"
+            f"  UNION ALL SELECT v FROM c{r})")
+        parts.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT v FROM a{r}\n"
+            f"  WHERE v NOT IN (SELECT v FROM c{r})\n"
+            f"  AND v NOT IN (SELECT e.b FROM e JOIN c{r} cc\n"
+            f"                ON e.a = cc.v))")
+    return ",\n".join(parts), f"m{max_r}"
+
+
+_MIS_CTES, _MIS_FINAL = _mis_rounds_sql(MIS_SQL_ROUNDS)
+
+SQL_MIS_CO = f"""
+WITH
+{_SQL_CO_EDGES_BOTH_MAT},
+{_MIS_CTES}
+SELECT v AS vid FROM {_MIS_FINAL}
+"""
+
+
+WEEK_US = 604_800 * 1_000_000
+
+
+def q_cohort_retention(sf_dir):
+    """Cohort retention: users grouped by first-seen week; for each
+    (cohort_week, week_offset) the count of users active that week.
+    One user_id hash shuffle; each group emits its (cohort, offset)
+    pairs, then a tiny second groupby counts — the event stream never
+    shuffles twice."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        w = np.unique(g["ts"].to_numpy().astype("datetime64[us]")
+                      .astype(np.int64) // WEEK_US)
+        return pd.DataFrame({"cohort_week": np.full(len(w), w[0]),
+                             "week_offset": w - w[0]})
+
+    pairs = ev.groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [([], "count_all")]) \
+            .rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    return pairs.map_batches(pre, batch_format="pyarrow") \
+        .groupby(["cohort_week", "week_offset"]).aggregate(
+            Sum("n_users", alias_name="n_users")) \
+        .map_batches(lambda t: pa.table({
+            "cohort_week": pc.cast(t["cohort_week"], pa.int64()),
+            "week_offset": pc.cast(t["week_offset"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64())}),
+            batch_format="pyarrow")
+
+
+SQL_COHORT_RETENTION = """
+WITH u AS (SELECT user_id,
+                  CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cw
+           FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+        FROM events)
+SELECT u.cw AS cohort_week, act.w - u.cw AS week_offset,
+       count(*) AS n_users
+FROM act JOIN u USING (user_id) GROUP BY 1, 2
+"""
+
+
+def q_coloring_co(sf_dir):
+    """Greedy distributed graph coloring (iterated Luby MIS layers,
+    ``superstep.mis_coloring``) on the co graph. Rows-only at the
+    driver: the colour count depends on iterate-to-fixed-point MIS
+    layers (too deep to unroll in SQL); properness, completeness and
+    parallelism-invariance are pinned by
+    ``tests/test_dist.py::test_mis_coloring_valid_and_invariant``,
+    and the single-layer MIS primitive is driver-verified via
+    ``mis_co``."""
+    g = _co_distgraph(sf_dir)
+    colors, _ = ss.mis_coloring(g)
+    vids = np.flatnonzero(colors >= 0).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "color": pa.array(colors[vids])})
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -3039,6 +3161,9 @@ QUERIES = {
     "bigram_topk": q_bigram_topk,
     "eccentricity_co": q_eccentricity_co,
     "events_funnel": q_events_funnel,
+    "mis_co": q_mis_co,
+    "cohort_retention": q_cohort_retention,
+    "coloring_co": q_coloring_co,
 }
 
 ORACLE_SQL = {
@@ -3116,4 +3241,6 @@ ORACLE_SQL = {
     "bigram_topk": SQL_BIGRAM_TOPK,
     "eccentricity_co": SQL_ECCENTRICITY_CO,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "mis_co": SQL_MIS_CO,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }

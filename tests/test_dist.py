@@ -748,3 +748,74 @@ def test_betweenness_matches_serial():
     eng = ss.betweenness(g, seeds)
     ser = _serial_brandes(src, dst, n, seeds)
     assert np.allclose(eng, ser, atol=1e-9)
+
+
+def _serial_luby(src, dst, n, max_rounds=64):
+    adj = {}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    state = {v: 0 for v in adj}          # 0 active, 1 mis, 2 out
+    for r in range(max_rounds):
+        active = [v for v, s in state.items() if s == 0]
+        if not active:
+            break
+        act = set(active)
+        joined = [v for v in active
+                  if all(ss.mis_key(v, r) < ss.mis_key(u, r)
+                         for u in adj[v] if u in act)]
+        for v in joined:
+            state[v] = 1
+            for u in adj[v]:
+                if state.get(u) == 0:
+                    state[u] = 2
+    out = np.zeros(n, dtype=np.int64)
+    for v, s in state.items():
+        out[v] = s
+    return out
+
+
+def test_luby_mis_matches_serial(random_graph):
+    src, dst, n = random_graph
+    src, dst = _simple_undirected(src, dst, n)
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    state, rounds = ss.luby_mis(g)
+    assert np.array_equal(state, _serial_luby(src, dst, n))
+    # independence: no edge inside the MIS; maximality: every
+    # excluded vertex has a MIS neighbour
+    mis = state == 1
+    assert not (mis[src] & mis[dst]).any()
+    adj_hit = np.zeros(n, dtype=bool)
+    adj_hit[src[mis[dst]]] = True
+    adj_hit[dst[mis[src]]] = True
+    assert (adj_hit[state == 2]).all()
+
+
+def test_luby_mis_parallelism_invariant(random_graph):
+    src, dst, n = random_graph
+    src, dst = _simple_undirected(src, dst, n)
+    outs = []
+    for P in (2, 7):
+        g = DistGraph.from_edges(src, dst, n=n, P=P,
+                                 both_directions=True)
+        state, _ = ss.luby_mis(g)
+        outs.append(state)
+    assert np.array_equal(outs[0], outs[1])
+
+
+def test_mis_coloring_valid_and_invariant(random_graph):
+    src, dst, n = random_graph
+    src, dst = _simple_undirected(src, dst, n)
+    outs = []
+    for P in (3, 8):
+        g = DistGraph.from_edges(src, dst, n=n, P=P,
+                                 both_directions=True)
+        colors, nc = ss.mis_coloring(g)
+        act = g.active_global()
+        # complete: every active vertex coloured; inactive = -1
+        assert (colors[act] >= 0).all() and (colors[~act] == -1).all()
+        # proper: no edge joins two same-coloured vertices
+        assert not (colors[src] == colors[dst]).any()
+        assert nc <= 64
+        outs.append(colors)
+    assert np.array_equal(outs[0], outs[1])
