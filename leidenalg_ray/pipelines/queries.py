@@ -22,6 +22,7 @@ from . import tpch_graphs as tg
 from ..dist.blocks import DistGraph
 from ..dist import superstep as ss
 from ..dist.triangles import triangle_count
+from ..dist.truss import k_truss
 from ..dist.leiden import DistLeiden
 from ..stages import text as tx
 from ..stages import dedup as dd
@@ -3080,6 +3081,125 @@ def q_coloring_co(sf_dir):
                      "color": pa.array(colors[vids])})
 
 
+KTRUSS_K = 10
+KTRUSS_SQL_ROUNDS = 12
+
+
+def q_ktruss_co(sf_dir):
+    """k-truss (k=10) of the co graph: iterative support peel over
+    the compact-forward triangle plan (``dist/truss.k_truss``) —
+    every surviving edge closes >= 8 triangles inside the subgraph."""
+    t = pa.concat_tables(
+        [b for b in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    n = int(max(s.max(), d.max())) + 1
+    a, b, rounds = k_truss(s, d, n, k=KTRUSS_K, P=8)
+    assert rounds <= KTRUSS_SQL_ROUNDS, \
+        f"peel took {rounds} rounds; raise KTRUSS_SQL_ROUNDS"
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+
+def _ktruss_rounds_sql(k, max_r):
+    """Round-unrolled peel (materialized): support via the
+    both-direction wedge join, HAVING >= k-2 keeps the edge. Extra
+    rounds past the fixed point are no-ops."""
+    parts = ["t0 AS MATERIALIZED (SELECT a, b FROM e0)"]
+    for r in range(max_r):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT a, b FROM t{r}\n"
+            f"  UNION ALL SELECT b AS a, a AS b FROM t{r})")
+        parts.append(
+            f"t{r + 1} AS MATERIALIZED (\n"
+            f"  SELECT e.a, e.b FROM t{r} e\n"
+            f"  JOIN d{r} x ON x.a = e.a\n"
+            f"  JOIN d{r} y ON y.a = e.b AND y.b = x.b\n"
+            f"  GROUP BY e.a, e.b HAVING count(*) >= {k - 2})")
+    return ",\n".join(parts), f"t{max_r}"
+
+
+_KT_CTES, _KT_FINAL = _ktruss_rounds_sql(KTRUSS_K, KTRUSS_SQL_ROUNDS)
+
+SQL_KTRUSS_CO = f"""
+WITH
+{_SQL_CO_EDGES_BOTH_MAT},
+{_KT_CTES}
+SELECT a, b FROM {_KT_FINAL}
+"""
+
+
+MOD_TERMS_C = 10
+
+
+def q_modularity_terms_co(sf_dir):
+    """Per-community modularity terms of the deterministic partition
+    ``comm = vid % 10`` on the (unweighted, deduped) co graph —
+    driver-verifies the quality FORMULA itself on real graph data
+    (``quality.py ModularityQuality``: term_c = w_in_c - d_c^2/(4m);
+    the planted Leiden queries verify the optimiser, this verifies
+    the arithmetic). Integer stats aggregate distributively (one
+    small shuffle); the float term is a single deterministic IEEE
+    expression per community, identical to the SQL.
+    Cross-checked against the in-memory tier in
+    ``tests/test_partition.py::test_modularity_terms_query_formula``."""
+    edges = tg.co_edges(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        ca, cb = a % MOD_TERMS_C, b % MOD_TERMS_C
+        win = np.bincount(ca[ca == cb], minlength=MOD_TERMS_C)
+        dsum = (np.bincount(ca, minlength=MOD_TERMS_C)
+                + np.bincount(cb, minlength=MOD_TERMS_C))
+        return pa.table({
+            "comm": pa.array(np.arange(MOD_TERMS_C, dtype=np.int64)),
+            "w_in": pa.array(win.astype(np.int64)),
+            "d_sum": pa.array(dsum.astype(np.int64)),
+            "m": pa.array(np.full(MOD_TERMS_C, len(a), np.int64)),
+        })
+
+    agg = edges.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("comm").aggregate(Sum("w_in", alias_name="w_in"),
+                                   Sum("d_sum", alias_name="d_sum"),
+                                   Sum("m", alias_name="m"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t["w_in"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["d_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "comm": pc.cast(t["comm"], pa.int64()),
+            "w_in": pc.cast(t["w_in"], pa.int64()),
+            "d_sum": pc.cast(t["d_sum"], pa.int64()),
+            "term": pa.array(round6(w - d * d / (4.0 * m))),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_MODULARITY_TERMS_CO = f"""
+WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey
+           GROUP BY 1, 2),
+s AS (SELECT a % {MOD_TERMS_C} AS ca, b % {MOD_TERMS_C} AS cb FROM e),
+m AS (SELECT count(*) AS m FROM e),
+stats AS (
+  SELECT comm,
+         sum(CASE WHEN ca = cb AND src = 'a' THEN 1 ELSE 0 END) AS w_in,
+         count(*) AS d_half
+  FROM (SELECT ca AS comm, ca, cb, 'a' AS src FROM s
+        UNION ALL SELECT cb, ca, cb, 'b' FROM s)
+  GROUP BY comm)
+SELECT comm, CAST(w_in AS BIGINT) AS w_in,
+       CAST(d_half AS BIGINT) AS d_sum,
+       round(w_in - (d_half * d_half) / (4.0 * m.m), 6) AS term
+FROM stats, m
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -3164,6 +3284,8 @@ QUERIES = {
     "mis_co": q_mis_co,
     "cohort_retention": q_cohort_retention,
     "coloring_co": q_coloring_co,
+    "ktruss_co": q_ktruss_co,
+    "modularity_terms_co": q_modularity_terms_co,
 }
 
 ORACLE_SQL = {
@@ -3243,4 +3365,6 @@ ORACLE_SQL = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "mis_co": SQL_MIS_CO,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "ktruss_co": SQL_KTRUSS_CO,
+    "modularity_terms_co": SQL_MODULARITY_TERMS_CO,
 }

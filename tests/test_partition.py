@@ -109,3 +109,33 @@ def test_from_partition_retype():
     p = CPMVertexPartition(g, resolution_parameter=0.1)
     p2 = ModularityVertexPartition.FromPartition(p)
     assert np.array_equal(p2.membership, p.membership)
+
+
+def test_modularity_terms_query_formula():
+    """The per-community term emitted by the SQL-verified
+    ``modularity_terms_co`` query (w_in - d^2/(4m), summed and
+    normalised by m) IS the in-memory tier's Modularity quality —
+    one formula, two tiers (CLAUDE.md rule)."""
+    from leidenalg_ray.graph import Graph
+
+    rng = np.random.default_rng(21)
+    n, m = 300, 1500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    nl = src != dst
+    a = np.minimum(src[nl], dst[nl])
+    b = np.maximum(src[nl], dst[nl])
+    keys = np.unique(a * np.int64(n) + b)
+    a, b = (keys // n).astype(np.int64), (keys % n).astype(np.int64)
+
+    g = Graph(n, src=a, dst=b)
+    p = ModularityVertexPartition(
+        g, initial_membership=(np.arange(n) % 10).tolist())
+
+    C, me = 10, float(len(a))
+    ca, cb = a % C, b % C
+    w_in = np.bincount(ca[ca == cb], minlength=C).astype(np.float64)
+    d = (np.bincount(ca, minlength=C)
+         + np.bincount(cb, minlength=C)).astype(np.float64)
+    q_terms = float((w_in - d * d / (4.0 * me)).sum() / me)
+    assert q_terms == pytest.approx(p.quality(), abs=1e-9)

@@ -1,0 +1,66 @@
+"""k-truss: serial peel oracle, planted structure, P-invariance."""
+
+import numpy as np
+
+from leidenalg_ray.dist.truss import edge_supports, k_truss
+
+
+def _serial_ktruss(edges, k):
+    edges = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for x, y in edges:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        drop = {e for e in edges
+                if len(adj[e[0]] & adj[e[1]]) < k - 2}
+        if not drop:
+            return edges
+        edges -= drop
+
+
+def test_edge_supports_matches_serial():
+    rng = np.random.default_rng(7)
+    n, m = 60, 260
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    nl = src != dst
+    a = np.minimum(src[nl], dst[nl])
+    b = np.maximum(src[nl], dst[nl])
+    keys = np.unique(a * np.int64(n) + b)
+    a, b = (keys // n).astype(np.int64), (keys % n).astype(np.int64)
+    sup = edge_supports(a, b, n, P=3)
+    adj = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    exp = np.array([len(adj[x] & adj[y])
+                    for x, y in zip(a.tolist(), b.tolist())])
+    assert np.array_equal(sup, exp)
+
+
+def test_k_truss_planted_clique():
+    # an 8-clique (every edge support 6) + a long path: the 5-truss
+    # is exactly the clique
+    ii, jj = np.triu_indices(8, k=1)
+    path_a = np.arange(8, 40)
+    path_b = np.arange(9, 41)
+    src = np.concatenate([ii, path_a, [0]])
+    dst = np.concatenate([jj, path_b, [8]])
+    a, b, _ = k_truss(src, dst, 41, k=5, P=2)
+    assert len(a) == 28
+    assert set(zip(a.tolist(), b.tolist())) == \
+        set(zip(ii.tolist(), jj.tolist()))
+
+
+def test_k_truss_matches_serial_and_invariant():
+    rng = np.random.default_rng(9)
+    n, m = 80, 600
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    exp = _serial_ktruss(list(zip(src.tolist(), dst.tolist())), 4)
+    outs = []
+    for P in (2, 5):
+        a, b, _ = k_truss(src, dst, n, k=4, P=P)
+        outs.append(set(zip(a.tolist(), b.tolist())))
+    assert outs[0] == outs[1] == exp
