@@ -3200,6 +3200,92 @@ FROM stats, m
 """
 
 
+def q_media_decode(sf_dir):
+    """Multimodal decode plumbing, driver-verified: documents as a
+    media table (payload = utf8 text, kind by id residue), decoded by
+    the actor-pool ``MediaDecoderMd5`` stub — dimensions/frames/
+    features derive from the payload md5 so the SQL oracle replicates
+    the whole stage; the real-codec seam stays
+    ``MediaDecoder(decode='real')`` (raises: no codecs here)."""
+    from ..stages import multimodal as mm
+    media = mm.docs_as_media(_docs(sf_dir))
+    return media.map_batches(mm.MediaDecoderMd5, batch_format="pyarrow",
+                             batch_size=64, zero_copy_batch=True,
+                             concurrency=(1, 4))
+
+
+SQL_MEDIA_DECODE = """
+WITH b AS (SELECT doc_id AS media_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  md5(text) AS h
+           FROM documents),
+d AS (SELECT media_id, kind,
+             ('0x' || substr(h, 1, 2))::INT AS b0,
+             ('0x' || substr(h, 3, 2))::INT AS b1,
+             ('0x' || substr(h, 5, 2))::INT AS b2,
+             ('0x' || substr(h, 7, 2))::INT AS b3
+      FROM b)
+SELECT media_id, kind,
+       CAST(64 + b0 * 4 AS BIGINT) AS width,
+       CAST(64 + b1 * 4 AS BIGINT) AS height,
+       CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + b2 END
+            AS BIGINT) AS n_frames,
+       round(b0 / 255.0, 6) AS f0, round(b1 / 255.0, 6) AS f1,
+       round(b2 / 255.0, 6) AS f2, round(b3 / 255.0, 6) AS f3
+FROM d
+"""
+
+
+MEDIA_FRAME_EVERY = 2
+
+
+def q_media_frame_sample(sf_dir):
+    """Frame-sampling plumbing, driver-verified: one row per sampled
+    frame index (stride 2) of each 'video' row; images/audio pass
+    through as frame 0."""
+    from ..stages import multimodal as mm
+    import hashlib as _h
+    media = mm.docs_as_media(_docs(sf_dir))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids, kinds, frames = [], [], []
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind == "video":
+                n = 1 + _h.md5(payload).digest()[2]
+                for f in range(0, n, MEDIA_FRAME_EVERY):
+                    ids.append(mid); kinds.append(kind)
+                    frames.append(f)
+            else:
+                ids.append(mid); kinds.append(kind)
+                frames.append(0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "frame": pa.array(frames, pa.int64()),
+        })
+    return media.map_batches(sample, batch_format="pyarrow",
+                             batch_size=64, zero_copy_batch=True)
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+WITH b AS (SELECT doc_id AS media_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  1 + ('0x' || substr(md5(text), 5, 2))::INT AS n
+           FROM documents)
+-- static series + predicate: DuckDB 1.0 rejects lateral column
+-- parameters in generate_series
+SELECT media_id, kind, CAST(f AS BIGINT) AS frame
+FROM b, generate_series(0, 256) t(f)
+WHERE kind = 'video' AND f < n AND f % {MEDIA_FRAME_EVERY} = 0
+UNION ALL
+SELECT media_id, kind, 0 FROM b WHERE kind <> 'video'
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -3286,6 +3372,8 @@ QUERIES = {
     "coloring_co": q_coloring_co,
     "ktruss_co": q_ktruss_co,
     "modularity_terms_co": q_modularity_terms_co,
+    "media_decode": q_media_decode,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 ORACLE_SQL = {
@@ -3367,4 +3455,6 @@ ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "ktruss_co": SQL_KTRUSS_CO,
     "modularity_terms_co": SQL_MODULARITY_TERMS_CO,
+    "media_decode": SQL_MEDIA_DECODE,
+    "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
 }

@@ -128,3 +128,66 @@ def frame_sample(media_ds, every=2, concurrency=4):
         })
     return media_ds.map_batches(sample, batch_format="pyarrow",
                                 batch_size=32, zero_copy_batch=True)
+
+
+class MediaDecoderMd5:
+    """SQL-verifiable twin of ``MediaDecoder``: same actor-pool
+    plumbing and output shape, but the fake decode derives from the
+    payload's md5 digest so a DuckDB oracle reproduces it byte-for-
+    byte (``('0x' || substr(md5(text), 2i+1, 2))::INT`` per digest
+    byte). Feature components are flat float64 columns (f0..f3)
+    because list<float32> renders differently across engines."""
+
+    def __init__(self, decode="fake", feature_dim=4):
+        if decode == "real":
+            raise NotImplementedError(
+                "image/audio codecs are not available in this "
+                "container; use decode='fake' (deterministic stub)")
+        if decode != "fake":
+            raise ValueError(f"unknown decode mode {decode!r}")
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        width = np.empty(len(ids), dtype=np.int64)
+        height = np.empty(len(ids), dtype=np.int64)
+        n_frames = np.empty(len(ids), dtype=np.int64)
+        feats = np.empty((len(ids), self.feature_dim), dtype=np.float64)
+        for i, (k, p) in enumerate(zip(kinds, payloads)):
+            digest = _h.md5(p).digest()
+            width[i] = 64 + digest[0] * 4
+            height[i] = 64 + digest[1] * 4
+            n_frames[i] = 1 if k == "image" else 1 + digest[2]
+            for j in range(self.feature_dim):
+                feats[i, j] = round(digest[j] / 255.0, 6)
+        cols = {
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "width": pa.array(width),
+            "height": pa.array(height),
+            "n_frames": pa.array(n_frames),
+        }
+        for j in range(self.feature_dim):
+            cols[f"f{j}"] = pa.array(feats[:, j])
+        return pa.table(cols)
+
+
+def docs_as_media(docs_ds):
+    """Register the documents table as a media table (payload = utf8
+    text bytes, kind by id residue) — gives the multimodal stages a
+    driver-registered input so their plumbing is oracle-verifiable."""
+    kinds = ("image", "audio", "video")
+
+    def conv(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+        return pa.table({
+            "media_id": t["doc_id"],
+            "kind": pa.array([kinds[i % 3] for i in ids], pa.string()),
+            "payload": pc.cast(t["text"], pa.binary()),
+        })
+    return docs_ds.map_batches(conv, batch_format="pyarrow",
+                               zero_copy_batch=True)
