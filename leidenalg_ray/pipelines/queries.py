@@ -3088,7 +3088,11 @@ KTRUSS_SQL_ROUNDS = 12
 def q_ktruss_co(sf_dir):
     """k-truss (k=10) of the co graph: iterative support peel over
     the compact-forward triangle plan (``dist/truss.k_truss``) —
-    every surviving edge closes >= 8 triangles inside the subgraph."""
+    every surviving edge closes >= 8 triangles inside the subgraph.
+    This is the broadcast tier (sorted edge keys shipped once, 16
+    bytes/edge — same envelope as ``triangle_count_fast``); past
+    node memory the peel swaps its support step for the bucketed
+    spill plan of ``triangles.triangle_count`` (see truss.py)."""
     t = pa.concat_tables(
         [b for b in tg.co_edge_rows(sf_dir).iter_batches(
             batch_size=None, batch_format="pyarrow")])
@@ -3286,6 +3290,85 @@ SELECT media_id, kind, 0 FROM b WHERE kind <> 'video'
 """
 
 
+def q_orders_percent_rank(sf_dir):
+    """percent_rank window: each order's price percentile within its
+    status — one status hash shuffle, per-group vectorised min-rank
+    over the sorted column (ties share rank, exactly the SQL window
+    semantics)."""
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderstatus",
+                                  "o_totalprice"])
+
+    def prank(g: pd.DataFrame) -> pd.DataFrame:
+        p = g["o_totalprice"].to_numpy(np.float64)
+        order = np.argsort(p, kind="stable")
+        sp = p[order]
+        # min-rank with ties: position of first equal value
+        first = np.searchsorted(sp, sp, side="left")
+        rank = np.empty(len(p), dtype=np.int64)
+        rank[order] = first + 1
+        denom = max(len(p) - 1, 1)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"],
+            "pr": round6((rank - 1) / denom),
+        })
+
+    return od.groupby("o_orderstatus").map_groups(
+        prank, batch_format="pandas")
+
+
+SQL_ORDERS_PERCENT_RANK = """
+SELECT o_orderkey,
+       round(percent_rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice), 6) AS pr
+FROM orders
+"""
+
+
+MOVAVG_W = 3
+
+
+def q_events_moving_avg(sf_dir):
+    """Moving average window (ROWS 2 PRECEDING .. CURRENT) of the
+    event value per user ordered by (ts, event_id): one user shuffle,
+    per-group shifted adds in the SQL frame's summation order
+    ((x[i-2] + x[i-1]) + x[i]) so the float result is bit-identical
+    to the window oracle."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "value"])
+
+    def mavg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        x = g["value"].to_numpy(np.float64)
+        n = len(x)
+        s = x.copy()
+        cnt = np.ones(n)
+        if n > 1:
+            s[1:] = x[:-1] + x[1:]          # (x[i-1]) + x[i]
+            cnt[1:] = 2
+        if n > 2:
+            s[2:] = (x[:-2] + x[1:-1]) + x[2:]
+            cnt[2:] = 3
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "mavg": round6(s / cnt),
+        })
+
+    return ev.groupby("user_id").map_groups(mavg,
+                                            batch_format="pandas")
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING
+                                   AND CURRENT ROW), 6) AS mavg
+FROM events
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -3374,6 +3457,8 @@ QUERIES = {
     "modularity_terms_co": q_modularity_terms_co,
     "media_decode": q_media_decode,
     "media_frame_sample": q_media_frame_sample,
+    "orders_percent_rank": q_orders_percent_rank,
+    "events_moving_avg": q_events_moving_avg,
 }
 
 ORACLE_SQL = {
@@ -3457,4 +3542,6 @@ ORACLE_SQL = {
     "modularity_terms_co": SQL_MODULARITY_TERMS_CO,
     "media_decode": SQL_MEDIA_DECODE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "orders_percent_rank": SQL_ORDERS_PERCENT_RANK,
+    "events_moving_avg": SQL_EVENTS_MOVING_AVG,
 }
