@@ -96,3 +96,163 @@ def k_truss(src, dst, n, k, P=8, max_rounds=1_000):
             break
         a, b = a[keep], b[keep]
     return a, b, rounds
+
+
+def k_truss_partitioned(src, dst, n, k, K=8, max_rounds=1_000):
+    """>node-memory k-truss: edges stay bucketed by ``lo % K`` in the
+    object store across peel rounds; each round mirrors
+    ``triangles.triangle_count``'s plan (degree rank -> forward
+    orientation -> wedge keys shipped to the closing edge's bucket)
+    plus one extra K x K exchange that credits each found triangle
+    back to its two wedge edges' home buckets. The driver holds only
+    O(V) degree partials and per-round drop counts — never an edge
+    array.
+
+    Returns (a, b, rounds) like ``k_truss`` (driver-side result
+    arrays; write per-bucket outputs directly at real scale).
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    nl = src != dst
+    a = np.minimum(src[nl], dst[nl])
+    b = np.maximum(src[nl], dst[nl])
+    keys = np.unique(a * np.int64(n) + b)
+    a = (keys // n).astype(np.int64)
+    b = (keys % n).astype(np.int64)
+    # initial buckets (sorted within bucket by key, for membership)
+    edge_refs = []
+    for kk in range(K):
+        m = (a % K) == kk
+        edge_refs.append(ray.put((a[m], b[m])))
+
+    @ray.remote
+    def degrees(edges):
+        ea, eb = edges
+        v, c = np.unique(np.concatenate([ea, eb]), return_counts=True)
+        return v, c
+
+    @ray.remote
+    def forward(vp, edges):
+        verts_, pos_ = vp
+        ea, eb = edges
+        pa_ = pos_[np.searchsorted(verts_, ea)]
+        pb_ = pos_[np.searchsorted(verts_, eb)]
+        af = pa_ < pb_
+        u = np.where(af, ea, eb)
+        v = np.where(af, eb, ea)
+        bucket = u % K
+        order = np.argsort(bucket, kind="stable")
+        u, v, bucket = u[order], v[order], bucket[order]
+        bounds = np.searchsorted(bucket, np.arange(K + 1))
+        return [(u[bounds[i]:bounds[i + 1]], v[bounds[i]:bounds[i + 1]])
+                for i in range(K)]
+
+    @ray.remote
+    def wedges(*parts):
+        u = np.concatenate([p[0] for p in parts])
+        v = np.concatenate([p[1] for p in parts])
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+            if len(u) else np.empty(0, np.int64)
+        ends = np.append(starts[1:], len(u))
+        mids, los, his = [], [], []
+        for s0, s1 in zip(starts, ends):
+            if s1 - s0 < 2:
+                continue
+            nb = v[s0:s1]
+            ii, jj = np.triu_indices(len(nb), k=1)
+            x, y = nb[ii], nb[jj]
+            mids.append(np.full(len(x), u[s0]))
+            los.append(np.minimum(x, y))
+            his.append(np.maximum(x, y))
+        if not mids:
+            e = np.empty(0, np.int64)
+            return [(e, e, e)] * K
+        mid = np.concatenate(mids)
+        lo = np.concatenate(los)
+        hi = np.concatenate(his)
+        bucket = lo % K
+        order = np.argsort(bucket, kind="stable")
+        mid, lo, hi, bucket = (mid[order], lo[order], hi[order],
+                               bucket[order])
+        bounds = np.searchsorted(bucket, np.arange(K + 1))
+        return [(mid[bounds[i]:bounds[i + 1]],
+                 lo[bounds[i]:bounds[i + 1]],
+                 hi[bounds[i]:bounds[i + 1]]) for i in range(K)]
+
+    @ray.remote
+    def close(edges, *wparts):
+        """Membership-test wedges against this bucket's edges; credit
+        the closing edge locally, ship wedge-edge credits home."""
+        ea, eb = edges
+        keys_ = ea * np.int64(n) + eb
+        mid = np.concatenate([p[0] for p in wparts])
+        lo = np.concatenate([p[1] for p in wparts])
+        hi = np.concatenate([p[2] for p in wparts])
+        sup_local = np.zeros(len(keys_), dtype=np.int64)
+        credits = [[] for _ in range(K)]
+        if len(mid) and len(keys_):
+            wk = lo * np.int64(n) + hi
+            idx = np.searchsorted(keys_, wk).clip(0, len(keys_) - 1)
+            hit = keys_[idx] == wk
+            np.add.at(sup_local, idx[hit], 1)
+            for w in (lo[hit], hi[hit]):
+                l2 = np.minimum(mid[hit], w)
+                h2 = np.maximum(mid[hit], w)
+                k2 = l2 * np.int64(n) + h2
+                tgt = l2 % K
+                for i in range(K):
+                    credits[i].append(k2[tgt == i])
+        out = [np.concatenate(c) if c else np.empty(0, np.int64)
+               for c in credits]
+        return (sup_local, *out)
+
+    @ray.remote
+    def peel(edges, sup_local, *credit_keys):
+        ea, eb = edges
+        keys_ = ea * np.int64(n) + eb
+        sup = sup_local.copy()
+        for ck in credit_keys:
+            if len(ck):
+                np.add.at(sup, np.searchsorted(keys_, ck), 1)
+        keep = sup >= k - 2
+        return (ea[keep], eb[keep]), int((~keep).sum())
+
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        deg_parts = ray.get([degrees.remote(edge_refs[i])
+                             for i in range(K)])
+        if not any(len(p[0]) for p in deg_parts):
+            break
+        verts = np.unique(np.concatenate([p[0] for p in deg_parts]))
+        deg = np.zeros(len(verts), dtype=np.int64)
+        for v, c in deg_parts:
+            deg[np.searchsorted(verts, v)] += c
+        rank = np.lexsort((verts, deg))
+        pos = np.empty(len(verts), dtype=np.int64)
+        pos[rank] = np.arange(len(verts))
+        vp_ref = ray.put((verts, pos))
+        fwd = [forward.options(num_returns=K).remote(
+            vp_ref, edge_refs[i]) for i in range(K)]
+        if K == 1:
+            fwd = [[r] for r in fwd]
+        wref = [wedges.options(num_returns=K).remote(
+            *[fwd[j][i] for j in range(K)]) for i in range(K)]
+        if K == 1:
+            wref = [[r] for r in wref]
+        cref = [close.options(num_returns=K + 1).remote(
+            edge_refs[i], *[wref[j][i] for j in range(K)])
+            for i in range(K)]
+        outs = [peel.options(num_returns=2).remote(
+            edge_refs[i], cref[i][0],
+            *[cref[j][1 + i] for j in range(K)]) for i in range(K)]
+        edge_refs = [o[0] for o in outs]
+        dropped = sum(ray.get([o[1] for o in outs]))
+        if dropped == 0:
+            break
+    parts = ray.get(edge_refs)
+    a = np.concatenate([p[0] for p in parts]) if parts else a[:0]
+    b = np.concatenate([p[1] for p in parts]) if parts else b[:0]
+    order = np.lexsort((b, a))
+    return a[order], b[order], rounds

@@ -64,3 +64,19 @@ def test_k_truss_matches_serial_and_invariant():
         a, b, _ = k_truss(src, dst, n, k=4, P=P)
         outs.append(set(zip(a.tolist(), b.tolist())))
     assert outs[0] == outs[1] == exp
+
+
+def test_k_truss_partitioned_matches_broadcast():
+    from leidenalg_ray.dist.truss import k_truss_partitioned
+    rng = np.random.default_rng(13)
+    n, m = 100, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    for k in (4, 6):
+        a1, b1, _ = k_truss(src, dst, n, k=k, P=3)
+        a2, b2, _ = k_truss_partitioned(src, dst, n, k=k, K=3)
+        assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
+    # K-invariance
+    a3, b3, _ = k_truss_partitioned(src, dst, n, k=4, K=5)
+    a1, b1, _ = k_truss(src, dst, n, k=4, P=2)
+    assert np.array_equal(a1, a3) and np.array_equal(b1, b3)
