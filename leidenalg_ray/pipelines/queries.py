@@ -3369,6 +3369,69 @@ FROM events
 """
 
 
+CENTROID_DIMS = 4
+CENTROID_Q = 1 << 20
+
+
+def q_embed_centroids(sf_dir):
+    """Per-label embedding centroids (the k-means update step /
+    class-prototype op, first 4 dims): per-batch fixed-point
+    quantised integer sums (round(x * 2^20)) so the distributed
+    accumulation is order-independent and the final float centroid is
+    one deterministic IEEE expression — exactly reproducible in SQL,
+    unlike a naive float mean whose value depends on reduce order."""
+    em = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = np.stack([np.asarray(v[:CENTROID_DIMS], dtype=np.float64)
+                        for v in t["embedding"].to_pylist()])
+        qz = np.floor(arr * CENTROID_Q + 0.5).astype(np.int64)
+        cols = {"label": pa.array(lab),
+                "n": pa.array(np.ones(len(lab), np.int64))}
+        for j in range(CENTROID_DIMS):
+            cols[f"s{j}"] = pa.array(qz[:, j])
+        return pa.table(cols).group_by("label").aggregate(
+            [(f"s{j}", "sum") for j in range(CENTROID_DIMS)]
+            + [("n", "sum")]) \
+            .rename_columns(["label"]
+                            + [f"s{j}" for j in range(CENTROID_DIMS)]
+                            + ["n"])
+
+    agg = em.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("label").aggregate(
+            *[Sum(f"s{j}", alias_name=f"s{j}")
+              for j in range(CENTROID_DIMS)],
+            Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {"label": pc.cast(t["label"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64())}
+        for j in range(CENTROID_DIMS):
+            s = t[f"s{j}"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            cols[f"c{j}"] = pa.array(round6((s / CENTROID_Q) / n))
+        return pa.table(cols)
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EMBED_CENTROIDS = f"""
+WITH q AS (SELECT label,
+""" + ",\n".join(
+    f"        CAST(floor(embedding[{j + 1}] * {CENTROID_Q} + 0.5) "
+    f"AS BIGINT) AS s{j}" for j in range(CENTROID_DIMS)) + f"""
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+""" + ",\n".join(
+    f"       round((sum(s{j}) / {CENTROID_Q}.0) / count(*), 6) AS c{j}"
+    for j in range(CENTROID_DIMS)) + """
+FROM q GROUP BY label
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -3459,6 +3522,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "orders_percent_rank": q_orders_percent_rank,
     "events_moving_avg": q_events_moving_avg,
+    "embed_centroids": q_embed_centroids,
 }
 
 ORACLE_SQL = {
@@ -3544,4 +3608,5 @@ ORACLE_SQL = {
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "orders_percent_rank": SQL_ORDERS_PERCENT_RANK,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "embed_centroids": SQL_EMBED_CENTROIDS,
 }

@@ -72,3 +72,52 @@ def test_set_membership_roundtrip(seed, n, density):
     p2 = CPMVertexPartition(g, initial_membership=p.membership,
                             resolution_parameter=0.3)
     assert p.quality() == pytest.approx(p2.quality(), abs=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 3000),
+       split=st.floats(0.1, 0.9))
+def test_hll_merge_associative_and_bounded(seed, n, split):
+    """HLL registers merge associatively (max per bucket) and the
+    estimate tracks true cardinality within the m=64 error envelope
+    for any corpus and any split point."""
+    from leidenalg_ray.stages import sketch as sk
+
+    r = np.random.default_rng(seed)
+    vals = [f"v{x}" for x in r.integers(0, 10 * n, n)]
+    true = len(set(vals))
+    cut = int(len(vals) * split)
+
+    def regs(vs):
+        if not vs:
+            return {}
+        df = sk.hll_partial(np.zeros(len(vs), np.int64), vs)
+        return dict(zip(df["bucket"].astype(int),
+                        df["rho"].astype(int)))
+
+    whole = regs(vals)
+    a, b = regs(vals[:cut]), regs(vals[cut:])
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
+    est = sk.hll_estimate(whole)
+    assert abs(est - true) / max(true, 1) < 0.55   # ~4 sigma at m=64
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 2000),
+       q=st.sampled_from([0.5, 0.9, 0.99]))
+def test_histogram_quantile_within_bin(seed, n, q):
+    """The fixed-bin quantile sketch (bin = floor(v*16), report upper
+    edge) is always >= the exact percentile_disc value and within one
+    bin width of it."""
+    r = np.random.default_rng(seed)
+    v = np.round(r.random(n) * 100, 2)
+    bins = np.floor(v * 16).astype(np.int64)
+    ub, cnt = np.unique(bins, return_counts=True)
+    cum = cnt.cumsum()
+    target = int(np.ceil(q * n))
+    approx = (ub[np.searchsorted(cum, target)] + 1) / 16
+    exact = np.sort(v)[max(target - 1, 0)]
+    assert exact <= approx <= exact + 1 / 16 + 1e-12
