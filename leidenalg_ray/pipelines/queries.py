@@ -3432,6 +3432,75 @@ FROM q GROUP BY label
 """
 
 
+STRATA_RATES = {"en": 2, "de": 3, "es": 3, "fr": 3, "zh": 3}
+
+
+def q_doc_sample_stratified(sf_dir):
+    """Stratified deterministic sampling: per-language keep rates
+    (1/2 for en, 1/3 otherwise) by id-hash residue — the
+    training-data rebalancing op (downsample the dominant language).
+    Pure map stage, no shuffle; reproducible across runs, shards and
+    parallelism (same md5 id-hash as ``stages/pack.hash_sample``)."""
+    from ..stages.pack import _id_hash
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        h = _id_hash(ids)
+        keep = np.zeros(len(ids), dtype=bool)
+        for lg, mod in STRATA_RATES.items():
+            m = lang == lg
+            keep[m] = (h[m] % np.uint64(mod)) == np.uint64(0)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "lang": pa.array(lang[keep], pa.string())})
+
+    return docs.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_DOC_SAMPLE_STRATIFIED = """
+WITH h AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                    ::UBIGINT AS h
+           FROM documents)
+SELECT doc_id, lang FROM h
+WHERE h % (CASE WHEN lang = 'en' THEN 2 ELSE 3 END) = 0
+"""
+
+
+def q_docs_normalize(sf_dir):
+    """Text normalisation stage: lowercase, collapse whitespace runs
+    to one space, trim; output the md5 of the normalised text (the
+    canonical-form fingerprint that exact dedup would key on after
+    cleaning). Vectorised RE2 kernels; SQL replicates with
+    lower/regexp_replace/trim/md5."""
+    import hashlib as _h
+    docs = _docs(sf_dir)
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_md5": pa.array(
+                [_h.md5(s.encode("utf-8")).hexdigest()
+                 for s in x.to_pylist()], pa.string()),
+        })
+    return docs.map_batches(norm, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_DOCS_NORMALIZE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         AS norm_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -3523,6 +3592,8 @@ QUERIES = {
     "orders_percent_rank": q_orders_percent_rank,
     "events_moving_avg": q_events_moving_avg,
     "embed_centroids": q_embed_centroids,
+    "doc_sample_stratified": q_doc_sample_stratified,
+    "docs_normalize": q_docs_normalize,
 }
 
 ORACLE_SQL = {
@@ -3609,4 +3680,6 @@ ORACLE_SQL = {
     "orders_percent_rank": SQL_ORDERS_PERCENT_RANK,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "embed_centroids": SQL_EMBED_CENTROIDS,
+    "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
+    "docs_normalize": SQL_DOCS_NORMALIZE,
 }
