@@ -3501,6 +3501,294 @@ FROM documents
 """
 
 
+def q_doc_repetition(sf_dir):
+    """Word-trigram repetition ratio per doc (boilerplate/loop-spam
+    quality signal): 1 - distinct/total trigrams."""
+    return tx.repetition_stats(_docs(sf_dir))
+
+
+SQL_DOC_REPETITION = """
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+              FROM documents),
+tri AS (SELECT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3)
+SELECT doc_id,
+       count(*) AS n_tri,
+       count(DISTINCT g) AS n_uniq,
+       round(1.0 - count(DISTINCT g) / count(*), 6) AS rep_ratio
+FROM tri GROUP BY doc_id
+"""
+
+
+def q_doc_entropy(sf_dir):
+    """Word-unigram Shannon entropy per doc (perplexity-proxy quality
+    score; base-2)."""
+    return tx.entropy_stats(_docs(sf_dir))
+
+
+SQL_DOC_ENTROPY = """
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+              FROM documents),
+w AS (SELECT doc_id, UNNEST(ws) AS w FROM toks WHERE len(ws) > 0),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+SELECT cnt.doc_id,
+       CAST(any_value(tot.n) AS BIGINT) AS n_tokens,
+       round(-sum((c / tot.n) * log2(c / tot.n)), 6) AS entropy
+FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+GROUP BY cnt.doc_id
+"""
+
+
+def q_contamination(sf_dir):
+    """Benchmark-contamination check: fraction of each training doc's
+    word 5-grams present in the eval slice (doc_id % 19 == 0). Eval
+    grams are the broadcast small side; the corpus streams."""
+    return tx.contamination_check(_docs(sf_dir))
+
+
+SQL_CONTAMINATION = """
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+              FROM documents),
+g AS (SELECT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+             ws[i+3] || ' ' || ws[i+4] AS g
+      FROM toks, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5),
+ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 19 = 0),
+tr AS (SELECT doc_id, g.g AS gg FROM g WHERE doc_id % 19 <> 0)
+SELECT tr.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS contamination
+FROM tr LEFT JOIN ev ON tr.gg = ev.g
+GROUP BY tr.doc_id
+"""
+
+
+PRICE_BUCKET_W = 5000.0
+
+
+def q_price_histogram(sf_dir):
+    """Fixed-width histogram of l_extendedprice (dataset-profiling
+    op): per-batch ``np.bincount`` partials, tiny driver reduce — no
+    shuffle; count/min/max are order-free so the match is exact."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        b = np.floor(x / PRICE_BUCKET_W).astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv)
+        vmin = np.full(len(uniq), np.inf)
+        vmax = np.full(len(uniq), -np.inf)
+        np.minimum.at(vmin, inv, x)
+        np.maximum.at(vmax, inv, x)
+        return pa.table({"bucket": pa.array(uniq),
+                         "n": pa.array(n, pa.int64()),
+                         "vmin": pa.array(vmin, pa.float64()),
+                         "vmax": pa.array(vmax, pa.float64())})
+
+    acc: dict = {}
+    for t in li.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for bk, n, lo, hi in zip(t["bucket"].to_pylist(),
+                                 t["n"].to_pylist(),
+                                 t["vmin"].to_pylist(),
+                                 t["vmax"].to_pylist()):
+            if bk in acc:
+                an, alo, ahi = acc[bk]
+                acc[bk] = (an + n, min(alo, lo), max(ahi, hi))
+            else:
+                acc[bk] = (n, lo, hi)
+    ks = sorted(acc)
+    return pa.table({
+        "bucket": pa.array(ks, pa.int64()),
+        "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "min_price": pa.array([acc[k][1] for k in ks], pa.float64()),
+        "max_price": pa.array([acc[k][2] for k in ks], pa.float64()),
+    })
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY 1
+"""
+
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_lineitem(sf_dir):
+    """Column-profiling operator (the 'describe' a data engine runs
+    before a training job): one streaming pass computes
+    count/nulls/min/max/mean for every numeric column via per-batch
+    partials + a tiny driver combine. One row per column."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=list(PROFILE_COLS))
+
+    def part(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "n_null": [], "vmin": [],
+                "vmax": [], "s": []}
+        for c in PROFILE_COLS:
+            col = t[c]
+            x = col.to_numpy(zero_copy_only=False)
+            nn = col.null_count
+            v = x[~np.isnan(x)] if nn else x
+            rows["column"].append(c)
+            rows["n"].append(len(x))
+            rows["n_null"].append(nn)
+            rows["vmin"].append(float(v.min()) if len(v) else np.inf)
+            rows["vmax"].append(float(v.max()) if len(v) else -np.inf)
+            # exact integer-cents sum: float summation ORDER differs
+            # between the engine's partials and DuckDB, which flips
+            # the 6th decimal of the mean for near-boundary values
+            rows["s"].append(
+                int(np.round(v * 100.0).astype(np.int64).sum()))
+        return pa.table({"column": pa.array(rows["column"], pa.string()),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "n_null": pa.array(rows["n_null"], pa.int64()),
+                         "vmin": pa.array(rows["vmin"], pa.float64()),
+                         "vmax": pa.array(rows["vmax"], pa.float64()),
+                         "s": pa.array(rows["s"], pa.int64())})
+
+    acc = {c: [0, 0, np.inf, -np.inf, 0] for c in PROFILE_COLS}
+    for t in li.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for c, n, nn, lo, hi, s in zip(*(t[k].to_pylist() for k in
+                                         ("column", "n", "n_null",
+                                          "vmin", "vmax", "s"))):
+            a = acc[c]
+            a[0] += n
+            a[1] += nn
+            a[2] = min(a[2], lo)
+            a[3] = max(a[3], hi)
+            a[4] += s
+    cols = sorted(PROFILE_COLS)
+    return pa.table({
+        "column": pa.array(cols, pa.string()),
+        "n_rows": pa.array([acc[c][0] for c in cols], pa.int64()),
+        "n_null": pa.array([acc[c][1] for c in cols], pa.int64()),
+        "vmin": pa.array([acc[c][2] for c in cols], pa.float64()),
+        "vmax": pa.array([acc[c][3] for c in cols], pa.float64()),
+        "mean": pa.array(
+            round6(np.array([acc[c][4]
+                             / (100.0 * max(acc[c][0] - acc[c][1], 1))
+                             for c in cols])), pa.float64()),
+    })
+
+
+SQL_PROFILE_LINEITEM = """
+SELECT 'l_discount' AS column, count(*) AS n_rows,
+       count(*) - count(l_discount) AS n_null,
+       min(l_discount) AS vmin, max(l_discount) AS vmax,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT))
+             / (100.0 * count(l_discount)), 6) AS mean
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       min(l_extendedprice), max(l_extendedprice),
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             / (100.0 * count(l_extendedprice)), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       min(l_quantity), max(l_quantity),
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT))
+             / (100.0 * count(l_quantity)), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*), count(*) - count(l_tax),
+       min(l_tax), max(l_tax),
+       round(sum(CAST(round(l_tax * 100) AS BIGINT))
+             / (100.0 * count(l_tax)), 6)
+FROM lineitem
+"""
+
+
+COND_PARTS = 8
+
+
+def q_conductance_co(sf_dir):
+    """Per-partition conductance on the co-purchase graph under the
+    hash partitioning part(v) = v % 8 — the cut-quality diagnostic a
+    partitioner/community pipeline reports (cut / min(vol, 2E - vol)).
+    Per-batch 8x8 cell-count partials, tiny driver reduce; all-integer
+    until the final ratio, so the match is exact."""
+    e = tg.co_edges(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False) % COND_PARTS
+        b = t["b"].to_numpy(zero_copy_only=False) % COND_PARTS
+        cnt = np.bincount(a * COND_PARTS + b,
+                          minlength=COND_PARTS * COND_PARTS)
+        return pa.table({"cell": pa.array(np.arange(len(cnt)),
+                                          pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    m = np.zeros(COND_PARTS * COND_PARTS, dtype=np.int64)
+    for t in e.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+              .iter_batches(batch_format="pyarrow"):
+        # np.add.at, not fancy-index +=: iter_batches may coalesce
+        # blocks, producing repeated cell ids within one batch
+        np.add.at(m, t["cell"].to_numpy(zero_copy_only=False),
+                  t["n"].to_numpy(zero_copy_only=False))
+    M = m.reshape(COND_PARTS, COND_PARTS)
+    internal = np.diag(M)
+    cut = M.sum(axis=0) + M.sum(axis=1) - 2 * internal
+    vol = 2 * internal + cut
+    tot = int(vol.sum())
+    denom = np.minimum(vol, tot - vol)
+    cond = np.where(denom > 0, cut / np.maximum(denom, 1), 0.0)
+    return pa.table({
+        "part": pa.array(np.arange(COND_PARTS), pa.int64()),
+        "internal_edges": pa.array(internal, pa.int64()),
+        "cut_edges": pa.array(cut, pa.int64()),
+        "vol": pa.array(vol, pa.int64()),
+        "conductance": pa.array(round6(cond), pa.float64()),
+    })
+
+
+SQL_CONDUCTANCE_CO = """
+WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey
+           GROUP BY 1, 2),
+parts AS (SELECT UNNEST(generate_series(0, 7)) AS part),
+agg AS (SELECT part,
+               CAST(sum(CASE WHEN a % 8 = part AND b % 8 = part
+                             THEN 1 ELSE 0 END) AS BIGINT) AS internal_edges,
+               CAST(sum(CASE WHEN (a % 8 = part) <> (b % 8 = part)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges
+        FROM e, parts GROUP BY part),
+v AS (SELECT part, internal_edges, cut_edges,
+             2 * internal_edges + cut_edges AS vol
+      FROM agg),
+tot AS (SELECT sum(vol) AS t FROM v)
+SELECT part, internal_edges, cut_edges, CAST(vol AS BIGINT) AS vol,
+       CASE WHEN least(vol, tot.t - vol) > 0
+            THEN round(CAST(cut_edges AS DOUBLE)
+                       / least(vol, tot.t - vol), 6)
+            ELSE 0.0 END AS conductance
+FROM v, tot
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -3594,6 +3882,12 @@ QUERIES = {
     "embed_centroids": q_embed_centroids,
     "doc_sample_stratified": q_doc_sample_stratified,
     "docs_normalize": q_docs_normalize,
+    "doc_repetition": q_doc_repetition,
+    "doc_entropy": q_doc_entropy,
+    "contamination": q_contamination,
+    "price_histogram": q_price_histogram,
+    "profile_lineitem": q_profile_lineitem,
+    "conductance_co": q_conductance_co,
 }
 
 ORACLE_SQL = {
@@ -3682,4 +3976,10 @@ ORACLE_SQL = {
     "embed_centroids": SQL_EMBED_CENTROIDS,
     "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
     "docs_normalize": SQL_DOCS_NORMALIZE,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "doc_entropy": SQL_DOC_ENTROPY,
+    "contamination": SQL_CONTAMINATION,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
+    "profile_lineitem": SQL_PROFILE_LINEITEM,
+    "conductance_co": SQL_CONDUCTANCE_CO,
 }

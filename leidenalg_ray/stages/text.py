@@ -341,3 +341,166 @@ def bigram_top_terms(docs_ds, k=20):
     return agg.map_batches(finish, batch_format="pyarrow") \
               .sort(["n", "a", "b"], descending=[True, False, False]) \
               .limit(k)
+
+
+class RepetitionStats:
+    """Word-trigram repetition per document: total trigrams, distinct
+    trigrams, and ``rep_ratio = 1 - distinct/total`` — the standard
+    boilerplate/loop-spam quality signal for training-data curation.
+    Docs with fewer than 3 tokens emit no row (mirrors the SQL oracle,
+    whose trigram CTE has no rows for them)."""
+
+    def __init__(self):
+        self.token_re = TOKEN_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_n, out_u = [], [], []
+        for d, t in zip(ids, texts):
+            toks = self.token_re.findall(t.lower())
+            if len(toks) < 3:
+                continue
+            tris = set()
+            n = len(toks) - 2
+            for i in range(n):
+                tris.add(" ".join(toks[i:i + 3]))
+            out_id.append(d)
+            out_n.append(n)
+            out_u.append(len(tris))
+        n_arr = np.asarray(out_n, dtype=np.float64)
+        u_arr = np.asarray(out_u, dtype=np.float64)
+        ratio = round6(1.0 - u_arr / n_arr) if len(out_n) else \
+            np.empty(0, dtype=np.float64)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_tri": pa.array(out_n, pa.int64()),
+            "n_uniq": pa.array(out_u, pa.int64()),
+            "rep_ratio": pa.array(ratio, pa.float64()),
+        })
+
+
+def repetition_stats(docs_ds, concurrency=4):
+    return docs_ds.map_batches(RepetitionStats, batch_format="pyarrow",
+                               batch_size=2048, zero_copy_batch=True,
+                               concurrency=(1, concurrency))
+
+
+class EntropyStats:
+    """Word-unigram Shannon entropy per document (base-2), the
+    perplexity-proxy quality score: low-entropy docs are repetitive /
+    templated. Empty docs emit no row (no tokens -> no distribution)."""
+
+    def __init__(self):
+        self.token_re = TOKEN_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_n, out_h = [], [], []
+        for d, t in zip(ids, texts):
+            toks = self.token_re.findall(t.lower())
+            if not toks:
+                continue
+            _, counts = np.unique(np.asarray(toks), return_counts=True)
+            p = counts / counts.sum()
+            out_id.append(d)
+            out_n.append(len(toks))
+            out_h.append(float(-(p * np.log2(p)).sum()))
+        h = round6(np.asarray(out_h, dtype=np.float64)) if out_h else \
+            np.empty(0, dtype=np.float64)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "entropy": pa.array(h, pa.float64()),
+        })
+
+
+def entropy_stats(docs_ds, concurrency=4):
+    return docs_ds.map_batches(EntropyStats, batch_format="pyarrow",
+                               batch_size=2048, zero_copy_batch=True,
+                               concurrency=(1, concurrency))
+
+
+# ----------------------------------------------------------------------
+# Benchmark-contamination check: fraction of each training document's
+# word n-grams that appear in a designated (small) eval set. The eval
+# side is the classic broadcast small side: its distinct grams are
+# collected once (tiny — eval sets are a sliver of the corpus),
+# ``ray.put`` once, and probed per batch; the training corpus streams.
+# ----------------------------------------------------------------------
+CONTAM_N = 5
+CONTAM_MOD = 19  # doc_id % CONTAM_MOD == 0 -> eval-set member
+
+
+def _word_ngrams(toks, n):
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def eval_gram_set(docs_ds, n=CONTAM_N, mod=CONTAM_MOD):
+    """Distinct word n-grams of the eval slice (doc_id % mod == 0).
+    Returns a frozenset; the caller broadcasts it with ``ray.put``."""
+    token_re = TOKEN_RE
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (ids % mod) == 0
+        out = set()
+        for txt in np.asarray(t["text"].to_pylist(), dtype=object)[keep]:
+            out.update(_word_ngrams(token_re.findall(txt.lower()), n))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    acc = set()
+    for b in docs_ds.map_batches(
+            grams, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        acc.update(b["g"].to_pylist())
+    return frozenset(acc)
+
+
+class ContaminationCheck:
+    """Actor-pool stage: per training doc (doc_id % mod != 0), the
+    count and fraction of its word n-grams found in the eval-gram set
+    (every occurrence counts, not just distinct grams — matches the
+    oracle's LEFT JOIN). Docs with < n tokens emit no row."""
+
+    def __init__(self, eval_grams_ref, n=CONTAM_N, mod=CONTAM_MOD):
+        import ray
+        self.eval = (ray.get(eval_grams_ref)
+                     if isinstance(eval_grams_ref, ray.ObjectRef)
+                     else eval_grams_ref)
+        self.n = n
+        self.mod = mod
+        self.token_re = TOKEN_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_n, out_hit = [], [], []
+        for d, t in zip(ids, texts):
+            if d % self.mod == 0:
+                continue
+            gs = _word_ngrams(self.token_re.findall(t.lower()), self.n)
+            if not gs:
+                continue
+            out_id.append(d)
+            out_n.append(len(gs))
+            out_hit.append(sum(1 for g in gs if g in self.eval))
+        frac = (round6(np.asarray(out_hit, dtype=np.float64)
+                       / np.asarray(out_n, dtype=np.float64))
+                if out_n else np.empty(0, dtype=np.float64))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_grams": pa.array(out_n, pa.int64()),
+            "n_hit": pa.array(out_hit, pa.int64()),
+            "contamination": pa.array(frac, pa.float64()),
+        })
+
+
+def contamination_check(docs_ds, concurrency=4):
+    import ray
+    ref = ray.put(eval_gram_set(docs_ds))
+    return docs_ds.map_batches(
+        ContaminationCheck, batch_format="pyarrow", batch_size=2048,
+        zero_copy_batch=True, concurrency=(1, concurrency),
+        fn_constructor_kwargs={"eval_grams_ref": ref})
