@@ -3719,6 +3719,199 @@ FROM lineitem
 """
 
 
+def q_events_cumsum(sf_dir):
+    """Running total per user ordered by (ts, event_id) — the
+    UNBOUNDED-PRECEDING window frame: one user shuffle, per-group
+    sequential accumulate in the oracle's running-add order."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "value"])
+
+    def csum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        x = g["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "running_total": round6(np.add.accumulate(x)),
+        })
+
+    return ev.groupby("user_id").map_groups(csum,
+                                            batch_format="pandas")
+
+
+SQL_EVENTS_CUMSUM = """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW), 6)
+         AS running_total
+FROM events
+"""
+
+
+def q_orders_cube(sf_dir):
+    """GROUP BY CUBE (status, year): the finest-level shuffle output
+    feeds all four grouping sets (fine, per-status, per-year, grand
+    total) — the input is shuffled once; exact integer-cents sums
+    make every subtotal order-independent."""
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        tt = pa.table({"o_orderstatus": t["o_orderstatus"],
+                       "yr": pc.cast(yr, pa.int64()),
+                       "cents": pa.array(cents)})
+        return tt.group_by(["o_orderstatus", "yr"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]) \
+            .rename_columns(["o_orderstatus", "yr", "sum_cents",
+                             "n_orders"])
+
+    fine = od.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["o_orderstatus", "yr"]).aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_orders", alias_name="n_orders")) \
+        .to_pandas()
+    agg_cols = ["sum_cents", "n_orders"]
+    lvl0 = fine.assign(yr=fine["yr"].astype(np.int64).astype(str))
+    by_status = fine.groupby("o_orderstatus", as_index=False)[
+        agg_cols].sum().assign(yr="ALL")
+    by_year = fine.groupby("yr", as_index=False)[agg_cols].sum()
+    by_year = by_year.assign(
+        yr=by_year["yr"].astype(np.int64).astype(str),
+        o_orderstatus="ALL")
+    total = pd.DataFrame({"o_orderstatus": ["ALL"], "yr": ["ALL"],
+                          "sum_cents": [fine["sum_cents"].sum()],
+                          "n_orders": [fine["n_orders"].sum()]})
+    out = pd.concat([lvl0, by_status, by_year, total],
+                    ignore_index=True)
+    return pd.DataFrame({
+        "o_orderstatus": out["o_orderstatus"],
+        "yr": out["yr"],
+        "n_orders": out["n_orders"].astype(np.int64),
+        "sum_price": round6(
+            out["sum_cents"].to_numpy(np.int64) / 100.0),
+    })
+
+
+SQL_ORDERS_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       count(*) AS n_orders,
+       round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             / 100.0, 6) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+"""
+
+
+def q_orders_above_cust_avg(sf_dir):
+    """Correlated-subquery pattern (TPC-H Q17 family): orders priced
+    strictly above their customer's average order price. One
+    customer-keyed pre-aggregate (bounded by the customer count)
+    broadcasts via ``ray.put``; each order batch compares vectorised.
+    The comparison is all-integer (price_cents * n > sum_cents), so
+    engine and oracle decide every boundary case identically."""
+    import ray as _ray
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        tt = pa.table({"o_custkey": t["o_custkey"],
+                       "cents": pa.array(cents)})
+        return tt.group_by("o_custkey").aggregate(
+            [("cents", "sum"), ([], "count_all")]) \
+            .rename_columns(["o_custkey", "sum_cents", "n"])
+
+    agg = od.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("o_custkey").aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n", alias_name="n")).to_pandas()
+    keys = agg["o_custkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    ref = _ray.put((keys[order],
+                    agg["sum_cents"].to_numpy(np.int64)[order],
+                    agg["n"].to_numpy(np.int64)[order]))
+
+    def above(t: pa.Table) -> pa.Table:
+        k, s, n = _ray.get(ref)
+        ck = t["o_custkey"].to_numpy()
+        pos = np.searchsorted(k, ck)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        keep = cents * n[pos] > s[pos]
+        return t.filter(pa.array(keep))
+
+    return od.map_batches(above, batch_format="pyarrow")
+
+
+SQL_ORDERS_ABOVE_CUST_AVG = """
+WITH agg AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_cents,
+         count(*) AS n
+  FROM orders GROUP BY o_custkey)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o JOIN agg ON agg.o_custkey = o.o_custkey
+WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * agg.n
+      > agg.sum_cents
+"""
+
+
+HARMONIC_LCM = 2329089562800  # lcm(1..30); 30 caps the BFS depth
+
+
+def q_harmonic_co(sf_dir):
+    """Harmonic centrality (sum of 1/d over reached vertices) for the
+    same seeds as ``closeness_co``, from one multi-source BSP BFS.
+    The sum is computed over a common denominator lcm(1..30) so both
+    sides accumulate INTEGERS — no float-order dependence at all."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    seeds = np.flatnonzero(act)[:CLOSENESS_SEEDS].astype(np.int64)
+    dist, _ = ss.multi_bfs(g, seeds)
+    INF = np.iinfo(np.int64).max
+    harm = np.empty(len(seeds), dtype=np.float64)
+    for i in range(len(seeds)):
+        d = dist[i]
+        d = d[(d > 0) & (d < INF)]
+        cnt = np.bincount(d)
+        ds = np.flatnonzero(cnt)
+        num = int((cnt[ds] * (HARMONIC_LCM // ds)).sum())
+        harm[i] = float(num) / float(HARMONIC_LCM)
+    return pa.table({"vid": pa.array(seeds),
+                     "harmonic": pa.array(round6(harm))})
+
+
+SQL_HARMONIC_CO = f"""
+WITH RECURSIVE
+{_SQL_CO_EDGES_BOTH},
+seeds AS (SELECT a AS s FROM e GROUP BY a ORDER BY a
+          LIMIT {CLOSENESS_SEEDS}),
+bfs(s, v, d) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT bfs.s, e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.v
+  WHERE bfs.d < 30
+),
+sd AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v)
+SELECT s AS vid,
+       round(CAST(sum({HARMONIC_LCM} // d) AS DOUBLE)
+             / {HARMONIC_LCM}.0, 6) AS harmonic
+FROM sd WHERE d > 0 GROUP BY s
+"""
+
+
 COND_PARTS = 8
 
 
@@ -3888,6 +4081,10 @@ QUERIES = {
     "price_histogram": q_price_histogram,
     "profile_lineitem": q_profile_lineitem,
     "conductance_co": q_conductance_co,
+    "events_cumsum": q_events_cumsum,
+    "orders_cube": q_orders_cube,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "harmonic_co": q_harmonic_co,
 }
 
 ORACLE_SQL = {
@@ -3982,4 +4179,8 @@ ORACLE_SQL = {
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "conductance_co": SQL_CONDUCTANCE_CO,
+    "events_cumsum": SQL_EVENTS_CUMSUM,
+    "orders_cube": SQL_ORDERS_CUBE,
+    "orders_above_cust_avg": SQL_ORDERS_ABOVE_CUST_AVG,
+    "harmonic_co": SQL_HARMONIC_CO,
 }
