@@ -1,0 +1,76 @@
+"""Edge-list format readers (CSV / JSONL / text) and the partitioned
+graph sink: every format must land the same (src, dst, weight) rows,
+and a graph built from any of them must produce identical kernel
+results."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from leidenalg_ray.sources import edgelists as el
+from leidenalg_ray.dist.blocks import DistGraph, symmetrize_edges
+from leidenalg_ray.dist import superstep as ss
+
+
+EDGES = [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+         (3, 4, 1.0), (4, 5, 1.0), (6, 6, 1.0)]
+
+
+@pytest.fixture(scope="module")
+def fmt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edgefmt")
+    pd.DataFrame(EDGES, columns=["src", "dst", "weight"]).to_csv(
+        d / "edges.csv", index=False)
+    with open(d / "edges.jsonl", "w") as f:
+        for s, t, w in EDGES:
+            f.write(json.dumps({"src": s, "dst": t, "weight": w}) + "\n")
+    with open(d / "edges.txt", "w") as f:
+        f.write("# comment line\n\n")
+        for s, t, w in EDGES:
+            f.write(f"{s} {t} {w}\n")
+    return str(d)
+
+
+def _rows(ds):
+    df = ds.to_pandas().sort_values(["src", "dst"]).reset_index(
+        drop=True)
+    return list(map(tuple, df[["src", "dst", "weight"]].to_numpy()))
+
+
+def test_formats_agree(fmt_dir):
+    want = sorted(EDGES)
+    assert _rows(el.read_edges_csv(
+        os.path.join(fmt_dir, "edges.csv"))) == want
+    assert _rows(el.read_edges_jsonl(
+        os.path.join(fmt_dir, "edges.jsonl"))) == want
+    assert _rows(el.read_edges_text(
+        os.path.join(fmt_dir, "edges.txt"))) == want
+
+
+def test_sink_roundtrip(fmt_dir, tmp_path):
+    ds = el.read_edges_csv(os.path.join(fmt_dir, "edges.csv"))
+    out = el.write_edges_partitioned(ds, str(tmp_path / "sunk"), P=4)
+    # partitioned layout: one directory per src % P
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part="))
+    assert parts == ["part=0", "part=1", "part=2", "part=3"]
+    back = el.read_edges_partitioned(out)
+    assert _rows(back) == sorted(EDGES)
+
+
+def test_kernels_format_agnostic(fmt_dir):
+    comps = {}
+    for name, rdr in [("csv", el.read_edges_csv),
+                      ("jsonl", el.read_edges_jsonl)]:
+        ds = rdr(os.path.join(fmt_dir, f"edges.{name}" if name != "jsonl"
+                              else "edges.jsonl"))
+        g = DistGraph.from_dataset(symmetrize_edges(ds), n=7, P=4,
+                                   directed=False)
+        comps[name] = np.asarray(ss.connected_components(g)[0])
+    assert (comps["csv"] == comps["jsonl"]).all()
+    lab = comps["csv"]
+    assert lab[0] == lab[1] == lab[2]
+    assert lab[3] == lab[4] == lab[5]
+    assert lab[6] not in (lab[0], lab[3])
