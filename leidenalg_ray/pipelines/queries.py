@@ -3912,6 +3912,177 @@ FROM sd WHERE d > 0 GROUP BY s
 """
 
 
+def q_two_hop_co(sf_dir):
+    """Friends-of-friends reach: distinct 1-hop and 2-hop (min-dist)
+    neighbour counts for the closeness seeds, read straight off the
+    multi-source BSP BFS distance planes (no pair-explosion join)."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    seeds = np.flatnonzero(act)[:CLOSENESS_SEEDS].astype(np.int64)
+    dist, _ = ss.multi_bfs(g, seeds)
+    n1 = (dist == 1).sum(axis=1).astype(np.int64)
+    n2 = (dist == 2).sum(axis=1).astype(np.int64)
+    return pa.table({"vid": pa.array(seeds),
+                     "n_1hop": pa.array(n1),
+                     "n_2hop": pa.array(n2)})
+
+
+SQL_TWO_HOP_CO = f"""
+WITH
+{_SQL_CO_EDGES_BOTH},
+seeds AS (SELECT a AS s FROM e GROUP BY a ORDER BY a
+          LIMIT {CLOSENESS_SEEDS}),
+h1 AS (SELECT seeds.s, e.b AS v FROM seeds JOIN e ON e.a = seeds.s
+       GROUP BY seeds.s, e.b),
+h2 AS (SELECT h1.s, e.b AS v FROM h1 JOIN e ON e.a = h1.v
+       WHERE e.b <> h1.s GROUP BY h1.s, e.b),
+h2o AS (SELECT h2.s, h2.v FROM h2
+        LEFT JOIN h1 ON h1.s = h2.s AND h1.v = h2.v
+        WHERE h1.v IS NULL)
+SELECT seeds.s AS vid,
+       (SELECT count(*) FROM h1 WHERE h1.s = seeds.s) AS n_1hop,
+       (SELECT count(*) FROM h2o WHERE h2o.s = seeds.s) AS n_2hop
+FROM seeds
+"""
+
+
+EDGE_SAMPLE_MOD = 8
+
+
+def q_edges_sample_co(sf_dir):
+    """Deterministic graph sampling: keep co edges whose pair-hash
+    residue is 0 (1/8 rate) — reproducible across runs, shards and
+    parallelism (same md5-prefix hash family as ``hash_sample``).
+    Pure map stage over the edge Dataset, no shuffle."""
+    import hashlib as _h
+    e = tg.co_edges(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (int(_h.md5(f"{x}_{y}".encode()).hexdigest()[:16], 16)
+             % EDGE_SAMPLE_MOD == 0 for x, y in zip(a, b)),
+            count=len(a), dtype=bool)
+        return t.filter(pa.array(keep))
+
+    return e.map_batches(pick, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+SQL_EDGES_SAMPLE_CO = """
+WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+                  CAST(count(*) AS DOUBLE) AS weight
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey
+           GROUP BY 1, 2)
+SELECT a, b, weight FROM e
+WHERE ('0x' || substr(md5(CAST(a AS VARCHAR) || '_'
+                          || CAST(b AS VARCHAR)), 1, 16))::UBIGINT
+      % 8 = 0
+"""
+
+
+def q_orders_ntile(sf_dir):
+    """ntile(4) price quartile per customer's orders, ordered by
+    (price, orderkey): one customer shuffle, per-group vectorised
+    tile assignment with the SQL distribution rule (first n%k tiles
+    get the extra row)."""
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey",
+                                  "o_totalprice"])
+    K = 4
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"])
+        n = len(g)
+        base, rem = divmod(n, K)
+        sizes = np.full(K, base, dtype=np.int64)
+        sizes[:rem] += 1
+        tile = np.repeat(np.arange(1, K + 1), sizes)
+        return pd.DataFrame({"o_orderkey": g["o_orderkey"],
+                             "tile": tile})
+
+    return od.groupby("o_custkey").map_groups(tiles,
+                                              batch_format="pandas")
+
+
+SQL_ORDERS_NTILE = """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice, o_orderkey)
+            AS BIGINT) AS tile
+FROM orders
+"""
+
+
+FUZZY_PREFIX_LEN = 16
+FUZZY_BLOCK_LEN = 4
+FUZZY_MAX_DIST = 2
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q_doc_fuzzy_pairs(sf_dir):
+    """Fuzzy (edit-distance) string self-join: document pairs whose
+    16-char text prefixes are within Levenshtein distance 2,
+    candidate-blocked by the 4-char prefix (blocking is part of the
+    operator contract — both sides enumerate only in-block pairs).
+    One block-key shuffle; per-block O(k^2) verify on short strings."""
+    docs = _docs(sf_dir)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        s16 = pc.utf8_slice_codeunits(t["text"], 0, FUZZY_PREFIX_LEN)
+        blk = pc.utf8_slice_codeunits(t["text"], 0, FUZZY_BLOCK_LEN)
+        return pa.table({"doc_id": t["doc_id"], "s16": s16,
+                         "blk": blk})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        ss_ = g["s16"].to_numpy(object)
+        order = np.argsort(ids)
+        ids, ss_ = ids[order], ss_[order]
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = _levenshtein(ss_[i], ss_[j])
+                if d <= FUZZY_MAX_DIST:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    d_out.append(d)
+        return pd.DataFrame({
+            "a": np.asarray(a_out, dtype=np.int64),
+            "b": np.asarray(b_out, dtype=np.int64),
+            "dist": np.asarray(d_out, dtype=np.int64)})
+
+    return docs.map_batches(keyed, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("blk").map_groups(verify, batch_format="pandas")
+
+
+SQL_DOC_FUZZY_PAIRS = """
+WITH s AS (SELECT doc_id, substr(text, 1, 16) AS s16,
+                  substr(text, 1, 4) AS blk
+           FROM documents)
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       CAST(levenshtein(s1.s16, s2.s16) AS BIGINT) AS dist
+FROM s s1 JOIN s s2 ON s1.blk = s2.blk AND s1.doc_id < s2.doc_id
+WHERE levenshtein(s1.s16, s2.s16) <= 2
+"""
+
+
 COND_PARTS = 8
 
 
@@ -4085,6 +4256,10 @@ QUERIES = {
     "orders_cube": q_orders_cube,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "harmonic_co": q_harmonic_co,
+    "two_hop_co": q_two_hop_co,
+    "edges_sample_co": q_edges_sample_co,
+    "orders_ntile": q_orders_ntile,
+    "doc_fuzzy_pairs": q_doc_fuzzy_pairs,
 }
 
 ORACLE_SQL = {
@@ -4183,4 +4358,8 @@ ORACLE_SQL = {
     "orders_cube": SQL_ORDERS_CUBE,
     "orders_above_cust_avg": SQL_ORDERS_ABOVE_CUST_AVG,
     "harmonic_co": SQL_HARMONIC_CO,
+    "two_hop_co": SQL_TWO_HOP_CO,
+    "edges_sample_co": SQL_EDGES_SAMPLE_CO,
+    "orders_ntile": SQL_ORDERS_NTILE,
+    "doc_fuzzy_pairs": SQL_DOC_FUZZY_PAIRS,
 }
