@@ -4020,6 +4020,7 @@ FROM orders
 FUZZY_PREFIX_LEN = 16
 FUZZY_BLOCK_LEN = 4
 FUZZY_MAX_DIST = 2
+FUZZY_BLOCK_CAP = 256  # lowest doc_ids kept per block (skew guard)
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -4040,7 +4041,10 @@ def q_doc_fuzzy_pairs(sf_dir):
     16-char text prefixes are within Levenshtein distance 2,
     candidate-blocked by the 4-char prefix (blocking is part of the
     operator contract — both sides enumerate only in-block pairs).
-    One block-key shuffle; per-block O(k^2) verify on short strings."""
+    One block-key shuffle; per-block O(k^2) verify on short strings.
+    Pathological blocks cap at the 256 lowest doc_ids (the dedup
+    family's skew guard) — the cap is replicated in the oracle so the
+    comparison stays exact."""
     docs = _docs(sf_dir)
 
     def keyed(t: pa.Table) -> pa.Table:
@@ -4054,6 +4058,7 @@ def q_doc_fuzzy_pairs(sf_dir):
         ss_ = g["s16"].to_numpy(object)
         order = np.argsort(ids)
         ids, ss_ = ids[order], ss_[order]
+        ids, ss_ = ids[:FUZZY_BLOCK_CAP], ss_[:FUZZY_BLOCK_CAP]
         a_out, b_out, d_out = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -4073,9 +4078,12 @@ def q_doc_fuzzy_pairs(sf_dir):
 
 
 SQL_DOC_FUZZY_PAIRS = """
-WITH s AS (SELECT doc_id, substr(text, 1, 16) AS s16,
-                  substr(text, 1, 4) AS blk
-           FROM documents)
+WITH s0 AS (SELECT doc_id, substr(text, 1, 16) AS s16,
+                   substr(text, 1, 4) AS blk
+            FROM documents),
+s AS (SELECT doc_id, s16, blk FROM s0
+      QUALIFY row_number() OVER (PARTITION BY blk
+                                 ORDER BY doc_id) <= 256)
 SELECT s1.doc_id AS a, s2.doc_id AS b,
        CAST(levenshtein(s1.s16, s2.s16) AS BIGINT) AS dist
 FROM s s1 JOIN s s2 ON s1.blk = s2.blk AND s1.doc_id < s2.doc_id
