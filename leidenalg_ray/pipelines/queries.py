@@ -4091,6 +4091,149 @@ WHERE levenshtein(s1.s16, s2.s16) <= 2
 """
 
 
+def q_users_click_and_signup(sf_dir):
+    """Set intersection (INTERSECT): users with BOTH a high-value
+    click and a high-value signup — same single-pass boolean-partial
+    plan as the EXCEPT query, flipped filter."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"]) \
+        .filter(expr=f"value > {EXCEPT_THRESHOLD}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "saw": pa.array((et == "click").astype(np.int64)),
+            "bought": pa.array((et == "signup").astype(np.int64)),
+        }).group_by("user_id").aggregate(
+            [("saw", "max"), ("bought", "max")]) \
+            .rename_columns(["user_id", "saw", "bought"])
+
+    from ray.data.aggregate import Max
+    agg = ev.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("user_id").aggregate(
+            Max("saw", alias_name="saw"),
+            Max("bought", alias_name="bought"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["saw"], 1), pc.equal(t["bought"], 1))
+        return t.filter(keep).select(["user_id"])
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_USERS_CLICK_AND_SIGNUP = f"""
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'click' AND value > {EXCEPT_THRESHOLD}
+INTERSECT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'signup' AND value > {EXCEPT_THRESHOLD}
+"""
+
+
+def q_users_customers_outer(sf_dir):
+    """FULL OUTER join (identity stitching): clickstream user ids vs
+    CRM customer ids, with per-user event counts and a customer flag.
+    No outer-join shuffle machinery needed: both sides land in ONE
+    union-then-groupby pass (tagged partials, key shuffle once) — the
+    union IS the full outer join when followed by a grouped sum."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+
+    def ev_part(t: pa.Table) -> pa.Table:
+        g = pa.table({"key": t["user_id"]}).group_by("key") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["key", "n_events"])
+        return g.append_column(
+            "has_customer", pa.array(np.zeros(len(g), np.int64)))
+
+    cu = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"])
+
+    def cu_part(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"key": t["c_custkey"],
+                         "n_events": pa.array(np.zeros(n, np.int64)),
+                         "has_customer": pa.array(np.ones(n, np.int64))})
+
+    both = ev.map_batches(ev_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .union(cu.map_batches(cu_part, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    agg = both.groupby("key").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("has_customer", alias_name="has_customer"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["key"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "has_customer": pc.cast(t["has_customer"], pa.int64()),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_USERS_CUSTOMERS_OUTER = """
+SELECT COALESCE(e.user_id, c.c_custkey) AS key,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END
+            AS BIGINT) AS has_customer
+FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1) e
+FULL OUTER JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+
+def q_community_graph_cliques(sf_dir):
+    """Coarse (community) graph after distributed Leiden on the
+    planted per-nation cliques — driver-verifies the
+    ``aggregate_partition`` edge contraction (membership joined to the
+    edge Dataset, grouped by community pair) against a closed form:
+    cliques are disjoint, so the coarse graph is pure self-loops of
+    weight C(n_c, 2). Reference ``VertexPartition.py`` aggregate
+    semantics; contraction runs over the edge Dataset with the
+    membership broadcast once."""
+    import ray as _ray
+    edges = tg.nation_clique_edges(sf_dir)
+    s, d, w = _planted_edges(edges)
+    n = tg.supplier_count(sf_dir)
+    dl = DistLeiden(s, d, weight=w, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=8, seed=42)
+    mem, q, info = dl.run()
+    comm = _renumber_dense(mem, n)
+    ref = _ray.put(comm)
+
+    def contract(t: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        ca = c[t["src"].to_numpy(zero_copy_only=False)]
+        cb = c[t["dst"].to_numpy(zero_copy_only=False)]
+        tt = pa.table({"ca": pa.array(np.minimum(ca, cb)),
+                       "cb": pa.array(np.maximum(ca, cb)),
+                       "w": t["weight"]})
+        return tt.group_by(["ca", "cb"]).aggregate([("w", "sum")]) \
+            .rename_columns(["ca", "cb", "w"])
+
+    pre = edges.map_batches(contract, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    out = pre.groupby(["ca", "cb"], as_index=False)["w"].sum()
+    return pa.table({
+        "ca": pa.array(out["ca"].to_numpy(np.int64)),
+        "cb": pa.array(out["cb"].to_numpy(np.int64)),
+        "weight": pa.array(out["w"].to_numpy(np.float64)),
+    })
+
+
+SQL_COMMUNITY_GRAPH_CLIQUES = """
+WITH sz AS (SELECT s_nationkey, count(*) AS cnt, min(s_suppkey) AS mv
+            FROM supplier GROUP BY s_nationkey),
+r AS (SELECT CAST(dense_rank() OVER (ORDER BY cnt DESC, mv ASC)
+                  AS BIGINT) - 1 AS comm, cnt
+      FROM sz)
+SELECT comm AS ca, comm AS cb,
+       CAST(cnt * (cnt - 1) // 2 AS DOUBLE) AS weight
+FROM r WHERE cnt > 1
+"""
+
+
 COND_PARTS = 8
 
 
@@ -4268,6 +4411,9 @@ QUERIES = {
     "edges_sample_co": q_edges_sample_co,
     "orders_ntile": q_orders_ntile,
     "doc_fuzzy_pairs": q_doc_fuzzy_pairs,
+    "users_click_and_signup": q_users_click_and_signup,
+    "users_customers_outer": q_users_customers_outer,
+    "community_graph_cliques": q_community_graph_cliques,
 }
 
 ORACLE_SQL = {
@@ -4370,4 +4516,7 @@ ORACLE_SQL = {
     "edges_sample_co": SQL_EDGES_SAMPLE_CO,
     "orders_ntile": SQL_ORDERS_NTILE,
     "doc_fuzzy_pairs": SQL_DOC_FUZZY_PAIRS,
+    "users_click_and_signup": SQL_USERS_CLICK_AND_SIGNUP,
+    "users_customers_outer": SQL_USERS_CUSTOMERS_OUTER,
+    "community_graph_cliques": SQL_COMMUNITY_GRAPH_CLIQUES,
 }
