@@ -4234,6 +4234,105 @@ FROM r WHERE cnt > 1
 """
 
 
+BIPROJ_MOD = 50  # sampled projection: parts with p % 50 == 0
+
+
+def q_bipartite_projection_ps(sf_dir):
+    """Bipartite projection (igraph ``bipartite_projection`` parity):
+    project the part-supplier bipartite graph onto parts — pairs
+    sharing >=1 supplier, weight = #shared suppliers. Sampled to the
+    p%50==0 part slice (both sides, part of the operator contract) so
+    the pair explosion stays bounded; the full projection is the same
+    plan without the filter. Distinct (part, supplier) is one
+    groupby; the pair enumeration is a supplier-keyed self-join with
+    per-batch pre-aggregation before the final pair groupby."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        m = (p % BIPROJ_MOD) == 0
+        return t.filter(pa.array(m)) \
+            .select(["l_partkey", "l_suppkey"])
+
+    pre = li.map_batches(dedup_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    distinct = pre.groupby(["l_partkey", "l_suppkey"]).aggregate(
+        Count(alias_name="cnt")).drop_columns(["cnt"])
+    right = distinct.map_batches(
+        lambda t: t.rename_columns(["partkey_r", "l_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = distinct.join(right, "inner", 8, on=("l_suppkey",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a, b = t["l_partkey"], t["partkey_r"]
+        tt = pa.table({"a": a, "b": b}).filter(pc.less(a, b))
+        return tt.group_by(["a", "b"]).aggregate([([], "count_all")]) \
+            .rename_columns(["a", "b", "shared_suppliers"])
+
+    agg = joined.map_batches(pairs, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["a", "b"]).aggregate(
+            Sum("shared_suppliers", alias_name="shared_suppliers"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.cast(t["a"], pa.int64()),
+            "b": pc.cast(t["b"], pa.int64()),
+            "shared_suppliers": pc.cast(t["shared_suppliers"],
+                                        pa.int64()),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_BIPARTITE_PROJECTION_PS = f"""
+WITH ps AS (SELECT l_partkey AS p, l_suppkey AS s FROM lineitem
+            WHERE l_partkey % {BIPROJ_MOD} = 0 GROUP BY 1, 2)
+SELECT p1.p AS a, p2.p AS b, count(*) AS shared_suppliers
+FROM ps p1 JOIN ps p2 ON p1.s = p2.s AND p1.p < p2.p
+GROUP BY 1, 2
+"""
+
+
+BLOCKWORDS = ("spark", "slow", "big")
+
+
+def q_doc_blocklist(sf_dir):
+    """Content filtering: per-document blocklist hit count and the
+    keep decision (the toxicity/keyword-filter stage of a
+    training-data pipeline). Vectorised token scan, no shuffle."""
+    docs = _docs(sf_dir)
+    block = set(BLOCKWORDS)
+    token_re = tx.TOKEN_RE
+
+    def scan(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_blocked = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            n_blocked[i] = sum(1 for w in token_re.findall(txt.lower())
+                               if w in block)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_blocked": pa.array(n_blocked),
+            "keep": pa.array((n_blocked == 0).astype(np.int64)),
+        })
+
+    return docs.map_batches(scan, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_DOC_BLOCKLIST = f"""
+SELECT doc_id,
+       len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                       x -> x IN {BLOCKWORDS!r}))::BIGINT AS n_blocked,
+       CAST(CASE WHEN len(list_filter(
+                regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                x -> x IN {BLOCKWORDS!r})) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents
+"""
+
+
 COND_PARTS = 8
 
 
@@ -4414,6 +4513,8 @@ QUERIES = {
     "users_click_and_signup": q_users_click_and_signup,
     "users_customers_outer": q_users_customers_outer,
     "community_graph_cliques": q_community_graph_cliques,
+    "bipartite_projection_ps": q_bipartite_projection_ps,
+    "doc_blocklist": q_doc_blocklist,
 }
 
 ORACLE_SQL = {
@@ -4519,4 +4620,6 @@ ORACLE_SQL = {
     "users_click_and_signup": SQL_USERS_CLICK_AND_SIGNUP,
     "users_customers_outer": SQL_USERS_CUSTOMERS_OUTER,
     "community_graph_cliques": SQL_COMMUNITY_GRAPH_CLIQUES,
+    "bipartite_projection_ps": SQL_BIPARTITE_PROJECTION_PS,
+    "doc_blocklist": SQL_DOC_BLOCKLIST,
 }
