@@ -13,7 +13,14 @@ SF = "/root/testdata/sf0.001"
 
 FAST_SQL_QUERIES = ["pricing_summary", "edges_ps", "degree_ps",
                     "pagerank_co", "cc_ps", "token_counts",
-                    "dedup_exact", "ann_topk", "events_window"]
+                    "dedup_exact", "ann_topk", "events_window",
+                    "doc_entropy", "doc_repetition", "doc_blocklist",
+                    "profile_lineitem", "price_histogram",
+                    "orders_ntile", "events_cumsum", "orders_cube",
+                    # users_click_and_signup is legitimately EMPTY at
+                    # sf0.001 and an empty Dataset's to_pandas() drops
+                    # the schema; the sf0.01 gate covers it (8 rows)
+                    "users_customers_outer", "docs_normalize"]
 
 
 @pytest.fixture(scope="module")
