@@ -4333,6 +4333,26 @@ FROM documents
 """
 
 
+def q_events_window_streaming(sf_dir):
+    """STREAMING form of ``events_window``: the (ts, event_id)-sorted
+    event stream pumps through a watermarking window-actor pool that
+    emits each window the moment the stream passes it (state = open
+    windows only). Same aggregate, same SQL oracle — the driver
+    verifies the streaming path produces the batch answer."""
+    from ..stages.streaming import streaming_window_counts
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "value"])
+    t = streaming_window_counts(ev)
+    return pa.table({
+        "user_id": t["user_id"],
+        "win": t["win"],
+        "n_events": t["n_events"],
+        "sum_value": pa.array(round6(
+            t["raw_sum"].to_numpy(zero_copy_only=False))),
+    })
+
+
 COND_PARTS = 8
 
 
@@ -4515,6 +4535,7 @@ QUERIES = {
     "community_graph_cliques": q_community_graph_cliques,
     "bipartite_projection_ps": q_bipartite_projection_ps,
     "doc_blocklist": q_doc_blocklist,
+    "events_window_streaming": q_events_window_streaming,
 }
 
 ORACLE_SQL = {
@@ -4622,4 +4643,5 @@ ORACLE_SQL = {
     "community_graph_cliques": SQL_COMMUNITY_GRAPH_CLIQUES,
     "bipartite_projection_ps": SQL_BIPARTITE_PROJECTION_PS,
     "doc_blocklist": SQL_DOC_BLOCKLIST,
+    "events_window_streaming": SQL_EVENTS_WINDOW,
 }
