@@ -30,7 +30,8 @@ from .checkpoint import CheckpointManager
 # ----------------------------------------------------------------------
 def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
              weighted=False, checkpoint=None,
-             message_dtype=np.float64, active=False, personalize=None):
+             message_dtype=np.float64, active=False, personalize=None,
+             init_rank=None):
     """North-rule semantics: rank = (1-d)/n + d*(sum_in rank/outdeg +
     dangling_mass/n); iterate until L1 delta < tol. ``weighted`` uses
     strength-normalised contributions instead of degree.
@@ -48,7 +49,15 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
 
     ``personalize``: seed vids — teleport (and dangling
     redistribution) becomes uniform over the seeds (personalized
-    PageRank) instead of uniform over the vertex set."""
+    PageRank) instead of uniform over the vertex set.
+
+    ``init_rank``: dense length-n warm-start vector (e.g. the ranks
+    of the graph before a delta-edge batch landed, or a prior run's
+    converged state). Iterating from it is bit-identical to having
+    reached that state in-run, so warm-starting a converged vector
+    after small graph updates re-converges in a handful of supersteps
+    instead of from scratch — the dynamic-recrawl path for a web-scale
+    link graph."""
     P, n, sizes = g.P, g.n, g.sizes
     if active:
         act_refs, n_eff = g.active_masks()
@@ -102,15 +111,25 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
         return new, float(np.abs(new - old).sum())
 
     @ray.remote
-    def init_shard(q_size, act, pvec):
-        r = np.full(q_size, 1.0 / n_eff) if pvec is None else pvec.copy()
+    def init_shard(q_size, act, pvec, warm):
+        if warm is not None:
+            r = warm.astype(np.float64, copy=True)
+        elif pvec is None:
+            r = np.full(q_size, 1.0 / n_eff)
+        else:
+            r = pvec.copy()
         if act is not None:
             r[~act] = 0.0
         return r
 
+    if init_rank is not None:
+        init_rank = np.asarray(init_rank, dtype=np.float64)
+        warm_refs = [ray.put(init_rank[p::P]) for p in range(P)]
+    else:
+        warm_refs = [None] * P
     norm_refs = g.out_strength if weighted else g.out_deg
-    rank_refs = [init_shard.remote(sizes[p], act_refs[p], p_refs[p])
-                 for p in range(P)]
+    rank_refs = [init_shard.remote(sizes[p], act_refs[p], p_refs[p],
+                                   warm_refs[p]) for p in range(P)]
     ckpt = CheckpointManager(checkpoint, "pagerank", P, n=n) \
         if checkpoint else None
     start_iter = 0
@@ -158,9 +177,19 @@ def assemble(g: DistGraph, shard_refs):
 # ----------------------------------------------------------------------
 # Connected components (weak): min-label propagation to fixed point
 # ----------------------------------------------------------------------
-def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None):
+def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None,
+                         init_labels=None):
     """Exact membership; graph blocks must contain both edge
-    directions (``from_edges(..., both_directions=True)``)."""
+    directions (``from_edges(..., both_directions=True)``).
+
+    ``init_labels``: dense length-n warm-start labels — incremental
+    recompute after edge insertions. Min-label propagation started
+    from any labelling where ``label[v]`` is a vid in ``v``'s
+    component (e.g. the pre-delta component minima; identity for new
+    vertices) converges to the same fixed point as the identity init
+    — the component minimum — but only the regions bridged by the new
+    edges move, so re-convergence takes ~diameter-of-change
+    supersteps, not diameter-of-graph."""
     P, n, sizes = g.P, g.n, g.sizes
     BIG = np.iinfo(np.int64).max
 
@@ -183,8 +212,13 @@ def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None):
             np.minimum(new, arr, out=new)
         return new, int((new != old).sum())
 
-    label_refs = [ray.put(np.arange(p, n, P, dtype=np.int64))
-                  for p in range(P)]
+    if init_labels is not None:
+        init_labels = np.asarray(init_labels, dtype=np.int64)
+        label_refs = [ray.put(init_labels[p::P].copy())
+                      for p in range(P)]
+    else:
+        label_refs = [ray.put(np.arange(p, n, P, dtype=np.int64))
+                      for p in range(P)]
     ckpt = CheckpointManager(checkpoint, "cc", P, n=n) \
         if checkpoint else None
     start_iter = 0

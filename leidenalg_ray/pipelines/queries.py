@@ -402,6 +402,101 @@ FROM pr WHERE i = {PAGERANK_ITERS}
 
 
 # ======================================================================
+# Dynamic-graph maintenance: warm-started PageRank, incremental CC
+# ======================================================================
+PAGERANK_WARM_EXTRA = 15
+
+
+def q_pagerank_warm_co(sf_dir):
+    """Warm-started (dynamic) PageRank: resume from the
+    PAGERANK_ITERS-step state via ``init_rank`` and run
+    PAGERANK_WARM_EXTRA more supersteps. Warm-starting is bit-identical
+    to having kept iterating, so the fixed-iteration CTE at
+    PAGERANK_ITERS + PAGERANK_WARM_EXTRA verifies the warm-start
+    plumbing exactly — the recrawl path for a web-scale link graph
+    (re-converge yesterday's ranks after a delta-edge batch instead of
+    restarting from uniform)."""
+    g = _co_distgraph(sf_dir)
+    base, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                          max_iter=PAGERANK_ITERS, weighted=True,
+                          active=True)
+    rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                          max_iter=PAGERANK_WARM_EXTRA, weighted=True,
+                          active=True, init_rank=base)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "rank": pa.array(round6(rank[vids]))})
+
+
+SQL_PAGERANK_WARM_CO = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT a AS v, sum(w) AS strength FROM e GROUP BY a),
+nn AS (SELECT count(*) AS n FROM verts),
+pr(i, v, r) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         (1 - {DAMPING}) / (SELECT n FROM nn)
+         + {DAMPING} * sum(p.r * e.w / vs.strength)
+  FROM pr p
+  JOIN verts vs ON vs.v = p.v
+  JOIN e ON e.a = p.v
+  WHERE p.i < {PAGERANK_ITERS + PAGERANK_WARM_EXTRA}
+  GROUP BY p.i, e.b
+)
+SELECT v AS vid, round(r, 6) AS rank
+FROM pr WHERE i = {PAGERANK_ITERS + PAGERANK_WARM_EXTRA}
+"""
+
+
+def q_cc_incremental_ps(sf_dir):
+    """Incremental connected components after a delta-edge batch:
+    labels of the base graph (lineitem rows with l_linenumber <= 3)
+    warm-start min-label propagation over the full graph — only the
+    regions the delta edges bridge move, so re-convergence costs
+    ~diameter-of-change supersteps. The fixed point is independent of
+    the warm start (component minima), so the plain CC recursive CTE
+    over the full edge set verifies the incremental path exactly."""
+    from ..dist.blocks import symmetrize_edges
+    g = _ps_distgraph(sf_dir, symmetric=True)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_linenumber"])
+
+    def base_edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_linenumber"], 3))
+        tt = pa.table({
+            "src": pc.cast(pc.multiply(t["l_partkey"], 2), pa.int64()),
+            "dst": pc.cast(pc.add(pc.multiply(t["l_suppkey"], 2), 1),
+                           pa.int64()),
+        })
+        return tt.group_by(["src", "dst"]).aggregate([([], "count_all")]) \
+                 .rename_columns(["src", "dst", "weight"])
+
+    base = li.map_batches(base_edges, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    g0 = DistGraph.from_dataset(symmetrize_edges(base), n=g.n, P=g.P,
+                                directed=False, dedup=True)
+    labels0, _ = ss.connected_components(g0)
+    comp, _ = ss.connected_components(g, init_labels=labels0)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "component": pa.array(comp[vids])})
+
+
+# same fixed point as the from-scratch run: the full-graph CC oracle
+SQL_CC_INCREMENTAL_PS = SQL_CC_PS
+
+
+# ======================================================================
 # Triangles
 # ======================================================================
 def q_triangles_co(sf_dir):
@@ -4434,6 +4529,8 @@ QUERIES = {
     "cc_sizes_ps": q_cc_sizes_ps,
     "pagerank_co": q_pagerank_co,
     "pagerank_ps": q_pagerank_ps,
+    "pagerank_warm_co": q_pagerank_warm_co,
+    "cc_incremental_ps": q_cc_incremental_ps,
     "triangles_co": q_triangles_co,
     "triangles_co_per_vertex": q_triangles_co_per_vertex,
     "label_propagation_co": q_label_propagation_co,
@@ -4549,6 +4646,8 @@ ORACLE_SQL = {
     "cc_sizes_ps": SQL_CC_SIZES_PS,
     "pagerank_co": SQL_PAGERANK_CO,
     "pagerank_ps": SQL_PAGERANK_PS,
+    "pagerank_warm_co": SQL_PAGERANK_WARM_CO,
+    "cc_incremental_ps": SQL_CC_INCREMENTAL_PS,
     "label_propagation_co": SQL_LABEL_PROPAGATION_CO,
     "bfs_dist_co": SQL_BFS_DIST_CO,
     "sssp_co": SQL_SSSP_CO,

@@ -819,3 +819,53 @@ def test_mis_coloring_valid_and_invariant(random_graph):
         assert nc <= 64
         outs.append(colors)
     assert np.array_equal(outs[0], outs[1])
+
+
+# ----------------------------------------------------------------------
+# Dynamic-graph maintenance: warm starts
+# ----------------------------------------------------------------------
+def test_pagerank_warm_start_equals_continued(random_graph):
+    """Warm-starting from the 20-iteration state and running 10 more
+    is bit-identical to 30 iterations cold (same float ops)."""
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    r20, _ = ss.pagerank(g, tol=0.0, max_iter=20)
+    r30w, _ = ss.pagerank(g, tol=0.0, max_iter=10, init_rank=r20)
+    r30c, _ = ss.pagerank(g, tol=0.0, max_iter=30)
+    assert np.array_equal(r30w, r30c)
+
+
+def test_pagerank_warm_start_reconverges_fast(random_graph):
+    """After a small delta-edge batch, warm-starting the converged
+    ranks re-converges in far fewer supersteps than from uniform."""
+    src, dst, n = random_graph
+    g0 = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    r0, _ = ss.pagerank(g0, tol=1e-10)
+    rng = np.random.default_rng(7)
+    ds, dd = rng.integers(0, n, 30), rng.integers(0, n, 30)
+    g1 = DistGraph.from_edges(np.concatenate([src, ds]),
+                              np.concatenate([dst, dd]),
+                              n=n, P=4, directed=True)
+    r_cold, it_cold = ss.pagerank(g1, tol=1e-10)
+    r_warm, it_warm = ss.pagerank(g1, tol=1e-10, init_rank=r0)
+    assert np.abs(r_warm - r_cold).max() < 1e-9
+    assert it_warm < it_cold
+
+
+def test_cc_incremental_matches_cold(random_graph):
+    """Warm-start labels from the base graph converge to the same
+    fixed point on the union graph, in <= the cold supersteps."""
+    src, dst, n = random_graph
+    half = len(src) // 2
+    g_base = DistGraph.from_edges(src[:half], dst[:half], n=n, P=4,
+                                  both_directions=True)
+    lab0, _ = ss.connected_components(g_base)
+    g_full = DistGraph.from_edges(src, dst, n=n, P=4,
+                                  both_directions=True)
+    cold, it_cold = ss.connected_components(g_full)
+    warm, it_warm = ss.connected_components(g_full, init_labels=lab0)
+    assert np.array_equal(warm, cold)
+    assert it_warm <= it_cold
+    ser = connected_components_serial(src, dst, n)
+    # same partition (labels are component minima in both)
+    assert np.array_equal(warm, ser)

@@ -12,7 +12,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 SF = "/root/testdata/sf0.001"
 
 FAST_SQL_QUERIES = ["pricing_summary", "edges_ps", "degree_ps",
-                    "pagerank_co", "cc_ps", "token_counts",
+                    "pagerank_co", "cc_ps", "pagerank_warm_co",
+                    "cc_incremental_ps", "token_counts",
                     "dedup_exact", "ann_topk", "events_window",
                     "doc_entropy", "doc_repetition", "doc_blocklist",
                     "profile_lineitem", "price_histogram",
