@@ -538,6 +538,122 @@ def hits(g: DistGraph, g_rev: DistGraph, iters=20):
 
 
 # ----------------------------------------------------------------------
+# Katz centrality: fixed-iteration Jacobi update
+# ----------------------------------------------------------------------
+def katz(g: DistGraph, alpha=0.005, beta=1.0, iters=20,
+         weighted=False):
+    """Katz centrality, simultaneous (Jacobi) update from the OLD
+    state: x_{k+1}(v) = beta + alpha * sum over in-edges (u, v) of
+    x_k(u) [* weight]; x_0 = beta on the active vertex set (vertices
+    with any edge), 0 elsewhere. Fixed ``iters`` supersteps so a
+    recursive-CTE oracle reproduces it exactly; converges when
+    alpha < 1/lambda_max. Same exchange shape as ``pagerank``:
+    per-block destination-partition pre-aggregation, worker-to-worker
+    message refs, no driver-side per-edge work."""
+    P, n, sizes = g.P, g.n, g.sizes
+
+    @ray.remote
+    def gather(block, x):
+        per_edge = x[block["src_local"]]
+        if weighted:
+            per_edge = per_edge * block["weight"]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q])
+            np.add.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(act, *incoming):
+        tot = incoming[0].copy()
+        for arr in incoming[1:]:
+            tot += arr
+        new = beta + alpha * tot
+        new[~act] = 0.0
+        return new
+
+    act_refs, _ = g.active_masks()
+
+    @ray.remote
+    def init_shard(act):
+        x = np.zeros(len(act))
+        x[act] = beta
+        return x
+
+    x_refs = [init_shard.remote(act_refs[p]) for p in range(P)]
+    for _ in range(iters):
+        msg = [gather.options(num_returns=P).remote(
+            g.blocks[p], x_refs[p]) for p in range(P)]
+        x_refs = [reduce.remote(act_refs[q],
+                                *[msg[p][q] for p in range(P)])
+                  for q in range(P)]
+    return assemble(g, x_refs)
+
+
+# ----------------------------------------------------------------------
+# Eigenvector centrality: power iteration, L1 normalise per step
+# ----------------------------------------------------------------------
+def eigenvector_centrality(g: DistGraph, iters=20, weighted=False):
+    """Power iteration on the (weighted) adjacency operator with L1
+    normalisation (sum = 1) per superstep, from the uniform vector on
+    the active vertex set. Fixed ``iters`` so the SQL oracle can
+    reproduce it exactly; blocks must hold both directions for
+    undirected semantics. Returns (x, active_mask)."""
+    P, n, sizes = g.P, g.n, g.sizes
+
+    @ray.remote
+    def gather(block, x):
+        per_edge = x[block["src_local"]]
+        if weighted:
+            per_edge = per_edge * block["weight"]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q])
+            np.add.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote(num_returns=2)
+    def combine(act, *incoming):
+        tot = incoming[0].copy()
+        for arr in incoming[1:]:
+            tot += arr
+        tot[~act] = 0.0
+        return tot, float(tot.sum())
+
+    @ray.remote
+    def scale(arr, s):
+        return arr / s if s > 0 else arr
+
+    act_refs, n_act = g.active_masks()
+
+    @ray.remote
+    def init_shard(act):
+        x = np.zeros(len(act))
+        x[act] = 1.0 / n_act
+        return x
+
+    x_refs = [init_shard.remote(act_refs[p]) for p in range(P)]
+    for _ in range(iters):
+        msg = [gather.options(num_returns=P).remote(
+            g.blocks[p], x_refs[p]) for p in range(P)]
+        outs = [combine.remote(act_refs[q],
+                               *[msg[p][q] for p in range(P)])
+                for q in range(P)]
+        tot = sum(ray.get([o[1] for o in outs]))
+        x_refs = [scale.remote(outs[q][0], tot) for q in range(P)]
+    act = np.zeros(n, dtype=bool)
+    for p in range(P):
+        act[p::P] = ray.get(act_refs[p])
+    return assemble(g, x_refs), act
+
+
+# ----------------------------------------------------------------------
 # Label propagation: plurality label of neighbours, ties -> lowest label
 # ----------------------------------------------------------------------
 def label_propagation(g: DistGraph, max_iter=100, weighted=True,

@@ -868,6 +868,82 @@ def _ps_rev_distgraph(sf_dir, P=8):
     return _G_CACHE[key]
 
 
+KATZ_ALPHA = 0.005
+KATZ_BETA = 1.0
+KATZ_ITERS = 20
+EIGEN_ITERS = 20
+
+
+def q_katz_co(sf_dir):
+    """Katz centrality on the simple (unweighted) symmetric co graph:
+    fixed KATZ_ITERS Jacobi supersteps, alpha below 1/lambda_max so
+    the series converges; rounded to 6 decimals for the CTE oracle."""
+    g = _co_distgraph(sf_dir)
+    x = ss.katz(g, alpha=KATZ_ALPHA, beta=KATZ_BETA, iters=KATZ_ITERS)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "katz": pa.array(round6(x[vids]))})
+
+
+SQL_KATZ_CO = f"""
+WITH RECURSIVE
+{_SQL_CO_EDGES_BOTH},
+verts AS (SELECT DISTINCT a AS v FROM e),
+katz(i, v, x) AS (
+  -- CAST: a bare 1.0 literal would type x DECIMAL(2,1) and truncate
+  SELECT 0, v, CAST({KATZ_BETA} AS DOUBLE) FROM verts
+  UNION ALL
+  SELECT p.i + 1, p.v,
+         {KATZ_BETA} + {KATZ_ALPHA} *
+         COALESCE((SELECT sum(p2.x) FROM katz p2 JOIN e ON e.a = p2.v
+                   WHERE e.b = p.v AND p2.i = p.i), 0)
+  FROM katz p WHERE p.i < {KATZ_ITERS}
+)
+SELECT v AS vid, round(x, 6) AS katz
+FROM katz WHERE i = {KATZ_ITERS}
+"""
+
+
+def q_eigencentrality_co(sf_dir):
+    """Eigenvector centrality on the weighted symmetric co graph:
+    fixed EIGEN_ITERS power-iteration supersteps with per-step L1
+    normalisation (the HITS oracle pattern)."""
+    g = _co_distgraph(sf_dir)
+    x, act = ss.eigenvector_centrality(g, iters=EIGEN_ITERS,
+                                       weighted=True)
+    vids = np.flatnonzero(act).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "centrality": pa.array(round6(x[vids]))})
+
+
+SQL_EIGENCENTRALITY_CO = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b AS a, a AS b, w FROM e0),
+verts AS (SELECT DISTINCT a AS v FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+ec(i, v, x) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT q.i, q.v, q.raw / sum(q.raw) OVER ()
+  FROM (
+    SELECT p.i + 1 AS i, p.v AS v,
+           COALESCE((SELECT sum(p2.x * e.w) FROM ec p2
+                     JOIN e ON e.a = p2.v
+                     WHERE e.b = p.v AND p2.i = p.i), 0) AS raw
+    FROM ec p WHERE p.i < {EIGEN_ITERS}
+  ) q
+)
+SELECT v AS vid, round(x, 6) AS centrality
+FROM ec WHERE i = {EIGEN_ITERS}
+"""
+
+
 def q_clustering_coeff_co(sf_dir):
     """Local clustering coefficient: 2*triangles(v) / (deg(v)*(deg(v)-1))
     on the simple co graph (0 when deg < 2). Triangles come from the
@@ -4539,6 +4615,8 @@ QUERIES = {
     "pagerank_personalized_co": q_pagerank_personalized_co,
     "kcore_co": q_kcore_co,
     "hits_ps": q_hits_ps,
+    "katz_co": q_katz_co,
+    "eigencentrality_co": q_eigencentrality_co,
     "clustering_coeff_co": q_clustering_coeff_co,
     "link_predict_co": q_link_predict_co,
     "neighbor_sample_co": q_neighbor_sample_co,
@@ -4654,6 +4732,8 @@ ORACLE_SQL = {
     "pagerank_personalized_co": SQL_PAGERANK_PERSONALIZED_CO,
     "kcore_co": SQL_KCORE_CO,
     "hits_ps": SQL_HITS_PS,
+    "katz_co": SQL_KATZ_CO,
+    "eigencentrality_co": SQL_EIGENCENTRALITY_CO,
     "clustering_coeff_co": SQL_CLUSTERING_COEFF_CO,
     "link_predict_co": SQL_LINK_PREDICT_CO,
     "neighbor_sample_co": SQL_NEIGHBOR_SAMPLE_CO,

@@ -869,3 +869,39 @@ def test_cc_incremental_matches_cold(random_graph):
     ser = connected_components_serial(src, dst, n)
     # same partition (labels are component minima in both)
     assert np.array_equal(warm, ser)
+
+
+def test_katz_matches_serial(random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    x = ss.katz(g, alpha=0.002, beta=1.0, iters=15)
+    # serial Jacobi reference
+    act = np.zeros(n, dtype=bool)
+    act[src] = True
+    act[dst] = True
+    xs = np.where(act, 1.0, 0.0)
+    for _ in range(15):
+        raw = np.zeros(n)
+        np.add.at(raw, dst, xs[src])
+        xs = np.where(act, 1.0 + 0.002 * raw, 0.0)
+    assert np.abs(x - xs).max() < 1e-12
+
+
+def test_eigenvector_centrality_matches_serial(random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    x, act = ss.eigenvector_centrality(g, iters=12)
+    act_s = np.zeros(n, dtype=bool)
+    act_s[src] = True
+    act_s[dst] = True
+    xs = np.where(act_s, 1.0 / act_s.sum(), 0.0)
+    # from_edges(both_directions=True) reverses only non-loop edges
+    nl = src != dst
+    s2, d2 = np.concatenate([src, dst[nl]]), np.concatenate([dst, src[nl]])
+    for _ in range(12):
+        raw = np.zeros(n)
+        np.add.at(raw, d2, xs[s2])
+        tot = raw.sum()
+        xs = raw / tot if tot > 0 else raw
+    assert np.array_equal(act, act_s)
+    assert np.abs(x - xs).max() < 1e-12
