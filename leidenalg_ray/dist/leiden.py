@@ -1176,16 +1176,33 @@ class DistLeiden:
     # ------------------------------------------------------------------
     def run(self, n_iterations=2, max_supersteps=200,
             tail_max_edges=150_000, tail_max_n=3000, max_levels=8,
-            min_rel_improvement=1e-9, checkpoint=None):
+            min_rel_improvement=1e-9, checkpoint=None,
+            initial_membership=None):
         """Full multi-level pipeline: distributed local-move + refine +
         aggregate per level (the shard-actor pool is reused across
         levels). The exact in-memory schedule runs only on genuinely
         small aggregates (edge count below ``tail_max_edges``);
         edge-dense aggregates keep iterating distributed levels until
-        quality stops improving. Returns (membership, quality, info)."""
+        quality stops improving. Returns (membership, quality, info).
+
+        ``initial_membership``: length-n labels (< 2n) warm-starting
+        level 0 — incremental re-clustering after graph updates
+        (reference ``VertexPartition.py`` constructors' own
+        ``initial_membership``): the local move starts from yesterday's
+        communities instead of singletons, and refinement still
+        re-validates every community from singletons inside it, so a
+        stale merge gets split rather than frozen in."""
         chain = []          # per level: dense map (level vids -> next)
         level = self
         seed = None
+        if initial_membership is not None:
+            seed = np.asarray(initial_membership, dtype=np.int64).copy()
+            if len(seed) != self.n:
+                raise ValueError("initial_membership length != n")
+            if seed.min(initial=0) < 0 or \
+                    seed.max(initial=0) >= 2 * self.n:
+                raise ValueError("initial_membership labels out of "
+                                 "range [0, 2n)")
         level_infos = []
         total_steps = 0
         prev_q = -np.inf

@@ -38,7 +38,8 @@ def find_partition(graph, partition_type, initial_membership=None,
 
 def find_partition_dataset(edges_ds, n, quality="modularity",
                            resolution_parameter=1.0, P=8, seed=42,
-                           n_iterations=2, max_comm_size=0, **kwargs):
+                           n_iterations=2, max_comm_size=0,
+                           initial_membership=None, **kwargs):
     """Ray-Data-first ``find_partition``: Leiden over an edge Dataset
     ``(src, dst[, weight])`` on the raw id space — the >node-memory
     entry point (reference ``functions.py:21-93`` semantics; the
@@ -55,7 +56,8 @@ def find_partition_dataset(edges_ds, n, quality="modularity",
         edges_ds, n=n, quality=quality,
         resolution_parameter=resolution_parameter, P=P, seed=seed,
         max_comm_size=max_comm_size, **kwargs)
-    mem, q, info = dl.run(n_iterations=n_iterations)
+    mem, q, info = dl.run(n_iterations=n_iterations,
+                          initial_membership=initial_membership)
     return mem, q, info, dl.active_vids()
 
 

