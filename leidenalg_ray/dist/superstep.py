@@ -654,6 +654,69 @@ def eigenvector_centrality(g: DistGraph, iters=20, weighted=False):
 
 
 # ----------------------------------------------------------------------
+# Weisfeiler-Lehman color refinement
+# ----------------------------------------------------------------------
+def wl_refinement(g: DistGraph, iters=2):
+    """1-WL (color refinement) vertex fingerprints: the initial color
+    is the degree (as a decimal string); each round every vertex's new
+    color is ``md5(own || '|' || join(sorted(neighbour colors), ','))``
+    — exactly reproducible in SQL as ``md5(own || '|' ||
+    string_agg(nlab, ',' ORDER BY nlab))``, so the whole refinement is
+    driver-verifiable. Sorting is lexicographic on both sides (numpy
+    unicode sort == VARCHAR byte order for this hex/digit alphabet).
+
+    BSP shape: neighbour colors ship per destination partition
+    (strings, so ~33 bytes/edge/round — WL is a fingerprint pass, not
+    a hot kernel); the md5 loop runs inside the partition task.
+    Returns (labels '<U32' over vids, active mask)."""
+    P, n, sizes = g.P, g.n, g.sizes
+
+    @ray.remote
+    def gather(block, lab):
+        per_edge = lab[block["src_local"]]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            outs.append((block["dst_local"][sl], per_edge[sl]))
+        return outs
+
+    @ray.remote
+    def reduce(own, *incoming):
+        import hashlib
+        dl = np.concatenate([x[0] for x in incoming])
+        lb = np.concatenate([x[1] for x in incoming])
+        order = np.lexsort((lb, dl))
+        dl, lb = dl[order], lb[order]
+        m = len(own)
+        starts = np.searchsorted(dl, np.arange(m))
+        ends = np.searchsorted(dl, np.arange(1, m + 1))
+        out = np.empty(m, dtype="<U32")
+        for i in range(m):
+            s = f"{own[i]}|" + ",".join(lb[starts[i]:ends[i]])
+            out[i] = hashlib.md5(s.encode()).hexdigest()
+        return out
+
+    @ray.remote
+    def deg_str(d):
+        return d.astype(np.int64).astype("<U20").astype("<U32")
+
+    # degree over the stored (both-direction) blocks
+    lab_refs = [deg_str.remote(g.out_deg[p]) for p in range(P)]
+    for _ in range(iters):
+        msg = [gather.options(num_returns=P).remote(
+            g.blocks[p], lab_refs[p]) for p in range(P)]
+        lab_refs = [reduce.remote(lab_refs[q],
+                                  *[msg[p][q] for p in range(P)])
+                    for q in range(P)]
+    shards = ray.get(lab_refs)
+    out = np.empty(n, dtype="<U32")
+    for p in range(P):
+        out[p::P] = shards[p]
+    return out, g.active_global()
+
+
+# ----------------------------------------------------------------------
 # Label propagation: plurality label of neighbours, ties -> lowest label
 # ----------------------------------------------------------------------
 def label_propagation(g: DistGraph, max_iter=100, weighted=True,

@@ -944,6 +944,111 @@ FROM ec WHERE i = {EIGEN_ITERS}
 """
 
 
+WL_ITERS = 2
+
+
+def q_wl_colors_co(sf_dir):
+    """Weisfeiler-Lehman (1-WL color refinement) vertex fingerprints
+    on the simple co graph, WL_ITERS rounds: initial color = degree,
+    then md5(own || '|' || sorted neighbour colors). Structural-role
+    fingerprints for graph-similarity / isomorphism screening; the
+    md5 chain is reproduced verbatim in SQL."""
+    g = _co_distgraph(sf_dir)
+    lab, act = ss.wl_refinement(g, iters=WL_ITERS)
+    vids = np.flatnonzero(act).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "wl": pa.array(lab[vids])})
+
+
+SQL_WL_COLORS_CO = f"""
+WITH
+{_SQL_CO_EDGES_BOTH},
+deg AS (SELECT a AS v, CAST(count(*) AS VARCHAR) AS lab
+        FROM e GROUP BY a),
+l1 AS (SELECT e.b AS v,
+              md5(any_value(d2.lab) || '|' ||
+                  string_agg(d1.lab, ',' ORDER BY d1.lab)) AS lab
+       FROM e JOIN deg d1 ON d1.v = e.a JOIN deg d2 ON d2.v = e.b
+       GROUP BY e.b),
+l2 AS (SELECT e.b AS v,
+              md5(any_value(x2.lab) || '|' ||
+                  string_agg(x1.lab, ',' ORDER BY x1.lab)) AS lab
+       FROM e JOIN l1 x1 ON x1.v = e.a JOIN l1 x2 ON x2.v = e.b
+       GROUP BY e.b)
+SELECT CAST(v AS BIGINT) AS vid, lab AS wl FROM l2
+"""
+
+
+def q_reciprocity_co(sf_dir):
+    """Edge reciprocity of the DIRECTED co-occurrence graph (a -> b
+    when a's lineitem precedes b's within an order): the fraction of
+    directed edges whose reverse also exists — the classic link-graph
+    symmetry diagnostic. One pair-key shuffle: per-batch partial
+    direction flags, groupby max (idempotent combine), tiny partial
+    count reduce."""
+    from ray.data.aggregate import Max
+    li = tg.read_lineitem(sf_dir,
+                          ["l_orderkey", "l_partkey", "l_linenumber"])
+    right = li.map_batches(
+        lambda t: t.rename_columns(
+            ["l_orderkey", "partkey_r", "linenumber_r"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = li.join(right, "inner", 16, on=("l_orderkey",))
+
+    def pre(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less(t["l_linenumber"], t["linenumber_r"]),
+                       pc.not_equal(t["l_partkey"], t["partkey_r"]))
+        tt = t.filter(keep)
+        a, b = tt["l_partkey"], tt["partkey_r"]
+        g = pa.table({
+            "lo": pc.min_element_wise(a, b),
+            "hi": pc.max_element_wise(a, b),
+            "f": pc.cast(pc.less(a, b), pa.int64()),
+            "r": pc.cast(pc.greater(a, b), pa.int64()),
+        }).group_by(["lo", "hi"]).aggregate([("f", "max"), ("r", "max")])
+        return g.rename_columns(["lo", "hi", "f", "r"])
+
+    agg = joined.map_batches(pre, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["lo", "hi"]).aggregate(Max("f", alias_name="f"),
+                                         Max("r", alias_name="r"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False)
+        r = t["r"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ne": pa.array([int((f + r).sum())], pa.int64()),
+            "nr": pa.array([int(2 * ((f == 1) & (r == 1)).sum())],
+                           pa.int64()),
+        })
+
+    part = agg.map_batches(counts, batch_format="pyarrow").to_pandas()
+    ne, nr = int(part["ne"].sum()), int(part["nr"].sum())
+    rec = round6(np.array([nr / ne if ne else 0.0]))
+    return pa.table({"n_edges": pa.array([ne], pa.int64()),
+                     "n_reciprocal": pa.array([nr], pa.int64()),
+                     "reciprocity": pa.array(rec)})
+
+
+SQL_RECIPROCITY_CO = """
+WITH d AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_linenumber < l2.l_linenumber
+            AND l1.l_partkey <> l2.l_partkey),
+p AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+             max(CASE WHEN a < b THEN 1 ELSE 0 END) AS f,
+             max(CASE WHEN a > b THEN 1 ELSE 0 END) AS r
+      FROM d GROUP BY 1, 2)
+SELECT CAST(sum(f + r) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN f = 1 AND r = 1 THEN 2 ELSE 0 END)
+            AS BIGINT) AS n_reciprocal,
+       round(sum(CASE WHEN f = 1 AND r = 1 THEN 2 ELSE 0 END)
+             / CAST(sum(f + r) AS DOUBLE), 6) AS reciprocity
+FROM p
+"""
+
+
 def q_clustering_coeff_co(sf_dir):
     """Local clustering coefficient: 2*triangles(v) / (deg(v)*(deg(v)-1))
     on the simple co graph (0 when deg < 2). Triangles come from the
@@ -4648,6 +4753,8 @@ QUERIES = {
     "hits_ps": q_hits_ps,
     "katz_co": q_katz_co,
     "eigencentrality_co": q_eigencentrality_co,
+    "wl_colors_co": q_wl_colors_co,
+    "reciprocity_co": q_reciprocity_co,
     "clustering_coeff_co": q_clustering_coeff_co,
     "link_predict_co": q_link_predict_co,
     "neighbor_sample_co": q_neighbor_sample_co,
@@ -4766,6 +4873,8 @@ ORACLE_SQL = {
     "hits_ps": SQL_HITS_PS,
     "katz_co": SQL_KATZ_CO,
     "eigencentrality_co": SQL_EIGENCENTRALITY_CO,
+    "wl_colors_co": SQL_WL_COLORS_CO,
+    "reciprocity_co": SQL_RECIPROCITY_CO,
     "clustering_coeff_co": SQL_CLUSTERING_COEFF_CO,
     "link_predict_co": SQL_LINK_PREDICT_CO,
     "neighbor_sample_co": SQL_NEIGHBOR_SAMPLE_CO,

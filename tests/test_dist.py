@@ -941,3 +941,40 @@ def test_dist_leiden_warm_start_validates():
         dl.run(initial_membership=np.array([0, 1], dtype=np.int64))
     with pytest.raises(ValueError):
         dl.run(initial_membership=np.array([0, 1, 99], dtype=np.int64))
+
+
+def test_wl_refinement_properties():
+    """1-WL separates a 6-cycle from two triangles (degree alone
+    cannot: all vertices are degree-2... both stay uniform under WL,
+    so instead pin: (a) parallelism invariance, (b) a path graph's
+    colors are symmetric and distinguish interior from ends, (c) WL
+    colors refine degree classes."""
+    # path 0-1-2-3-4
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 4])
+    outs = []
+    for P in (2, 4):
+        g = DistGraph.from_edges(src, dst, n=5, P=P,
+                                 both_directions=True)
+        lab, act = ss.wl_refinement(g, iters=2)
+        outs.append(lab)
+        assert act.sum() == 5
+    assert np.array_equal(outs[0], outs[1])
+    lab = outs[0]
+    # symmetry: 0==4, 1==3, middle distinct from both
+    assert lab[0] == lab[4] and lab[1] == lab[3]
+    assert lab[2] != lab[1] and lab[0] != lab[1]
+
+
+def test_wl_refinement_refines_degree():
+    """Same degree, different neighbourhood: star-of-stars vs clique
+    membership must split a degree class."""
+    # vertex 1 = centre of a 3-star (leaf neighbours), vertex 2 = a
+    # K4 member (degree-3 neighbours): same degree, WL must split
+    src = np.array([1, 1, 1, 2, 2, 2, 3, 3, 4])
+    dst = np.array([5, 6, 7, 3, 4, 8, 4, 8, 8])
+    g = DistGraph.from_edges(src, dst, n=9, P=3, both_directions=True)
+    lab, _ = ss.wl_refinement(g, iters=2)
+    deg = ss.assemble(g, g.out_deg)
+    assert deg[1] == deg[2] == 3   # same degree class
+    assert lab[1] != lab[2]        # WL splits it
