@@ -384,7 +384,8 @@ def sssp(g: DistGraph, sources, max_iter=10_000, checkpoint=None):
 # ----------------------------------------------------------------------
 # k-core: iterative peel to the maximal subgraph with min degree >= k
 # ----------------------------------------------------------------------
-def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None):
+def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None,
+          init_alive=None):
     """Boolean per-partition membership masks; each superstep counts,
     per vertex, its edges whose *source* endpoint is still in the core
     candidate set (blocks hold both directions, so that is the degree
@@ -392,7 +393,13 @@ def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None):
     Fixed point = the k-core. Returns (mask over vids, iterations).
 
     Idempotent after convergence, so a fixed-iteration SQL oracle that
-    runs past the fixed point reproduces it exactly."""
+    runs past the fixed point reproduces it exactly.
+
+    ``init_alive``: dense length-n bool warm start. The k-core is a
+    subset of the (k-1)-core, so a core *decomposition* peels each
+    level from the previous level's survivors instead of the whole
+    graph — the fixed point is unchanged (peeling is monotone from
+    any superset of the k-core)."""
     P, n, sizes = g.P, g.n, g.sizes
 
     @ray.remote
@@ -416,9 +423,14 @@ def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None):
         return new, int((new != old).sum())
 
     # start from the active vertex set (vertices with >= 1 edge)
-    act_refs, _ = g.active_masks()
-    alive_refs = [ray.put(np.asarray(ray.get(act_refs[p])).copy())
-                  for p in range(P)]
+    if init_alive is not None:
+        init_alive = np.asarray(init_alive, dtype=bool)
+        alive_refs = [ray.put(init_alive[p::P].copy())
+                      for p in range(P)]
+    else:
+        act_refs, _ = g.active_masks()
+        alive_refs = [ray.put(np.asarray(ray.get(act_refs[p])).copy())
+                      for p in range(P)]
     ckpt = CheckpointManager(checkpoint, f"kcore{k}", P, n=n) \
         if checkpoint else None
     start_iter = 0

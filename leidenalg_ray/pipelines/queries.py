@@ -803,6 +803,55 @@ SELECT CAST(v AS BIGINT) AS vid FROM peel WHERE i = {_KCORE_SQL_ITERS}
 """
 
 
+CORENESS_LEVELS = (20, 40, 60, 80, 100, 120)
+_CORENESS_SQL_ITERS = 14
+
+
+def q_coreness_co(sf_dir):
+    """Stepped core decomposition: per vertex the highest level k in
+    CORENESS_LEVELS whose k-core still contains it (1 if none — the
+    active set). Each level's peel warm-starts from the previous
+    level's survivors (k-core ⊆ (k-1)-core), so the whole
+    decomposition costs barely more than the deepest single peel."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    core = np.where(act, np.int64(1), np.int64(0))
+    alive = act
+    for k in CORENESS_LEVELS:
+        mask, _ = ss.kcore(g, k, init_alive=alive)
+        if not mask.any():
+            break
+        core[mask] = k
+        alive = mask
+    vids = np.flatnonzero(act).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "coreness": pa.array(core[vids])})
+
+
+SQL_CORENESS_CO = f"""
+WITH RECURSIVE
+{_SQL_CO_EDGES_BOTH},
+verts AS (SELECT DISTINCT a AS v FROM e),
+ks AS (SELECT UNNEST({list(CORENESS_LEVELS)}) AS k),
+peel(k, i, v) AS (
+  SELECT ks.k, 0, verts.v FROM verts, ks
+  UNION ALL
+  SELECT q.k, q.i + 1, q.v FROM (
+    SELECT p.k AS k, p.i AS i, e.b AS v, count(*) AS deg
+    FROM peel p JOIN e ON e.a = p.v
+    JOIN peel p2 ON p2.v = e.b AND p2.i = p.i AND p2.k = p.k
+    WHERE p.i < {_CORENESS_SQL_ITERS}
+    GROUP BY p.k, p.i, e.b) q
+  WHERE q.deg >= q.k
+),
+sur AS (SELECT k, v FROM peel WHERE i = {_CORENESS_SQL_ITERS})
+SELECT CAST(verts.v AS BIGINT) AS vid,
+       CAST(COALESCE(max(sur.k), 1) AS BIGINT) AS coreness
+FROM verts LEFT JOIN sur ON sur.v = verts.v
+GROUP BY verts.v
+"""
+
+
 HITS_ITERS = 20
 
 
@@ -3777,6 +3826,51 @@ WHERE h % (CASE WHEN lang = 'en' THEN 2 ELSE 3 END) = 0
 """
 
 
+def q_doc_pii_scrub(sf_dir):
+    """PII scrubbing (email/phone masking) — the synthetic corpus has
+    no PII, so the query plants a deterministic contact line per doc
+    (derived from doc_id only) and scrubs it: the stage's RE2 masking
+    + counts run for real and the SQL oracle replants and re-scrubs
+    with the SAME pattern strings (DuckDB is also RE2)."""
+    docs = _docs(sf_dir)
+
+    def plant(t: pa.Table) -> pa.Table:
+        i = pc.cast(t["doc_id"], pa.string())
+        ph = pc.cast(pc.add(pc.multiply(t["doc_id"], 7), 1000000),
+                     pa.string())
+        dirty = pc.binary_join_element_wise(
+            t["text"], " contact doc", i, "@mail.example.com or +1555",
+            ph, " now", "")
+        return pa.table({"doc_id": t["doc_id"], "text": dirty})
+
+    return tx.pii_scrub(docs.map_batches(plant, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+
+
+SQL_DOC_PII_SCRUB = rf"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact doc' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1555'
+              || CAST(doc_id * 7 + 1000000 AS VARCHAR)
+              || ' now' AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '{tx.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{tx.PII_EMAIL_RE}', '[EMAIL]', 'g')
+           AS text
+  FROM dirty)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(text,
+            '{tx.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(text, '{tx.PII_PHONE_RE}', '[PHONE]', 'g'))
+         AS clean_md5
+FROM s1
+"""
+
+
 def q_docs_normalize(sf_dir):
     """Text normalisation stage: lowercase, collapse whitespace runs
     to one space, trim; output the md5 of the normalised text (the
@@ -4755,6 +4849,7 @@ QUERIES = {
     "eigencentrality_co": q_eigencentrality_co,
     "wl_colors_co": q_wl_colors_co,
     "reciprocity_co": q_reciprocity_co,
+    "coreness_co": q_coreness_co,
     "clustering_coeff_co": q_clustering_coeff_co,
     "link_predict_co": q_link_predict_co,
     "neighbor_sample_co": q_neighbor_sample_co,
@@ -4830,6 +4925,7 @@ QUERIES = {
     "embed_centroids": q_embed_centroids,
     "doc_sample_stratified": q_doc_sample_stratified,
     "docs_normalize": q_docs_normalize,
+    "doc_pii_scrub": q_doc_pii_scrub,
     "doc_repetition": q_doc_repetition,
     "doc_entropy": q_doc_entropy,
     "contamination": q_contamination,
@@ -4875,6 +4971,7 @@ ORACLE_SQL = {
     "eigencentrality_co": SQL_EIGENCENTRALITY_CO,
     "wl_colors_co": SQL_WL_COLORS_CO,
     "reciprocity_co": SQL_RECIPROCITY_CO,
+    "coreness_co": SQL_CORENESS_CO,
     "clustering_coeff_co": SQL_CLUSTERING_COEFF_CO,
     "link_predict_co": SQL_LINK_PREDICT_CO,
     "neighbor_sample_co": SQL_NEIGHBOR_SAMPLE_CO,
@@ -4945,6 +5042,7 @@ ORACLE_SQL = {
     "embed_centroids": SQL_EMBED_CENTROIDS,
     "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
     "docs_normalize": SQL_DOCS_NORMALIZE,
+    "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_entropy": SQL_DOC_ENTROPY,
     "contamination": SQL_CONTAMINATION,

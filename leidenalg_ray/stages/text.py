@@ -16,6 +16,7 @@ import numpy as np
 
 from leidenalg_ray.util import round6
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
 
@@ -504,3 +505,38 @@ def contamination_check(docs_ds, concurrency=4):
         ContaminationCheck, batch_format="pyarrow", batch_size=2048,
         zero_copy_batch=True, concurrency=(1, concurrency),
         fn_constructor_kwargs={"eval_grams_ref": ref})
+
+
+# ----------------------------------------------------------------------
+# PII scrubbing (email / phone masking)
+# ----------------------------------------------------------------------
+# Both pyarrow and DuckDB use RE2, so the SQL oracle runs the SAME
+# pattern strings verbatim — identical match semantics by construction.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def pii_scrub(docs_ds):
+    """Mask emails then phones (in that order — email local parts
+    contain digits, so phones are counted on the email-scrubbed
+    text); emit per-doc match counts and the md5 of the clean text.
+    Pure vectorised RE2 kernels, no shuffle, no state."""
+    import hashlib as _h
+
+    def scrub(t: pa.Table) -> pa.Table:
+        x = t["text"]
+        n_email = pc.count_substring_regex(x, PII_EMAIL_RE)
+        x = pc.replace_substring_regex(x, PII_EMAIL_RE, "[EMAIL]")
+        n_phone = pc.count_substring_regex(x, PII_PHONE_RE)
+        x = pc.replace_substring_regex(x, PII_PHONE_RE, "[PHONE]")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_emails": pc.cast(n_email, pa.int64()),
+            "n_phones": pc.cast(n_phone, pa.int64()),
+            "clean_md5": pa.array(
+                [_h.md5(s.encode("utf-8")).hexdigest()
+                 for s in x.to_pylist()], pa.string()),
+        })
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -978,3 +978,15 @@ def test_wl_refinement_refines_degree():
     deg = ss.assemble(g, g.out_deg)
     assert deg[1] == deg[2] == 3   # same degree class
     assert lab[1] != lab[2]        # WL splits it
+
+
+def test_kcore_warm_start_matches_cold(random_graph):
+    """Peeling the k-core from the (k-1)-core's survivors (the core-
+    decomposition path) gives the same fixed point as peeling from
+    the whole active set."""
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    prev, _ = ss.kcore(g, 6)
+    warm, _ = ss.kcore(g, 9, init_alive=prev)
+    cold, _ = ss.kcore(g, 9)
+    assert np.array_equal(warm, cold)

@@ -192,3 +192,25 @@ def test_tfidf_topk_serial_oracle(docs):
     out2 = tx.tfidf_topk(rebatched, k=3).to_pandas() \
         .sort_values(["doc_id", "term"]).reset_index(drop=True)
     assert out.equals(out2)
+
+
+def test_pii_scrub_masks_and_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from leidenalg_ray.stages.text import pii_scrub
+    import hashlib
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail me at a.b-c%d@sub.example.org or +4915112345678 ok",
+            "no pii here at all",
+            "two mails x@y.io z@w.co and +1234567 end",
+        ]),
+    }))
+    out = pii_scrub(docs).to_pandas().sort_values("doc_id")
+    assert out["n_emails"].tolist() == [1, 0, 2]
+    assert out["n_phones"].tolist() == [1, 0, 1]
+    clean1 = "mail me at [EMAIL] or [PHONE] ok"
+    assert out["clean_md5"].iloc[0] == hashlib.md5(
+        clean1.encode()).hexdigest()
