@@ -815,6 +815,93 @@ def label_propagation(g: DistGraph, max_iter=100, weighted=True,
 
 
 # ----------------------------------------------------------------------
+# Seeded (semi-supervised) label propagation
+# ----------------------------------------------------------------------
+def label_propagation_seeded(g: DistGraph, seeds, seed_labels,
+                             iters=10, weighted=True):
+    """Semi-supervised label spreading (the distributed analogue of
+    the reference's ``is_membership_fixed``): seed vertices hold
+    pinned class labels; every other vertex is unlabeled (-1) until a
+    labeled neighbour appears, then re-takes the plurality label of
+    its LABELED neighbours each superstep (ties -> lowest label;
+    unlabeled vertices with no labeled neighbour keep -1). Labels
+    never disappear, so a fixed-iteration recursive-CTE oracle
+    reproduces the run exactly. Blocks must hold both directions.
+    Class labels may be arbitrary non-negative int64 (the packing
+    base adapts)."""
+    P, n, sizes = g.P, g.n, g.sizes
+    seeds = np.asarray(seeds, dtype=np.int64)
+    seed_labels = np.asarray(seed_labels, dtype=np.int64)
+    # (dst, label) pair packing base: labels are seed class ids, which
+    # may exceed n
+    L = int(max(n, seed_labels.max(initial=0) + 1, 2))
+
+    @ray.remote
+    def gather(block, label):
+        lab = label[block["src_local"]]
+        keep = lab >= 0
+        w = (block["weight"] if weighted
+             else np.ones(len(lab)))
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            m = keep[sl]
+            dl = block["dst_local"][sl][m]
+            lb = lab[sl][m]
+            ww = w[sl][m]
+            if len(dl) == 0:
+                outs.append((np.empty(0, np.int64),
+                             np.empty(0, np.int64), np.empty(0)))
+                continue
+            key = dl * L + lb
+            uniq, inv = np.unique(key, return_inverse=True)
+            ws = np.zeros(len(uniq))
+            np.add.at(ws, inv, ww)
+            outs.append(((uniq // L).astype(np.int64),
+                         (uniq % L).astype(np.int64), ws))
+        return outs
+
+    @ray.remote
+    def reduce(old, fixed, *incoming):
+        dl = np.concatenate([x[0] for x in incoming])
+        lb = np.concatenate([x[1] for x in incoming])
+        ws = np.concatenate([x[2] for x in incoming])
+        new = old.copy()
+        if len(dl):
+            key = dl * L + lb
+            uniq, inv = np.unique(key, return_inverse=True)
+            tot = np.zeros(len(uniq))
+            np.add.at(tot, inv, ws)
+            d = (uniq // L).astype(np.int64)
+            l = (uniq % L).astype(np.int64)
+            order = np.lexsort((l, -tot, d))
+            d_s, l_s = d[order], l[order]
+            first = np.ones(len(d_s), dtype=bool)
+            first[1:] = d_s[1:] != d_s[:-1]
+            new[d_s[first]] = l_s[first]
+        new[fixed] = old[fixed]
+        return new
+
+    label_refs, fixed_refs = [], []
+    for p in range(P):
+        lab = np.full(sizes[p], -1, dtype=np.int64)
+        fx = np.zeros(sizes[p], dtype=bool)
+        m = seeds % P == p
+        lab[seeds[m] // P] = seed_labels[m]
+        fx[seeds[m] // P] = True
+        label_refs.append(ray.put(lab))
+        fixed_refs.append(ray.put(fx))
+    for _ in range(iters):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], label_refs[p]) for p in range(P)]
+        label_refs = [reduce.remote(label_refs[q], fixed_refs[q],
+                                    *[msg_refs[p][q] for p in range(P)])
+                      for q in range(P)]
+    return assemble(g, label_refs)
+
+
+# ----------------------------------------------------------------------
 # Strongly connected components: FW-BW colouring
 # ----------------------------------------------------------------------
 def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000):

@@ -584,6 +584,59 @@ def q_label_propagation_co(sf_dir):
                      "label": pa.array(lab[vids])})
 
 
+LP_SEED_MOD = 97
+LP_SEED_ITERS = 10
+
+
+def q_label_propagation_seeded_co(sf_dir):
+    """Semi-supervised label spreading (the distributed analogue of
+    the reference optimiser's ``is_membership_fixed``): seeds =
+    vids % 97 == 0 hold pinned labels; unlabeled vertices take the
+    plurality label of their LABELED neighbours each superstep.
+    Fixed LP_SEED_ITERS supersteps; output = labeled vertices only."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    seeds = np.flatnonzero(act)[
+        np.flatnonzero(act) % LP_SEED_MOD == 0].astype(np.int64)
+    lab = ss.label_propagation_seeded(g, seeds, seeds,
+                                      iters=LP_SEED_ITERS)
+    vids = np.flatnonzero(lab >= 0).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "label": pa.array(lab[vids])})
+
+
+SQL_LABEL_PROPAGATION_SEEDED_CO = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT DISTINCT a AS v FROM e),
+lp(i, v, lab) AS (
+  SELECT 0, v, v FROM verts WHERE v % {LP_SEED_MOD} = 0
+  UNION ALL
+  SELECT x.i, x.v, x.lab FROM (
+    -- non-seeds: plurality label of labeled neighbours
+    SELECT q.i + 1 AS i, q.v, q.lab FROM (
+      SELECT p.i AS i, e.b AS v, p.lab AS lab,
+             row_number() OVER (PARTITION BY p.i, e.b
+                                ORDER BY sum(e.w) DESC, p.lab ASC) AS rn
+      FROM lp p JOIN e ON e.a = p.v
+      WHERE p.i < {LP_SEED_ITERS} AND e.b % {LP_SEED_MOD} <> 0
+      GROUP BY p.i, e.b, p.lab
+    ) q WHERE q.rn = 1
+    UNION ALL
+    -- seeds: pinned
+    SELECT p.i + 1, p.v, p.lab FROM lp p
+    WHERE p.i < {LP_SEED_ITERS} AND p.v % {LP_SEED_MOD} = 0
+  ) x
+)
+SELECT v AS vid, lab AS label FROM lp WHERE i = {LP_SEED_ITERS}
+"""
+
+
 # ======================================================================
 # BFS distances / k-core / HITS / clustering coefficient
 # ======================================================================
@@ -4840,6 +4893,7 @@ QUERIES = {
     "triangles_co": q_triangles_co,
     "triangles_co_per_vertex": q_triangles_co_per_vertex,
     "label_propagation_co": q_label_propagation_co,
+    "label_propagation_seeded_co": q_label_propagation_seeded_co,
     "bfs_dist_co": q_bfs_dist_co,
     "sssp_co": q_sssp_co,
     "pagerank_personalized_co": q_pagerank_personalized_co,
@@ -4962,6 +5016,7 @@ ORACLE_SQL = {
     "pagerank_warm_co": SQL_PAGERANK_WARM_CO,
     "cc_incremental_ps": SQL_CC_INCREMENTAL_PS,
     "label_propagation_co": SQL_LABEL_PROPAGATION_CO,
+    "label_propagation_seeded_co": SQL_LABEL_PROPAGATION_SEEDED_CO,
     "bfs_dist_co": SQL_BFS_DIST_CO,
     "sssp_co": SQL_SSSP_CO,
     "pagerank_personalized_co": SQL_PAGERANK_PERSONALIZED_CO,

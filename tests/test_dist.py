@@ -990,3 +990,21 @@ def test_kcore_warm_start_matches_cold(random_graph):
     warm, _ = ss.kcore(g, 9, init_alive=prev)
     cold, _ = ss.kcore(g, 9)
     assert np.array_equal(warm, cold)
+
+
+def test_label_propagation_seeded_properties():
+    """Two planted cliques bridged by one edge; one seed in each: the
+    seed labels partition the graph along the bridge, seeds stay
+    pinned, unreachable vertices stay -1."""
+    ii, jj = np.triu_indices(8, k=1)
+    src = np.concatenate([ii, ii + 8, [0]])
+    dst = np.concatenate([jj, jj + 8, [8]])
+    # vertex 20 isolated from both cliques (edge 20-21 only)
+    src = np.concatenate([src, [20]])
+    dst = np.concatenate([dst, [21]])
+    g = DistGraph.from_edges(src, dst, n=22, P=3, both_directions=True)
+    lab = ss.label_propagation_seeded(g, [0, 15], [100, 200], iters=8)
+    assert lab[0] == 100 and lab[15] == 200        # pinned
+    assert (lab[1:8] == 100).all()                 # clique A
+    assert (lab[8:15] == 200).all()                # clique B
+    assert lab[20] == -1 and lab[21] == -1         # unreachable
