@@ -4877,6 +4877,231 @@ FROM v, tot
 """
 
 
+def q_events_median_cont(sf_dir):
+    """Interpolated (percentile_cont) median of the event value per
+    type: one event_type hash shuffle, per-group vectorised sort, and
+    the explicit interpolation v[lo] + (pos-lo)*(v[hi]-v[lo]) — the
+    SQL oracle writes the SAME window-function expression (not
+    DuckDB's quantile_cont internals) so both sides evaluate identical
+    IEEE operations."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(np.float64))
+        n = len(v)
+        pos = (n - 1) * 0.5
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, n - 1)
+        m = v[lo] + (pos - lo) * (v[hi] - v[lo])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": np.array([n], np.int64),
+            "median_cont": round6([m]),
+        })
+
+    return ev.groupby("event_type").map_groups(med,
+                                               batch_format="pandas")
+
+
+SQL_EVENTS_MEDIAN_CONT = """
+WITH o AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) - 1 AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+pos AS (SELECT event_type, n,
+               (n - 1) * 0.5 AS p,
+               CAST(floor((n - 1) * 0.5) AS BIGINT) AS lo,
+               least(CAST(floor((n - 1) * 0.5) AS BIGINT) + 1,
+                     n - 1) AS hi
+        FROM (SELECT DISTINCT event_type, n FROM o)),
+l AS (SELECT o.event_type, o.value AS lv, pos.p, pos.lo, pos.n
+      FROM o JOIN pos ON o.event_type = pos.event_type
+                     AND o.rn = pos.lo),
+u AS (SELECT o.event_type, o.value AS uv
+      FROM o JOIN pos ON o.event_type = pos.event_type
+                     AND o.rn = pos.hi)
+SELECT l.event_type, CAST(l.n AS BIGINT) AS n,
+       round(l.lv + (l.p - l.lo) * (u.uv - l.lv), 6) AS median_cont
+FROM l JOIN u ON l.event_type = u.event_type
+"""
+
+
+def q_cms_user_counts(sf_dir):
+    """Count-Min sketch frequency estimation of per-user event counts
+    (``stages/sketch.cms_frequencies``): 4x128 mergeable integer
+    counters — per-batch partials, one <=512-cell groupby, sketch
+    broadcast once, per-key min-over-rows estimate. Fixed sketch
+    state at any stream size; all-integer, so the SQL replica (same
+    md5 cell hashes, same min) is exact."""
+    from ..stages import sketch as sk
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    est = sk.cms_frequencies(ev, "user_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["key"], pa.int64()),
+            "cms_est": pc.cast(t["cms_est"], pa.int64()),
+        })
+    return est.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CMS_USER_COUNTS = """
+WITH cells AS (
+  SELECT i.i AS r,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                  || '#' || i.i), 1, 8))
+              ::UBIGINT % 128 AS BIGINT) AS cell,
+         count(*) AS cnt
+  FROM events, generate_series(0, 3) i(i)
+  GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM events),
+uc AS (SELECT u.user_id, i.i AS r,
+              CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                                       || '#' || i.i), 1, 8))
+                   ::UBIGINT % 128 AS BIGINT) AS cell
+       FROM users u, generate_series(0, 3) i(i))
+SELECT uc.user_id, CAST(min(c.cnt) AS BIGINT) AS cms_est
+FROM uc JOIN cells c ON c.r = uc.r AND c.cell = uc.cell
+GROUP BY uc.user_id
+"""
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def q_walk_skipgrams(sf_dir):
+    """Skip-gram (center, context) training-pair counts from the
+    deterministic random walks (word2vec/node2vec corpus prep): one
+    walk_id shuffle, per-walk vectorised window pairing (|step delta|
+    <= 2, both directions), per-batch pair-count partials, and a
+    pair-vocabulary-sized groupby."""
+    edges, n = _item_seq_edges(sf_dir)
+    g = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
+                               dedup=True)
+    act = np.flatnonzero(g.active_global())
+    seeds = act[:WALK_SEEDS].astype(np.int64)
+    w, s, v = ss.random_walks(g, seeds, length=WALK_LEN)
+    walks = rd.from_arrow(pa.table({
+        "walk_id": pa.array(w.astype(np.int64)),
+        "step": pa.array(s.astype(np.int64)),
+        "vid": pa.array(v.astype(np.int64))}))
+
+    def pairs(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.sort_values("step")
+        vv = gdf["vid"].to_numpy(np.int64)
+        cs, xs = [], []
+        for d in range(1, SKIPGRAM_WINDOW + 1):
+            if len(vv) > d:
+                cs += [vv[:-d], vv[d:]]
+                xs += [vv[d:], vv[:-d]]
+        if not cs:
+            return pd.DataFrame({"center": np.array([], np.int64),
+                                 "context": np.array([], np.int64)})
+        return pd.DataFrame({"center": np.concatenate(cs),
+                             "context": np.concatenate(xs)})
+
+    def pre(t: pa.Table) -> pa.Table:
+        g2 = t.group_by(["center", "context"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"center": g2["center"],
+                         "context": g2["context"],
+                         "cnt": g2["count_all"]})
+
+    out = walks.groupby("walk_id").map_groups(pairs,
+                                              batch_format="pandas") \
+        .map_batches(pre, batch_format="pyarrow") \
+        .groupby(["center", "context"]).aggregate(
+            Sum("cnt", alias_name="cnt"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"center": pc.cast(t["center"], pa.int64()),
+                         "context": pc.cast(t["context"], pa.int64()),
+                         "cnt": pc.cast(t["cnt"], pa.int64())})
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_WALK_SKIPGRAMS = f"""
+WITH RECURSIVE
+seq AS (SELECT l_partkey AS a,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS b
+        FROM lineitem),
+e AS (SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+seeds AS (SELECT v FROM verts ORDER BY v LIMIT {{WALK_SEEDS}}),
+walk(w, s, cur) AS (
+  SELECT v, 0, v FROM seeds
+  UNION ALL
+  SELECT w, s + 1,
+         (SELECT eb.b FROM e eb WHERE eb.a = walk.cur
+          ORDER BY ((walk.w % 1000003) * 7919
+                    + ((walk.s + 1) % 1000003) * 104729
+                    + (eb.b % 1000003) * 15485863) % 1000003, eb.b
+          LIMIT 1)
+  FROM walk
+  WHERE s < {{WALK_LEN}}
+    AND EXISTS (SELECT 1 FROM e eb WHERE eb.a = walk.cur)
+)
+SELECT a.cur AS center, b.cur AS context, count(*) AS cnt
+FROM walk a JOIN walk b
+  ON a.w = b.w AND a.s <> b.s AND abs(a.s - b.s) <= {{SKIPGRAM_WINDOW}}
+GROUP BY 1, 2
+""".format(WALK_SEEDS=WALK_SEEDS, WALK_LEN=WALK_LEN,
+           SKIPGRAM_WINDOW=SKIPGRAM_WINDOW)
+
+
+def q_edge_jaccard_co(sf_dir):
+    """Per-edge neighborhood Jaccard similarity (edge embeddedness)
+    on the simple co graph: support (= common-neighbor count) from the
+    compact-forward wedge plan (``truss.edge_supports`` — the same
+    broadcast envelope as ``triangle_count_fast``; past node memory
+    the bucketed spill plan of ``triangles.triangle_count`` supplies
+    the same per-edge supports), degrees from bincounts, jaccard =
+    support / (deg_a + deg_b - support) as ONE integer division per
+    edge — deterministic across engines. igraph similarity_jaccard
+    parity for adjacent pairs."""
+    from ..dist.truss import edge_supports
+    t = pa.concat_tables(
+        [b for b in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(s.max(), d.max())) + 1
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    keys = np.unique(lo[lo != hi] * np.int64(n) + hi[lo != hi])
+    a, b = keys // n, keys % n
+    sup = edge_supports(a, b, n, P=8)
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    union = deg[a] + deg[b] - sup
+    return pa.table({"a": pa.array(a), "b": pa.array(b),
+                     "support": pa.array(sup),
+                     "jaccard": pa.array(round6(sup / union))})
+
+
+SQL_EDGE_JACCARD_CO = f"""
+WITH {_SQL_CO_PAIRS},
+dd AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+sup AS (SELECT e.a, e.b, count(*) AS sp
+        FROM e0 e JOIN dd x ON x.a = e.a
+                  JOIN dd y ON y.a = e.b AND y.b = x.b
+        GROUP BY 1, 2),
+deg AS (SELECT a AS v, count(*) AS dg FROM dd GROUP BY 1)
+SELECT e.a, e.b,
+       CAST(COALESCE(sup.sp, 0) AS BIGINT) AS support,
+       round(COALESCE(sup.sp, 0)
+             / (da.dg + db.dg - COALESCE(sup.sp, 0)), 6) AS jaccard
+FROM e0 e
+LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
+JOIN deg da ON da.v = e.a
+JOIN deg db ON db.v = e.b
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -5000,6 +5225,10 @@ QUERIES = {
     "bipartite_projection_ps": q_bipartite_projection_ps,
     "doc_blocklist": q_doc_blocklist,
     "events_window_streaming": q_events_window_streaming,
+    "events_median_cont": q_events_median_cont,
+    "cms_user_counts": q_cms_user_counts,
+    "walk_skipgrams": q_walk_skipgrams,
+    "edge_jaccard_co": q_edge_jaccard_co,
 }
 
 ORACLE_SQL = {
@@ -5118,4 +5347,8 @@ ORACLE_SQL = {
     "bipartite_projection_ps": SQL_BIPARTITE_PROJECTION_PS,
     "doc_blocklist": SQL_DOC_BLOCKLIST,
     "events_window_streaming": SQL_EVENTS_WINDOW,
+    "events_median_cont": SQL_EVENTS_MEDIAN_CONT,
+    "cms_user_counts": SQL_CMS_USER_COUNTS,
+    "walk_skipgrams": SQL_WALK_SKIPGRAMS,
+    "edge_jaccard_co": SQL_EDGE_JACCARD_CO,
 }

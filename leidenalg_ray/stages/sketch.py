@@ -81,6 +81,84 @@ def hll_estimate(registers: dict[int, int]) -> float:
     return raw
 
 
+CMS_D = 4                    # hash rows
+CMS_W = 128                  # counters per row
+
+
+def cms_cells(values, row: int) -> np.ndarray:
+    """Count-Min cell for each value under hash row ``row``: first 4
+    md5 bytes of ``str(v) + '#' + str(row)`` mod CMS_W — the exact
+    expression the SQL oracle writes as
+    ``('0x'||substr(md5(v::VARCHAR||'#r'),1,8))::UBIGINT % 128``."""
+    return np.array(
+        [int.from_bytes(
+            hashlib.md5((str(v) + "#" + str(row)).encode()).digest()[:4],
+            "big") for v in values],
+        dtype=np.int64) % CMS_W
+
+
+def cms_partial(values) -> pd.DataFrame:
+    """Per-batch combiner: (row, cell) -> partial count. At most
+    CMS_D * CMS_W rows out regardless of batch size."""
+    vals, cnts = np.unique(np.asarray(values), return_counts=True)
+    rows, cells, out = [], [], []
+    for r in range(CMS_D):
+        rows.append(np.full(len(vals), r, dtype=np.int64))
+        cells.append(cms_cells(vals, r))
+        out.append(cnts.astype(np.int64))
+    df = pd.DataFrame({"row": np.concatenate(rows),
+                       "cell": np.concatenate(cells),
+                       "cnt": np.concatenate(out)})
+    return df.groupby(["row", "cell"], as_index=False)["cnt"].sum()
+
+
+def cms_estimate(counters: np.ndarray, values) -> np.ndarray:
+    """Point-frequency estimates: min over the CMS_D row counters.
+    ``counters`` is the dense (CMS_D, CMS_W) int64 sketch."""
+    est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_D):
+        est = np.minimum(est, counters[r, cms_cells(values, r)])
+    return est
+
+
+def cms_frequencies(ds, col: str):
+    """Count-Min frequency estimation as a Dataset pipeline: per-batch
+    (row, cell) partials -> one tiny groupby over <= CMS_D*CMS_W cells
+    -> the dense sketch broadcast once -> per-distinct-key estimates.
+    The sketch is fixed-size however large the stream, and merges by
+    addition (Cormode & Muthukrishnan, J. Algorithms 2005 — public
+    algorithm). Returns a Dataset of (key, cms_est)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = cms_partial(t[col].to_pylist())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["row", "cell"]).aggregate(Sum("cnt", alias_name="cnt"))
+    counters = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        counters[b["row"].to_numpy(zero_copy_only=False),
+                 b["cell"].to_numpy(zero_copy_only=False)] = \
+            b["cnt"].to_numpy(zero_copy_only=False)
+    sk_ref = ray.put(counters)
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return t.select([col]).group_by([col]).aggregate([])
+
+    def estimate(t: pa.Table) -> pa.Table:
+        sk = ray.get(sk_ref)
+        keys = t[col].to_pylist()
+        return pa.table({"key": pa.array(np.asarray(keys, np.int64)),
+                         "cms_est": pa.array(cms_estimate(sk, keys))})
+
+    return ds.map_batches(dedup, batch_format="pyarrow") \
+        .groupby(col).map_groups(
+            lambda g: g.head(1), batch_format="pandas") \
+        .map_batches(estimate, batch_format="pyarrow")
+
+
 def hll_count_distinct(ds, key: str, col: str):
     """Approximate distinct ``col`` per ``key`` as a Dataset pipeline:
     per-batch register partials -> groupby((key, bucket)).max ->

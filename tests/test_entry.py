@@ -21,7 +21,9 @@ FAST_SQL_QUERIES = ["pricing_summary", "edges_ps", "degree_ps",
                     # users_click_and_signup is legitimately EMPTY at
                     # sf0.001 and an empty Dataset's to_pandas() drops
                     # the schema; the sf0.01 gate covers it (8 rows)
-                    "users_customers_outer", "docs_normalize"]
+                    "users_customers_outer", "docs_normalize",
+                    "events_median_cont", "cms_user_counts",
+                    "walk_skipgrams"]
 
 
 @pytest.fixture(scope="module")

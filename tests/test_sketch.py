@@ -39,3 +39,40 @@ def test_hll_sum_is_exact_dyadic():
     s = sum(1 << (sk.HLL_RHO_MAX - r) for r in regs.values())
     assert s < 2 ** 53
     assert float(s) == s
+
+
+# ---- Count-Min sketch ----
+
+def _cms_counters(values):
+    df = sk.cms_partial(values)
+    c = np.zeros((sk.CMS_D, sk.CMS_W), dtype=np.int64)
+    c[df["row"].to_numpy(), df["cell"].to_numpy()] = df["cnt"].to_numpy()
+    return c
+
+
+def test_cms_never_underestimates_and_is_tight():
+    rng = np.random.default_rng(7)
+    stream = rng.integers(0, 300, size=20_000)
+    c = _cms_counters(stream)
+    keys, true = np.unique(stream, return_counts=True)
+    est = sk.cms_estimate(c, keys)
+    assert (est >= true).all()          # CMS one-sided error
+    # eps = e/w per classic bound; with N=20k, w=128 the overestimate
+    # stays well under N/10 for every key
+    assert (est - true < 2_000).all()
+
+
+def test_cms_partials_merge_by_addition():
+    rng = np.random.default_rng(11)
+    stream = rng.integers(0, 500, size=10_000)
+    whole = _cms_counters(stream)
+    merged = _cms_counters(stream[:4_000]) + _cms_counters(stream[4_000:])
+    assert (whole == merged).all()
+
+
+def test_cms_cells_match_sql_hash_derivation():
+    import hashlib
+    v, r = 12345, 3
+    h = int.from_bytes(
+        hashlib.md5(f"{v}#{r}".encode()).digest()[:4], "big")
+    assert sk.cms_cells([v], r)[0] == h % sk.CMS_W

@@ -80,3 +80,28 @@ def test_k_truss_partitioned_matches_broadcast():
     a3, b3, _ = k_truss_partitioned(src, dst, n, k=4, K=5)
     a1, b1, _ = k_truss(src, dst, n, k=4, P=2)
     assert np.array_equal(a1, a3) and np.array_equal(b1, b3)
+
+
+def test_edge_jaccard_matches_bruteforce():
+    """support/(deg_a+deg_b-support) over edge_supports == set-based
+    neighborhood Jaccard (igraph similarity_jaccard semantics for
+    adjacent pairs)."""
+    rng = np.random.default_rng(5)
+    n = 40
+    s = rng.integers(0, n, 300)
+    d = rng.integers(0, n, 300)
+    m = s != d
+    lo, hi = np.minimum(s[m], d[m]), np.maximum(s[m], d[m])
+    keys = np.unique(lo * np.int64(n) + hi)
+    a, b = keys // n, keys % n
+    sup = edge_supports(a, b, n)
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    nbr = [set() for _ in range(n)]
+    for x, y in zip(a, b):
+        nbr[x].add(y)
+        nbr[y].add(x)
+    for i in range(len(a)):
+        inter = len(nbr[a[i]] & nbr[b[i]])
+        union = len(nbr[a[i]] | nbr[b[i]])
+        assert sup[i] == inter
+        assert deg[a[i]] + deg[b[i]] - sup[i] == union
