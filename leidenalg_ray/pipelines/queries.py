@@ -5102,6 +5102,152 @@ JOIN deg db ON db.v = e.b
 """
 
 
+FEATURE_PROP_DIM = 64
+FEATURE_PROP_THRESHOLD = 0.4
+
+
+def q_feature_prop(sf_dir):
+    """GNN-style feature propagation (one smoothing round): each
+    vector's neighbours in the exact cosine>=0.4 similarity graph are
+    mean-aggregated. Embeddings are fixed-point quantised
+    (floor(x*1e6 + 0.5) -> int64) so the distributed accumulation is
+    order-independent and the SQL replica exact; the final mean is ONE
+    IEEE division per (vec_id, dim). Plan: similarity edges stream
+    through per-batch scatter-add partials + one (vec_id, dim)
+    groupby; the quantised matrix is the broadcast small side
+    (ray.put once) — past node memory the same plan hash-joins edges
+    to vectors on u instead."""
+    import ray
+    emb = _emb(sf_dir)
+    pairs = dd.embedding_cosine_pairs(
+        emb, threshold=FEATURE_PROP_THRESHOLD, use_lsh=False)
+    edf = emb.to_pandas()   # the small side (one row per vector)
+    nvec = int(edf["vec_id"].max()) + 1
+    q = np.zeros((nvec, FEATURE_PROP_DIM), dtype=np.int64)
+    for vid, vec in zip(edf["vec_id"], edf["embedding"]):
+        q[int(vid)] = np.floor(
+            np.asarray(vec, np.float64) * 1e6 + 0.5).astype(np.int64)
+    q_ref = ray.put(q)
+
+    def prop(t: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dsts = np.concatenate([b, a])      # each pair smooths both ends
+        srcs = np.concatenate([a, b])
+        vids, inv = np.unique(dsts, return_inverse=True)
+        sums = np.zeros((len(vids), FEATURE_PROP_DIM), dtype=np.int64)
+        np.add.at(sums, inv, qm[srcs])
+        cnt = np.bincount(inv, minlength=len(vids)).astype(np.int64)
+        k = len(vids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vids, FEATURE_PROP_DIM)),
+            "dim": pa.array(np.tile(
+                np.arange(FEATURE_PROP_DIM, dtype=np.int64), k)),
+            "qsum": pa.array(sums.reshape(-1)),
+            "cnt": pa.array(np.repeat(cnt, FEATURE_PROP_DIM)),
+        })
+
+    agg = pairs.map_batches(prop, batch_format="pyarrow") \
+        .groupby(["vec_id", "dim"]).aggregate(
+            Sum("qsum", alias_name="qsum"),
+            Sum("cnt", alias_name="cnt"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        qsum = t["qsum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "dim": pc.cast(t["dim"], pa.int64()),
+            "qsum": pa.array(qsum),
+            "prop": pa.array(round6(qsum / (cnt * 1000000.0))),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_FEATURE_PROP = """
+WITH p AS (SELECT e1.vec_id AS a, e2.vec_id AS b
+           FROM embeddings e1 JOIN embeddings e2
+             ON e1.vec_id < e2.vec_id
+           WHERE list_cosine_similarity(
+                     CAST(e1.embedding AS DOUBLE[]),
+                     CAST(e2.embedding AS DOUBLE[])) >= 0.4),
+ed AS (SELECT a AS u, b AS v FROM p
+       UNION ALL SELECT b AS u, a AS v FROM p),
+q AS (SELECT ed.v AS vec_id, d.d AS dim,
+             CAST(floor(CAST(e.embedding[d.d + 1] AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS qv
+      FROM ed JOIN embeddings e ON e.vec_id = ed.u
+      CROSS JOIN generate_series(0, 63) d(d))
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(qv) AS BIGINT) AS qsum,
+       round(sum(qv) / (count(*) * 1000000), 6) AS prop
+FROM q GROUP BY vec_id, dim
+"""
+
+
+RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+def q_rich_club_co(sf_dir):
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) of the
+    simple co graph for k in {2,4,8,16}: N_k = vertices with degree
+    > k, E_k = edges with both endpoints in the club. Degrees and the
+    distinct edge set come from the same broadcast-tier arrays as
+    edge_jaccard_co (compact-forward envelope; the partitioned plan
+    swaps in past node memory); per-k work is two vectorised masks —
+    all-integer counts until the one final ratio."""
+    t = pa.concat_tables(
+        [bt for bt in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(s.max(), d.max())) + 1
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    keys = np.unique(lo[lo != hi] * np.int64(n) + hi[lo != hi])
+    a, b = keys // n, keys % n
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    ks, nks, eks, phis = [], [], [], []
+    for k in RICH_CLUB_KS:
+        nk = int((deg > k).sum())
+        ek = int(((deg[a] > k) & (deg[b] > k)).sum())
+        phi = float(round6([(2.0 * ek) / (nk * (nk - 1))])[0]) \
+            if nk >= 2 else 0.0
+        ks.append(k)
+        nks.append(nk)
+        eks.append(ek)
+        phis.append(phi)
+    return pa.table({"k": pa.array(ks, pa.int64()),
+                     "n_k": pa.array(nks, pa.int64()),
+                     "e_k": pa.array(eks, pa.int64()),
+                     "phi": pa.array(phis, pa.float64())})
+
+
+SQL_RICH_CLUB_CO = f"""
+WITH {_SQL_CO_PAIRS},
+d2 AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+deg AS (SELECT a AS v, count(*) AS dg FROM d2 GROUP BY 1),
+ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+nk AS (SELECT ks.k, count(*) AS n_k
+       FROM ks JOIN deg ON deg.dg > ks.k GROUP BY 1),
+ek AS (SELECT ks.k, count(*) AS e_k
+       FROM ks JOIN e0 e ON TRUE
+       JOIN deg da ON da.v = e.a
+       JOIN deg db ON db.v = e.b
+       WHERE da.dg > ks.k AND db.dg > ks.k GROUP BY 1)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COALESCE(nk.n_k, 0) AS BIGINT) AS n_k,
+       CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k,
+       round(CASE WHEN COALESCE(nk.n_k, 0) >= 2
+                  THEN 2.0 * COALESCE(ek.e_k, 0)
+                       / (nk.n_k * (nk.n_k - 1))
+                  ELSE 0.0 END, 6) AS phi
+FROM ks LEFT JOIN nk ON nk.k = ks.k
+        LEFT JOIN ek ON ek.k = ks.k
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -5229,6 +5375,8 @@ QUERIES = {
     "cms_user_counts": q_cms_user_counts,
     "walk_skipgrams": q_walk_skipgrams,
     "edge_jaccard_co": q_edge_jaccard_co,
+    "feature_prop": q_feature_prop,
+    "rich_club_co": q_rich_club_co,
 }
 
 ORACLE_SQL = {
@@ -5351,4 +5499,6 @@ ORACLE_SQL = {
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "walk_skipgrams": SQL_WALK_SKIPGRAMS,
     "edge_jaccard_co": SQL_EDGE_JACCARD_CO,
+    "feature_prop": SQL_FEATURE_PROP,
+    "rich_club_co": SQL_RICH_CLUB_CO,
 }

@@ -23,7 +23,7 @@ FAST_SQL_QUERIES = ["pricing_summary", "edges_ps", "degree_ps",
                     # the schema; the sf0.01 gate covers it (8 rows)
                     "users_customers_outer", "docs_normalize",
                     "events_median_cont", "cms_user_counts",
-                    "walk_skipgrams"]
+                    "walk_skipgrams", "rich_club_co"]
 
 
 @pytest.fixture(scope="module")
