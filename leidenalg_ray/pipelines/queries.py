@@ -5248,6 +5248,121 @@ FROM ks LEFT JOIN nk ON nk.k = ks.k
 """
 
 
+DELTA_MOD = 8
+
+
+def q_dedup_delta(sf_dir):
+    """Incremental (delta) dedup: the 'new crawl' slice
+    (doc_id % 8 == 0) is checked for near-duplicates AGAINST the
+    existing corpus only — MinHash-LSH banding runs over corpus+delta
+    and only cross (old, new) pairs survive. At 100 TB the corpus band
+    buckets are a persisted index (the partitioned-parquet sink
+    layout): each day's delta bands hash-join against it, so daily
+    dedup costs O(delta), not O(corpus)."""
+    pairs = dd.minhash_dedup(_docs(sf_dir), threshold=0.8)
+
+    def cross(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        na = a % DELTA_MOD == 0
+        nb = b % DELTA_MOD == 0
+        keep = na != nb
+        a, b, j, na = a[keep], b[keep], j[keep], na[keep]
+        return pa.table({
+            "old_id": pa.array(np.where(na, b, a)),
+            "new_id": pa.array(np.where(na, a, b)),
+            "jaccard": pa.array(j),
+        })
+
+    return pairs.map_batches(cross, batch_format="pyarrow")
+
+
+SQL_DEDUP_DELTA = f"""
+SELECT CASE WHEN a % {DELTA_MOD} = 0 THEN b ELSE a END AS old_id,
+       CASE WHEN a % {DELTA_MOD} = 0 THEN a ELSE b END AS new_id,
+       jaccard
+FROM ({_sql_dedup_minhash()})
+WHERE (a % {DELTA_MOD} = 0) <> (b % {DELTA_MOD} = 0)
+"""
+
+
+def q_knn_label_predict(sf_dir):
+    """Semi-supervised kNN label inference over the exact cosine>=0.4
+    similarity graph: each vector's predicted label is the plurality
+    label of its neighbours (ties -> smallest label). Per-batch
+    (vec_id, label) vote partials, one groupby, per-vertex vectorised
+    argmax; the label map is the broadcast small side (one int per
+    vector). ``correct`` compares against the vector's own label —
+    the standard propagation-accuracy diagnostic."""
+    import ray
+    emb_full = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label"]).to_pandas()
+    nvec = int(emb_full["vec_id"].max()) + 1
+    labels = np.full(nvec, -1, dtype=np.int64)
+    labels[emb_full["vec_id"].to_numpy()] = \
+        emb_full["label"].to_numpy().astype(np.int64)
+    lab_ref = ray.put(labels)
+    pairs = dd.embedding_cosine_pairs(
+        _emb(sf_dir), threshold=FEATURE_PROP_THRESHOLD, use_lsh=False)
+
+    def votes(t: pa.Table) -> pa.Table:
+        lm = ray.get(lab_ref)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.concatenate([b, a])
+        u = np.concatenate([a, b])
+        df = pd.DataFrame({"vec_id": v, "lbl": lm[u]})
+        g = df.groupby(["vec_id", "lbl"], as_index=False).size()
+        return pa.table({"vec_id": pa.array(g["vec_id"].to_numpy()),
+                         "lbl": pa.array(g["lbl"].to_numpy()),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    agg = pairs.map_batches(votes, batch_format="pyarrow") \
+        .groupby(["vec_id", "lbl"]).aggregate(Sum("c", alias_name="c"))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        lm = ray.get(lab_ref)
+        g = g.sort_values(["c", "lbl"], ascending=[False, True])
+        vid = int(g["vec_id"].iloc[0])
+        pred = int(g["lbl"].iloc[0])
+        return pd.DataFrame({
+            "vec_id": np.array([vid], np.int64),
+            "pred_label": np.array([pred], np.int64),
+            "n_nbrs": np.array([int(g["c"].sum())], np.int64),
+            "correct": np.array([int(pred == lm[vid])], np.int64),
+        })
+
+    return agg.groupby("vec_id").map_groups(argmax,
+                                            batch_format="pandas")
+
+
+SQL_KNN_LABEL_PREDICT = """
+WITH p AS (SELECT e1.vec_id AS a, e2.vec_id AS b
+           FROM embeddings e1 JOIN embeddings e2
+             ON e1.vec_id < e2.vec_id
+           WHERE list_cosine_similarity(
+                     CAST(e1.embedding AS DOUBLE[]),
+                     CAST(e2.embedding AS DOUBLE[])) >= 0.4),
+ed AS (SELECT a AS u, b AS v FROM p
+       UNION ALL SELECT b AS u, a AS v FROM p),
+votes AS (SELECT ed.v AS vec_id, e.label AS lbl, count(*) AS c
+          FROM ed JOIN embeddings e ON e.vec_id = ed.u
+          GROUP BY 1, 2),
+best AS (SELECT vec_id, lbl, c,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY c DESC, lbl) AS rk,
+                sum(c) OVER (PARTITION BY vec_id) AS n_nbrs
+         FROM votes)
+SELECT b.vec_id, CAST(b.lbl AS BIGINT) AS pred_label,
+       CAST(b.n_nbrs AS BIGINT) AS n_nbrs,
+       CAST(CASE WHEN b.lbl = e.label THEN 1 ELSE 0 END AS BIGINT)
+           AS correct
+FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+WHERE rk = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -5377,6 +5492,8 @@ QUERIES = {
     "edge_jaccard_co": q_edge_jaccard_co,
     "feature_prop": q_feature_prop,
     "rich_club_co": q_rich_club_co,
+    "dedup_delta": q_dedup_delta,
+    "knn_label_predict": q_knn_label_predict,
 }
 
 ORACLE_SQL = {
@@ -5501,4 +5618,6 @@ ORACLE_SQL = {
     "edge_jaccard_co": SQL_EDGE_JACCARD_CO,
     "feature_prop": SQL_FEATURE_PROP,
     "rich_club_co": SQL_RICH_CLUB_CO,
+    "dedup_delta": SQL_DEDUP_DELTA,
+    "knn_label_predict": SQL_KNN_LABEL_PREDICT,
 }
