@@ -5363,6 +5363,141 @@ WHERE rk = 1
 """
 
 
+def q_avg_neighbor_degree_co(sf_dir):
+    """Average neighbour degree per vertex (the knn(v) curve, the
+    local form of degree assortativity): degrees broadcast once from
+    the deduped edge arrays, neighbour-degree sums by vectorised
+    scatter-add, ONE integer division per vertex. The companion to
+    ``assortativity_co`` (global corr) at per-vertex granularity."""
+    t = pa.concat_tables(
+        [bt for bt in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(s.max(), d.max())) + 1
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    keys = np.unique(lo[lo != hi] * np.int64(n) + hi[lo != hi])
+    a, b = keys // n, keys % n
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    nsum = np.zeros(n, dtype=np.int64)
+    np.add.at(nsum, a, deg[b])
+    np.add.at(nsum, b, deg[a])
+    vids = np.flatnonzero(deg > 0).astype(np.int64)
+    return pa.table({
+        "vid": pa.array(vids),
+        "degree": pa.array(deg[vids]),
+        "avg_nbr_deg": pa.array(round6(nsum[vids] / deg[vids])),
+    })
+
+
+SQL_AVG_NEIGHBOR_DEGREE_CO = f"""
+WITH {_SQL_CO_PAIRS},
+d2 AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+deg AS (SELECT a AS v, count(*) AS dg FROM d2 GROUP BY 1)
+SELECT d2.a AS vid,
+       CAST(da.dg AS BIGINT) AS degree,
+       round(sum(db.dg) / da.dg, 6) AS avg_nbr_deg
+FROM d2 JOIN deg da ON da.v = d2.a
+        JOIN deg db ON db.v = d2.b
+GROUP BY d2.a, da.dg
+"""
+
+
+def _co_edges_decayed(sf_dir, num_partitions=16):
+    """Co-occurrence edges with recency-decayed weights: each order's
+    pair contributes 2^(year - 1998) (1 for the newest year down to
+    1/64) — the web-crawl 'fresh links count more' weighting. Powers
+    of two are exact dyadic floats, so the distributed weight sums are
+    order-independent and the SQL replica exact. Plan: one
+    l_orderkey hash-join attaches the order year (both sides stream;
+    no driver materialisation), then the same self-join + per-batch
+    pre-aggregation as ``co_edge_rows``."""
+    li = tg.read_lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    oy = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderdate"])
+
+    def year(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        return pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "decay": pc.power(
+                pa.scalar(2.0),
+                pc.cast(pc.subtract(y, 1998), pa.float64())),
+        })
+
+    dated = li.join(oy.map_batches(year, batch_format="pyarrow"),
+                    "inner", num_partitions, on=("l_orderkey",))
+    right = li.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "partkey_r"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = dated.join(right, "inner", num_partitions,
+                        on=("l_orderkey",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["l_partkey"], t["partkey_r"])
+        tt = pa.table({"src": t["l_partkey"], "dst": t["partkey_r"],
+                       "weight": t["decay"]}).filter(keep)
+        out = tt.group_by(["src", "dst"]).aggregate([("weight", "sum")])
+        return pa.table({
+            "src": pc.cast(out["src"], pa.int64()),
+            "dst": pc.cast(out["dst"], pa.int64()),
+            "weight": pc.cast(out["weight_sum"], pa.float64()),
+        })
+
+    return joined.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_pagerank_decayed_co(sf_dir):
+    """Weighted PageRank over the recency-decayed co graph (temporal
+    link-graph weighting): same BSP kernel and fixed iteration count
+    as ``pagerank_co``, only the edge-weight definition changes —
+    demonstrating weight plugins compose with the kernels."""
+    from ..dist.blocks import symmetrize_edges
+    n = int(rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"]).max("p_partkey")) + 1
+    edges = symmetrize_edges(_co_edges_decayed(sf_dir))
+    g = DistGraph.from_dataset(edges, n=n, P=8, directed=False,
+                               dedup=True)
+    rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                          max_iter=PAGERANK_ITERS, weighted=True,
+                          active=True)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "rank": pa.array(round6(rank[vids]))})
+
+
+SQL_PAGERANK_DECAYED_CO = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              sum(power(2.0, CAST(year(o.o_orderdate) - 1998
+                                  AS DOUBLE))) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT a AS v, sum(w) AS strength FROM e GROUP BY a),
+nn AS (SELECT count(*) AS n FROM verts),
+pr(i, v, r) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         (1 - {DAMPING}) / (SELECT n FROM nn)
+         + {DAMPING} * sum(p.r * e.w / vs.strength)
+  FROM pr p
+  JOIN verts vs ON vs.v = p.v
+  JOIN e ON e.a = p.v
+  WHERE p.i < {PAGERANK_ITERS}
+  GROUP BY p.i, e.b
+)
+SELECT v AS vid, round(r, 6) AS rank
+FROM pr WHERE i = {PAGERANK_ITERS}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -5494,6 +5629,8 @@ QUERIES = {
     "rich_club_co": q_rich_club_co,
     "dedup_delta": q_dedup_delta,
     "knn_label_predict": q_knn_label_predict,
+    "avg_neighbor_degree_co": q_avg_neighbor_degree_co,
+    "pagerank_decayed_co": q_pagerank_decayed_co,
 }
 
 ORACLE_SQL = {
@@ -5620,4 +5757,6 @@ ORACLE_SQL = {
     "rich_club_co": SQL_RICH_CLUB_CO,
     "dedup_delta": SQL_DEDUP_DELTA,
     "knn_label_predict": SQL_KNN_LABEL_PREDICT,
+    "avg_neighbor_degree_co": SQL_AVG_NEIGHBOR_DEGREE_CO,
+    "pagerank_decayed_co": SQL_PAGERANK_DECAYED_CO,
 }
