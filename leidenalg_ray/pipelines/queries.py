@@ -5498,6 +5498,141 @@ FROM pr WHERE i = {PAGERANK_ITERS}
 """
 
 
+def q_bigram_pmi(sf_dir):
+    """PMI-scored collocations: pointwise mutual information for the
+    top-20 bigrams — pmi = ln(c_ab * T_tok^2 / (T_pairs * c_a * c_b)),
+    every count an exact integer so the single ln is the only float op
+    (same ln-parity-with-DuckDB contract the HLL estimator uses). One
+    extra corpus pass gathers unigram counts for the <=40 words of the
+    top bigrams (word set broadcast once) plus the two totals as
+    sentinel rows — the shuffle carries <=42 rows per batch."""
+    import ray
+    top = tx.bigram_top_terms(_docs(sf_dir), k=BIGRAM_TOP_K).to_pandas()
+    words = np.array(sorted(set(top["a"]) | set(top["b"])))
+    wref = ray.put(words)
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = flat != ""
+        f, p = flat[keep], par[keep]
+        n_pairs = int((p[:-1] == p[1:]).sum()) if len(f) >= 2 else 0
+        m = np.isin(f, w)
+        vals, cnts = np.unique(f[m], return_counts=True)
+        return pa.table({
+            "w": pa.array(list(vals) + ["\x00tok", "\x00pair"]),
+            "c": pa.array(list(cnts.astype(np.int64))
+                          + [len(f), n_pairs], pa.int64()),
+        })
+
+    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+        .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas()
+    cmap = dict(zip(agg["w"], agg["c"].astype(np.int64)))
+    t_tok = int(cmap.pop("\x00tok"))
+    t_pairs = int(cmap.pop("\x00pair"))
+    n = top["n"].to_numpy(np.int64)
+    ca = np.array([cmap[x] for x in top["a"]], np.int64)
+    cb = np.array([cmap[x] for x in top["b"]], np.int64)
+    num = n * t_tok * t_tok
+    den = t_pairs * ca * cb
+    return pa.table({
+        "a": pa.array(top["a"]), "b": pa.array(top["b"]),
+        "n": pa.array(n),
+        "pmi": pa.array(round6(np.log(num / den))),
+    })
+
+
+SQL_BIGRAM_PMI = f"""
+WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+           FROM documents),
+tok AS (SELECT doc_id, unnest(arr) AS w,
+               generate_subscripts(arr, 1) AS i FROM t),
+seq AS (SELECT w AS a,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        FROM tok),
+agg AS (SELECT a, b, count(*) AS n FROM seq WHERE b IS NOT NULL
+        GROUP BY a, b),
+top AS (SELECT a, b, n FROM agg ORDER BY n DESC, a, b
+        LIMIT {BIGRAM_TOP_K}),
+uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT (SELECT count(*) FROM tok) AS t_tok,
+               (SELECT count(*) FROM seq WHERE b IS NOT NULL)
+                   AS t_pairs)
+SELECT top.a, top.b, CAST(top.n AS BIGINT) AS n,
+       round(ln((top.n * tot.t_tok * tot.t_tok)
+                / (tot.t_pairs * ua.c * ub.c)), 6) AS pmi
+FROM top CROSS JOIN tot
+JOIN uni ua ON ua.w = top.a
+JOIN uni ub ON ub.w = top.b
+"""
+
+
+def q_audience_overlap(sf_dir):
+    """Audience overlap: user-set Jaccard between every pair of event
+    types. Per-batch (user, type) dedup partials, ONE user_id hash
+    shuffle, per-user pair emission (types-per-user is tiny), then a
+    pair-keyed count — the output is |types|^2-bounded however many
+    users stream through."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(g["event_type"].unique())
+        ta, tb = [], []
+        for i in range(len(ts)):
+            ta.append(ts[i])
+            tb.append(ts[i])          # diagonal row = set size
+            for j in range(i + 1, len(ts)):
+                ta.append(ts[i])
+                tb.append(ts[j])
+        return pd.DataFrame({"ta": ta, "tb": tb,
+                             "c": np.ones(len(ta), np.int64)})
+
+    cnt = ev.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("user_id").map_groups(emit, batch_format="pandas") \
+        .groupby(["ta", "tb"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    sz = dict(zip(cnt[cnt["ta"] == cnt["tb"]]["ta"],
+                  cnt[cnt["ta"] == cnt["tb"]]["c"].astype(np.int64)))
+    off = cnt[cnt["ta"] != cnt["tb"]]
+    inter = off["c"].to_numpy(np.int64)
+    na = np.array([sz[x] for x in off["ta"]], np.int64)
+    nb = np.array([sz[x] for x in off["tb"]], np.int64)
+    return pa.table({
+        "ta": pa.array(off["ta"]), "tb": pa.array(off["tb"]),
+        "inter": pa.array(inter),
+        "n_a": pa.array(na), "n_b": pa.array(nb),
+        "jaccard": pa.array(round6(inter / (na + nb - inter))),
+    })
+
+
+SQL_AUDIENCE_OVERLAP = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                 count(*) AS inter
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2),
+sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+SELECT p.ta, p.tb, CAST(p.inter AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(p.inter / (sa.n + sb.n - p.inter), 6) AS jaccard
+FROM pairs p JOIN sz sa ON sa.event_type = p.ta
+             JOIN sz sb ON sb.event_type = p.tb
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -5631,6 +5766,8 @@ QUERIES = {
     "knn_label_predict": q_knn_label_predict,
     "avg_neighbor_degree_co": q_avg_neighbor_degree_co,
     "pagerank_decayed_co": q_pagerank_decayed_co,
+    "bigram_pmi": q_bigram_pmi,
+    "audience_overlap": q_audience_overlap,
 }
 
 ORACLE_SQL = {
@@ -5759,4 +5896,6 @@ ORACLE_SQL = {
     "knn_label_predict": SQL_KNN_LABEL_PREDICT,
     "avg_neighbor_degree_co": SQL_AVG_NEIGHBOR_DEGREE_CO,
     "pagerank_decayed_co": SQL_PAGERANK_DECAYED_CO,
+    "bigram_pmi": SQL_BIGRAM_PMI,
+    "audience_overlap": SQL_AUDIENCE_OVERLAP,
 }
