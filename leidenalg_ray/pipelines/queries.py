@@ -5633,6 +5633,85 @@ FROM pairs p JOIN sz sa ON sa.event_type = p.ta
 """
 
 
+SEG_LEN = 10
+
+
+def q_doc_segment_dedup(sf_dir):
+    """Segment-level exact dedup ratio (the MassiveText/'Deduplicating
+    Training Data' line-dedup op adapted to fixed 10-token chunks):
+    per-doc fraction of non-overlapping 10-token segments whose hash
+    occurs >= 2 times corpus-wide. Plan: explode segments per batch,
+    ONE segment-hash groupby for corpus counts, one hash-join back,
+    per-doc count aggregates — no driver-side segment state."""
+    from ray.data.aggregate import Count
+    segs = _docs(sf_dir).map_batches(_segment_explode,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    cnts = segs.groupby("h").aggregate(Count(alias_name="cnt"))
+    dup = cnts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], 2)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = segs.join(dup, "inner", 8, on=("h",))
+    ndup = joined.groupby("doc_id").aggregate(
+        Count(alias_name="n_dup")).to_pandas()
+    nseg = segs.groupby("doc_id").aggregate(
+        Count(alias_name="n_segs")).to_pandas()
+    df = nseg.merge(ndup, on="doc_id", how="left")
+    n_segs = df["n_segs"].to_numpy(np.int64)
+    n_dup = df["n_dup"].fillna(0).to_numpy(np.int64)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+        "n_segs": pa.array(n_segs),
+        "n_dup": pa.array(n_dup),
+        "dup_ratio": pa.array(round6(n_dup / n_segs)),
+    })
+
+
+def _segment_explode(t: pa.Table) -> pa.Table:
+    """(doc_id, text) -> one row per non-overlapping SEG_LEN-token
+    segment: (doc_id, md5-of-joined-tokens). Same tokenizer as the
+    bigram/vocab family."""
+    import hashlib
+    toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                  "[^a-z0-9]+")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    f, p = flat[keep], par[keep]
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    out_id, out_h = [], []
+    for row in np.unique(p) if len(p) else []:
+        w = f[p == row]
+        for k in range(len(w) // SEG_LEN):
+            seg = " ".join(w[k * SEG_LEN:(k + 1) * SEG_LEN])
+            out_id.append(int(ids[row]))
+            out_h.append(hashlib.md5(seg.encode()).hexdigest())
+    return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                     "h": pa.array(out_h, pa.string())})
+
+
+SQL_DOC_SEGMENT_DEDUP = f"""
+WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+           FROM documents),
+segs AS (SELECT doc_id,
+                md5(array_to_string(
+                    arr[(k * {SEG_LEN} + 1):(k * {SEG_LEN} + {SEG_LEN})],
+                    ' ')) AS h
+         FROM t, generate_series(0, 998) g(k)
+         WHERE k < CAST(floor(len(arr) / {SEG_LEN}) AS BIGINT)),
+c AS (SELECT h, count(*) AS cnt FROM segs GROUP BY h),
+perdoc AS (SELECT s.doc_id, count(*) AS n_segs,
+                  sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup
+           FROM segs s JOIN c ON c.h = s.h GROUP BY 1)
+SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       round(n_dup / n_segs, 6) AS dup_ratio
+FROM perdoc
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -5768,6 +5847,7 @@ QUERIES = {
     "pagerank_decayed_co": q_pagerank_decayed_co,
     "bigram_pmi": q_bigram_pmi,
     "audience_overlap": q_audience_overlap,
+    "doc_segment_dedup": q_doc_segment_dedup,
 }
 
 ORACLE_SQL = {
@@ -5898,4 +5978,5 @@ ORACLE_SQL = {
     "pagerank_decayed_co": SQL_PAGERANK_DECAYED_CO,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "audience_overlap": SQL_AUDIENCE_OVERLAP,
+    "doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
 }

@@ -23,7 +23,8 @@ FAST_SQL_QUERIES = ["pricing_summary", "edges_ps", "degree_ps",
                     # the schema; the sf0.01 gate covers it (8 rows)
                     "users_customers_outer", "docs_normalize",
                     "events_median_cont", "cms_user_counts",
-                    "walk_skipgrams", "rich_club_co"]
+                    "walk_skipgrams", "rich_club_co",
+                    "audience_overlap", "doc_segment_dedup"]
 
 
 @pytest.fixture(scope="module")
