@@ -5712,6 +5712,101 @@ FROM perdoc
 """
 
 
+def q_embed_quantize(sf_dir):
+    """Per-vector int8 scalar quantization diagnostics (vector-store
+    compression): scale = (max-min)/255, q = floor((x-min)/scale+0.5),
+    reconstruction error = max |min + q*scale - x|. Pure map stage —
+    each vector is complete within its row, nothing shuffles; every
+    float op is written identically in the SQL oracle."""
+    emb = _emb(sf_dir)
+
+    def quant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        out_mn, out_mx, out_err = [], [], []
+        for v in t["embedding"].to_pylist():
+            x = np.asarray(v, np.float64)
+            mn, mx = float(x.min()), float(x.max())
+            sc = (mx - mn) / 255
+            q = np.floor((x - mn) / sc + 0.5)
+            err = float(np.max(np.abs(mn + q * sc - x)))
+            out_mn.append(mn)
+            out_mx.append(mx)
+            out_err.append(err)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "vmin": pa.array(round6(out_mn)),
+            "vmax": pa.array(round6(out_mx)),
+            "max_err": pa.array(round6(out_err)),
+        })
+
+    return emb.map_batches(quant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_EMBED_QUANTIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+q AS (SELECT vec_id, mn, mx, (mx - mn) / 255 AS sc, v FROM s)
+SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+       round(list_max([abs(mn + floor((x - mn) / sc + 0.5) * sc - x)
+                       for x in v]), 6) AS max_err
+FROM q
+"""
+
+
+def q_dedup_provenance(sf_dir):
+    """Provenance matrix of near-duplication: MinHash-LSH verified
+    pairs counted by (source, source) — the 'which crawls/feeds
+    duplicate each other' curation diagnostic. The doc->source map is
+    the broadcast small side (one string per doc id; at corpus scale
+    this is a hash-join of pairs to metadata); per-batch pair counts,
+    one |sources|^2-bounded groupby."""
+    import ray
+    meta = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"]).to_pandas()
+    src = dict(zip(meta["doc_id"].astype(int), meta["source"]))
+    sref = ray.put(src)
+    pairs = dd.minhash_dedup(_docs(sf_dir), threshold=0.8)
+
+    def tag(t: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sa = [sm[int(x)] for x in a]
+        sb = [sm[int(x)] for x in b]
+        lo = [min(x, y) for x, y in zip(sa, sb)]
+        hi = [max(x, y) for x, y in zip(sa, sb)]
+        tt = pa.table({"src_a": pa.array(lo, pa.string()),
+                       "src_b": pa.array(hi, pa.string())})
+        return tt.group_by(["src_a", "src_b"]).aggregate(
+            [([], "count_all")]).rename_columns(
+                ["src_a", "src_b", "n_pairs"])
+
+    out = pairs.map_batches(tag, batch_format="pyarrow") \
+        .groupby(["src_a", "src_b"]).aggregate(
+            Sum("n_pairs", alias_name="n_pairs"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_a": pc.cast(t["src_a"], pa.string()),
+            "src_b": pc.cast(t["src_b"], pa.string()),
+            "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DEDUP_PROVENANCE = f"""
+WITH prs AS ({_sql_dedup_minhash()})
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       count(*) AS n_pairs
+FROM prs JOIN documents da ON da.doc_id = prs.a
+         JOIN documents db ON db.doc_id = prs.b
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -5848,6 +5943,8 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "audience_overlap": q_audience_overlap,
     "doc_segment_dedup": q_doc_segment_dedup,
+    "embed_quantize": q_embed_quantize,
+    "dedup_provenance": q_dedup_provenance,
 }
 
 ORACLE_SQL = {
@@ -5979,4 +6076,6 @@ ORACLE_SQL = {
     "bigram_pmi": SQL_BIGRAM_PMI,
     "audience_overlap": SQL_AUDIENCE_OVERLAP,
     "doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
+    "embed_quantize": SQL_EMBED_QUANTIZE,
+    "dedup_provenance": SQL_DEDUP_PROVENANCE,
 }
