@@ -5807,6 +5807,122 @@ GROUP BY 1, 2
 """
 
 
+def q_lang_confusion(sf_dir):
+    """Language-ID confusion matrix (lang-id quality audit): the
+    LangId actor-pool predictions counted against the ground-truth
+    ``lang`` column. The doc->lang map is the broadcast small side
+    (at corpus scale: carry ``lang`` through the prediction batch);
+    per-batch (true, pred) count partials, |langs|^2-bounded
+    groupby."""
+    import ray
+    meta = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"]).to_pandas()
+    lm = dict(zip(meta["doc_id"].astype(int), meta["lang"]))
+    lref = ray.put(lm)
+    pred = tx.lang_id(_docs(sf_dir))
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(lref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tt = pa.table({
+            "lang_true": pa.array([m[int(i)] for i in ids],
+                                  pa.string()),
+            "pred_lang": t["pred_lang"],
+        })
+        return tt.group_by(["lang_true", "pred_lang"]).aggregate(
+            [([], "count_all")]).rename_columns(
+                ["lang_true", "pred_lang", "n"])
+
+    out = pred.map_batches(tag, batch_format="pyarrow") \
+        .groupby(["lang_true", "pred_lang"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang_true": pc.cast(t["lang_true"], pa.string()),
+            "pred_lang": pc.cast(t["pred_lang"], pa.string()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LANG_CONFUSION = f"""
+WITH pred AS ({SQL_LANG_ID})
+SELECT d.lang AS lang_true, p.pred_lang, count(*) AS n
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_source_similarity(sf_dir):
+    """Corpus-similarity matrix between sources: cosine over the
+    per-source term-count vectors — 'which feeds look alike'
+    curation diagnostic. Per-batch (source, term) count partials, one
+    vocabulary-bounded groupby; the |sources| x |vocab| table is tiny
+    whatever the corpus size, so the pairwise cosines assemble on the
+    driver. All-integer dot products; sqrt/divide are the only float
+    ops, written identically in SQL."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = flat != ""
+        src = t["source"].to_numpy(zero_copy_only=False)[par[keep]]
+        df = pd.DataFrame({"source": src, "w": flat[keep]})
+        g = df.groupby(["source", "w"], as_index=False).size()
+        return pa.table({"source": pa.array(g["source"]),
+                         "w": pa.array(g["w"]),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["source", "w"]).aggregate(
+            Sum("c", alias_name="c")).to_pandas()
+    piv = agg.pivot_table(index="source", columns="w", values="c",
+                          fill_value=0, aggfunc="sum").astype(np.int64)
+    srcs = list(piv.index)
+    m = piv.to_numpy()
+    n2 = (m * m).sum(axis=1)
+    oa, ob, od, oc = [], [], [], []
+    for i in range(len(srcs)):
+        for j in range(len(srcs)):
+            if srcs[i] < srcs[j]:
+                dot = int(m[i] @ m[j])
+                oa.append(srcs[i])
+                ob.append(srcs[j])
+                od.append(dot)
+                oc.append(dot / (np.sqrt(n2[i]) * np.sqrt(n2[j])))
+    return pa.table({"src_a": pa.array(oa, pa.string()),
+                     "src_b": pa.array(ob, pa.string()),
+                     "dot": pa.array(od, pa.int64()),
+                     "cos": pa.array(round6(oc))})
+
+
+SQL_SOURCE_SIMILARITY = """
+WITH tok AS (SELECT source,
+                    unnest(list_filter(
+                        regexp_split_to_array(lower(text),
+                                              '[^a-z0-9]+'),
+                        x -> x <> '')) AS w
+             FROM documents),
+c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+nrm AS (SELECT source, sum(c * c) AS n2 FROM c GROUP BY 1),
+dot AS (SELECT a.source AS src_a, b.source AS src_b,
+               sum(a.c * b.c) AS dot
+        FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2)
+SELECT d.src_a, d.src_b, CAST(d.dot AS BIGINT) AS dot,
+       round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+FROM dot d JOIN nrm na ON na.source = d.src_a
+           JOIN nrm nb ON nb.source = d.src_b
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -5945,6 +6061,8 @@ QUERIES = {
     "doc_segment_dedup": q_doc_segment_dedup,
     "embed_quantize": q_embed_quantize,
     "dedup_provenance": q_dedup_provenance,
+    "lang_confusion": q_lang_confusion,
+    "source_similarity": q_source_similarity,
 }
 
 ORACLE_SQL = {
@@ -6078,4 +6196,6 @@ ORACLE_SQL = {
     "doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "dedup_provenance": SQL_DEDUP_PROVENANCE,
+    "lang_confusion": SQL_LANG_CONFUSION,
+    "source_similarity": SQL_SOURCE_SIMILARITY,
 }
