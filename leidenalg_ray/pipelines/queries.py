@@ -5923,6 +5923,100 @@ FROM dot d JOIN nrm na ON na.source = d.src_a
 """
 
 
+K_ANON = 5
+
+
+def q_k_anonymity(sf_dir):
+    """k-anonymity audit over the (event_type, hour-of-day)
+    quasi-identifier: groups with fewer than k=5 rows are re-identifi-
+    cation risks a privacy-aware training-data pipeline must flag.
+    Per-batch combo-count partials, one |types|x24-bounded groupby —
+    counts never leave integer space."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        tt = pa.table({"event_type": t["event_type"],
+                       "hour": pc.cast(pc.hour(t["ts"]), pa.int64())})
+        return tt.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")]).rename_columns(
+                ["event_type", "hour", "n"])
+
+    agg = ev.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "hour": pc.cast(t["hour"], pa.int64()),
+            "n": pa.array(n),
+            "at_risk": pa.array((n < K_ANON).astype(np.int64)),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_K_ANONYMITY = f"""
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) AS n,
+       CAST(CASE WHEN count(*) < {K_ANON} THEN 1 ELSE 0 END
+            AS BIGINT) AS at_risk
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_drift(sf_dir):
+    """Distribution-drift table: weekly observed event-type counts vs
+    the expectation under the whole-corpus type mix — the training-
+    data freshness/drift audit. All counts integers; the expectation
+    week_total*type_total/T is the single float op per cell (no
+    order-dependent float sums)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        iso = pc.iso_week(t["ts"])
+        tt = pa.table({"event_type": t["event_type"],
+                       "week": pc.cast(iso, pa.int64())})
+        return tt.group_by(["event_type", "week"]).aggregate(
+            [([], "count_all")]).rename_columns(
+                ["event_type", "week", "o"])
+
+    agg = ev.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["event_type", "week"]).aggregate(
+            Sum("o", alias_name="o")).to_pandas()
+    o = agg["o"].to_numpy(np.int64)
+    wk_tot = agg.groupby("week")["o"].transform("sum") \
+        .to_numpy(np.int64)
+    ty_tot = agg.groupby("event_type")["o"].transform("sum") \
+        .to_numpy(np.int64)
+    total = int(o.sum())
+    return pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "week": pa.array(agg["week"].to_numpy(np.int64)),
+        "o": pa.array(o),
+        "expected": pa.array(round6(wk_tot * ty_tot / total)),
+    })
+
+
+SQL_EVENTS_DRIFT = """
+WITH c AS (SELECT event_type, CAST(weekofyear(ts) AS BIGINT) AS week,
+                  count(*) AS o
+           FROM events GROUP BY 1, 2),
+wk AS (SELECT week, sum(o) AS wt FROM c GROUP BY 1),
+ty AS (SELECT event_type, sum(o) AS tt FROM c GROUP BY 1),
+tot AS (SELECT sum(o) AS t FROM c)
+SELECT c.event_type, c.week, CAST(c.o AS BIGINT) AS o,
+       round(wk.wt * ty.tt / tot.t, 6) AS expected
+FROM c JOIN wk ON wk.week = c.week
+       JOIN ty ON ty.event_type = c.event_type
+       CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -6063,6 +6157,8 @@ QUERIES = {
     "dedup_provenance": q_dedup_provenance,
     "lang_confusion": q_lang_confusion,
     "source_similarity": q_source_similarity,
+    "k_anonymity": q_k_anonymity,
+    "events_drift": q_events_drift,
 }
 
 ORACLE_SQL = {
@@ -6198,4 +6294,6 @@ ORACLE_SQL = {
     "dedup_provenance": SQL_DEDUP_PROVENANCE,
     "lang_confusion": SQL_LANG_CONFUSION,
     "source_similarity": SQL_SOURCE_SIMILARITY,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "events_drift": SQL_EVENTS_DRIFT,
 }
