@@ -6017,6 +6017,64 @@ FROM c JOIN wk ON wk.week = c.week
 """
 
 
+NEG_SAMPLES = 500
+
+
+def q_link_negatives(sf_dir):
+    """Deterministic negative sampling for link-prediction training
+    (GNN corpus prep): NEG_SAMPLES hash-generated candidate pairs over
+    the active vertex set, kept when they are NOT co-graph edges.
+    Candidate generation is embarrassingly parallel (pure arithmetic
+    on the sample index); edge membership uses the broadcast sorted
+    key set (compact-forward envelope; the partitioned bucket plan
+    swaps in past node memory). Same modular-hash constants as the
+    random-walk kernel, so the SQL replica is exact."""
+    t = pa.concat_tables(
+        [bt for bt in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(s.max(), d.max())) + 1
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    keys = np.unique(lo[lo != hi] * np.int64(n) + hi[lo != hi])
+    vids = np.unique(np.concatenate([lo, hi]))
+    nv = len(vids)
+    i = np.arange(NEG_SAMPLES, dtype=np.int64)
+    u = vids[(i * 104729) % nv]
+    v = vids[(i * 15485863 + 7919) % nv]
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    ok = a != b
+    i, a, b = i[ok], a[ok], b[ok]
+    k = a * np.int64(n) + b
+    idx = np.searchsorted(keys, k).clip(0, len(keys) - 1)
+    non_edge = keys[idx] != k
+    return pa.table({"i": pa.array(i[non_edge]),
+                     "a": pa.array(a[non_edge]),
+                     "b": pa.array(b[non_edge])})
+
+
+SQL_LINK_NEGATIVES = f"""
+WITH {_SQL_CO_PAIRS},
+verts AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r
+          FROM (SELECT a AS v FROM e0 UNION SELECT b FROM e0)),
+nv AS (SELECT count(*) AS c FROM verts),
+cand AS (SELECT g.i,
+                vu.v AS u, vv.v AS v
+         FROM generate_series(0, {NEG_SAMPLES - 1}) g(i)
+         CROSS JOIN nv
+         JOIN verts vu ON vu.r = (g.i * 104729) % nv.c
+         JOIN verts vv ON vv.r = (g.i * 15485863 + 7919) % nv.c),
+pairs AS (SELECT i, least(u, v) AS a, greatest(u, v) AS b
+          FROM cand WHERE u <> v)
+SELECT p.i, p.a, p.b
+FROM pairs p
+LEFT JOIN e0 e ON e.a = p.a AND e.b = p.b
+WHERE e.a IS NULL
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -6159,6 +6217,7 @@ QUERIES = {
     "source_similarity": q_source_similarity,
     "k_anonymity": q_k_anonymity,
     "events_drift": q_events_drift,
+    "link_negatives": q_link_negatives,
 }
 
 ORACLE_SQL = {
@@ -6296,4 +6355,5 @@ ORACLE_SQL = {
     "source_similarity": SQL_SOURCE_SIMILARITY,
     "k_anonymity": SQL_K_ANONYMITY,
     "events_drift": SQL_EVENTS_DRIFT,
+    "link_negatives": SQL_LINK_NEGATIVES,
 }
