@@ -24,7 +24,10 @@ FAST_SQL_QUERIES = ["pricing_summary", "edges_ps", "degree_ps",
                     "users_customers_outer", "docs_normalize",
                     "events_median_cont", "cms_user_counts",
                     "walk_skipgrams", "rich_club_co",
-                    "audience_overlap", "doc_segment_dedup"]
+                    "audience_overlap", "doc_segment_dedup",
+                    "embed_quantize", "lang_confusion",
+                    "source_similarity", "k_anonymity",
+                    "events_drift", "link_negatives"]
 
 
 @pytest.fixture(scope="module")
