@@ -6075,6 +6075,115 @@ WHERE e.a IS NULL
 """
 
 
+PPS_MOD = 1_000_000
+
+
+def q_orders_pps_sample(sf_dir):
+    """Deterministic probability-proportional-to-size sampling:
+    order o is kept iff md5-hash(o_orderkey) % 1e6 <
+    floor(o_totalprice) (integer-cents-free PPS — bigger orders more
+    likely). Pure map stage, no shuffle, reproducible row-for-row in
+    SQL; the standard weighted-subsample op for training-mix
+    construction."""
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import hashlib
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        h = np.array([int.from_bytes(
+            hashlib.md5(str(int(x)).encode()).digest()[:4], "big")
+            for x in k], dtype=np.int64) % PPS_MOD
+        m = h < np.floor(p).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(k[m].astype(np.int64)),
+            "o_totalprice": pa.array(p[m]),
+        })
+
+    return od.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_ORDERS_PPS_SAMPLE = f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+      ::UBIGINT % {PPS_MOD}
+      < CAST(floor(o_totalprice) AS BIGINT)
+"""
+
+
+EQUIDEPTH_QS = (0.25, 0.5, 0.75)
+
+
+def q_price_equidepth(sf_dir):
+    """Equi-depth (quantile-boundary) binning: quartile boundaries of
+    o_totalprice learned once (percentile_disc order statistics),
+    broadcast, then every order assigned bucket = #boundaries strictly
+    below its price; per-bucket counts. The learn-boundaries-then-
+    broadcast pattern is how equi-depth histograms are built at scale
+    (one small aggregate, then a pure map)."""
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+    # boundary learning: distinct-value counts via one groupby — the
+    # driver holds only the (distinct price, count) aggregate, never
+    # the raw column; stored doubles are preserved exactly so bucket
+    # comparisons bit-match the SQL
+    vc = od.map_batches(
+        lambda t: t.group_by(["o_totalprice"]).aggregate(
+            [([], "count_all")]).rename_columns(["p", "c"]),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("p").aggregate(Sum("c", alias_name="c")).to_pandas() \
+        .sort_values("p")
+    cum = vc["c"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    pv = vc["p"].to_numpy(np.float64)
+    bounds = np.array([
+        pv[np.searchsorted(cum, max(int(np.ceil(q * n)), 1))]
+        for q in EQUIDEPTH_QS])
+
+    import ray
+    bref = ray.put(bounds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        bucket = (p[:, None] > bs[None, :]).sum(axis=1).astype(np.int64)
+        tt = pa.table({"bucket": pa.array(bucket)})
+        return tt.group_by(["bucket"]).aggregate(
+            [([], "count_all")]).rename_columns(["bucket", "n"])
+
+    agg = od.map_batches(assign, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": pc.cast(t["bucket"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICE_EQUIDEPTH = """
+WITH o AS (SELECT o_totalprice AS p,
+                  row_number() OVER (ORDER BY o_totalprice) AS rn,
+                  count(*) OVER () AS n
+           FROM orders),
+b AS (SELECT q.q,
+             (SELECT p FROM o
+              WHERE rn = greatest(CAST(ceil(q.q * o2.n) AS BIGINT), 1)
+              LIMIT 1) AS bound
+      FROM (SELECT unnest([0.25, 0.5, 0.75]) AS q) q
+      CROSS JOIN (SELECT count(*) AS n FROM orders) o2)
+SELECT CAST((SELECT count(*) FROM b
+             WHERE orders.o_totalprice > b.bound) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -6218,6 +6327,8 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "events_drift": q_events_drift,
     "link_negatives": q_link_negatives,
+    "orders_pps_sample": q_orders_pps_sample,
+    "price_equidepth": q_price_equidepth,
 }
 
 ORACLE_SQL = {
@@ -6356,4 +6467,6 @@ ORACLE_SQL = {
     "k_anonymity": SQL_K_ANONYMITY,
     "events_drift": SQL_EVENTS_DRIFT,
     "link_negatives": SQL_LINK_NEGATIVES,
+    "orders_pps_sample": SQL_ORDERS_PPS_SAMPLE,
+    "price_equidepth": SQL_PRICE_EQUIDEPTH,
 }
