@@ -27,7 +27,8 @@ FAST_SQL_QUERIES = ["pricing_summary", "edges_ps", "degree_ps",
                     "audience_overlap", "doc_segment_dedup",
                     "embed_quantize", "lang_confusion",
                     "source_similarity", "k_anonymity",
-                    "events_drift", "link_negatives"]
+                    "events_drift", "link_negatives",
+                    "orders_pps_sample", "price_equidepth"]
 
 
 @pytest.fixture(scope="module")
