@@ -121,3 +121,32 @@ def test_histogram_quantile_within_bin(seed, n, q):
     approx = (ub[np.searchsorted(cum, target)] + 1) / 16
     exact = np.sort(v)[max(target - 1, 0)]
     assert exact <= approx <= exact + 1 / 16 + 1e-12
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 3000),
+       domain=st.integers(2, 2000), cut_frac=st.floats(0.1, 0.9))
+def test_cms_one_sided_and_mergeable(seed, n, domain, cut_frac):
+    """Count-Min never underestimates any key's frequency, and
+    sketches built from disjoint stream halves merge by addition into
+    the whole-stream sketch (the property the per-batch partial +
+    groupby-sum pipeline relies on)."""
+    from leidenalg_ray.stages import sketch as sk
+    r = np.random.default_rng(seed)
+    stream = r.integers(0, domain, size=n)
+
+    def counters(values):
+        df = sk.cms_partial(values)
+        c = np.zeros((sk.CMS_D, sk.CMS_W), dtype=np.int64)
+        c[df["row"].to_numpy(), df["cell"].to_numpy()] = \
+            df["cnt"].to_numpy()
+        return c
+
+    whole = counters(stream)
+    cut = max(1, min(n - 1, int(n * cut_frac))) if n > 1 else 1
+    if n > 1:
+        merged = counters(stream[:cut]) + counters(stream[cut:])
+        assert (merged == whole).all()
+    keys, true = np.unique(stream, return_counts=True)
+    est = sk.cms_estimate(whole, keys)
+    assert (est >= true).all()
