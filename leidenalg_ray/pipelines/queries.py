@@ -6184,6 +6184,52 @@ FROM orders GROUP BY 1
 """
 
 
+def q_embed_components(sf_dir):
+    """Embedding clustering via connected components of the exact
+    cosine>=0.4 similarity graph: the vector analogue of near-dup
+    clustering — pairs stream into Dataset-built CSR blocks and the
+    sharded min-label BSP kernel runs as on any other graph (kernels
+    are graph-source-agnostic). Output covers vectors with >= 1
+    neighbour; component id = min vec_id in the component."""
+    from ..dist.blocks import symmetrize_edges
+    emb = _emb(sf_dir)
+    nvec = int(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id"]).max("vec_id")) + 1
+    pairs = dd.embedding_cosine_pairs(
+        emb, threshold=FEATURE_PROP_THRESHOLD, use_lsh=False)
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["a"], "dst": t["b"]})
+
+    edges = symmetrize_edges(pairs.map_batches(
+        as_edges, batch_format="pyarrow", zero_copy_batch=True))
+    g = DistGraph.from_dataset(edges, n=nvec, P=4, directed=False,
+                               dedup=True)
+    lab, _ = ss.connected_components(g)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
+    return pa.table({"vec_id": pa.array(vids),
+                     "component": pa.array(lab[vids].astype(np.int64))})
+
+
+SQL_EMBED_COMPONENTS = """
+WITH RECURSIVE
+p AS (SELECT e1.vec_id AS a, e2.vec_id AS b
+      FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+      WHERE list_cosine_similarity(
+                CAST(e1.embedding AS DOUBLE[]),
+                CAST(e2.embedding AS DOUBLE[])) >= 0.4),
+e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+verts AS (SELECT DISTINCT a AS v FROM e),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN e ON e.a = r.u
+)
+SELECT v AS vec_id, CAST(min(u) AS BIGINT) AS component
+FROM reach GROUP BY v
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -6329,6 +6375,7 @@ QUERIES = {
     "link_negatives": q_link_negatives,
     "orders_pps_sample": q_orders_pps_sample,
     "price_equidepth": q_price_equidepth,
+    "embed_components": q_embed_components,
 }
 
 ORACLE_SQL = {
@@ -6469,4 +6516,5 @@ ORACLE_SQL = {
     "link_negatives": SQL_LINK_NEGATIVES,
     "orders_pps_sample": SQL_ORDERS_PPS_SAMPLE,
     "price_equidepth": SQL_PRICE_EQUIDEPTH,
+    "embed_components": SQL_EMBED_COMPONENTS,
 }
