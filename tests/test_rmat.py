@@ -45,3 +45,22 @@ def test_rmat_feeds_bsp_kernels(ray_session):
     assert iters > 1
     # rank sums to ~1 over the active vertex set
     assert abs(rank[act].sum() - 1.0) < 1e-6
+
+
+def test_rmat_feeds_distributed_leiden(ray_session):
+    """The flagship find_partition_dataset runs on the skewed RMAT
+    graph (hub vertices stress the colour-cycle supersteps) and is
+    deterministic across runs."""
+    from leidenalg_ray.functions_api import find_partition_dataset
+    n = 1 << 8
+    edges = rmat_edges(8, edge_factor=8, num_partitions=4)
+    m1, q1, _, act1 = find_partition_dataset(
+        edges, n=n, quality="cpm", resolution_parameter=0.5, P=4,
+        seed=3)
+    m2, q2, _, act2 = find_partition_dataset(
+        edges, n=n, quality="cpm", resolution_parameter=0.5, P=4,
+        seed=3)
+    assert (act1 == act2).all()
+    assert q1 == q2
+    assert (m1 == m2).all()
+    assert q1 > 0
