@@ -6230,6 +6230,92 @@ FROM reach GROUP BY v
 """
 
 
+def q_revenue_by_nation(sf_dir):
+    """TPC-H Q5-shaped star join: revenue by customer nation where the
+    supplier is local (c_nationkey = s_nationkey) — the canonical
+    multi-way join plan: every dimension (customer->nation->region,
+    supplier) broadcast once via ray.put, the ONE big fact join
+    (orders |><| lineitem on orderkey) as a Dataset hash join,
+    per-batch revenue partials in EXACT integer 1e-4 units
+    (cents x (100 - discount%)), one |nations|-bounded groupby.
+    Reference pattern: prune at the read, broadcast small sides,
+    shuffle the fact table once."""
+    import ray
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).to_pandas()
+    c_nat = np.full(int(cust["c_custkey"].max()) + 1, -1, np.int64)
+    c_nat[cust["c_custkey"].to_numpy()] = \
+        cust["c_nationkey"].to_numpy(np.int64)
+    s_nat = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    s_nat[supp["s_suppkey"].to_numpy()] = \
+        supp["s_nationkey"].to_numpy(np.int64)
+    cref, sref = ray.put(c_nat), ray.put(s_nat)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["o_orderkey", "l_suppkey", "l_extendedprice",
+             "l_discount"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    joined = li.join(orders, "inner", 16, on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cn = ray.get(cref)[t["o_custkey"].to_numpy(
+            zero_copy_only=False)]
+        sn = ray.get(sref)[t["l_suppkey"].to_numpy(
+            zero_copy_only=False)]
+        keep = cn == sn
+        price = t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        dpct = np.floor(disc * 100 + 0.5).astype(np.int64)
+        rev = cents * (100 - dpct)          # exact 1e-4 money units
+        df = pd.DataFrame({"nk": cn[keep], "rev_e4": rev}) \
+            .groupby("nk", as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("nk").aggregate(Sum("rev_e4", alias_name="rev_e4")) \
+        .to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    rev_e4 = agg["rev_e4"].to_numpy(np.int64)
+    return pa.table({
+        "n_name": pa.array([nmap[int(k)] for k in agg["nk"]],
+                           pa.string()),
+        "rev_e4": pa.array(rev_e4),
+        "revenue": pa.array(round6(rev_e4 / 10000.0)),
+    })
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                              AS BIGINT))) AS BIGINT) AS rev_e4,
+       round(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                               AS BIGINT))) / 10000.0, 6) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -6376,6 +6462,7 @@ QUERIES = {
     "orders_pps_sample": q_orders_pps_sample,
     "price_equidepth": q_price_equidepth,
     "embed_components": q_embed_components,
+    "revenue_by_nation": q_revenue_by_nation,
 }
 
 ORACLE_SQL = {
@@ -6517,4 +6604,5 @@ ORACLE_SQL = {
     "orders_pps_sample": SQL_ORDERS_PPS_SAMPLE,
     "price_equidepth": SQL_PRICE_EQUIDEPTH,
     "embed_components": SQL_EMBED_COMPONENTS,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
 }
