@@ -28,7 +28,8 @@ FAST_SQL_QUERIES = ["pricing_summary", "edges_ps", "degree_ps",
                     "embed_quantize", "lang_confusion",
                     "source_similarity", "k_anonymity",
                     "events_drift", "link_negatives",
-                    "orders_pps_sample", "price_equidepth"]
+                    "orders_pps_sample", "price_equidepth",
+                    "revenue_by_nation"]
 
 
 @pytest.fixture(scope="module")
