@@ -124,6 +124,10 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
 
     if init_rank is not None:
         init_rank = np.asarray(init_rank, dtype=np.float64)
+        if len(init_rank) != g.n:
+            raise ValueError(
+                f"init_rank has length {len(init_rank)}, graph has "
+                f"n={g.n}")
         warm_refs = [ray.put(init_rank[p::P]) for p in range(P)]
     else:
         warm_refs = [None] * P
@@ -214,6 +218,10 @@ def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None,
 
     if init_labels is not None:
         init_labels = np.asarray(init_labels, dtype=np.int64)
+        if len(init_labels) != g.n:
+            raise ValueError(
+                f"init_labels has length {len(init_labels)}, graph has "
+                f"n={g.n}")
         label_refs = [ray.put(init_labels[p::P].copy())
                       for p in range(P)]
     else:
@@ -425,6 +433,10 @@ def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None,
     # start from the active vertex set (vertices with >= 1 edge)
     if init_alive is not None:
         init_alive = np.asarray(init_alive, dtype=bool)
+        if len(init_alive) != g.n:
+            raise ValueError(
+                f"init_alive has length {len(init_alive)}, graph has "
+                f"n={g.n}")
         alive_refs = [ray.put(init_alive[p::P].copy())
                       for p in range(P)]
     else:

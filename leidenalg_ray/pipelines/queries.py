@@ -287,11 +287,17 @@ SELECT v AS vid, min(lab) AS component FROM reach GROUP BY v
 
 
 def q_cc_sizes_ps(sf_dir):
-    t = q_cc_ps(sf_dir)
-    df = t.to_pandas().groupby("component").size().reset_index(
-        name="n_vertices")
-    df["n_vertices"] = df["n_vertices"].astype(np.int64)
-    return df
+    """Component sizes from the already-driver-resident label vector:
+    one ``np.unique`` over the O(n) labels — no pandas round-trip, no
+    per-vertex materialised table."""
+    g = _ps_distgraph(sf_dir, symmetric=True)
+    comp, _ = ss.connected_components(g)
+    labs = comp[np.flatnonzero(g.active_global())]
+    uniq, counts = np.unique(labs, return_counts=True)
+    return pa.table({
+        "component": pa.array(uniq.astype(np.int64)),
+        "n_vertices": pa.array(counts.astype(np.int64)),
+    })
 
 
 SQL_CC_SIZES_PS = """
@@ -857,6 +863,12 @@ SELECT CAST(v AS BIGINT) AS vid FROM peel WHERE i = {_KCORE_SQL_ITERS}
 
 
 CORENESS_LEVELS = (20, 40, 60, 80, 100, 120)
+# Peel depth for the SQL twin: max observed convergence rounds across
+# sf0.001/0.01/0.1 is <= 12 for every k in CORENESS_LEVELS; 14 gives
+# two rounds of slack. If a corpus ever needed more, the SQL survivor
+# set would be a strict superset of the fixed point — the engine side
+# peels to convergence, so a gate mismatch at a new scale means THIS
+# bound, not the kernel.
 _CORENESS_SQL_ITERS = 14
 
 
@@ -5682,6 +5694,12 @@ def _segment_explode(t: pa.Table) -> pa.Table:
     out_id, out_h = [], []
     for row in np.unique(p) if len(p) else []:
         w = f[p == row]
+        # the SQL oracle enumerates segments with generate_series(0,
+        # 998); a doc with >=999 segments (~9990 tokens) would silently
+        # diverge, so fail loudly instead (corpus docs are ~200 tokens)
+        assert len(w) // SEG_LEN <= 998, \
+            f"doc with {len(w)} tokens exceeds the SQL oracle's " \
+            f"generate_series segment bound"
         for k in range(len(w) // SEG_LEN):
             seg = " ".join(w[k * SEG_LEN:(k + 1) * SEG_LEN])
             out_id.append(int(ids[row]))
@@ -5722,21 +5740,22 @@ def q_embed_quantize(sf_dir):
 
     def quant(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        out_mn, out_mx, out_err = [], [], []
-        for v in t["embedding"].to_pylist():
-            x = np.asarray(v, np.float64)
-            mn, mx = float(x.min()), float(x.max())
-            sc = (mx - mn) / 255
-            q = np.floor((x - mn) / sc + 0.5)
-            err = float(np.max(np.abs(mn + q * sc - x)))
-            out_mn.append(mn)
-            out_mx.append(mx)
-            out_err.append(err)
+        arr = t["embedding"].combine_chunks()
+        X = np.asarray(arr.flatten(), np.float64).reshape(len(arr), -1)
+        mn = X.min(axis=1)
+        mx = X.max(axis=1)
+        sc = (mx - mn) / 255
+        # constant vector: sc == 0 would give 0/0 NaN (and DuckDB's
+        # 0/0 handling differs) — quantization is exact, err = 0
+        safe = np.where(sc == 0, 1.0, sc)
+        q = np.floor((X - mn[:, None]) / safe[:, None] + 0.5)
+        err = np.abs(mn[:, None] + q * safe[:, None] - X).max(axis=1)
+        err = np.where(sc == 0, 0.0, err)
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
-            "vmin": pa.array(round6(out_mn)),
-            "vmax": pa.array(round6(out_mx)),
-            "max_err": pa.array(round6(out_err)),
+            "vmin": pa.array(round6(mn)),
+            "vmax": pa.array(round6(mx)),
+            "max_err": pa.array(round6(err)),
         })
 
     return emb.map_batches(quant, batch_format="pyarrow",
@@ -5749,8 +5768,9 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
 s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
 q AS (SELECT vec_id, mn, mx, (mx - mn) / 255 AS sc, v FROM s)
 SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+       CASE WHEN mx = mn THEN 0.0 ELSE
        round(list_max([abs(mn + floor((x - mn) / sc + 0.5) * sc - x)
-                       for x in v]), 6) AS max_err
+                       for x in v]), 6) END AS max_err
 FROM q
 """
 

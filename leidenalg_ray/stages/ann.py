@@ -5,8 +5,9 @@
   top-k per batch, final top-k in a tiny driver-side reduce. No
   shuffle at all; scales linearly in corpus size.
 - ``ivf_topk``: the scale path — k-means coarse quantiser (trained on a
-  sample), vectors bucketed by nearest centroid (one groupby), queries
-  probe the ``nprobe`` nearest centroids only.
+  sample, ~sqrt(n) centroids), queries probe the ``nprobe`` nearest
+  centroids only; assignment + probed search fused into a single
+  shuffle-free ``map_batches`` pass with per-batch partial top-k.
 
 Cosine similarities are computed in float64 and rounded to 6 decimals,
 matching the DuckDB oracle (``list_cosine_similarity``).
@@ -22,8 +23,14 @@ import ray
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64)
-                     for v in col.to_pylist()])
+    """Embedding list column -> (n, d) float64 matrix via the flat
+    Arrow child buffer (one cast, no per-row Python)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    if len(arr) == 0:
+        return np.empty((0, 0))
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(len(arr), -1)
 
 
 def brute_force_topk(emb_ds, query_vecs, query_ids, k=10):
@@ -82,25 +89,35 @@ def brute_force_topk(emb_ds, query_vecs, query_ids, k=10):
     })
 
 
-def ivf_topk(emb_ds, query_vecs, query_ids, k=10, n_centroids=16,
+def ivf_topk(emb_ds, query_vecs, query_ids, k=10, n_centroids=None,
              nprobe=4, seed=3, sample_size=2048, kmeans_iters=10,
              centroids=None):
     """IVF approximate top-k: k-means centroids from a sample, vectors
-    assigned to nearest centroid (groupby shuffle), queries search the
-    nprobe nearest centroid buckets.
+    assigned to nearest centroid, queries search only the ``nprobe``
+    nearest centroid buckets.
+
+    Scale plan: NO shuffle — assignment and probed search happen in
+    one ``map_batches`` pass (each batch keeps the rows whose bucket
+    is probed by each query and emits a per-batch partial top-k), so
+    a hot bucket never lands in a single task and the driver reduce
+    sees only Q*k*n_batches rows. ``n_centroids=None`` scales as
+    ~sqrt(corpus) (IVF's classic balance point), floor 16.
 
     Pass ``centroids`` (array, normalised or not) to skip the k-means
     training — with a deterministic centroid choice the whole pipeline
-    (assignment argmax, probe ranking, bucketed search) has an exact
+    (assignment argmax, probe ranking, probed search) has an exact
     SQL oracle (``SQL_ANN_IVF_FIXED``)."""
     if centroids is not None:
         cent = np.asarray(centroids, dtype=np.float64)
         cent = cent / np.maximum(np.linalg.norm(cent, axis=1),
                                  1e-12)[:, None]
     else:
-        sample = emb_ds.limit(sample_size).to_pandas()
-        X = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in sample["embedding"]])
+        if n_centroids is None:
+            n_centroids = max(16, int(np.sqrt(emb_ds.count())))
+        sample = emb_ds.limit(max(sample_size,
+                                  4 * n_centroids)).to_pandas()
+        X = _to_matrix(pa.chunked_array(
+            [pa.array(list(sample["embedding"]))]))
         Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
         rng = np.random.default_rng(seed)
         cent = Xn[rng.choice(len(Xn), min(n_centroids, len(Xn)),
@@ -112,20 +129,6 @@ def ivf_topk(emb_ds, query_vecs, query_ids, k=10, n_centroids=16,
                 if m.any():
                     v = Xn[m].mean(axis=0)
                     cent[c] = v / max(np.linalg.norm(v), 1e-12)
-    cent_ref = ray.put(cent)
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        cm = ray.get(cent_ref)
-        vec = _to_matrix(t["embedding"])
-        norm = np.maximum(np.linalg.norm(vec, axis=1), 1e-12)
-        unit = vec / norm[:, None]
-        b = np.argmax(unit @ cm.T, axis=1)
-        return pa.table({
-            "bucket": pa.array(b.astype(np.int64)),
-            "vec_id": pa.array(t["vec_id"].to_numpy(
-                zero_copy_only=False).astype(np.int64)),
-            "unit": pa.array(list(unit)),
-        })
 
     q = np.asarray(query_vecs, dtype=np.float64)
     q_unit = q / np.maximum(np.linalg.norm(q, axis=1), 1e-12)[:, None]
@@ -136,31 +139,34 @@ def ivf_topk(emb_ds, query_vecs, query_ids, k=10, n_centroids=16,
         np.lexsort((np.arange(cent.shape[0]), -qdots[j]))[:nprobe]
         for j in range(qdots.shape[0])])
     qid = np.asarray(query_ids, dtype=np.int64)
-    q_ref = ray.put((q_unit, probes, qid))
+    q_ref = ray.put((cent, q_unit, probes, qid))
 
     def search(t: pa.Table) -> pa.Table:
-        qm, pr, qids = ray.get(q_ref)
-        b = int(t["bucket"][0].as_py())
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        unit = np.stack([np.asarray(u, dtype=np.float64)
-                         for u in t["unit"].to_pylist()])
+        cm, qm, pr, qids = ray.get(q_ref)
+        vec = _to_matrix(t["embedding"])
+        norm = np.maximum(np.linalg.norm(vec, axis=1), 1e-12)
+        unit = vec / norm[:, None]
+        b = np.argmax(unit @ cm.T, axis=1)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
         out_q, out_v, out_c = [], [], []
         for j in range(qm.shape[0]):
-            if b not in pr[j]:
+            m = np.isin(b, pr[j])
+            if not m.any():
                 continue
-            s = unit @ qm[j]
-            kk = min(k, len(ids))
-            idx = np.lexsort((ids, -s))[:kk]
+            s = unit[m] @ qm[j]
+            mids = ids[m]
+            kk = min(k, len(mids))
+            idx = np.lexsort((mids, -s))[:kk]
             out_q += [int(qids[j])] * kk
-            out_v += ids[idx].tolist()
+            out_v += mids[idx].tolist()
             out_c += s[idx].tolist()
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "cos": pa.array(out_c, pa.float64())})
 
-    parts = emb_ds.map_batches(bucketize, batch_format="pyarrow") \
-                  .groupby("bucket") \
-                  .map_groups(search, batch_format="pyarrow").to_pandas()
+    parts = emb_ds.map_batches(search, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
     rows = {"query_id": [], "vec_id": [], "cos": [], "rank": []}
     for j in np.unique(parts.query_id):
         sub = parts[parts.query_id == j]

@@ -299,21 +299,29 @@ def minhash_dedup(docs_ds, threshold=0.8, **kwargs):
 # SimHash
 # ----------------------------------------------------------------------
 def simhash_signatures(docs_ds):
-    """64-bit SimHash per document over token hashes."""
+    """64-bit SimHash per document over token hashes. Bit counting is
+    vectorised across the whole batch (one (tokens, 64) pass +
+    ``np.add.at`` scatter per doc); only the tokenise/hash of each
+    token stays Python (the stable hash the oracle replicates)."""
     def sig(batch: pa.Table) -> pa.Table:
-        out = np.empty(batch.num_rows, dtype=np.uint64)
+        n = batch.num_rows
+        doc_idx, tok_hashes = [], []
         for i, t in enumerate(batch["text"].to_pylist()):
             toks = TOKEN_RE.findall(t.lower())
-            if not toks:
-                out[i] = 0
-                continue
-            hs = np.array([hash_token(w) for w in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = np.uint64(
-                int("".join("1" if x > 0 else "0"
-                            for x in v[::-1]), 2))
+            if toks:
+                doc_idx.append(np.full(len(toks), i, dtype=np.int64))
+                tok_hashes.extend(hash_token(w) for w in toks)
+        counts = np.zeros((n, 64), dtype=np.int64)
+        if tok_hashes:
+            hs = np.array(tok_hashes, dtype=np.uint64)
+            di = np.concatenate(doc_idx)
+            shifts = np.arange(64, dtype=np.uint64)[None, :]
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)) \
+                .astype(np.int8)
+            np.add.at(counts, di, 2 * bits - 1)
+        out = ((counts > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)[None, :]) \
+            .sum(axis=1, dtype=np.uint64)
         return pa.table({"doc_id": batch["doc_id"],
                          "simhash": pa.array(out, pa.uint64())})
     return docs_ds.map_batches(sig, batch_format="pyarrow",

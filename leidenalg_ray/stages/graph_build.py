@@ -25,12 +25,31 @@ from ray.data.aggregate import Count, Sum
 
 
 def _bucket_of(urls: pa.ChunkedArray, B: int) -> np.ndarray:
-    """Deterministic url -> bucket via crc32 (stable across processes,
-    unlike Python's salted hash; one C call per url)."""
-    import zlib
-    return np.fromiter(
-        (zlib.crc32(u.encode("utf-8")) % B for u in urls.to_pylist()),
-        dtype=np.int64, count=len(urls))
+    """Deterministic url -> bucket via FNV-1a, vectorised over the
+    Arrow string buffers: one numpy pass per byte position (urls are
+    short), no per-row Python. Stable across processes (unlike
+    Python's salted hash)."""
+    arr = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) \
+        else urls
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = np.diff(off)
+    h = np.full(n, 0xcbf29ce484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    starts = off[:-1]
+    with np.errstate(over="ignore"):
+        for p in range(int(lens.max(initial=0))):
+            active = lens > p
+            h[active] = ((h[active]
+                          ^ data[starts[active] + p].astype(np.uint64))
+                         * prime)
+    return (h % np.uint64(B)).astype(np.int64)
 
 
 def canonicalize(url: str) -> str:
@@ -46,11 +65,25 @@ def canonicalize(url: str) -> str:
     return u
 
 
-def assign_ids(urls_ds, B=32):
+# target rows per id-assign bucket: caps the memory of the per-bucket
+# rank sort regardless of corpus size (B grows with the data)
+_IDS_BUCKET_ROWS = 1 << 17
+
+
+def assign_ids(urls_ds, B=None):
     """Dataset with a ``url`` column (unique) -> Dataset
     ``(url, vid)`` with deterministic contiguous vids.
 
+    ``B=None`` scales the bucket count with the corpus
+    (ceil(n_urls / 128Ki), floor 32) so one bucket's rank sort never
+    outgrows a task's heap; an explicit B is honoured (tests pin it).
+
     Returns (mapping Dataset, n)."""
+    if B is None:
+        urls_ds = urls_ds.materialize()
+        n_urls = urls_ds.count()
+        B = max(32, -(-n_urls // _IDS_BUCKET_ROWS))
+
     def with_bucket(t: pa.Table) -> pa.Table:
         return t.append_column("bucket",
                                pa.array(_bucket_of(t["url"], B)))
@@ -197,7 +230,7 @@ def pages_to_graph_arrays(pages_ds, B=32, concurrency=8):
             w, mdf, n)
 
 
-def pages_to_graph(pages_ds, B=32, num_partitions=16, dedup=True):
+def pages_to_graph(pages_ds, B=None, num_partitions=16, dedup=True):
     """Full pipeline: pages -> extract -> id-assign -> dedup'd int edge
     table. Returns (edges Dataset(src,dst,weight), mapping Dataset, n).
     ``dedup=False`` leaves the exact dedup to the partition-local pass

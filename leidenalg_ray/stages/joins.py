@@ -10,15 +10,16 @@ sessionisation stage makes. Skewed keys cost a big group, not a big
 driver: nothing here materialises on the driver.
 
 Inside each group the match is a numpy ``searchsorted`` over the
-right side sorted by (on, id) — O((L+R) log R) per group, no Python
-row loop.
+right side sorted by (on, id) — O((L+R) log R) per group, operating
+on int64 views of the Arrow buffers (no pandas conversion, no Python
+row loop).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _tagged_union(left_ds, right_ds, by, on, left_id, right_id):
@@ -42,6 +43,21 @@ def _tagged_union(left_ds, right_ds, by, on, left_id, right_id):
     return l.union(r)
 
 
+def _on_us(col) -> np.ndarray:
+    """`on` column -> int64 (microseconds for timestamps)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.timestamp("us"))
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _ids(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
 def asof_join(left_ds, right_ds, by, on, left_id, right_id,
               right_out=None):
     """For each left row, the right row in the same ``by`` group with
@@ -60,30 +76,30 @@ def asof_join(left_ds, right_ds, by, on, left_id, right_id,
     right_out = right_out or right_id
     u = _tagged_union(left_ds, right_ds, by, on, left_id, right_id)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["side"] == 0]
-        r = g[g["side"] == 1].sort_values(["on", "id"])
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame({left_id: pd.Series([], dtype=np.int64),
-                                 right_out: pd.Series([], dtype=np.int64),
-                                 "gap_us": pd.Series([], dtype=np.int64)})
-        r_on = r["on"].to_numpy()
-        l_on = l["on"].to_numpy()
-        # rows sorted by (on, id): searchsorted-right over on lands
-        # after every tie, so idx-1 is the max (on, id) <= left.on
+    def merge(t: pa.Table) -> pa.Table:
+        side = _ids(t["side"])
+        on_us = _on_us(t["on"])
+        ids = _ids(t["id"])
+        lm = side == 0
+        rm = ~lm
+        if not lm.any() or not rm.any():
+            e = pa.array([], pa.int64())
+            return pa.table({left_id: e, right_out: e, "gap_us": e})
+        r_on, r_id = on_us[rm], ids[rm]
+        # sorted by (on, id): searchsorted-right over on lands after
+        # every tie, so idx-1 is the max (on, id) <= left.on
+        order = np.lexsort((r_id, r_on))
+        r_on, r_id = r_on[order], r_id[order]
+        l_on, l_id = on_us[lm], ids[lm]
         pos = np.searchsorted(r_on, l_on, side="right") - 1
         m = pos >= 0
-        lm = l[m]
-        rm = r.iloc[pos[m]]
-        gap = (lm["on"].to_numpy().astype("datetime64[us]").astype(np.int64)
-               - rm["on"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        return pd.DataFrame({
-            left_id: lm["id"].to_numpy().astype(np.int64),
-            right_out: rm["id"].to_numpy().astype(np.int64),
-            "gap_us": gap.astype(np.int64),
+        return pa.table({
+            left_id: pa.array(l_id[m]),
+            right_out: pa.array(r_id[pos[m]]),
+            "gap_us": pa.array(l_on[m] - r_on[pos[m]]),
         })
 
-    return u.groupby("by").map_groups(merge, batch_format="pandas")
+    return u.groupby("by").map_groups(merge, batch_format="pyarrow")
 
 
 def range_join_count(left_ds, right_ds, by, on, left_id, right_id,
@@ -95,23 +111,22 @@ def range_join_count(left_ds, right_ds, by, on, left_id, right_id,
     """
     u = _tagged_union(left_ds, right_ds, by, on, left_id, right_id)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["side"] == 0]
-        if len(l) == 0:
-            return pd.DataFrame({left_id: pd.Series([], dtype=np.int64),
-                                 "n_in_range":
-                                     pd.Series([], dtype=np.int64)})
-        r = g[g["side"] == 1].sort_values("on")
-        l_us = l["on"].to_numpy().astype("datetime64[us]") \
-                .astype(np.int64)
-        r_us = r["on"].to_numpy().astype("datetime64[us]") \
-                .astype(np.int64)
-        side = "left" if strict_upper else "right"
-        hi = np.searchsorted(r_us, l_us, side=side)
+    def merge(t: pa.Table) -> pa.Table:
+        side = _ids(t["side"])
+        on_us = _on_us(t["on"])
+        ids = _ids(t["id"])
+        lm = side == 0
+        if not lm.any():
+            e = pa.array([], pa.int64())
+            return pa.table({left_id: e, "n_in_range": e})
+        l_us, l_id = on_us[lm], ids[lm]
+        r_us = np.sort(on_us[~lm])
+        bound = "left" if strict_upper else "right"
+        hi = np.searchsorted(r_us, l_us, side=bound)
         lo = np.searchsorted(r_us, l_us - window_us, side="left")
-        return pd.DataFrame({
-            left_id: l["id"].to_numpy().astype(np.int64),
-            "n_in_range": (hi - lo).astype(np.int64),
+        return pa.table({
+            left_id: pa.array(l_id),
+            "n_in_range": pa.array((hi - lo).astype(np.int64)),
         })
 
-    return u.groupby("by").map_groups(merge, batch_format="pandas")
+    return u.groupby("by").map_groups(merge, batch_format="pyarrow")

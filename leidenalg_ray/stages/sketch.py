@@ -153,9 +153,14 @@ def cms_frequencies(ds, col: str):
         return pa.table({"key": pa.array(np.asarray(keys, np.int64)),
                          "cms_est": pa.array(cms_estimate(sk, keys))})
 
+    # distinct keys = per-batch pyarrow dedup + ONE groupby-count
+    # shuffle (a second map_groups shuffle with a Python call per key
+    # was the old shape — one full exchange more than needed)
+    from ray.data.aggregate import Count
     return ds.map_batches(dedup, batch_format="pyarrow") \
-        .groupby(col).map_groups(
-            lambda g: g.head(1), batch_format="pandas") \
+        .groupby(col).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select([col]),
+                     batch_format="pyarrow") \
         .map_batches(estimate, batch_format="pyarrow")
 
 
