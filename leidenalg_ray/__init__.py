@@ -45,7 +45,9 @@ from .functions_api import (
     find_partition,
     find_partition_dataset,
     find_partition_multiplex,
+    find_partition_multiplex_dataset,
     find_partition_temporal,
+    find_partition_temporal_dataset,
     slices_to_layers,
     time_slices_to_layers,
 )
@@ -71,7 +73,9 @@ __all__ = [
     "find_partition",
     "find_partition_dataset",
     "find_partition_multiplex",
+    "find_partition_multiplex_dataset",
     "find_partition_temporal",
+    "find_partition_temporal_dataset",
     "slices_to_layers",
     "time_slices_to_layers",
 ]

@@ -102,8 +102,28 @@ def _make_qf(quality, sg, gamma, correct_self_loops):
                correct_self_loops=correct_self_loops)
 
 
-_EMPTY_PROPS = tuple([np.empty(0, np.int64)] * 2 + [np.empty(0)] * 7
-                     + [np.empty(0, np.int64)])
+def _layer_qfs(scal):
+    """One (quality_fn, gamma, lambda_k) triple per layer, built from
+    the per-layer scalars. Formula source stays leidenalg_ray.quality —
+    the multiplex objective is just Q = sum_k lambda_k Q_k (reference
+    ``Optimiser.py:357-461``)."""
+    out = []
+    for lc in scal["layers"]:
+        sg = _ScalarGraph(scal["n"], scal["directed"], lc["m"],
+                          lc["total_size"])
+        out.append((_make_qf(lc["quality"], sg, lc["gamma"],
+                             scal["correct_self_loops"]),
+                    lc["gamma"], lc["weight"]))
+    return out
+
+
+def _empty_props(L):
+    """No-proposal sentinel: 1-D index arrays + (L, 0) per-layer
+    scalar blocks."""
+    e1 = np.empty(0, np.int64)
+    e2 = np.empty((L, 0))
+    return (e1, e1.copy(), np.empty(0), e2, e2.copy(), e2.copy(),
+            e2.copy(), e2.copy(), e2.copy(), e1.copy())
 
 
 def _colour_hash(vids):
@@ -134,27 +154,35 @@ def _lab_idx(stat_labels, lab):
 
 
 def _propose_kernel(block, kv, st, scal, color, n_colors):
-    """Gather + propose for one shard's block.
+    """Gather + propose for one shard's block, over L layers sharing
+    one membership (L=1 is plain single-graph Leiden).
 
-    block: dict(src_local, dst_global, weight, dst_ref_idx) sorted by
-    src_local (symmetrised incidence: weight(v, c) sums each edge once
-    from v's side; for directed graphs the pair carries w_to + w_from
-    combined, which is exactly what the quality delta needs).
-    kv: per-local-vertex arrays (k_out, k_in, loop, nsz) for this
-    shard's own vertices.
+    block: dict(src_local, dst_global, weight, layer, dst_ref_idx)
+    sorted by src_local (symmetrised incidence: weight(v, c) sums each
+    edge once from v's side; for directed graphs the pair carries
+    w_to + w_from combined, which is exactly what the quality delta
+    needs).
+    kv: per-local-vertex arrays (k_out, k_in, loop, nsz), each of
+    shape (L, n_local), for this shard's own vertices.
     st: the shard's compressed state — membership over the shard's
     REFERENCED vids only (``mem_ref`` indexed via ``own_ref_idx`` /
     ``dst_ref_idx``) and label-compressed community stats
-    (``stat_labels`` + w_in/s_out/s_in/size aligned to it, plus the
-    global term-sum vector ``agg0`` for nonlinear qualities). No O(n)
-    array is resident.
+    (``stat_labels`` + (L, n_tracked) w_in/s_out/s_in/size aligned to
+    it, plus per-layer global term-sum vectors ``agg0`` for nonlinear
+    qualities). No O(n) array is resident.
+    The move delta is the multiplex objective
+    dq = sum_k lambda_k dq_k (reference ``Optimiser.py:357-461``);
+    each layer's dq_k comes from the same quality plugin the in-memory
+    tier uses.
     Returns accepted proposals for the active colour class, each row
-    carrying the per-vid scalars needed to apply the move anywhere:
-    (vids, targets, dq, wnew, wcur, loop, k_out, k_in, nsz, cur).
+    carrying the per-(layer, vid) scalars needed to apply the move
+    anywhere: (vids, targets, dq, wnew, wcur, loop, k_out, k_in, nsz,
+    cur) with the six middle blocks shaped (L, n_moves).
     """
+    L = len(scal["layers"])
     src_local = block["src_local"]
     if len(src_local) == 0:
-        return _EMPTY_PROPS
+        return _empty_props(L)
     P = scal["P"]
     vid_base = scal["p"]
     M = scal["label_space"]
@@ -165,119 +193,162 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
     # so with c colours the expensive np.unique shrinks by ~c x.
     if n_colors > 1:
         row_active = (block["row_hash"] % n_colors) == color
-        if not row_active.any():
-            return _EMPTY_PROPS
+    else:
+        row_active = np.ones(len(src_local), dtype=bool)
+    fixed_local = st.get("fixed_local")
+    if fixed_local is not None:
+        # fixed vertices never propose (reference
+        # ``python_optimiser_interface.cpp:77-97``); their rows drop
+        # out before the per-(v, comm) grouping
+        row_active = row_active & ~fixed_local[src_local]
+    if not row_active.any():
+        return _empty_props(L)
+    if row_active.all():
+        weight = block["weight"]
+        dref = block["dst_ref_idx"]
+        lay = block["layer"]
+    else:
         src_local = src_local[row_active]
         weight = block["weight"][row_active]
         dref = block["dst_ref_idx"][row_active]
-    else:
-        weight = block["weight"]
-        dref = block["dst_ref_idx"]
+        lay = block["layer"][row_active]
 
-    sg = _ScalarGraph(scal["n"], scal["directed"], scal["m"],
-                      scal["total_size"])
-    qf = _make_qf(scal["quality"], sg, scal["gamma"],
-                  scal["correct_self_loops"])
-    scale = qf.linear_scale()
-    gamma = scal["gamma"]
+    qfs = _layer_qfs(scal)
 
     mem_ref = st["mem_ref"]
     own_idx = st["own_ref_idx"]
     dst_comm = mem_ref[dref]
     key = src_local.astype(np.int64) * M + dst_comm
     uniq, inv = np.unique(key, return_inverse=True)
-    w_vc = np.zeros(len(uniq))
-    np.add.at(w_vc, inv, weight)
+    # per-layer gather: weight(v -> community) by (pair, layer)
+    w_vc = np.zeros((L, len(uniq)))
+    np.add.at(w_vc, (lay, inv), weight)
     pv = (uniq // M).astype(np.int64)   # src_local per pair
     pc_ = (uniq % M).astype(np.int64)   # candidate community per pair
 
-    vids = pv * P + vid_base            # global vid per pair
     cur = mem_ref[own_idx[pv]]
 
-    # per-vertex weight to current community, as a dense local-vertex
-    # indexed array (vectorised; no per-pair Python lookups)
+    # per-vertex weight to current community, dense local-vertex
+    # indexed (vectorised; no per-pair Python lookups)
     is_cur = pc_ == cur
     max_loc = int(pv.max()) + 1
-    w_cur_arr = np.zeros(max_loc)
-    w_cur_arr[pv[is_cur]] = w_vc[is_cur]
+    w_cur_arr = np.zeros((L, max_loc))
+    w_cur_arr[:, pv[is_cur]] = w_vc[:, is_cur]
 
     cand = ~is_cur
     if not cand.any():
-        return _EMPTY_PROPS
+        return _empty_props(L)
     ci = np.flatnonzero(cand)
     v_loc = pv[ci]
-    vids_c = vids[ci]
     cs = pc_[ci]
-    wv = w_vc[ci]
     cur_c = cur[ci]
-    w_cur = w_cur_arr[v_loc]
-
-    k_out = kv["k_out"][v_loc]
-    k_in = kv["k_in"][v_loc]
-    loop = kv["loop"][v_loc]
-    nsz = kv["nsz"][v_loc]
 
     SL = st["stat_labels"]
     W, SO, SI, SZ = (st["w_in"], st["s_out"], st["s_in"], st["size"])
-
-    def term(w, so, si, sz):
-        return np.atleast_2d(qf.term(w, so, si, sz, gamma))
-
-    if scale is None:
-        # nonlinear combine (Surprise): every candidate's exact global
-        # delta = combine(global term sum + local term shift) - Q0.
-        # The global term-sum vector agg0 (term_dim scalars, not O(n))
-        # is maintained by the driver from its full stats and shipped
-        # with every state push — the two-pass scheme VERDICT r1
-        # sketched, with the formula still living only in quality.py
-        # (combine_many).
-        agg0 = np.atleast_1d(np.asarray(st["agg0"], dtype=np.float64))
-        q0 = qf.combine(agg0, gamma)
-
-        def dq_of(d_new, d_old):
-            aggs = agg0[:, None] + d_new + d_old
-            return qf.combine_many(aggs, gamma) - q0
-    else:
-        def dq_of(d_new, d_old):
-            return scale * (d_new + d_old)[0]
-
     csi = _lab_idx(SL, cs)
     curci = _lab_idx(SL, cur_c)
-    d_new = term(W[csi] + wv + loop, SO[csi] + k_out, SI[csi] + k_in,
-                 SZ[csi] + nsz) - term(W[csi], SO[csi], SI[csi],
-                                       SZ[csi])
-    d_old = term(W[curci] - w_cur - loop, SO[curci] - k_out,
-                 SI[curci] - k_in, SZ[curci] - nsz) \
-        - term(W[curci], SO[curci], SI[curci], SZ[curci])
-    dq = dq_of(d_new, d_old)
-    max_size = scal.get("max_comm_size", 0)
-    if max_size > 0:
-        dq = np.where(SZ[csi] + nsz > max_size, -np.inf, dq)
 
-    # empty-community candidate per active vertex (label = n + vid).
-    # candidate rows are sorted by (vertex, community) — the np.unique
-    # key ordering — so per-vertex segments are contiguous.
+    # per-vertex segment layout (candidate rows sorted by (vertex,
+    # community) — the np.unique key ordering)
     starts = np.flatnonzero(np.r_[True, v_loc[1:] != v_loc[:-1]])
     vu = v_loc[starts]
     vids_u = vu * P + vid_base
     cur_u = mem_ref[own_idx[vu]]
     curui = _lab_idx(SL, cur_u)
-    w_cur_u = w_cur_arr[vu]
-    k_out_u = kv["k_out"][vu]
-    k_in_u = kv["k_in"][vu]
-    loop_u = kv["loop"][vu]
-    nsz_u = kv["nsz"][vu]
-    zero = np.zeros(len(vu))
-    d_new_e = term(zero + loop_u, k_out_u, k_in_u, nsz_u) \
-        - term(zero, zero, zero, zero)
-    d_old_e = term(W[curui] - w_cur_u - loop_u, SO[curui] - k_out_u,
-                   SI[curui] - k_in_u, SZ[curui] - nsz_u) \
-        - term(W[curui], SO[curui], SI[curui], SZ[curui])
-    dq_e = dq_of(d_new_e, d_old_e)
-    # only meaningful if the vertex is not alone in its community
-    alone = (SZ[curui] - nsz_u) <= 0
-    dq_e[alone] = -np.inf
+
+    dq = np.zeros(len(ci))
+    dq_e = np.zeros(len(vu))
+    tot_sz_new = np.zeros(len(ci))      # summed-over-layers sizes for
+    tot_sz_cur_left = np.zeros(len(vu))  # the cap / alone checks
+    nsz0_new = np.zeros(len(ci))
+
+    for k, (qf, gamma, lam) in enumerate(qfs):
+        scale = qf.linear_scale()
+
+        def term(w, so, si, sz, _qf=qf, _g=gamma):
+            return np.atleast_2d(_qf.term(w, so, si, sz, _g))
+
+        if scale is None:
+            # nonlinear combine (Surprise): every candidate's exact
+            # global delta = combine(global term sum + local term
+            # shift) - Q0. agg0 (term_dim scalars, not O(n)) is
+            # maintained per layer by the driver and shipped with
+            # every state push; formula lives only in quality.py.
+            agg0 = np.atleast_1d(np.asarray(st["agg0"][k],
+                                            dtype=np.float64))
+            q0 = qf.combine(agg0, gamma)
+
+            def dq_of(d_new, d_old, _qf=qf, _g=gamma, _a=agg0, _q0=q0):
+                aggs = _a[:, None] + d_new + d_old
+                return _qf.combine_many(aggs, _g) - _q0
+        else:
+            def dq_of(d_new, d_old, _s=scale):
+                return _s * (d_new + d_old)[0]
+
+        wv = w_vc[k][ci]
+        w_cur = w_cur_arr[k][v_loc]
+        k_out = kv["k_out"][k][v_loc]
+        k_in = kv["k_in"][k][v_loc]
+        loop = kv["loop"][k][v_loc]
+        nsz = kv["nsz"][k][v_loc]
+        Wk, SOk, SIk, SZk = W[k], SO[k], SI[k], SZ[k]
+
+        d_new = term(Wk[csi] + wv + loop, SOk[csi] + k_out,
+                     SIk[csi] + k_in, SZk[csi] + nsz) \
+            - term(Wk[csi], SOk[csi], SIk[csi], SZk[csi])
+        d_old = term(Wk[curci] - w_cur - loop, SOk[curci] - k_out,
+                     SIk[curci] - k_in, SZk[curci] - nsz) \
+            - term(Wk[curci], SOk[curci], SIk[curci], SZk[curci])
+        dq += lam * dq_of(d_new, d_old)
+        tot_sz_new += SZk[csi] + nsz
+        if k == 0:
+            nsz0_new = nsz
+
+        # empty-community candidate per active vertex
+        w_cur_u = w_cur_arr[k][vu]
+        k_out_u = kv["k_out"][k][vu]
+        k_in_u = kv["k_in"][k][vu]
+        loop_u = kv["loop"][k][vu]
+        nsz_u = kv["nsz"][k][vu]
+        zero = np.zeros(len(vu))
+        d_new_e = term(zero + loop_u, k_out_u, k_in_u, nsz_u) \
+            - term(zero, zero, zero, zero)
+        d_old_e = term(Wk[curui] - w_cur_u - loop_u,
+                       SOk[curui] - k_out_u, SIk[curui] - k_in_u,
+                       SZk[curui] - nsz_u) \
+            - term(Wk[curui], SOk[curui], SIk[curui], SZk[curui])
+        dq_e += lam * dq_of(d_new_e, d_old_e)
+        tot_sz_cur_left += SZk[curui] - nsz_u
+
+    max_size = scal.get("max_comm_size", 0)
+    if max_size > 0:
+        # cap on layer-0 community size, matching the in-memory
+        # kernel's p0.csize check (optimiser.py:183-190)
+        dq = np.where(SZ[0][csi] + nsz0_new > max_size, -np.inf, dq)
+    # empty move only meaningful if the vertex is not alone in its
+    # community (summed over layers: each vertex carries its node
+    # size in at least one layer)
+    alone_u = tot_sz_cur_left <= 0
+    dq_e[alone_u] = -np.inf
     empty_target = scal["n"] + vids_u
+
+    # soft min-community-size constraint — the same engine-defined
+    # bonus/penalty as the in-memory kernel (optimiser.py:218-228,
+    # layer-0 sizes): +E on moves filling a community to <= min_s,
+    # -E on every move away from a current community that would drop
+    # under min_s. Selection runs on dq + bonus; the driver disables
+    # the monotone-rollback check while enforcement is active.
+    E = float(scal.get("enforcement", 0.0))
+    min_s = int(scal.get("min_comm_size", 0))
+    if E > 0 and min_s > 0:
+        nsz0 = kv["nsz"][0]
+        dq = dq + np.where(SZ[0][csi] + nsz0[v_loc] <= min_s, E, 0.0)
+        dq_e = dq_e + np.where(nsz0[vu] <= min_s, E, 0.0)
+        leave_pen = np.where(
+            ~alone_u & (SZ[0][curui] - nsz0[vu] < min_s), -E, 0.0)
+        counts0 = np.diff(np.append(starts, len(v_loc)))
+        dq = dq + np.repeat(leave_pen, counts0)
+        dq_e = dq_e + leave_pen
 
     # combine: segmented argmax per vertex (deterministic tie-break:
     # highest dq, then lowest target label — within a segment the
@@ -294,11 +365,14 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
                                  & (empty_target < nb_t))
     best_d = np.where(use_empty, dq_e, nb_d)
     best_t = np.where(use_empty, empty_target, nb_t)
-    best_wnew = np.where(use_empty, 0.0, wv[first_idx])
+    best_wnew = np.where(use_empty[None, :], 0.0,
+                         w_vc[:, ci[first_idx]])
     good = best_d > 1e-10
-    return (vids_u[good], best_t[good], best_d[good], best_wnew[good],
-            w_cur_u[good], loop_u[good], k_out_u[good], k_in_u[good],
-            nsz_u[good], cur_u[good])
+    return (vids_u[good], best_t[good], best_d[good],
+            best_wnew[:, good], w_cur_arr[:, vu][:, good],
+            kv["loop"][:, vu][:, good], kv["k_out"][:, vu][:, good],
+            kv["k_in"][:, vu][:, good], kv["nsz"][:, vu][:, good],
+            cur_u[good])
 
 
 def _apply_moves_inplace(mem, stats, mv):
@@ -309,14 +383,18 @@ def _apply_moves_inplace(mem, stats, mv):
     copies never diverge."""
     vids, targs = mv["vids"], mv["targs"]
     old = mem[vids]
-    np.subtract.at(stats["w_in"], old, mv["wcur"] + mv["loop"])
-    np.add.at(stats["w_in"], targs, mv["wnew"] + mv["loop"])
-    np.subtract.at(stats["s_out"], old, mv["k_out"])
-    np.add.at(stats["s_out"], targs, mv["k_out"])
-    np.subtract.at(stats["s_in"], old, mv["k_in"])
-    np.add.at(stats["s_in"], targs, mv["k_in"])
-    np.subtract.at(stats["size"], old, mv["nsz"])
-    np.add.at(stats["size"], targs, mv["nsz"])
+    L = stats["w_in"].shape[0]
+    for k in range(L):
+        np.subtract.at(stats["w_in"][k], old,
+                       mv["wcur"][k] + mv["loop"][k])
+        np.add.at(stats["w_in"][k], targs,
+                  mv["wnew"][k] + mv["loop"][k])
+        np.subtract.at(stats["s_out"][k], old, mv["k_out"][k])
+        np.add.at(stats["s_out"][k], targs, mv["k_out"][k])
+        np.subtract.at(stats["s_in"][k], old, mv["k_in"][k])
+        np.add.at(stats["s_in"][k], targs, mv["k_in"][k])
+        np.subtract.at(stats["size"][k], old, mv["nsz"][k])
+        np.add.at(stats["size"][k], targs, mv["nsz"][k])
     mem[vids] = targs
 
 
@@ -341,6 +419,7 @@ class LeidenShard:
         self.stats = None
         self.agg0 = None
         self.scal = None
+        self.fixed_local = None
 
     def _load_parquet(self, parquet_dir):
         import os
@@ -350,10 +429,14 @@ class LeidenShard:
             e = np.empty(0, np.int64)
             return {"src_local": e, "dst_global": e.copy(),
                     "weight": np.empty(0), "is_rev": np.empty(0, bool)}
-        t = pads.dataset(d).to_table(
-            columns=["src", "dst", "weight", "is_rev"])
+        dset = pads.dataset(d)
+        cols = ["src", "dst", "weight", "is_rev"]
+        has_layer = "layer" in dset.schema.names
+        if has_layer:
+            cols.append("layer")
+        t = dset.to_table(columns=cols)
         src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return {
+        out = {
             "src_local": src // self.P,
             "dst_global": t["dst"].to_numpy(zero_copy_only=False)
                 .astype(np.int64),
@@ -362,11 +445,18 @@ class LeidenShard:
             "is_rev": t["is_rev"].to_numpy(zero_copy_only=False)
                 .astype(bool),
         }
+        if has_layer:
+            out["layer"] = t["layer"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        return out
 
     def _set_block(self, block):
         order = np.argsort(block["src_local"], kind="stable")
         self.block = {k: np.ascontiguousarray(v[order])
                       for k, v in block.items()}
+        if "layer" not in self.block:
+            self.block["layer"] = np.zeros(
+                len(self.block["src_local"]), dtype=np.int64)
         vids_row = self.block["src_local"] * self.P + self.p
         self.block["row_hash"] = _colour_hash(vids_row)
 
@@ -378,32 +468,48 @@ class LeidenShard:
         self.stats = None
         self.agg0 = None
         self.scal = None
+        self.fixed_local = None
+        return True
+
+    def set_fixed(self, fixed):
+        """Adopt the full fixed-membership mask (zero-copy broadcast
+        read), keeping only this shard's own-vertex slice."""
+        if fixed is None:
+            self.fixed_local = None
+        else:
+            self.fixed_local = np.asarray(fixed)[self.p::self.P] \
+                .astype(bool)
         return True
 
     # ------------------------------------------------------------------
-    def vertex_summary(self, n, directed, node_sizes_shard=None):
-        """Compute per-vertex shards from the incidence block; return
-        the global-scalar partials the driver needs."""
+    def vertex_summary(self, n, directed, node_sizes_shard=None,
+                       n_layers=1):
+        """Compute per-vertex shards from the incidence block, one row
+        per layer; return the per-layer global-scalar partials the
+        driver needs. ``node_sizes_shard``: (L, n_local) — per-layer
+        node sizes for this shard's own vertices (None -> all ones)."""
         P, p = self.P, self.p
+        L = int(n_layers)
         n_local = (n - p + P - 1) // P
         b = self.block
         sl, w, rev = b["src_local"], b["weight"], b["is_rev"]
-        dst = b["dst_global"]
-        loop = np.zeros(n_local)
+        dst, lay = b["dst_global"], b["layer"]
+        loop = np.zeros((L, n_local))
         is_loop = (~rev) & (sl * P + p == dst)
-        np.add.at(loop, sl[is_loop], w[is_loop])
-        k_out = np.zeros(n_local)
-        k_in = np.zeros(n_local)
+        np.add.at(loop, (lay[is_loop], sl[is_loop]), w[is_loop])
+        k_out = np.zeros((L, n_local))
+        k_in = np.zeros((L, n_local))
         if directed:
-            np.add.at(k_out, sl[~rev], w[~rev])
-            np.add.at(k_in, sl[rev], w[rev])
+            np.add.at(k_out, (lay[~rev], sl[~rev]), w[~rev])
+            np.add.at(k_in, (lay[rev], sl[rev]), w[rev])
             k_in += loop
         else:
-            np.add.at(k_out, sl, w)
+            np.add.at(k_out, (lay, sl), w)
             k_out += loop            # loops stored once, count double
             k_in = k_out
-        nsz = (np.ones(n_local) if node_sizes_shard is None
-               else np.asarray(node_sizes_shard, dtype=np.float64))
+        nsz = (np.ones((L, n_local)) if node_sizes_shard is None
+               else np.asarray(node_sizes_shard,
+                               dtype=np.float64).reshape(L, n_local))
         self.kv = {"k_out": k_out, "k_in": k_in, "loop": loop,
                    "nsz": nsz}
         deg = np.zeros(n_local, dtype=np.int64)
@@ -416,9 +522,9 @@ class LeidenShard:
         self.own_ref_idx = np.searchsorted(self.ref_vids, own_vids)
         self.block["dst_ref_idx"] = np.searchsorted(self.ref_vids, dst)
         return {
-            "m": float(w[~rev].sum()),
+            "m": np.bincount(lay[~rev], weights=w[~rev], minlength=L),
             "n_edges": int((~rev).sum()),
-            "size": float(nsz.sum()),
+            "size": nsz.sum(axis=1),
             "has_loops": bool(is_loop.any()),
             "active_local": np.flatnonzero(deg > 0),
         }
@@ -445,9 +551,11 @@ class LeidenShard:
     def _compress_stats(self, stats, agg0):
         labels = np.unique(self.mem_ref)
         self.stat_labels = labels
-        self.stats = {k: np.asarray(stats[k])[labels].astype(np.float64)
+        # stats arrive (L, 2n); keep (L, n_tracked) slices
+        self.stats = {k: np.asarray(stats[k])[:, labels]
+                      .astype(np.float64)
                       for k in ("w_in", "s_out", "s_in", "size")}
-        self.agg0 = None if agg0 is None else np.asarray(agg0)
+        self.agg0 = agg0
 
     def _upsert(self, labels, vals, allow_new=None):
         """Adopt driver-authoritative stat values for the given labels.
@@ -469,7 +577,8 @@ class LeidenShard:
             keep = tracked | allow_new
             if not keep.all():
                 labels = labels[keep]
-                vals = {k: np.asarray(v)[keep] for k, v in vals.items()}
+                vals = {k: np.asarray(v)[:, keep]
+                        for k, v in vals.items()}
                 tracked = tracked[keep]
                 if len(labels) == 0:
                     return
@@ -478,13 +587,14 @@ class LeidenShard:
             merged = np.union1d(sl, labels[miss])
             remap = np.searchsorted(merged, sl)
             for k in self.stats:
-                arr = np.zeros(len(merged))
-                arr[remap] = self.stats[k]
+                L = self.stats[k].shape[0]
+                arr = np.zeros((L, len(merged)))
+                arr[:, remap] = self.stats[k]
                 self.stats[k] = arr
             self.stat_labels = sl = merged
         i = np.searchsorted(sl, labels)
         for k in self.stats:
-            self.stats[k][i] = np.asarray(vals[k])
+            self.stats[k][:, i] = np.asarray(vals[k])
 
     def _apply_moves(self, moves):
         """Commit a broadcast move set: membership deltas for the vids
@@ -502,7 +612,7 @@ class LeidenShard:
         self._upsert(labels, moves["upd_vals"],
                      allow_new=np.isin(labels, new_ref))
         if "agg0" in moves:
-            self.agg0 = np.asarray(moves["agg0"])
+            self.agg0 = moves["agg0"]
 
     # ------------------------------------------------------------------
     def step(self, moves, color, n_colors, push=None):
@@ -519,14 +629,14 @@ class LeidenShard:
             self._upsert(push["labels"], push["vals"],
                          allow_new=np.zeros(nlab, dtype=bool))
             if "agg0" in push:
-                self.agg0 = np.asarray(push["agg0"])
+                self.agg0 = push["agg0"]
         if moves is not None and len(moves["vids"]):
             self._apply_moves(moves)
         if color is None:
             return None
         st = {"mem_ref": self.mem_ref, "own_ref_idx": self.own_ref_idx,
               "stat_labels": self.stat_labels, "agg0": self.agg0,
-              **self.stats}
+              "fixed_local": self.fixed_local, **self.stats}
         return _propose_kernel(self.block, self.kv, st, self.scal,
                                color, n_colors)
 
@@ -550,27 +660,30 @@ class LeidenShard:
         if moves is not None and len(moves["vids"]):
             self._apply_moves(moves)
         b = self.block
+        L = self.kv["k_out"].shape[0]
         mem_src = self.mem_ref[self.own_ref_idx[b["src_local"]]]
         mem_dst = self.mem_ref[b["dst_ref_idx"]]
         same = mem_src == mem_dst
         lab = mem_src[same]
         w = b["weight"][same]
+        lay = b["layer"][same]
         src_g = b["src_local"] * self.P + self.p
         isloop = src_g[same] == b["dst_global"][same]
         uniq, inv = np.unique(lab, return_inverse=True)
-        wn = np.zeros(len(uniq))
-        wl = np.zeros(len(uniq))
-        np.add.at(wn, inv[~isloop], w[~isloop])
-        np.add.at(wl, inv[isloop], w[isloop])
+        wn = np.zeros((L, len(uniq)))
+        wl = np.zeros((L, len(uniq)))
+        np.add.at(wn, (lay[~isloop], inv[~isloop]), w[~isloop])
+        np.add.at(wl, (lay[isloop], inv[isloop]), w[isloop])
         # own-vertex strength/size partials
         vlab = self.mem_ref[self.own_ref_idx]
         u2, inv2 = np.unique(vlab, return_inverse=True)
-        so = np.zeros(len(u2))
-        si = np.zeros(len(u2))
-        sz = np.zeros(len(u2))
-        np.add.at(so, inv2, self.kv["k_out"])
-        np.add.at(si, inv2, self.kv["k_in"])
-        np.add.at(sz, inv2, self.kv["nsz"])
+        so = np.zeros((L, len(u2)))
+        si = np.zeros((L, len(u2)))
+        sz = np.zeros((L, len(u2)))
+        for k in range(L):
+            np.add.at(so[k], inv2, self.kv["k_out"][k])
+            np.add.at(si[k], inv2, self.kv["k_in"][k])
+            np.add.at(sz[k], inv2, self.kv["nsz"][k])
         return (uniq, wn, wl), (u2, so, si, sz)
 
     # ------------------------------------------------------------------
@@ -585,69 +698,84 @@ class LeidenShard:
         mem_dst = self.mem_ref[b["dst_ref_idx"]]
         same = (mem_src == mem_dst) & ~b["is_rev"]
         s, d, w = src_g[same], dst_g[same], b["weight"][same]
+        ly = b["layer"][same]
         lab = mem_src[same]
         bucket = lab % R
         order = np.argsort(bucket, kind="stable")
-        s, d, w, lab, bucket = (s[order], d[order], w[order], lab[order],
-                                bucket[order])
+        s, d, w, ly, lab, bucket = (s[order], d[order], w[order],
+                                    ly[order], lab[order],
+                                    bucket[order])
         bounds = np.searchsorted(bucket, np.arange(R + 1))
         return [(s[bounds[r]:bounds[r + 1]], d[bounds[r]:bounds[r + 1]],
                  w[bounds[r]:bounds[r + 1]],
-                 lab[bounds[r]:bounds[r + 1]]) for r in range(R)]
+                 lab[bounds[r]:bounds[r + 1]],
+                 ly[bounds[r]:bounds[r + 1]]) for r in range(R)]
 
     def agg_partials(self, dense, n_labels, directed):
-        """(comm_src, comm_dst) -> weight partial sums over this
-        block's non-rev edges under the refined dense labelling, plus
-        per-label node-size partials — the distributed form of the
-        aggregate build (no O(edges) driver pass)."""
+        """Per-layer (comm_src, comm_dst) -> weight partial sums over
+        this block's non-rev edges under the refined dense labelling,
+        plus per-(layer, label) node-size partials — the distributed
+        form of the aggregate build (no O(edges) driver pass)."""
         b = self.block
+        L = self.kv["nsz"].shape[0]
         keep = ~b["is_rev"]
         src_g = (b["src_local"] * self.P + self.p)[keep]
         dst_g = b["dst_global"][keep]
         w = b["weight"][keep]
+        lay = b["layer"][keep]
         cs = dense[src_g].astype(np.int64)
         cd = dense[dst_g].astype(np.int64)
         if not directed:
             lo = np.minimum(cs, cd)
             hi = np.maximum(cs, cd)
             cs, cd = lo, hi
-        key = cs * n_labels + cd
+        # layer folded into the pair key so one unique pass serves all
+        # layers; the driver splits by uniq // (n_labels^2)
+        key = (lay * n_labels + cs) * n_labels + cd
         uniq, inv = np.unique(key, return_inverse=True)
         ws = np.zeros(len(uniq))
         np.add.at(ws, inv, w)
-        own_vids = np.arange(len(self.kv["nsz"]),
+        own_vids = np.arange(self.kv["nsz"].shape[1],
                              dtype=np.int64) * self.P + self.p
         labs = dense[own_vids].astype(np.int64)
         u2, inv2 = np.unique(labs, return_inverse=True)
-        sz = np.zeros(len(u2))
-        np.add.at(sz, inv2, self.kv["nsz"])
+        sz = np.zeros((L, len(u2)))
+        for k in range(L):
+            np.add.at(sz[k], inv2, self.kv["nsz"][k])
         return uniq, ws, u2, sz
 
 
 @ray.remote
-def _refine_bucket(groups, quality, gamma, correct_self_loops,
+def _refine_bucket(groups, layers_cfg, correct_self_loops,
                    directed, seed, max_comm_size, refine_max,
                    *edge_parts):
     """Refine the communities of one hash bucket: fetch this bucket's
     internal-edge partials (worker-to-worker refs), group them per
     community, run the exact merge-constrained in-memory kernel per
-    induced subgraph. ``groups`` is [(comm_label, vids, node_sizes)].
+    induced subgraph — the multiplex kernel when L > 1, sharing one
+    membership across the per-layer induced subgraphs (reference
+    ``Optimiser.py:357-461``). ``groups`` is
+    [(comm_label, vids, node_sizes (L, len(vids)))]; ``layers_cfg`` is
+    [{"quality", "gamma", "weight"}] per layer.
     Returns (vids, refined_label) with labels globally unique (label =
     global vid of the refined community's smallest member)."""
-    src = np.concatenate([e[0] for e in edge_parts]) \
-        if edge_parts else np.empty(0, np.int64)
-    dst = np.concatenate([e[1] for e in edge_parts]) \
-        if edge_parts else np.empty(0, np.int64)
-    w = np.concatenate([e[2] for e in edge_parts]) \
-        if edge_parts else np.empty(0)
-    lab = np.concatenate([e[3] for e in edge_parts]) \
-        if edge_parts else np.empty(0, np.int64)
+    def cat(i, dtype=None):
+        if not edge_parts:
+            return np.empty(0, dtype or np.float64)
+        return np.concatenate([e[i] for e in edge_parts])
+    src = cat(0, np.int64)
+    dst = cat(1, np.int64)
+    w = cat(2)
+    lab = cat(3, np.int64)
+    ly = cat(4, np.int64)
     order = np.argsort(lab, kind="stable")
-    src, dst, w, lab = src[order], dst[order], w[order], lab[order]
+    src, dst, w, lab, ly = (src[order], dst[order], w[order],
+                            lab[order], ly[order])
 
     out_v, out_l = [], []
-    cls = PARTITION_TYPES[quality]
     from ..partition import MutableVertexPartition
+    L = len(layers_cfg)
+    lam = [float(lc["weight"]) for lc in layers_cfg]
     n_giant = 0
     for comm, vids, nsz in groups:
         lo = np.searchsorted(lab, comm, side="left")
@@ -656,21 +784,34 @@ def _refine_bucket(groups, quality, gamma, correct_self_loops,
             n_giant += 1   # identity refinement (valid, coarser)
             continue
         vids = np.asarray(vids, dtype=np.int64)
+        nsz = np.asarray(nsz, dtype=np.float64).reshape(L, len(vids))
         ls = np.searchsorted(vids, src[lo:hi])
         ld = np.searchsorted(vids, dst[lo:hi])
-        g = Graph(len(vids), src=ls, dst=ld, weights=w[lo:hi],
-                  node_sizes=nsz, directed=directed)
-        part = cls.__new__(cls)
-        MutableVertexPartition.__init__(
-            part, g, initial_membership=None,
-            resolution_parameter=gamma,
-            correct_self_loops=correct_self_loops, _validate=False)
+        wk = w[lo:hi]
+        lk = ly[lo:hi]
+        parts = []
+        for k, lc in enumerate(layers_cfg):
+            mk = lk == k
+            g = Graph(len(vids), src=ls[mk], dst=ld[mk],
+                      weights=wk[mk], node_sizes=nsz[k],
+                      directed=directed)
+            cls = PARTITION_TYPES[lc["quality"]]
+            part = cls.__new__(cls)
+            MutableVertexPartition.__init__(
+                part, g, initial_membership=None,
+                resolution_parameter=lc["gamma"],
+                correct_self_loops=correct_self_loops,
+                _validate=False)
+            parts.append(part)
         opt = Optimiser()
         opt.set_rng_seed(seed)
         opt.max_comm_size = max_comm_size
-        opt.merge_nodes_constrained(part, part._new_like(
-            g, np.zeros(len(vids), dtype=np.int64)))
-        local_mem = np.asarray(part.membership)
+        # merge-constrained within this community (constraint = all
+        # zeros == the old merge_nodes_constrained(part, zero-part))
+        opt._move_kernel(parts, lam, None, opt.refine_consider_comms,
+                         constraint=np.zeros(len(vids), dtype=np.int64),
+                         merge_only=True)
+        local_mem = np.asarray(parts[0].membership)
         labels = np.full(local_mem.max() + 1, -1, dtype=np.int64)
         # label = global vid of the first (smallest, vids sorted)
         # member of the refined community
@@ -699,19 +840,47 @@ class DistLeiden:
                  directed=False, quality="cpm",
                  resolution_parameter=1.0, P=8, seed=42, n_colors=2,
                  node_sizes=None, correct_self_loops=None,
-                 max_comm_size=0, _actors=None, _parquet_dir=None):
+                 max_comm_size=0, layer=None, layer_weights=None,
+                 n_layers=None, _actors=None, _parquet_dir=None):
+        """``quality`` / ``resolution_parameter`` may be lists (one per
+        layer) for multiplex graphs; ``layer`` tags each edge with its
+        layer index; ``node_sizes`` is (n,) or (L, n) — per-layer node
+        sizes (temporal slices mark vertex presence this way,
+        reference ``functions.py:517-526``)."""
         self.n = None if n is None else int(n)
         self.P, self.directed = int(P), bool(directed)
-        self.quality = quality
-        self.gamma = float(resolution_parameter)
+        # normalise the per-layer configuration
+        qs = list(quality) if isinstance(quality, (list, tuple)) \
+            else None
+        gs = list(resolution_parameter) \
+            if isinstance(resolution_parameter, (list, tuple)) else None
+        lw = None if layer_weights is None else list(layer_weights)
+        L = n_layers
+        for cand in (qs, gs, lw):
+            if cand is not None:
+                if L is not None and len(cand) != L:
+                    raise ValueError("inconsistent layer counts")
+                L = len(cand)
+        if L is None:
+            L = (int(np.asarray(layer).max()) + 1
+                 if layer is not None and len(layer) else 1)
+        self.L = int(L)
+        qs = qs or [quality] * L
+        gs = gs or [float(resolution_parameter)] * L
+        lw = lw or [1.0] * L
+        self.layers_cfg = [{"quality": q, "gamma": float(g),
+                            "weight": float(w_)}
+                           for q, g, w_ in zip(qs, gs, lw)]
+        # single-layer compat attributes (queries/tests read these)
+        self.quality = qs[0]
+        self.gamma = float(gs[0])
         self.seed = seed
         self.n_colors = int(n_colors)
         self.max_comm_size = int(max_comm_size)
         self._corr_loops_arg = correct_self_loops
 
         if _parquet_dir is not None:
-            self.node_size = (np.ones(self.n) if node_sizes is None
-                              else np.asarray(node_sizes, np.float64))
+            self.node_size = self._norm_sizes(node_sizes)
             self.actors = [LeidenShard.remote(p, P,
                                               parquet_dir=_parquet_dir)
                            for p in range(P)]
@@ -726,8 +895,9 @@ class DistLeiden:
         if weight is None:
             weight = np.ones(len(src))
         weight = np.asarray(weight, dtype=np.float64)
-        self.node_size = (np.ones(n) if node_sizes is None
-                          else np.asarray(node_sizes, dtype=np.float64))
+        lay = (np.zeros(len(src), dtype=np.int64) if layer is None
+               else np.asarray(layer, dtype=np.int64))
+        self.node_size = self._norm_sizes(node_sizes)
 
         # symmetrised incidence rows keyed by source partition (both
         # directions for BOTH directed and undirected: the propose
@@ -737,6 +907,7 @@ class DistLeiden:
         s2 = np.concatenate([src, dst[nl]])
         d2 = np.concatenate([dst, src[nl]])
         w2 = np.concatenate([weight, weight[nl]])
+        l2 = np.concatenate([lay, lay[nl]])
         rev = np.concatenate([np.zeros(len(src), dtype=bool),
                               np.ones(int(nl.sum()), dtype=bool)])
         blocks = []
@@ -747,6 +918,7 @@ class DistLeiden:
                 "dst_global": d2[msk],
                 "weight": w2[msk],
                 "is_rev": rev[msk],
+                "layer": l2[msk],
             })
         if _actors is not None:      # reuse the pool across levels
             self.actors = _actors
@@ -757,16 +929,32 @@ class DistLeiden:
                            for p in range(P)]
         self._finish_init(node_sizes)
 
+    def _norm_sizes(self, node_sizes):
+        """node_sizes -> (L, n) float array (None -> all ones)."""
+        if node_sizes is None:
+            return np.ones((self.L, self.n))
+        arr = np.asarray(node_sizes, dtype=np.float64)
+        if arr.ndim == 1:
+            arr = np.broadcast_to(arr, (self.L, self.n)).copy()
+        if arr.shape != (self.L, self.n):
+            raise ValueError("node_sizes must be (n,) or (L, n)")
+        return arr
+
     def _finish_init(self, node_sizes):
-        P, n = self.P, self.n
+        P, n, L = self.P, self.n, self.L
         shards = [None] * P if node_sizes is None else \
-            [self.node_size[p::P] for p in range(P)]
+            [self.node_size[:, p::P] for p in range(P)]
         sums = ray.get([a.vertex_summary.remote(n, self.directed,
-                                                shards[p])
+                                                shards[p], L)
                         for p, a in enumerate(self.actors)])
-        self.m = float(sum(s["m"] for s in sums))
+        m_k = np.sum([s["m"] for s in sums], axis=0)
+        size_k = np.sum([s["size"] for s in sums], axis=0)
+        for k, lc in enumerate(self.layers_cfg):
+            lc["m"] = float(m_k[k])
+            lc["total_size"] = float(size_k[k])
+        self.m = float(m_k.sum())
         self.n_edges = int(sum(s["n_edges"] for s in sums))
-        self.total_size = float(sum(s["size"] for s in sums))
+        self.total_size = float(size_k.sum())
         has_loops = any(s["has_loops"] for s in sums)
         self._active_vids = np.sort(np.concatenate(
             [s["active_local"] * P + p for p, s in enumerate(sums)]))
@@ -775,9 +963,8 @@ class DistLeiden:
             corr = has_loops if self.quality == "cpm" else False
         self.correct_self_loops = bool(corr)
         scal = {
-            "P": P, "n": n, "m": self.m, "total_size": self.total_size,
-            "directed": self.directed, "quality": self.quality,
-            "gamma": self.gamma,
+            "P": P, "n": n, "layers": self.layers_cfg,
+            "directed": self.directed,
             "correct_self_loops": self.correct_self_loops,
             "max_comm_size": self.max_comm_size,
             "label_space": 2 * n,
@@ -789,12 +976,17 @@ class DistLeiden:
     def from_dataset(cls, edges_ds, n, directed=False, quality="cpm",
                      resolution_parameter=1.0, P=8, seed=42, n_colors=2,
                      correct_self_loops=None, max_comm_size=0,
-                     spill_dir=None):
+                     spill_dir=None, node_sizes=None, layer_weights=None,
+                     n_layers=None):
         """Dataset-native construction: edges Dataset(src, dst
-        [, weight]) -> symmetrised incidence rows -> partitioned
-        parquet spill (the resumable L0 input) -> each shard actor
-        loads only its own partition's files. The driver never
-        materialises the edge list (SURVEY.md §4.3.1)."""
+        [, weight][, layer]) -> symmetrised incidence rows ->
+        partitioned parquet spill (the resumable L0 input) -> each
+        shard actor loads only its own partition's files. The driver
+        never materialises the edge list (SURVEY.md §4.3.1). A
+        ``layer`` column makes this a multiplex graph: one membership
+        across layers, Q = sum_k lambda_k Q_k (``quality`` /
+        ``resolution_parameter`` / ``layer_weights`` may be per-layer
+        lists; reference ``functions.py:95-176``)."""
         import os
         import tempfile
         import pyarrow as pa
@@ -813,15 +1005,20 @@ class DistLeiden:
                     .astype(np.float64)
             else:
                 w = np.ones(len(src))
+            lay = (t["layer"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64) if "layer" in t.column_names
+                   else np.zeros(len(src), dtype=np.int64))
             nl = src != dst
             s2 = np.concatenate([src, dst[nl]])
             d2 = np.concatenate([dst, src[nl]])
             w2 = np.concatenate([w, w[nl]])
+            l2 = np.concatenate([lay, lay[nl]])
             rev = np.concatenate([np.zeros(len(src), dtype=bool),
                                   np.ones(int(nl.sum()), dtype=bool)])
             return pa.table({
                 "src": pa.array(s2), "dst": pa.array(d2),
                 "weight": pa.array(w2), "is_rev": pa.array(rev),
+                "layer": pa.array(l2),
                 "part": pa.array((s2 % Pv).astype(np.int32)),
             })
 
@@ -832,8 +1029,46 @@ class DistLeiden:
                    resolution_parameter=resolution_parameter, P=Pv,
                    seed=seed, n_colors=n_colors,
                    correct_self_loops=correct_self_loops,
-                   max_comm_size=max_comm_size,
+                   max_comm_size=max_comm_size, node_sizes=node_sizes,
+                   layer_weights=layer_weights, n_layers=n_layers,
                    _parquet_dir=spill_dir)
+
+    @classmethod
+    def from_layer_datasets(cls, layer_ds_list, n, directed=False,
+                            quality="cpm", resolution_parameter=1.0,
+                            P=8, seed=42, n_colors=2,
+                            correct_self_loops=None, max_comm_size=0,
+                            spill_dir=None, node_sizes=None,
+                            layer_weights=None):
+        """Multiplex construction from one edge Dataset per layer on a
+        shared vertex id space [0, n): each Dataset is tagged with its
+        layer index and unioned, then spilled/partitioned once
+        (reference ``functions.py:95-176`` — the Datasets play the
+        role of the K igraph layers)."""
+        import pyarrow as pa
+
+        def tag(k):
+            def fn(t: pa.Table) -> pa.Table:
+                if "layer" in t.column_names:
+                    t = t.drop_columns(["layer"])
+                return t.append_column(
+                    "layer", pa.array(np.full(t.num_rows, k,
+                                              dtype=np.int64)))
+            return fn
+
+        tagged = [ds.map_batches(tag(k), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                  for k, ds in enumerate(layer_ds_list)]
+        union = tagged[0]
+        for t in tagged[1:]:
+            union = union.union(t)
+        return cls.from_dataset(
+            union, n=n, directed=directed, quality=quality,
+            resolution_parameter=resolution_parameter, P=P, seed=seed,
+            n_colors=n_colors, correct_self_loops=correct_self_loops,
+            max_comm_size=max_comm_size, spill_dir=spill_dir,
+            node_sizes=node_sizes, layer_weights=layer_weights,
+            n_layers=len(layer_ds_list))
 
     def active_vids(self):
         """Vids with at least one incident edge (degree > 0) — the
@@ -847,7 +1082,7 @@ class DistLeiden:
         first; ``moves_ref`` folds the last colour's un-shipped deltas
         into the same round."""
         if mem is not None:
-            stats0 = {k: np.zeros(2 * self.n) for k in
+            stats0 = {k: np.zeros((self.L, 2 * self.n)) for k in
                       ("w_in", "s_out", "s_in", "size")}
             mem_ref = ray.put(mem)
             # shards recompute against the pushed membership
@@ -855,45 +1090,55 @@ class DistLeiden:
                      for a in self.actors])
         parts = ray.get([a.stats_partials.remote(moves_ref)
                          for a in self.actors])
-        L = 2 * self.n
-        w_in = np.zeros(L)
-        s_out = np.zeros(L)
-        s_in = np.zeros(L)
-        size = np.zeros(L)
+        M = 2 * self.n
+        w_in = np.zeros((self.L, M))
+        s_out = np.zeros((self.L, M))
+        s_in = np.zeros((self.L, M))
+        size = np.zeros((self.L, M))
         for (labs, wn, wl), (labs2, so, si, sz) in parts:
-            w_in[labs] += wn / 2.0 + wl
-            s_out[labs2] += so
-            s_in[labs2] += si
-            size[labs2] += sz
+            w_in[:, labs] += wn / 2.0 + wl
+            s_out[:, labs2] += so
+            s_in[:, labs2] += si
+            size[:, labs2] += sz
         return {"w_in": w_in, "s_out": s_out, "s_in": s_in,
                 "size": size}
 
+    def _scal(self):
+        return {"n": self.n, "directed": self.directed,
+                "layers": self.layers_cfg,
+                "correct_self_loops": self.correct_self_loops}
+
     def _quality_of(self, stats):
-        sg = _ScalarGraph(self.n, self.directed, self.m, self.total_size)
-        qf = _make_qf(self.quality, sg, self.gamma,
-                      self.correct_self_loops)
-        nz = (stats["size"] > 0) | (stats["w_in"] != 0)
-        t = np.atleast_2d(qf.term(stats["w_in"][nz], stats["s_out"][nz],
-                                  stats["s_in"][nz], stats["size"][nz],
-                                  self.gamma))
-        agg = t.sum(axis=1)
-        return float(qf.combine(agg if qf.term_dim > 1 else agg[0],
-                                self.gamma))
+        """Q = sum_k lambda_k Q_k over the per-layer stats (reference
+        ``Optimiser.py:357-461``; L=1 is plain quality)."""
+        total = 0.0
+        for k, (qf, gamma, lam) in enumerate(_layer_qfs(self._scal())):
+            nz = (stats["size"][k] > 0) | (stats["w_in"][k] != 0)
+            t = np.atleast_2d(qf.term(
+                stats["w_in"][k][nz], stats["s_out"][k][nz],
+                stats["s_in"][k][nz], stats["size"][k][nz], gamma))
+            agg = t.sum(axis=1)
+            total += lam * float(qf.combine(
+                agg if qf.term_dim > 1 else agg[0], gamma))
+        return total
 
     def _term_sum(self, stats):
-        """Global term-sum vector for nonlinear combines (Surprise);
-        None for linear qualities — their kernels don't need it."""
-        sg = _ScalarGraph(self.n, self.directed, self.m,
-                          self.total_size)
-        qf = _make_qf(self.quality, sg, self.gamma,
-                      self.correct_self_loops)
-        if qf.linear_scale() is not None:
-            return None
-        nz = (stats["size"] > 0) | (stats["w_in"] != 0)
-        t = np.atleast_2d(qf.term(stats["w_in"][nz], stats["s_out"][nz],
-                                  stats["s_in"][nz], stats["size"][nz],
-                                  self.gamma))
-        return t.sum(axis=1)
+        """Per-layer global term-sum vectors for nonlinear combines
+        (Surprise); None when every layer is linear — those kernels
+        don't need it."""
+        out = []
+        any_nl = False
+        for k, (qf, gamma, lam) in enumerate(_layer_qfs(self._scal())):
+            if qf.linear_scale() is not None:
+                out.append(None)
+                continue
+            any_nl = True
+            nz = (stats["size"][k] > 0) | (stats["w_in"][k] != 0)
+            t = np.atleast_2d(qf.term(
+                stats["w_in"][k][nz], stats["s_out"][k][nz],
+                stats["s_in"][k][nz], stats["size"][k][nz], gamma))
+            out.append(t.sum(axis=1))
+        return out if any_nl else None
 
     def _broadcast_state(self, mem, stats):
         mem_ref = ray.put(mem)
@@ -907,7 +1152,8 @@ class DistLeiden:
         props = [p for p in props if p is not None]
         keys = ("vids", "targs", "dq", "wnew", "wcur", "loop", "k_out",
                 "k_in", "nsz", "cur")
-        return {k: np.concatenate([p[i] for p in props])
+        # per-layer blocks are (L, n_moves); concat along the move axis
+        return {k: np.concatenate([p[i] for p in props], axis=-1)
                 for i, k in enumerate(keys)}
 
     # ------------------------------------------------------------------
@@ -975,18 +1221,19 @@ class DistLeiden:
                 vids = mv["vids"]
                 if len(vids) and self.max_comm_size > 0:
                     # parallel joins may overshoot the hard cap:
-                    # greedy admit by delta, tracking running sizes
+                    # greedy admit by delta, tracking running layer-0
+                    # sizes (the in-memory kernel's p0.csize check)
                     order = np.argsort(-mv["dq"], kind="stable")
-                    run_size = stats["size"].copy()
+                    run_size = stats["size"][0].copy()
                     admit = np.zeros(len(vids), dtype=bool)
                     for i in order:
                         t_ = int(mv["targs"][i])
-                        nsv = mv["nsz"][i]
+                        nsv = mv["nsz"][0][i]
                         if run_size[t_] + nsv <= self.max_comm_size:
                             run_size[t_] += nsv
                             run_size[int(mem[vids[i]])] -= nsv
                             admit[i] = True
-                    mv = {k: v[admit] for k, v in mv.items()}
+                    mv = {k: v[..., admit] for k, v in mv.items()}
                     vids = mv["vids"]
                 if len(vids):
                     old_lab = mem[vids].copy()
@@ -999,7 +1246,7 @@ class DistLeiden:
                     touched = np.unique(np.concatenate(
                         [old_lab, mv["targs"]]))
                     mv["upd_labels"] = touched
-                    mv["upd_vals"] = {k: stats[k][touched].copy()
+                    mv["upd_vals"] = {k: stats[k][:, touched].copy()
                                       for k in stats}
                     a0 = self._term_sum(stats)
                     if a0 is not None:
@@ -1033,12 +1280,13 @@ class DistLeiden:
                     # driver's, so an un-drifted label is already
                     # exact everywhere)
                     dl = np.flatnonzero(
-                        (stats_inc["w_in"] != stats["w_in"])
-                        | (stats_inc["s_out"] != stats["s_out"])
-                        | (stats_inc["s_in"] != stats["s_in"])
-                        | (stats_inc["size"] != stats["size"]))
+                        ((stats_inc["w_in"] != stats["w_in"])
+                         | (stats_inc["s_out"] != stats["s_out"])
+                         | (stats_inc["s_in"] != stats["s_in"])
+                         | (stats_inc["size"] != stats["size"]))
+                        .any(axis=0))
                     push = {"labels": dl.astype(np.int64),
-                            "vals": {k: stats[k][dl].copy()
+                            "vals": {k: stats[k][:, dl].copy()
                                      for k in stats}}
                     a0 = self._term_sum(stats)
                     if a0 is not None:
@@ -1128,10 +1376,10 @@ class DistLeiden:
         for i, c in enumerate(uniq_comms):
             vids = np.sort(vorder[vbounds[i]:vbounds[i + 1]])
             groups_per_bucket[int(c) % R].append(
-                (int(c), vids, self.node_size[vids]))
+                (int(c), vids, self.node_size[:, vids]))
 
         results = ray.get([_refine_bucket.remote(
-            groups_per_bucket[r], self.quality, self.gamma,
+            groups_per_bucket[r], self.layers_cfg,
             self.correct_self_loops, self.directed, self.seed,
             self.max_comm_size, self.REFINE_MAX,
             *[bucket_refs[p][r] for p in range(self.P)])
@@ -1151,9 +1399,9 @@ class DistLeiden:
     # ------------------------------------------------------------------
     def aggregate(self, refined_mem):
         """Aggregate edge table by refined membership from per-shard
-        partials: returns (agg Graph, labels, dense map). The driver
-        combines only (comm_src, comm_dst) partials — never the edge
-        list."""
+        partials: returns (per-layer agg Graphs, labels, dense map).
+        The driver combines only (layer, comm_src, comm_dst) partials
+        — never the edge list."""
         labels, dense = np.unique(refined_mem, return_inverse=True)
         nl = len(labels)
         dense_ref = ray.put(dense.astype(np.int64))
@@ -1165,13 +1413,20 @@ class DistLeiden:
         uniq, inv = np.unique(keys, return_inverse=True)
         w = np.zeros(len(uniq))
         np.add.at(w, inv, ws)
-        sizes = np.zeros(nl)
+        sizes = np.zeros((self.L, nl))
         for p in parts:
-            sizes[p[2]] += p[3]
-        g = Graph(nl, src=(uniq // nl).astype(np.int64),
-                  dst=(uniq % nl).astype(np.int64), weights=w,
-                  node_sizes=sizes, directed=self.directed)
-        return g, labels, dense
+            sizes[:, p[2]] += p[3]
+        # split the folded (layer, src, dst) keys back per layer
+        lay_u = (uniq // (nl * nl)).astype(np.int64)
+        pair = uniq % (nl * nl)
+        graphs = []
+        for k in range(self.L):
+            mk = lay_u == k
+            graphs.append(Graph(
+                nl, src=(pair[mk] // nl).astype(np.int64),
+                dst=(pair[mk] % nl).astype(np.int64), weights=w[mk],
+                node_sizes=sizes[k], directed=self.directed))
+        return graphs, labels, dense
 
     # ------------------------------------------------------------------
     def run(self, n_iterations=2, max_supersteps=200,
@@ -1216,46 +1471,67 @@ class DistLeiden:
                 level_tag=f"L{len(chain)}")
             total_steps += steps
             refined = level.refine_distributed(mem)
-            agg_g, labels, dense = level.aggregate(refined)
+            agg_graphs, labels, dense = level.aggregate(refined)
             seed_mem = np.empty(len(labels), dtype=np.int64)
             seed_mem[dense] = mem
             chain.append(dense)
             level_infos.append({"n": level.n, "edges": level.n_edges,
                                 "supersteps": steps, "quality": q})
-            small = (agg_g.ecount <= tail_max_edges
-                     and agg_g.n <= tail_max_n)
+            n_agg_edges = sum(g.ecount for g in agg_graphs)
+            small = (n_agg_edges <= tail_max_edges
+                     and agg_graphs[0].n <= tail_max_n)
             plateaued = (q - prev_q) < min_rel_improvement * (1 + abs(q))
             if small or len(chain) >= max_levels or \
                     (plateaued and len(chain) > 1):
                 if small:
-                    cls2 = PARTITION_TYPES[self.quality]
                     from ..partition import MutableVertexPartition
-                    part = cls2.__new__(cls2)
-                    MutableVertexPartition.__init__(
-                        part, agg_g, initial_membership=seed_mem,
-                        resolution_parameter=self.gamma,
-                        correct_self_loops=self.correct_self_loops,
-                        _validate=False)
+                    parts = []
+                    for g2, lc in zip(agg_graphs, self.layers_cfg):
+                        cls2 = PARTITION_TYPES[lc["quality"]]
+                        part = cls2.__new__(cls2)
+                        MutableVertexPartition.__init__(
+                            part, g2, initial_membership=seed_mem,
+                            resolution_parameter=lc["gamma"],
+                            correct_self_loops=self.correct_self_loops,
+                            _validate=False)
+                        parts.append(part)
                     opt = Optimiser()
                     opt.set_rng_seed(self.seed)
                     opt.max_comm_size = self.max_comm_size
-                    opt.optimise_partition(part,
-                                           n_iterations=n_iterations)
-                    final_mem_agg = np.asarray(part.membership)
-                    quality = part.quality()
+                    opt.optimise_partition_multiplex(
+                        parts,
+                        layer_weights=[lc["weight"]
+                                       for lc in self.layers_cfg],
+                        n_iterations=n_iterations)
+                    final_mem_agg = np.asarray(parts[0].membership)
+                    quality = sum(
+                        lc["weight"] * p.quality()
+                        for lc, p in zip(self.layers_cfg, parts))
                 else:
                     final_mem_agg = seed_mem
                     quality = q
                 break
             prev_q = q
+            lay_next = np.concatenate(
+                [np.full(len(g.src), k, dtype=np.int64)
+                 for k, g in enumerate(agg_graphs)])
             nxt = DistLeiden(
-                agg_g.src, agg_g.dst, agg_g.weight, n=agg_g.n,
-                directed=self.directed, quality=self.quality,
-                resolution_parameter=self.gamma, P=self.P,
-                seed=self.seed, n_colors=self.n_colors,
-                node_sizes=agg_g.node_size,
+                np.concatenate([g.src for g in agg_graphs]),
+                np.concatenate([g.dst for g in agg_graphs]),
+                np.concatenate([g.weight for g in agg_graphs]),
+                n=agg_graphs[0].n,
+                directed=self.directed,
+                quality=[lc["quality"] for lc in self.layers_cfg],
+                resolution_parameter=[lc["gamma"]
+                                      for lc in self.layers_cfg],
+                P=self.P, seed=self.seed, n_colors=self.n_colors,
+                node_sizes=np.stack([g.node_size
+                                     for g in agg_graphs]),
                 correct_self_loops=self.correct_self_loops,
                 max_comm_size=self.max_comm_size,
+                layer=lay_next,
+                layer_weights=[lc["weight"]
+                               for lc in self.layers_cfg],
                 _actors=level.actors)
             # dense-relabel the seed for the next level's label space
             _, seed = np.unique(seed_mem, return_inverse=True)

@@ -66,7 +66,13 @@ def find_partition_multiplex(graphs, partition_type, layer_weights=None,
                              **kwargs):
     """Multiplex community detection over K graphs on an identical vertex
     set; returns (membership, improvement)
-    (reference ``functions.py:95-176``)."""
+    (reference ``functions.py:95-176``). When ``graphs`` are Ray
+    Datasets the >node-memory distributed schedule runs instead (see
+    ``find_partition_multiplex_dataset``)."""
+    if graphs and not isinstance(graphs[0], Graph):
+        raise TypeError(
+            "find_partition_multiplex takes Graph layers; for edge "
+            "Datasets use find_partition_multiplex_dataset")
     n_layers = len(graphs)
     partitions = [partition_type(g, **kwargs) for g in graphs]
     if layer_weights is None:
@@ -78,6 +84,118 @@ def find_partition_multiplex(graphs, partition_type, layer_weights=None,
     improvement = optimiser.optimise_partition_multiplex(
         partitions, layer_weights, n_iterations)
     return list(partitions[0].membership), improvement
+
+
+def find_partition_multiplex_dataset(layer_datasets, n,
+                                     quality="modularity",
+                                     resolution_parameter=1.0,
+                                     layer_weights=None, P=8, seed=42,
+                                     n_iterations=2, max_comm_size=0,
+                                     node_sizes=None, **kwargs):
+    """Distributed multiplex ``find_partition_multiplex``: K edge
+    Datasets ``(src, dst[, weight])`` on a shared vertex id space
+    [0, n) optimise ONE membership maximising
+    Q = sum_k lambda_k Q_k (reference ``functions.py:95-176`` +
+    ``Optimiser.py:357-461``), through the shard-actor supersteps —
+    the >node-memory path the reference lacks.
+
+    ``quality`` / ``resolution_parameter`` may be per-layer lists;
+    ``node_sizes`` is (n,) or (K, n). Returns
+    ``(membership, quality, info, active_vids)``."""
+    from .dist.leiden import DistLeiden
+
+    dl = DistLeiden.from_layer_datasets(
+        layer_datasets, n=n, quality=quality,
+        resolution_parameter=resolution_parameter,
+        layer_weights=layer_weights, P=P, seed=seed,
+        max_comm_size=max_comm_size, node_sizes=node_sizes, **kwargs)
+    mem, q, info = dl.run(n_iterations=n_iterations)
+    return mem, q, info, dl.active_vids()
+
+
+def find_partition_temporal_dataset(slice_datasets, n_nodes,
+                                    quality="cpm",
+                                    resolution_parameter=1.0,
+                                    interslice_weight=1.0, P=8,
+                                    seed=42, n_iterations=2,
+                                    max_comm_size=0, **kwargs):
+    """Distributed ``find_partition_temporal``: T edge Datasets (one
+    per time slice, all on the shared node id space [0, n_nodes)) are
+    laid out on the union vertex space ``vid = t*n_nodes + node``,
+    path-coupled by an interslice CPM(gamma=0) layer with
+    ``interslice_weight`` self-edges between consecutive slices, and
+    optimised as one multiplex membership — the Dataset form of
+    reference ``functions.py:178-306`` / ``time_slices_to_layers``
+    (``functions.py:337-364``): slice layer t carries node size 1 on
+    its own vertices and 0 elsewhere, the coupling layer all zeros
+    (reference ``functions.py:517-526``).
+
+    Returns ``(memberships, quality, info)`` with ``memberships`` a
+    (T, n_nodes) array — row t is slice t's communities, labels shared
+    across slices."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .dist.leiden import DistLeiden
+
+    T = len(slice_datasets)
+    if T < 1:
+        raise ValueError("need at least one slice")
+    n_union = T * n_nodes
+
+    def shift(t):
+        off = t * n_nodes
+
+        def fn(tb: pa.Table) -> pa.Table:
+            src = tb["src"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64) + off
+            dst = tb["dst"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64) + off
+            w = (tb["weight"].to_numpy(zero_copy_only=False)
+                 .astype(np.float64) if "weight" in tb.column_names
+                 else np.ones(len(src)))
+            return pa.table({
+                "src": pa.array(src), "dst": pa.array(dst),
+                "weight": pa.array(w),
+                "layer": pa.array(np.full(len(src), t, np.int64)),
+            })
+        return fn
+
+    union = None
+    for t, ds in enumerate(slice_datasets):
+        part = ds.map_batches(shift(t), batch_format="pyarrow",
+                              zero_copy_batch=True)
+        union = part if union is None else union.union(part)
+    if T > 1:
+        def couple(tb: pa.Table) -> pa.Table:
+            ids = tb["id"].to_numpy(zero_copy_only=False)
+            t_of = ids // n_nodes
+            v_of = ids % n_nodes
+            return pa.table({
+                "src": pa.array(t_of * n_nodes + v_of),
+                "dst": pa.array((t_of + 1) * n_nodes + v_of),
+                "weight": pa.array(np.full(len(ids),
+                                           float(interslice_weight))),
+                "layer": pa.array(np.full(len(ids), T, np.int64)),
+            })
+        coupling = rd.range(n_nodes * (T - 1)).map_batches(
+            couple, batch_format="pyarrow")
+        union = union.union(coupling)
+
+    L = T + 1 if T > 1 else T
+    sizes = np.zeros((L, n_union))
+    for t in range(T):
+        sizes[t, t * n_nodes:(t + 1) * n_nodes] = 1.0
+    qualities = [quality] * T + (["cpm"] if T > 1 else [])
+    gammas = [float(resolution_parameter)] * T \
+        + ([0.0] if T > 1 else [])
+    dl = DistLeiden.from_dataset(
+        union, n=n_union, quality=qualities,
+        resolution_parameter=gammas, layer_weights=[1.0] * L,
+        n_layers=L, P=P, seed=seed, max_comm_size=max_comm_size,
+        node_sizes=sizes, **kwargs)
+    mem, q, info = dl.run(n_iterations=n_iterations)
+    return mem.reshape(T, n_nodes), q, info
 
 
 def slices_to_layers(slice_graphs, slice_ids=None, coupling_edges=None,

@@ -1754,6 +1754,63 @@ def q_leiden_multiplex_cliques(sf_dir):
                      "comm": pa.array(_renumber_dense(mem, n))})
 
 
+def q_leiden_multiplex_dataset_cliques(sf_dir):
+    """The DISTRIBUTED multiplex schedule (DistLeiden with a layer
+    column: per-layer shard stats, lambda_k-weighted propose deltas,
+    multiplex refinement + per-layer aggregation) on the same planted
+    two-layer instance as ``leiden_multiplex_cliques`` — clique layer
+    + ring layer on the supplier vertex set, lambda=[1, 0.5], CPM
+    gamma=0.5, unique optimum one community per nation (see that
+    query's proof). Routed through edge DATASETS ->
+    ``find_partition_multiplex_dataset`` (reference
+    ``functions.py:95-176`` + ``Optimiser.py:357-461``), so the
+    >node-memory multiplex path carries its own driver-SQL row."""
+    from ..functions_api import find_partition_multiplex_dataset
+
+    n = tg.supplier_count(sf_dir)
+    cs, cd, cw = _planted_edges(tg.nation_clique_edges(sf_dir))
+    rs, rd_, rw = _planted_edges(tg.nation_ring_edges(sf_dir))
+    ds1 = rd.from_arrow(pa.table({
+        "src": pa.array(cs), "dst": pa.array(cd),
+        "weight": pa.array(cw.astype(np.float64))}))
+    ds2 = rd.from_arrow(pa.table({
+        "src": pa.array(rs), "dst": pa.array(rd_),
+        "weight": pa.array(rw.astype(np.float64))}))
+    mem, q, info, _ = find_partition_multiplex_dataset(
+        [ds1, ds2], n=n, quality="cpm", resolution_parameter=0.5,
+        layer_weights=[1.0, 0.5], P=8, seed=42)
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
+def q_leiden_temporal_dataset_cliques(sf_dir):
+    """The DISTRIBUTED temporal schedule on the same planted instance
+    as ``leiden_temporal_cliques``: two identical clique time-slices
+    as edge DATASETS, path-coupled (interslice weight 1, CPM gamma=0
+    coupling layer with zero node sizes — reference
+    ``functions.py:337-364,517-526``), CPM gamma=0.5 slice layers.
+    The coupled optimum is one community per nation spanning both
+    slices, so the same closed-form SQL oracle verifies the
+    >node-memory temporal path end to end."""
+    from ..functions_api import find_partition_temporal_dataset
+
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(s), "dst": pa.array(d),
+        "weight": pa.array(w.astype(np.float64))}))
+    mems, q, info = find_partition_temporal_dataset(
+        [ds, ds], n_nodes=n, quality="cpm", resolution_parameter=0.5,
+        interslice_weight=1.0, P=8, seed=42)
+    comm = _renumber_dense(mems.reshape(-1), 2 * n)
+    vids = np.arange(n, dtype=np.int64)
+    return pa.table({
+        "slice": pa.array(np.repeat(np.array([0, 1], np.int64), n)),
+        "vid": pa.array(np.concatenate([vids, vids])),
+        "comm": pa.array(comm),
+    })
+
+
 def q_leiden_modularity_co(sf_dir):
     return _leiden_co_dataset(sf_dir, "modularity", 1.0)
 
@@ -6379,6 +6436,8 @@ QUERIES = {
     "leiden_rber_cliques": q_leiden_rber_cliques,
     "leiden_temporal_cliques": q_leiden_temporal_cliques,
     "leiden_multiplex_cliques": q_leiden_multiplex_cliques,
+    "leiden_multiplex_dataset_cliques": q_leiden_multiplex_dataset_cliques,
+    "leiden_temporal_dataset_cliques": q_leiden_temporal_dataset_cliques,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
     "leiden_multiplex": q_leiden_multiplex,
@@ -6525,6 +6584,8 @@ ORACLE_SQL = {
     "leiden_temporal_cliques": SQL_LEIDEN_TEMPORAL,
     "resolution_profile_cliques": SQL_RESOLUTION_PROFILE_CLIQUES,
     "leiden_multiplex_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_multiplex_dataset_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_temporal_dataset_cliques": SQL_LEIDEN_TEMPORAL,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -55,3 +55,155 @@ def test_temporal_membership_coupled():
     # strong coupling: most vertices share community across slices
     same = sum(1 for a, b in zip(mems[0], mems[1]) if a == b)
     assert same > 80
+
+
+# ----------------------------------------------------------------------
+# Distributed multiplex / temporal (DistLeiden with a layer column)
+# ----------------------------------------------------------------------
+def _canon(m):
+    """Label-invariant canonical form of a membership vector."""
+    m = np.asarray(m)
+    first, nxt = {}, 0
+    out = np.empty(len(m), np.int64)
+    for i, c in enumerate(m.tolist()):
+        if c not in first:
+            first[c] = nxt
+            nxt += 1
+        out[i] = first[c]
+    return out
+
+
+def _planted_cliques(n, size, shift=0):
+    src, dst = [], []
+    for c in range(n // size):
+        b = c * size
+        for i in range(size):
+            for j in range(i + 1, size):
+                src.append((b + i + shift) % n)
+                dst.append((b + j + shift) % n)
+    return np.asarray(src, np.int64), np.asarray(dst, np.int64)
+
+
+def test_dist_multiplex_matches_inmemory():
+    """The distributed multiplex schedule (layer column, lambda_k
+    deltas) reaches the same objective value as the in-memory
+    optimise_partition_multiplex on a planted two-layer instance."""
+    import ray.data as rd
+    import pyarrow as pa
+    from leidenalg_ray import find_partition_multiplex_dataset
+
+    n = 120
+    rng = np.random.default_rng(3)
+    s0, d0 = _planted_cliques(n, 10)
+    s1 = np.concatenate([s0, rng.integers(0, n, 40)])
+    d1 = np.concatenate([d0, rng.integers(0, n, 40)])
+
+    ds = [rd.from_arrow(pa.table({"src": pa.array(s),
+                                  "dst": pa.array(d)}))
+          for s, d in [(s0, d0), (s1, d1)]]
+    mem, q, info, vids = find_partition_multiplex_dataset(
+        ds, n=n, quality="cpm", resolution_parameter=[0.5, 0.3],
+        layer_weights=[1.0, 0.7], P=4, seed=42)
+
+    g0 = Graph(n, src=s0, dst=d0)
+    g1 = Graph(n, src=s1, dst=d1)
+    p0 = CPMVertexPartition(g0, resolution_parameter=0.5)
+    p1 = CPMVertexPartition(g1, resolution_parameter=0.3)
+    opt = Optimiser()
+    opt.set_rng_seed(42)
+    opt.optimise_partition_multiplex([p0, p1],
+                                     layer_weights=[1.0, 0.7],
+                                     n_iterations=-1)
+    q_mem = 1.0 * p0.quality() + 0.7 * p1.quality()
+    assert q >= q_mem - 1e-9
+    assert abs(q - q_mem) < 1e-6
+
+
+def test_dist_multiplex_layer_weights_steer():
+    """Opposing layers: the dominant lambda decides the partition, so
+    the per-layer weight plumbing demonstrably reaches the kernel."""
+    import ray.data as rd
+    import pyarrow as pa
+    from leidenalg_ray import find_partition_multiplex_dataset
+
+    n = 60
+    sA, dA = _planted_cliques(n, 10)       # cliques at offset 0
+    sB, dB = _planted_cliques(n, 10, 5)    # cliques shifted by 5
+
+    ds = [rd.from_arrow(pa.table({"src": pa.array(s),
+                                  "dst": pa.array(d)}))
+          for s, d in [(sA, dA), (sB, dB)]]
+    memA, _, _, _ = find_partition_multiplex_dataset(
+        ds, n=n, quality="cpm", resolution_parameter=0.5,
+        layer_weights=[1.0, 0.05], P=4, seed=42)
+    memB, _, _, _ = find_partition_multiplex_dataset(
+        ds, n=n, quality="cpm", resolution_parameter=0.5,
+        layer_weights=[0.05, 1.0], P=4, seed=42)
+    # layer A dominant -> v and v+1 in the same 10-block share a
+    # community; layer B dominant -> the shifted blocks win
+    a_pairs = sum(memA[i] == memA[i + 1] for i in range(0, n, 10))
+    b_pairs = sum(memB[(i + 5) % n] == memB[(i + 6) % n]
+                  for i in range(0, n, 10))
+    assert a_pairs == 6 and b_pairs == 6
+    assert not np.array_equal(_canon(memA), _canon(memB))
+
+
+def test_dist_temporal_matches_inmemory():
+    """find_partition_temporal_dataset reproduces the in-memory
+    temporal partitions slice by slice (label-invariant) and keeps
+    coupled labels persistent across slices."""
+    import ray.data as rd
+    import pyarrow as pa
+    from leidenalg_ray import find_partition_temporal_dataset
+
+    n = 60
+    s0, d0 = _planted_cliques(n, 10)
+    s2, d2 = _planted_cliques(n, 10, 5)
+    graphs = [Graph(n, src=s, dst=d)
+              for s, d in [(s0, d0), (s0, d0), (s2, d2)]]
+    mems, imp = find_partition_temporal(
+        graphs, CPMVertexPartition, interslice_weight=0.5,
+        resolution_parameter=0.5, seed=42)
+
+    dss = [rd.from_arrow(pa.table({"src": pa.array(s),
+                                   "dst": pa.array(d)}))
+           for s, d in [(s0, d0), (s0, d0), (s2, d2)]]
+    dmem, q, info = find_partition_temporal_dataset(
+        dss, n_nodes=n, quality="cpm", resolution_parameter=0.5,
+        interslice_weight=0.5, P=4, seed=42)
+    assert dmem.shape == (3, n)
+    for t in range(3):
+        assert np.array_equal(_canon(mems[t]), _canon(dmem[t]))
+    # persistent labels across the identical coupled slices
+    assert np.array_equal(dmem[0], dmem[1])
+
+
+def test_dist_multiplex_mixed_qualities():
+    """Heterogeneous per-layer qualities (modularity + cpm) run
+    distributed and match the in-memory mixed-quality objective."""
+    import ray.data as rd
+    import pyarrow as pa
+    from leidenalg_ray import (ModularityVertexPartition,
+                               find_partition_multiplex_dataset)
+
+    n = 80
+    s0, d0 = _planted_cliques(n, 8)
+    s1, d1 = _planted_cliques(n, 8)
+    ds = [rd.from_arrow(pa.table({"src": pa.array(s),
+                                  "dst": pa.array(d)}))
+          for s, d in [(s0, d0), (s1, d1)]]
+    mem, q, info, _ = find_partition_multiplex_dataset(
+        ds, n=n, quality=["modularity", "cpm"],
+        resolution_parameter=[1.0, 0.5], layer_weights=[1.0, 1.0],
+        P=4, seed=42)
+    g0 = Graph(n, src=s0, dst=d0)
+    g1 = Graph(n, src=s1, dst=d1)
+    p0 = ModularityVertexPartition(g0)
+    p1 = CPMVertexPartition(g1, resolution_parameter=0.5)
+    opt = Optimiser()
+    opt.set_rng_seed(42)
+    opt.optimise_partition_multiplex([p0, p1], layer_weights=[1, 1],
+                                     n_iterations=-1)
+    q_mem = p0.quality() + p1.quality()
+    assert q >= q_mem - 1e-9
+    assert abs(q - q_mem) < 1e-6
