@@ -48,6 +48,7 @@ from .functions_api import (
     find_partition_multiplex_dataset,
     find_partition_temporal,
     find_partition_temporal_dataset,
+    resolution_profile_dataset,
     slices_to_layers,
     time_slices_to_layers,
 )
@@ -76,6 +77,7 @@ __all__ = [
     "find_partition_multiplex_dataset",
     "find_partition_temporal",
     "find_partition_temporal_dataset",
+    "resolution_profile_dataset",
     "slices_to_layers",
     "time_slices_to_layers",
 ]

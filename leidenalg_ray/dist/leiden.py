@@ -841,7 +841,9 @@ class DistLeiden:
                  resolution_parameter=1.0, P=8, seed=42, n_colors=2,
                  node_sizes=None, correct_self_loops=None,
                  max_comm_size=0, layer=None, layer_weights=None,
-                 n_layers=None, _actors=None, _parquet_dir=None):
+                 n_layers=None, min_comm_size=0,
+                 community_constraint_enforcement=0.0,
+                 _actors=None, _parquet_dir=None):
         """``quality`` / ``resolution_parameter`` may be lists (one per
         layer) for multiplex graphs; ``layer`` tags each edge with its
         layer index; ``node_sizes`` is (n,) or (L, n) — per-layer node
@@ -877,6 +879,8 @@ class DistLeiden:
         self.seed = seed
         self.n_colors = int(n_colors)
         self.max_comm_size = int(max_comm_size)
+        self.min_comm_size = int(min_comm_size)
+        self.enforcement = float(community_constraint_enforcement)
         self._corr_loops_arg = correct_self_loops
 
         if _parquet_dir is not None:
@@ -967,6 +971,8 @@ class DistLeiden:
             "directed": self.directed,
             "correct_self_loops": self.correct_self_loops,
             "max_comm_size": self.max_comm_size,
+            "min_comm_size": self.min_comm_size,
+            "enforcement": self.enforcement,
             "label_space": 2 * n,
         }
         ray.get([a.set_config.remote(scal) for a in self.actors])
@@ -977,7 +983,8 @@ class DistLeiden:
                      resolution_parameter=1.0, P=8, seed=42, n_colors=2,
                      correct_self_loops=None, max_comm_size=0,
                      spill_dir=None, node_sizes=None, layer_weights=None,
-                     n_layers=None):
+                     n_layers=None, min_comm_size=0,
+                     community_constraint_enforcement=0.0):
         """Dataset-native construction: edges Dataset(src, dst
         [, weight][, layer]) -> symmetrised incidence rows ->
         partitioned parquet spill (the resumable L0 input) -> each
@@ -1031,6 +1038,9 @@ class DistLeiden:
                    correct_self_loops=correct_self_loops,
                    max_comm_size=max_comm_size, node_sizes=node_sizes,
                    layer_weights=layer_weights, n_layers=n_layers,
+                   min_comm_size=min_comm_size,
+                   community_constraint_enforcement=(
+                       community_constraint_enforcement),
                    _parquet_dir=spill_dir)
 
     @classmethod
@@ -1108,18 +1118,26 @@ class DistLeiden:
                 "layers": self.layers_cfg,
                 "correct_self_loops": self.correct_self_loops}
 
-    def _quality_of(self, stats):
+    def _quality_of(self, stats, gamma=None):
         """Q = sum_k lambda_k Q_k over the per-layer stats (reference
-        ``Optimiser.py:357-461``; L=1 is plain quality)."""
+        ``Optimiser.py:357-461``; L=1 is plain quality). ``gamma``
+        overrides every layer's resolution (the partition.quality(res)
+        form the resolution profile bisection needs, reference
+        ``VertexPartition.py:186-196``)."""
+        scal = self._scal()
+        if gamma is not None:
+            scal = dict(scal)
+            scal["layers"] = [dict(lc, gamma=float(gamma))
+                              for lc in scal["layers"]]
         total = 0.0
-        for k, (qf, gamma, lam) in enumerate(_layer_qfs(self._scal())):
+        for k, (qf, g_, lam) in enumerate(_layer_qfs(scal)):
             nz = (stats["size"][k] > 0) | (stats["w_in"][k] != 0)
             t = np.atleast_2d(qf.term(
                 stats["w_in"][k][nz], stats["s_out"][k][nz],
-                stats["s_in"][k][nz], stats["size"][k][nz], gamma))
+                stats["s_in"][k][nz], stats["size"][k][nz], g_))
             agg = t.sum(axis=1)
             total += lam * float(qf.combine(
-                agg if qf.term_dim > 1 else agg[0], gamma))
+                agg if qf.term_dim > 1 else agg[0], g_))
         return total
 
     def _term_sum(self, stats):
@@ -1159,7 +1177,7 @@ class DistLeiden:
     # ------------------------------------------------------------------
     def local_move_level0(self, mem=None, max_supersteps=200,
                           min_rel_improvement=1e-9, checkpoint=None,
-                          level_tag="L0"):
+                          level_tag="L0", fixed=None):
         """Distributed local move to the fixed point. Returns (mem,
         quality, n_supersteps, history).
 
@@ -1197,6 +1215,9 @@ class DistLeiden:
                     stats = self._stats_of(mem)
                     return (mem, self._quality_of(stats),
                             int(metrics.get("step", 0)), [])
+        fref = None if fixed is None \
+            else ray.put(np.asarray(fixed, dtype=bool))
+        ray.get([a.set_fixed.remote(fref) for a in self.actors])
         stats = self._stats_of(mem)
         q = self._quality_of(stats)
         self._broadcast_state(mem, stats)
@@ -1235,6 +1256,30 @@ class DistLeiden:
                             admit[i] = True
                     mv = {k: v[..., admit] for k, v in mv.items()}
                     vids = mv["vids"]
+                if len(vids) and self.enforcement > 0 \
+                        and self.min_comm_size > 0:
+                    # parallel commits can pile every +E-chasing vertex
+                    # into the same small community in one step (the
+                    # fill bonus is computed against a stale snapshot);
+                    # admit greedily by score, honouring the fill
+                    # premise against RUNNING sizes so a community
+                    # fills to min_comm_size at most once per step —
+                    # the sequential in-memory queue's behaviour
+                    order = np.argsort(-mv["dq"], kind="stable")
+                    min_s = self.min_comm_size
+                    run_size = stats["size"][0].copy()
+                    admit = np.zeros(len(vids), dtype=bool)
+                    for i in order:
+                        t_ = int(mv["targs"][i])
+                        nsv = mv["nsz"][0][i]
+                        snap_fill = stats["size"][0][t_] + nsv <= min_s
+                        if snap_fill and run_size[t_] + nsv > min_s:
+                            continue
+                        run_size[t_] += nsv
+                        run_size[int(mem[vids[i]])] -= nsv
+                        admit[i] = True
+                    mv = {k: v[..., admit] for k, v in mv.items()}
+                    vids = mv["vids"]
                 if len(vids):
                     old_lab = mem[vids].copy()
                     _apply_moves_inplace(mem, stats, mv)
@@ -1266,7 +1311,11 @@ class DistLeiden:
                 stats = self._stats_of(moves_ref=pending_ref)
                 pending_ref = None
                 q2 = self._quality_of(stats)
-                if q2 + 1e-9 < q_cycle_start:
+                if q2 + 1e-9 < q_cycle_start and self.enforcement <= 0:
+                    # (with soft min-size enforcement active a cycle
+                    # may trade raw quality for the constraint — the
+                    # in-memory kernel allows that too, so the
+                    # monotone-rollback check stands down)
                     # conflicting parallel moves: redo the cycle safely
                     mem = cycle_mem.copy()
                     mem, stats, q2, safe_moves = self._safe_cycle(mem)
@@ -1293,8 +1342,12 @@ class DistLeiden:
                         push["agg0"] = a0
                     stats_push = ray.put(push)
                 q = q2
-                converged = (q - q_cycle_start
-                             < min_rel_improvement * (1 + abs(q)))
+                if self.enforcement <= 0:
+                    converged = (q - q_cycle_start
+                                 < min_rel_improvement * (1 + abs(q)))
+                # with soft enforcement the raw quality can plateau
+                # (or dip) while constraint-driven moves still make
+                # progress — converge only on a move-free cycle
             if ckpt is not None:
                 ckpt.save(start_cycle + cycle_no,
                           [mem[p::self.P] for p in range(self.P)],
@@ -1432,7 +1485,7 @@ class DistLeiden:
     def run(self, n_iterations=2, max_supersteps=200,
             tail_max_edges=150_000, tail_max_n=3000, max_levels=8,
             min_rel_improvement=1e-9, checkpoint=None,
-            initial_membership=None):
+            initial_membership=None, is_membership_fixed=None):
         """Full multi-level pipeline: distributed local-move + refine +
         aggregate per level (the shard-actor pool is reused across
         levels). The exact in-memory schedule runs only on genuinely
@@ -1458,6 +1511,22 @@ class DistLeiden:
                     seed.max(initial=0) >= 2 * self.n:
                 raise ValueError("initial_membership labels out of "
                                  "range [0, 2n)")
+        fixed = None
+        seed0 = None
+        if is_membership_fixed is not None:
+            fixed = np.asarray(list(is_membership_fixed), dtype=bool)
+            if len(fixed) != self.n:
+                raise ValueError("is_membership_fixed length != n")
+            if not fixed.any():
+                fixed = None
+            elif seed is None:
+                raise ValueError("is_membership_fixed requires "
+                                 "initial_membership (the labels the "
+                                 "fixed vertices keep — reference "
+                                 "test_Optimiser.py:145-164)")
+            else:
+                seed0 = seed.copy()
+        level_fixed = fixed
         level_infos = []
         total_steps = 0
         prev_q = -np.inf
@@ -1468,7 +1537,7 @@ class DistLeiden:
                 mem=seed, max_supersteps=max_supersteps,
                 min_rel_improvement=min_rel_improvement,
                 checkpoint=checkpoint,
-                level_tag=f"L{len(chain)}")
+                level_tag=f"L{len(chain)}", fixed=level_fixed)
             total_steps += steps
             refined = level.refine_distributed(mem)
             agg_graphs, labels, dense = level.aggregate(refined)
@@ -1498,11 +1567,19 @@ class DistLeiden:
                     opt = Optimiser()
                     opt.set_rng_seed(self.seed)
                     opt.max_comm_size = self.max_comm_size
+                    opt.min_comm_size = self.min_comm_size
+                    opt.community_constraint_enforcement = \
+                        self.enforcement
+                    agg_fixed = None
+                    if level_fixed is not None:
+                        agg_fixed = np.zeros(len(labels), dtype=bool)
+                        np.logical_or.at(agg_fixed, dense, level_fixed)
                     opt.optimise_partition_multiplex(
                         parts,
                         layer_weights=[lc["weight"]
                                        for lc in self.layers_cfg],
-                        n_iterations=n_iterations)
+                        n_iterations=n_iterations,
+                        is_membership_fixed=agg_fixed)
                     final_mem_agg = np.asarray(parts[0].membership)
                     quality = sum(
                         lc["weight"] * p.quality()
@@ -1529,6 +1606,8 @@ class DistLeiden:
                                      for g in agg_graphs]),
                 correct_self_loops=self.correct_self_loops,
                 max_comm_size=self.max_comm_size,
+                min_comm_size=self.min_comm_size,
+                community_constraint_enforcement=self.enforcement,
                 layer=lay_next,
                 layer_weights=[lc["weight"]
                                for lc in self.layers_cfg],
@@ -1536,6 +1615,10 @@ class DistLeiden:
             # dense-relabel the seed for the next level's label space
             _, seed = np.unique(seed_mem, return_inverse=True)
             seed = seed.astype(np.int64)
+            if level_fixed is not None:
+                nf = np.zeros(len(labels), dtype=bool)
+                np.logical_or.at(nf, dense, level_fixed)
+                level_fixed = nf
             level = nxt
 
         # unwind: compose the per-level coarsening maps
@@ -1543,20 +1626,41 @@ class DistLeiden:
         for dense in chain[1:]:
             composite = dense[composite]
         final = final_mem_agg[composite]
-        # dense renumber by decreasing size (deterministic)
-        ulab, uinv = np.unique(final, return_inverse=True)
-        counts = np.bincount(uinv)
-        first_v = np.full(len(ulab), np.iinfo(np.int64).max)
-        np.minimum.at(first_v, uinv, np.arange(self.n))
-        order = np.lexsort((first_v, -counts))
-        rank = np.empty(len(ulab), dtype=np.int64)
-        rank[order] = np.arange(len(ulab))
-        final = rank[uinv]
+        if fixed is not None:
+            # label-preserving output: fixed vertices keep their
+            # seeded labels (they never moved, and a final community
+            # holds fixed vertices of at most one original label —
+            # fixed nodes cannot merge with each other at any level);
+            # non-fixed communities get the collision-free label
+            # 2n + min member vid. No renumber, mirroring the
+            # in-memory optimise path (reference
+            # test_Optimiser.py:145-164).
+            ulab, uinv = np.unique(final, return_inverse=True)
+            fix_lab = np.full(len(ulab), -1, dtype=np.int64)
+            fi = np.flatnonzero(fixed)
+            fix_lab[uinv[fi]] = seed0[fi]
+            minv = np.full(len(ulab), np.iinfo(np.int64).max)
+            np.minimum.at(minv, uinv, np.arange(self.n))
+            lab_out = np.where(fix_lab >= 0, fix_lab, 2 * self.n + minv)
+            final = lab_out[uinv]
+            if not np.array_equal(final[fi], seed0[fi]):
+                raise AssertionError(
+                    "fixed-membership invariant violated")
+        else:
+            # dense renumber by decreasing size (deterministic)
+            ulab, uinv = np.unique(final, return_inverse=True)
+            counts = np.bincount(uinv)
+            first_v = np.full(len(ulab), np.iinfo(np.int64).max)
+            np.minimum.at(first_v, uinv, np.arange(self.n))
+            order = np.lexsort((first_v, -counts))
+            rank = np.empty(len(ulab), dtype=np.int64)
+            rank[order] = np.arange(len(ulab))
+            final = rank[uinv]
         info = {
             "levels": level_infos,
             "level0_supersteps": total_steps,
             "level0_quality": level_infos[0]["quality"],
             "final_quality": quality,
-            "n_communities": int(final.max()) + 1,
+            "n_communities": int(len(np.unique(final))),
         }
         return final, quality, info

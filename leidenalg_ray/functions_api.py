@@ -39,7 +39,10 @@ def find_partition(graph, partition_type, initial_membership=None,
 def find_partition_dataset(edges_ds, n, quality="modularity",
                            resolution_parameter=1.0, P=8, seed=42,
                            n_iterations=2, max_comm_size=0,
-                           initial_membership=None, **kwargs):
+                           initial_membership=None,
+                           is_membership_fixed=None, min_comm_size=0,
+                           community_constraint_enforcement=0.0,
+                           **kwargs):
     """Ray-Data-first ``find_partition``: Leiden over an edge Dataset
     ``(src, dst[, weight])`` on the raw id space — the >node-memory
     entry point (reference ``functions.py:21-93`` semantics; the
@@ -55,9 +58,12 @@ def find_partition_dataset(edges_ds, n, quality="modularity",
     dl = DistLeiden.from_dataset(
         edges_ds, n=n, quality=quality,
         resolution_parameter=resolution_parameter, P=P, seed=seed,
-        max_comm_size=max_comm_size, **kwargs)
+        max_comm_size=max_comm_size, min_comm_size=min_comm_size,
+        community_constraint_enforcement=(
+            community_constraint_enforcement), **kwargs)
     mem, q, info = dl.run(n_iterations=n_iterations,
-                          initial_membership=initial_membership)
+                          initial_membership=initial_membership,
+                          is_membership_fixed=is_membership_fixed)
     return mem, q, info, dl.active_vids()
 
 
@@ -196,6 +202,147 @@ def find_partition_temporal_dataset(slice_datasets, n_nodes,
         node_sizes=sizes, **kwargs)
     mem, q, info = dl.run(n_iterations=n_iterations)
     return mem.reshape(T, n_nodes), q, info
+
+
+class _ProfilePoint:
+    """One resolution-profile probe result on the dataset tier: holds
+    the final membership's label-stats so ``quality(res)`` and the
+    bisect value evaluate driver-side without touching the graph again
+    (reference ``VertexPartition.py:186-196`` quality-at-gamma and
+    ``total_weight_in_all_comms`` as the default bisect function)."""
+
+    def __init__(self, resolution_parameter, membership, stats,
+                 stats_dl):
+        self.resolution_parameter = float(resolution_parameter)
+        self.membership = membership
+        self._stats = stats
+        self._dl = stats_dl
+
+    def quality(self, res=None):
+        return self._dl._quality_of(
+            self._stats, gamma=(self.resolution_parameter
+                                if res is None else res))
+
+    def bisect_value(self):
+        return float(self._stats["w_in"][0].sum())
+
+    def n_communities(self):
+        return int(len(np.unique(self.membership)))
+
+
+def resolution_profile_dataset(edges_ds, n, quality="cpm",
+                               resolution_range=(0.1, 1), P=8,
+                               seed=42, min_diff_bisect_value=1,
+                               min_diff_resolution=1e-3,
+                               linear_bisection=False, n_iterations=2,
+                               spill_dir=None, **kwargs):
+    """Resolution profile over an edge Dataset through the DISTRIBUTED
+    schedule — the reference's recursive bisection
+    (``Optimiser.py:661-861``: geometric midpoints in log space,
+    monotonicity repair, stepwise cleaning) with every probe a
+    ``DistLeiden`` run. The edge Dataset spills to partitioned parquet
+    ONCE; each probe's shard actors load from that spill, so the >node-
+    memory profile never re-reads or re-shuffles the input. Returns
+    ``_ProfilePoint``s sorted by resolution (``.membership``,
+    ``.bisect_value()``, ``.n_communities()``, ``.quality(res)``)."""
+    import tempfile
+    from math import log, sqrt
+
+    from .dist.leiden import DistLeiden
+
+    spill = spill_dir or tempfile.mkdtemp(prefix="lray_profile_")
+    # writes the spill; this instance also serves the first probe
+    first = DistLeiden.from_dataset(
+        edges_ds, n=n, quality=quality,
+        resolution_parameter=float(resolution_range[0]), P=P,
+        seed=seed, spill_dir=spill, **kwargs)
+    # a pristine shard set that always holds the LEVEL-0 blocks: used
+    # only to recompute final-membership stats (probe actors mutate
+    # their blocks across levels)
+    stats_dl = DistLeiden(n=n, quality=quality,
+                          resolution_parameter=1.0, P=P, seed=seed,
+                          _parquet_dir=spill, **kwargs)
+
+    probes = {"next": first}
+
+    def find_partition(res):
+        dl = probes.pop("next", None)
+        if dl is None or dl.gamma != float(res):
+            dl = DistLeiden(n=n, quality=quality,
+                            resolution_parameter=float(res), P=P,
+                            seed=seed, _parquet_dir=spill, **kwargs)
+        mem, q, info = dl.run(n_iterations=n_iterations)
+        stats = stats_dl._stats_of(mem)
+        return _ProfilePoint(res, mem, stats, stats_dl)
+
+    # --- the reference bisection control flow (Optimiser.py:661-861),
+    # shared verbatim with the in-memory tier's resolution_profile ---
+    from collections import namedtuple
+    BisectPartition = namedtuple("BisectPartition",
+                                 ["partition", "bisect_value"])
+
+    def ensure_monotonicity(bisect_values, new_res):
+        # reference Optimiser.py:762-773
+        for res, bp in list(bisect_values.items()):
+            if (bisect_values[new_res].partition.quality(res)
+                    > bp.partition.quality(res)):
+                bisect_values[res] = bisect_values[new_res]
+        current_quality = \
+            bisect_values[new_res].partition.quality(new_res)
+        best_res = new_res
+        for res, bp in bisect_values.items():
+            if bp.partition.quality(new_res) > current_quality:
+                best_res = new_res
+        bisect_values[new_res] = bisect_values[best_res]
+
+    def clean_stepwise(bisect_values):
+        # reference Optimiser.py:732-757
+        for res, bp in list(bisect_values.items()):
+            best_bp = bp
+            best_quality = bp.partition.quality(res)
+            for res2, bp2 in bisect_values.items():
+                if bp2.partition.quality(res) > best_quality:
+                    best_bp = bp2
+                    best_quality = bp2.partition.quality(res)
+            if best_bp is not bp:
+                bisect_values[res] = best_bp
+        blist = sorted(((r, bp.bisect_value)
+                        for r, bp in bisect_values.items()))
+        for (r1, v1), (r2, v2) in zip(blist, blist[1:]):
+            if v1 == v2 and r2 in bisect_values:
+                del bisect_values[r2]
+        for res, bp in bisect_values.items():
+            bp.partition.resolution_parameter = res
+
+    bisect_values = {}
+    stack = [tuple(resolution_range)]
+    for res in resolution_range:
+        part = find_partition(res)
+        bisect_values[res] = BisectPartition(part, part.bisect_value())
+    while stack:
+        lo, hi = stack.pop()
+        diff_bisect = abs(bisect_values[lo].bisect_value
+                          - bisect_values[hi].bisect_value)
+        if lo > 0 and hi > 0 and not linear_bisection:
+            diff_res = log(hi / lo)
+        else:
+            diff_res = abs(hi - lo)
+        if diff_bisect > min_diff_bisect_value and \
+                diff_res > min_diff_resolution:
+            if lo > 0 and hi > 0 and not linear_bisection:
+                new_res = sqrt(hi * lo)
+            else:
+                new_res = (lo + hi) / 2.0
+            stack.append((lo, new_res))
+            stack.append((new_res, hi))
+            if new_res not in bisect_values:
+                part = find_partition(new_res)
+                bisect_values[new_res] = BisectPartition(
+                    part, part.bisect_value())
+                ensure_monotonicity(bisect_values, new_res)
+    clean_stepwise(bisect_values)
+    return sorted((bp.partition for bp in bisect_values.values()),
+                  key=lambda p: p.resolution_parameter)
 
 
 def slices_to_layers(slice_graphs, slice_ids=None, coupling_edges=None,

@@ -1811,6 +1811,94 @@ def q_leiden_temporal_dataset_cliques(sf_dir):
     })
 
 
+def q_leiden_fixed_cliques(sf_dir):
+    """``is_membership_fixed`` through the DISTRIBUTED schedule
+    (reference ``python_optimiser_interface.cpp:77-97`` + property
+    ``test_Optimiser.py:145-164``): the minimum supplier of every
+    >=2-supplier nation is frozen at the distinctive label
+    ``n + nationkey`` (all other vertices seeded singleton). CPM
+    gamma=0.5 on the nation cliques has the unique optimum one
+    community per clique, so every clique must coalesce around its
+    frozen anchor and inherit its label; edgeless suppliers
+    (1-supplier nations) stay singleton and take the engine's
+    collision-free non-fixed label ``2n + vid``. Closed-form, so the
+    fixed-membership knob carries its own driver-SQL row."""
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    sk = su["s_suppkey"].to_numpy(np.int64)
+    nk = su["s_nationkey"].to_numpy(np.int64)
+    nnat = int(nk.max()) + 1
+    counts = np.bincount(nk, minlength=nnat)
+    minv = np.full(nnat, np.iinfo(np.int64).max)
+    np.minimum.at(minv, nk, sk)
+    seed = np.arange(n, dtype=np.int64)
+    fixed = np.zeros(n, dtype=bool)
+    for nat in np.flatnonzero(counts >= 2):
+        seed[minv[nat]] = n + nat
+        fixed[minv[nat]] = True
+    dl = DistLeiden(s, d, weight=w, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=8, seed=42)
+    mem, q, info = dl.run(initial_membership=seed,
+                          is_membership_fixed=fixed)
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(mem.astype(np.int64))})
+
+
+SQL_LEIDEN_FIXED = """
+WITH cnt AS (SELECT s_nationkey, count(*) AS c
+             FROM supplier GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM supplier),
+anyfix AS (SELECT max(c) >= 2 AS f FROM cnt)
+SELECT CAST(s.s_suppkey AS BIGINT) AS vid,
+       -- no >=2-supplier nation => no anchors get frozen and the
+       -- engine takes its normal renumber path (all singletons =>
+       -- comm = vid); otherwise fixed communities keep n+nationkey
+       -- and edgeless singletons take the engine's 2n+vid labels
+       CAST(CASE WHEN NOT anyfix.f THEN s.s_suppkey
+                 WHEN cnt.c >= 2 THEN nn.n + s.s_nationkey
+                 ELSE 2 * nn.n + s.s_suppkey END AS BIGINT) AS comm
+FROM supplier s
+JOIN cnt ON cnt.s_nationkey = s.s_nationkey
+CROSS JOIN nn CROSS JOIN anyfix
+"""
+
+
+def q_leiden_minsize_complete(sf_dir):
+    """``min_comm_size`` + ``community_constraint_enforcement``
+    through the DISTRIBUTED schedule, on the reference's canonical
+    fixture shape (``test_Optimiser.py:20-38``): the complete graph
+    over the suppliers under CPM gamma=1 is move-indifferent (every
+    merge delta is exactly 0 — internal weight gained equals the
+    resolution penalty), so the soft min-size bonus/penalty alone
+    shapes the fixed point: communities of exactly 5. Reported as the
+    size histogram (the grouping itself is seed-dependent on an
+    indifferent landscape; the sizes are the closed form). The K_n
+    instance is a driver-built planted verification graph, like the
+    other planted rows."""
+    n = tg.supplier_count(sf_dir)
+    ii, jj = np.triu_indices(n, k=1)
+    dl = DistLeiden(ii.astype(np.int64), jj.astype(np.int64), n=n,
+                    directed=False, quality="cpm",
+                    resolution_parameter=1.0, P=8, seed=42,
+                    min_comm_size=5,
+                    community_constraint_enforcement=10.0)
+    mem, q, info = dl.run()
+    sizes = np.bincount(np.unique(mem, return_inverse=True)[1])
+    us, uc = np.unique(sizes, return_counts=True)
+    return pa.table({"comm_size": pa.array(us.astype(np.int64)),
+                     "n_comms": pa.array(uc.astype(np.int64))})
+
+
+SQL_LEIDEN_MINSIZE = """
+SELECT CAST(5 AS BIGINT) AS comm_size,
+       CAST(count(*) / 5 AS BIGINT) AS n_comms
+FROM supplier
+"""
+
+
 def q_leiden_modularity_co(sf_dir):
     return _leiden_co_dataset(sf_dir, "modularity", 1.0)
 
@@ -1834,6 +1922,33 @@ def q_resolution_profile_cliques(sf_dir):
     opt = Optimiser()
     opt.set_rng_seed(42)
     prof = opt.resolution_profile(g, CPM, resolution_range=(0.05, 2))
+    rows = sorted({(int(p.n_communities()),
+                    float(round_half_away(p.bisect_value(), 6)))
+                   for p in prof})
+    return pa.table({
+        "n_communities": pa.array([r[0] for r in rows], pa.int64()),
+        "bisect_value": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def q_resolution_profile_dataset_cliques(sf_dir):
+    """The DISTRIBUTED resolution profile (``resolution_profile_dataset``
+    — every bisection probe a DistLeiden run over the parquet-spilled
+    edge Dataset, reference ``Optimiser.py:661-861``) on the planted
+    per-nation cliques; identical closed form to
+    ``resolution_profile_cliques``: exactly two distinct
+    (n_communities, bisect_value) partitions over gamma in
+    (0.05, 2)."""
+    from ..functions_api import resolution_profile_dataset
+
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(s), "dst": pa.array(d),
+        "weight": pa.array(w.astype(np.float64))}))
+    prof = resolution_profile_dataset(ds, n=n, quality="cpm",
+                                      resolution_range=(0.05, 2),
+                                      P=8, seed=42)
     rows = sorted({(int(p.n_communities()),
                     float(round_half_away(p.bisect_value(), 6)))
                    for p in prof})
@@ -6438,8 +6553,12 @@ QUERIES = {
     "leiden_multiplex_cliques": q_leiden_multiplex_cliques,
     "leiden_multiplex_dataset_cliques": q_leiden_multiplex_dataset_cliques,
     "leiden_temporal_dataset_cliques": q_leiden_temporal_dataset_cliques,
+    "leiden_fixed_cliques": q_leiden_fixed_cliques,
+    "leiden_minsize_complete": q_leiden_minsize_complete,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
+    "resolution_profile_dataset_cliques":
+        q_resolution_profile_dataset_cliques,
     "leiden_multiplex": q_leiden_multiplex,
     "token_counts": q_token_counts,
     "doc_quality": q_doc_quality,
@@ -6583,9 +6702,12 @@ ORACLE_SQL = {
     "leiden_rber_cliques": SQL_LEIDEN_NATIONS,
     "leiden_temporal_cliques": SQL_LEIDEN_TEMPORAL,
     "resolution_profile_cliques": SQL_RESOLUTION_PROFILE_CLIQUES,
+    "resolution_profile_dataset_cliques": SQL_RESOLUTION_PROFILE_CLIQUES,
     "leiden_multiplex_cliques": SQL_LEIDEN_NATIONS,
     "leiden_multiplex_dataset_cliques": SQL_LEIDEN_NATIONS,
     "leiden_temporal_dataset_cliques": SQL_LEIDEN_TEMPORAL,
+    "leiden_fixed_cliques": SQL_LEIDEN_FIXED,
+    "leiden_minsize_complete": SQL_LEIDEN_MINSIZE,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,

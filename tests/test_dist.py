@@ -1008,3 +1008,73 @@ def test_label_propagation_seeded_properties():
     assert (lab[1:8] == 100).all()                 # clique A
     assert (lab[8:15] == 200).all()                # clique B
     assert lab[20] == -1 and lab[21] == -1         # unreachable
+
+
+# ----------------------------------------------------------------------
+# Distributed-tier knobs: is_membership_fixed, min_comm_size/enforcement
+# ----------------------------------------------------------------------
+def test_dist_fixed_membership_property(ray_session):
+    """Reference fixed-label property (test_Optimiser.py:145-164)
+    through find_partition_dataset: frozen vertices keep their seeded
+    labels and anchor their cliques."""
+    import ray.data as rd
+    import pyarrow as pa
+    from leidenalg_ray import find_partition_dataset
+
+    n = 100
+    src, dst = [], []
+    for c in range(10):
+        b = c * 10
+        for i in range(10):
+            for j in range(i + 1, 10):
+                src.append(b + i)
+                dst.append(b + j)
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, np.int64)),
+        "dst": pa.array(np.asarray(dst, np.int64))}))
+    seed = np.arange(n, dtype=np.int64)
+    fixed = np.zeros(n, dtype=bool)
+    for c in range(10):
+        seed[c * 10] = n + c
+        fixed[c * 10] = True
+    mem, q, info, _ = find_partition_dataset(
+        ds, n=n, quality="cpm", resolution_parameter=0.5, P=4,
+        seed=42, initial_membership=seed, is_membership_fixed=fixed)
+    for c in range(10):
+        assert mem[c * 10] == n + c                 # label kept
+        assert (mem[c * 10:(c + 1) * 10] == n + c).all()  # anchored
+
+
+def test_dist_fixed_requires_seed(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from leidenalg_ray import find_partition_dataset
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1], type=pa.int64()),
+        "dst": pa.array([1, 2], type=pa.int64())}))
+    with pytest.raises(ValueError):
+        find_partition_dataset(ds, n=3, quality="cpm", P=2,
+                               is_membership_fixed=[True, False, False])
+
+
+def test_dist_min_comm_size_enforcement(ray_session):
+    """The canonical reference min-size fixture (test_Optimiser.py:
+    20-38) through the distributed schedule: K100 under CPM gamma=1
+    is move-indifferent (every merge delta is exactly 0), so the soft
+    min_comm_size=5 bonus/penalty structure alone shapes the fixed
+    point — communities of exactly 5, as the in-memory kernel
+    produces on the same instance."""
+    import ray.data as rd
+    import pyarrow as pa
+    from leidenalg_ray import find_partition_dataset
+
+    n = 100
+    ii, jj = np.triu_indices(n, k=1)
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(ii.astype(np.int64)),
+        "dst": pa.array(jj.astype(np.int64))}))
+    mem, q, info, _ = find_partition_dataset(
+        ds, n=n, quality="cpm", resolution_parameter=1.0, P=4, seed=42,
+        min_comm_size=5, community_constraint_enforcement=10.0)
+    sizes = np.bincount(np.unique(mem, return_inverse=True)[1])
+    assert sorted(sizes.tolist()) == [5] * 20

@@ -207,3 +207,32 @@ def test_dist_multiplex_mixed_qualities():
     q_mem = p0.quality() + p1.quality()
     assert q >= q_mem - 1e-9
     assert abs(q - q_mem) < 1e-6
+
+
+def test_resolution_profile_dataset_matches_inmemory():
+    """The distributed resolution profile finds the same distinct
+    (n_communities, bisect_value) steps as the in-memory bisection on
+    planted cliques (reference Optimiser.py:661-861)."""
+    import ray.data as rd
+    import pyarrow as pa
+    from leidenalg_ray import resolution_profile_dataset
+    from leidenalg_ray.optimiser import Optimiser as Opt
+
+    n = 60
+    s, d = _planted_cliques(n, 10)
+    ds = rd.from_arrow(pa.table({"src": pa.array(s),
+                                 "dst": pa.array(d)}))
+    prof = resolution_profile_dataset(ds, n=n, quality="cpm",
+                                      resolution_range=(0.05, 2),
+                                      P=4, seed=42)
+    got = sorted({(p.n_communities(), round(p.bisect_value(), 6))
+                  for p in prof})
+
+    g = Graph(n, src=s, dst=d)
+    opt = Opt()
+    opt.set_rng_seed(42)
+    ref = opt.resolution_profile(g, CPMVertexPartition,
+                                 resolution_range=(0.05, 2))
+    want = sorted({(p.n_communities(), round(p.bisect_value(), 6))
+                   for p in ref})
+    assert got == want == [(6, 270.0), (60, 0.0)]
