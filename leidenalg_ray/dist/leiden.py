@@ -375,14 +375,15 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
             cur_u[good])
 
 
-def _apply_moves_inplace(mem, stats, mv):
-    """Incremental commit against the driver's full label-indexed
-    copies. Shards apply the same moves to their compressed state via
+def _apply_moves_stats(stats, mv):
+    """Incremental commit against the driver's label-indexed stats.
+    Each proposal carries its current community (``cur``), so the
+    driver needs NO vid-indexed membership array. Shards apply the
+    same moves to their compressed state via
     ``LeidenShard._apply_moves`` — membership deltas for referenced
     vids plus driver-authoritative stat values for touched labels, so
     copies never diverge."""
-    vids, targs = mv["vids"], mv["targs"]
-    old = mem[vids]
+    vids, targs, old = mv["vids"], mv["targs"], mv["cur"]
     L = stats["w_in"].shape[0]
     for k in range(L):
         np.subtract.at(stats["w_in"][k], old,
@@ -395,7 +396,6 @@ def _apply_moves_inplace(mem, stats, mv):
         np.add.at(stats["s_in"][k], targs, mv["k_in"][k])
         np.subtract.at(stats["size"][k], old, mv["nsz"][k])
         np.add.at(stats["size"][k], targs, mv["nsz"][k])
-    mem[vids] = targs
 
 
 @ray.remote(num_cpus=0)
@@ -544,6 +544,181 @@ class LeidenShard:
         self._compress_stats(stats, agg0)
         return True
 
+    def init_mem(self, seed=None):
+        """Shard-resident membership init — no O(n) driver array.
+        ``seed=None``: singletons (label = vid, which ``ref_vids``
+        already is); else a broadcast seed read zero-copy and sliced
+        to the referenced vids before retention."""
+        if seed is None:
+            self.mem_ref = self.ref_vids.copy()
+        else:
+            self.mem_ref = np.asarray(seed)[self.ref_vids] \
+                .astype(np.int64)
+        return True
+
+    def own_mem(self):
+        """This shard's own-vertex membership slice (== mem[p::P])."""
+        return self.mem_ref[self.own_ref_idx]
+
+    def snapshot_state(self):
+        """Cycle-boundary snapshot for the rollback path (replaces the
+        driver's O(n) cycle_mem copy)."""
+        self._snap = (self.mem_ref.copy(), self.stat_labels.copy(),
+                      {k: v.copy() for k, v in self.stats.items()},
+                      self.agg0)
+        return True
+
+    def restore_state(self):
+        mem, sl, stats, agg0 = self._snap
+        self.mem_ref = mem.copy()
+        self.stat_labels = sl.copy()
+        self.stats = {k: v.copy() for k, v in stats.items()}
+        self.agg0 = agg0
+        return True
+
+    # ------------------------------------------------------------------
+    # sharded refine / aggregate support (no vid-space driver arrays)
+    # ------------------------------------------------------------------
+    def refine_group_partials(self, R):
+        """Own vertices grouped by community, bucketed by comm % R —
+        the shard-side half of the refine grouping (the driver no
+        longer argsorts an O(n) membership). Returns R tuples
+        (comm, vid, nsz (L, k)), each sorted by (comm, vid)."""
+        own = self.mem_ref[self.own_ref_idx]
+        vids = np.arange(len(own), dtype=np.int64) * self.P + self.p
+        order = np.lexsort((vids, own))
+        comm = own[order]
+        vv = vids[order]
+        nz = self.kv["nsz"][:, order]
+        bucket = comm % R
+        border = np.argsort(bucket, kind="stable")
+        comm, vv, bucket = comm[border], vv[border], bucket[border]
+        nz = nz[:, border]
+        bounds = np.searchsorted(bucket, np.arange(R + 1))
+        return [(comm[bounds[r]:bounds[r + 1]],
+                 vv[bounds[r]:bounds[r + 1]],
+                 nz[:, bounds[r]:bounds[r + 1]]) for r in range(R)]
+
+    def adopt_refined(self, labels_sorted, sticky, *refined_parts):
+        """Build this shard's dense refined codes for its referenced
+        vids from the refine tasks' (vids, labels) outputs — read
+        zero-copy, sliced before retention. ``labels_sorted`` is the
+        global sorted refined-label array (community-space)."""
+        labels_sorted = np.asarray(labels_sorted)
+        rv = self.ref_vids
+        code = np.full(len(rv), -1, dtype=np.int64)
+        for vv, ll in refined_parts:
+            if len(vv) == 0:
+                continue
+            i = np.searchsorted(rv, vv)
+            i = np.minimum(i, len(rv) - 1)
+            hit = rv[i] == vv
+            code[i[hit]] = np.searchsorted(labels_sorted, ll[hit])
+        if (code < 0).any():
+            raise ValueError("refine outputs did not cover all "
+                             "referenced vids")
+        self.ref_code = code
+        if sticky:
+            # sticky own-vertex codes survive load_level so the final
+            # unwind can map this actor's ORIGINAL level-0 vertices
+            self.sticky_code = code[self.own_ref_idx].copy()
+        return True
+
+    def own_codes(self):
+        """This shard's own-vertex refined codes (== dense[p::P]) —
+        gathered by the driver only for the SMALL upper levels."""
+        return self.ref_code[self.own_ref_idx]
+
+    def fixed_code_partials(self):
+        """Distinct refined codes containing one of this shard's own
+        fixed vertices (community-space; for the next level's fixed
+        mask)."""
+        if self.fixed_local is None or not self.fixed_local.any():
+            return np.empty(0, np.int64)
+        return np.unique(
+            self.ref_code[self.own_ref_idx][self.fixed_local])
+
+    def write_final(self, out_dir, upper_map, relabel_keys,
+                    relabel_vals):
+        """Write this shard's final (vid, comm) rows as one parquet
+        file — the o(n)-driver output path (partitioned, resumable)."""
+        import os
+        import pyarrow as _pa
+        import pyarrow.parquet as pq
+        fl = self.final_own_labels(upper_map, relabel_keys,
+                                   relabel_vals)
+        vids = np.arange(len(fl), dtype=np.int64) * self.P + self.p
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(_pa.table({"vid": _pa.array(vids),
+                                  "comm": _pa.array(fl)}),
+                       os.path.join(out_dir,
+                                    f"part-{self.p:05d}.parquet"))
+        return int(len(fl))
+
+    def agg_partials_sharded(self, n_labels, directed):
+        """Like ``agg_partials`` but against the shard-resident
+        refined codes (``adopt_refined``) instead of a broadcast
+        O(n) dense map."""
+        b = self.block
+        L = self.kv["nsz"].shape[0]
+        keep = ~b["is_rev"]
+        w = b["weight"][keep]
+        lay = b["layer"][keep]
+        cs = self.ref_code[self.own_ref_idx[b["src_local"][keep]]]
+        cd = self.ref_code[b["dst_ref_idx"][keep]]
+        if not directed:
+            lo = np.minimum(cs, cd)
+            hi = np.maximum(cs, cd)
+            cs, cd = lo, hi
+        key = (lay * n_labels + cs) * n_labels + cd
+        uniq, inv = np.unique(key, return_inverse=True)
+        ws = np.zeros(len(uniq))
+        np.add.at(ws, inv, w)
+        labs = self.ref_code[self.own_ref_idx]
+        u2, inv2 = np.unique(labs, return_inverse=True)
+        sz = np.zeros((L, len(u2)))
+        for k in range(L):
+            np.add.at(sz[k], inv2, self.kv["nsz"][k])
+        return uniq, ws, u2, sz
+
+    def final_label_partials(self, upper_map):
+        """Per-final-label (count, min vid) partials over this
+        actor's ORIGINAL level-0 vertices (``sticky_code``), for the
+        driver's community-space renumber. ``upper_map`` maps level-0
+        refined codes -> final labels."""
+        um = np.asarray(upper_map)
+        fl = um[self.sticky_code]
+        vids = np.arange(len(fl), dtype=np.int64) * self.P + self.p
+        u, inv = np.unique(fl, return_inverse=True)
+        cnt = np.bincount(inv)
+        mn = np.full(len(u), np.iinfo(np.int64).max)
+        np.minimum.at(mn, inv, vids)
+        return u, cnt, mn
+
+    def final_own_labels(self, upper_map, relabel_keys=None,
+                         relabel_vals=None):
+        """Final labels for this actor's original level-0 vertices:
+        ``upper_map[sticky_code]``, optionally remapped through the
+        driver's (community-space) relabel table."""
+        um = np.asarray(upper_map)
+        fl = um[self.sticky_code]
+        if relabel_keys is not None:
+            i = np.searchsorted(np.asarray(relabel_keys), fl)
+            fl = np.asarray(relabel_vals)[i]
+        return fl
+
+    def fixed_label_partials(self, upper_map, seed0, fixed):
+        """(final label, seeded label) pairs for this actor's original
+        fixed vertices — the community-space inputs of the
+        label-preserving fixed remap. ``seed0``/``fixed`` are the
+        user-provided broadcast arrays, read zero-copy and sliced."""
+        um = np.asarray(upper_map)
+        fl = um[self.sticky_code]
+        n_local = len(fl)
+        own_vids = np.arange(n_local, dtype=np.int64) * self.P + self.p
+        fx = np.asarray(fixed)[own_vids]
+        return fl[fx], np.asarray(seed0)[own_vids][fx]
+
     def set_stats(self, stats, agg0=None):
         self._compress_stats(stats, agg0)
         return True
@@ -615,12 +790,15 @@ class LeidenShard:
             self.agg0 = moves["agg0"]
 
     # ------------------------------------------------------------------
-    def step(self, moves, color, n_colors, push=None):
+    def step(self, moves, color, n_colors, push=None,
+             snapshot=False):
         """Apply the previously-committed moves (broadcast deltas) —
         or adopt a driver-verified stats upsert ``push`` at a cycle
         boundary — then propose for the given colour: one actor round
         per colour superstep, no full-array broadcast in the steady
-        state."""
+        state. ``snapshot=True`` (the cycle's first colour) saves the
+        post-push state for a possible rollback — the shard-resident
+        replacement for the driver's old O(n) cycle_mem copy."""
         if push is not None:
             # boundary correction: update tracked labels only (an
             # untracked label can't be read until a move references
@@ -630,6 +808,8 @@ class LeidenShard:
                          allow_new=np.zeros(nlab, dtype=bool))
             if "agg0" in push:
                 self.agg0 = push["agg0"]
+        if snapshot:
+            self.snapshot_state()
         if moves is not None and len(moves["vids"]):
             self._apply_moves(moves)
         if color is None:
@@ -745,46 +925,72 @@ class LeidenShard:
         return uniq, ws, u2, sz
 
 
-@ray.remote
-def _refine_bucket(groups, layers_cfg, correct_self_loops,
+@ray.remote(num_returns=3)
+def _refine_bucket(layers_cfg, correct_self_loops,
                    directed, seed, max_comm_size, refine_max,
-                   *edge_parts):
+                   n_groups_parts, *parts_flat):
     """Refine the communities of one hash bucket: fetch this bucket's
-    internal-edge partials (worker-to-worker refs), group them per
-    community, run the exact merge-constrained in-memory kernel per
-    induced subgraph — the multiplex kernel when L > 1, sharing one
-    membership across the per-layer induced subgraphs (reference
-    ``Optimiser.py:357-461``). ``groups`` is
-    [(comm_label, vids, node_sizes (L, len(vids)))]; ``layers_cfg`` is
+    per-shard group partials (own vids per community, worker-to-worker
+    refs — the driver never groups an O(n) membership) and
+    internal-edge partials, merge them per community, run the exact
+    merge-constrained in-memory kernel per induced subgraph — the
+    multiplex kernel when L > 1, sharing one membership across the
+    per-layer induced subgraphs (reference ``Optimiser.py:357-461``).
+    ``parts_flat`` is ``n_groups_parts`` group partials
+    (comm, vid, nsz (L, k)) followed by the edge partials
+    (src, dst, w, comm, layer); ``layers_cfg`` is
     [{"quality", "gamma", "weight"}] per layer.
-    Returns (vids, refined_label) with labels globally unique (label =
-    global vid of the refined community's smallest member)."""
-    def cat(i, dtype=None):
-        if not edge_parts:
+    Returns three objects (separate refs so consumers fetch only what
+    they need): (vids, refined_label) with labels globally unique
+    (label = global vid of the refined community's smallest member),
+    the per-refined-label (label, parent community) seed pairs, and
+    the giant-community count. Communities above ``refine_max``
+    internal edges keep singleton refinement (valid, conservative) —
+    their rows are still emitted so every vid appears exactly once."""
+    group_parts = parts_flat[:n_groups_parts]
+    edge_parts = parts_flat[n_groups_parts:]
+
+    def cat(parts, i, dtype=None):
+        if not parts:
             return np.empty(0, dtype or np.float64)
-        return np.concatenate([e[i] for e in edge_parts])
-    src = cat(0, np.int64)
-    dst = cat(1, np.int64)
-    w = cat(2)
-    lab = cat(3, np.int64)
-    ly = cat(4, np.int64)
+        return np.concatenate([e[i] for e in parts])
+    gcomm = cat(group_parts, 0, np.int64)
+    gvid = cat(group_parts, 1, np.int64)
+    gnsz = np.concatenate([e[2] for e in group_parts], axis=1) \
+        if group_parts else np.empty((len(layers_cfg), 0))
+    gorder = np.lexsort((gvid, gcomm))
+    gcomm, gvid = gcomm[gorder], gvid[gorder]
+    gnsz = gnsz[:, gorder]
+    comms, gstarts = np.unique(gcomm, return_index=True)
+    gbounds = np.append(gstarts, len(gcomm))
+
+    src = cat(edge_parts, 0, np.int64)
+    dst = cat(edge_parts, 1, np.int64)
+    w = cat(edge_parts, 2)
+    lab = cat(edge_parts, 3, np.int64)
+    ly = cat(edge_parts, 4, np.int64)
     order = np.argsort(lab, kind="stable")
     src, dst, w, lab, ly = (src[order], dst[order], w[order],
                             lab[order], ly[order])
 
     out_v, out_l = [], []
+    seed_l, seed_c = [], []
     from ..partition import MutableVertexPartition
     L = len(layers_cfg)
     lam = [float(lc["weight"]) for lc in layers_cfg]
     n_giant = 0
-    for comm, vids, nsz in groups:
+    for gi, comm in enumerate(comms):
+        vids = gvid[gbounds[gi]:gbounds[gi + 1]]
+        nsz = gnsz[:, gbounds[gi]:gbounds[gi + 1]]
         lo = np.searchsorted(lab, comm, side="left")
         hi = np.searchsorted(lab, comm, side="right")
         if hi - lo > refine_max:
-            n_giant += 1   # identity refinement (valid, coarser)
+            n_giant += 1   # singleton refinement (valid, conservative)
+            out_v.append(vids)
+            out_l.append(vids)
+            seed_l.append(vids)
+            seed_c.append(np.full(len(vids), comm, dtype=np.int64))
             continue
-        vids = np.asarray(vids, dtype=np.int64)
-        nsz = np.asarray(nsz, dtype=np.float64).reshape(L, len(vids))
         ls = np.searchsorted(vids, src[lo:hi])
         ld = np.searchsorted(vids, dst[lo:hi])
         wk = w[lo:hi]
@@ -821,9 +1027,15 @@ def _refine_bucket(groups, layers_cfg, correct_self_loops,
                 labels[c] = vids[i]
         out_v.append(vids)
         out_l.append(labels[local_mem])
+        ul = labels[labels >= 0]
+        seed_l.append(ul)
+        seed_c.append(np.full(len(ul), comm, dtype=np.int64))
     if not out_v:
-        return np.empty(0, np.int64), np.empty(0, np.int64), n_giant
-    return np.concatenate(out_v), np.concatenate(out_l), n_giant
+        e = np.empty(0, np.int64)
+        return ((e, e.copy()), (e.copy(), e.copy()), n_giant)
+    return ((np.concatenate(out_v), np.concatenate(out_l)),
+            (np.concatenate(seed_l), np.concatenate(seed_c)),
+            n_giant)
 
 
 class DistLeiden:
@@ -1175,52 +1387,69 @@ class DistLeiden:
                 for i, k in enumerate(keys)}
 
     # ------------------------------------------------------------------
+    def _push_stats(self, stats):
+        """Broadcast verified stats (one put, zero-copy reads); shards
+        compress to their referenced labels."""
+        stats_ref = ray.put(stats)
+        agg0 = self._term_sum(stats)
+        ray.get([a.set_stats.remote(stats_ref, agg0)
+                 for a in self.actors])
+
     def local_move_level0(self, mem=None, max_supersteps=200,
                           min_rel_improvement=1e-9, checkpoint=None,
                           level_tag="L0", fixed=None):
-        """Distributed local move to the fixed point. Returns (mem,
-        quality, n_supersteps, history).
+        """Distributed local move to the fixed point. Returns
+        (quality, n_supersteps, history).
+
+        MEMBERSHIP IS SHARD-RESIDENT: the driver never holds a
+        vid-indexed array — it maintains only the label-indexed
+        community stats, updated from the move broadcasts (each
+        proposal carries its current community, so no mem[] lookup is
+        needed), and cycle rollback snapshots/restores state ON the
+        shards. O(n) arrays touch the driver only transiently: a
+        caller-supplied warm seed (broadcast once, zero-copy reads)
+        and the per-cycle checkpoint gather when checkpointing is on.
 
         Each colour superstep is ONE round of shard-actor calls
         (``step`` = apply previous colour's committed deltas +
-        propose); the driver applies the identical deltas to its own
-        copies, so full membership/stats arrays are broadcast only at
-        cycle boundaries (recompute/rollback), not per step. Once per
-        colour cycle the stats are recomputed from shard partials and
-        quality verified: a cycle that decreased quality (conflicting
-        parallel moves) is rolled back and re-run in safe mode — per-
-        step recompute plus a greedy non-interfering subset (one move
-        per touched community) — so quality is monotone non-decreasing
-        like the reference's sequential queue. When a cycle commits few
-        moves the colour count adaptively drops to 1, halving the
-        latency-bound rounds in the convergence tail. Convergence: a
-        cycle with no moves, or relative improvement below
+        propose). Once per colour cycle the stats are recomputed from
+        shard partials and quality verified: a cycle that decreased
+        quality (conflicting parallel moves) is rolled back and re-run
+        in safe mode — per-step recompute plus a greedy
+        non-interfering subset — so quality is monotone non-decreasing
+        like the reference's sequential queue. When a cycle commits
+        few moves the colour count adaptively drops to 1. Convergence:
+        a cycle with no moves, or relative improvement below
         ``min_rel_improvement``."""
         from .checkpoint import CheckpointManager
 
-        mem = (np.arange(self.n, dtype=np.int64) if mem is None
-               else np.asarray(mem, dtype=np.int64).copy())
+        seed_ref = (None if mem is None
+                    else ray.put(np.asarray(mem, dtype=np.int64)))
         ckpt = (CheckpointManager(checkpoint, f"leiden-{level_tag}",
                                   self.P, n=self.n)
                 if checkpoint else None)
         start_cycle = 0
+        resumed_metrics = None
         if ckpt is not None:
             resumed = ckpt.resume()
             if resumed is not None:
                 start_cycle, shards, metrics = resumed
-                mem = np.concatenate(shards)[np.argsort(
-                    np.concatenate([np.arange(p, self.n, self.P)
-                                    for p in range(self.P)]))]
+                full = np.empty(self.n, dtype=np.int64)  # transient
+                for p in range(self.P):
+                    full[p::self.P] = shards[p]
+                seed_ref = ray.put(full)
+                del full
                 if metrics.get("converged"):
-                    stats = self._stats_of(mem)
-                    return (mem, self._quality_of(stats),
-                            int(metrics.get("step", 0)), [])
+                    resumed_metrics = metrics
         fref = None if fixed is None \
             else ray.put(np.asarray(fixed, dtype=bool))
         ray.get([a.set_fixed.remote(fref) for a in self.actors])
-        stats = self._stats_of(mem)
+        ray.get([a.init_mem.remote(seed_ref) for a in self.actors])
+        stats = self._stats_of()
         q = self._quality_of(stats)
-        self._broadcast_state(mem, stats)
+        self._push_stats(stats)
+        if resumed_metrics is not None:
+            return q, int(resumed_metrics.get("step", 0)), []
         history = []
         step = 0
         cycle_no = 0
@@ -1229,12 +1458,15 @@ class DistLeiden:
         stats_push = None     # verified stats to adopt at cycle start
         while step < max_supersteps:
             q_cycle_start = q
-            cycle_mem = mem.copy()
+            stats_cycle_start = {k: v.copy() for k, v in stats.items()}
             cycle_moves = 0
+            snapshot = True   # shards snapshot on the cycle's first colour
             for color in range(cur_colors):
                 props = ray.get([a.step.remote(pending_ref, color,
-                                               cur_colors, stats_push)
+                                               cur_colors, stats_push,
+                                               snapshot)
                                  for a in self.actors])
+                snapshot = False
                 mv = self._concat_props(props)
                 pending_ref = None
                 stats_push = None
@@ -1252,7 +1484,7 @@ class DistLeiden:
                         nsv = mv["nsz"][0][i]
                         if run_size[t_] + nsv <= self.max_comm_size:
                             run_size[t_] += nsv
-                            run_size[int(mem[vids[i]])] -= nsv
+                            run_size[int(mv["cur"][i])] -= nsv
                             admit[i] = True
                     mv = {k: v[..., admit] for k, v in mv.items()}
                     vids = mv["vids"]
@@ -1276,13 +1508,13 @@ class DistLeiden:
                         if snap_fill and run_size[t_] + nsv > min_s:
                             continue
                         run_size[t_] += nsv
-                        run_size[int(mem[vids[i]])] -= nsv
+                        run_size[int(mv["cur"][i])] -= nsv
                         admit[i] = True
                     mv = {k: v[..., admit] for k, v in mv.items()}
                     vids = mv["vids"]
                 if len(vids):
-                    old_lab = mem[vids].copy()
-                    _apply_moves_inplace(mem, stats, mv)
+                    old_lab = mv["cur"]
+                    _apply_moves_stats(stats, mv)
                     # ship the post-commit stat values for every label
                     # this colour touched: shards upsert them into
                     # their compressed stores (absolute values from
@@ -1312,13 +1544,16 @@ class DistLeiden:
                 pending_ref = None
                 q2 = self._quality_of(stats)
                 if q2 + 1e-9 < q_cycle_start and self.enforcement <= 0:
-                    # (with soft min-size enforcement active a cycle
-                    # may trade raw quality for the constraint — the
-                    # in-memory kernel allows that too, so the
+                    # conflicting parallel moves: shards restore their
+                    # cycle-start snapshots and the cycle is redone
+                    # safely (with soft min-size enforcement active a
+                    # cycle may trade raw quality for the constraint —
+                    # the in-memory kernel allows that too, so the
                     # monotone-rollback check stands down)
-                    # conflicting parallel moves: redo the cycle safely
-                    mem = cycle_mem.copy()
-                    mem, stats, q2, safe_moves = self._safe_cycle(mem)
+                    ray.get([a.restore_state.remote()
+                             for a in self.actors])
+                    stats = stats_cycle_start
+                    stats, q2, safe_moves = self._safe_cycle(stats)
                     history.append({"step": step, "moves": safe_moves,
                                     "safe": True})
                 else:
@@ -1349,8 +1584,10 @@ class DistLeiden:
                 # (or dip) while constraint-driven moves still make
                 # progress — converge only on a move-free cycle
             if ckpt is not None:
-                ckpt.save(start_cycle + cycle_no,
-                          [mem[p::self.P] for p in range(self.P)],
+                # transient O(n) gather, checkpointing only
+                slices = ray.get([a.own_mem.remote()
+                                  for a in self.actors])
+                ckpt.save(start_cycle + cycle_no, slices,
                           metrics={"quality": q, "step": step,
                                    "moves": int(cycle_moves),
                                    "converged": bool(converged)})
@@ -1367,13 +1604,14 @@ class DistLeiden:
         else:
             ray.get([a.step.remote(None, None, cur_colors, stats_push)
                      for a in self.actors])
-        return mem, q, step, history
+        return q, step, history
 
-    def _safe_cycle(self, mem):
+    def _safe_cycle(self, stats):
         """One colour cycle with per-step distributed stats recompute
-        and a greedy non-interfering commit subset (exact, monotone)."""
-        stats = self._stats_of(mem)
-        self._broadcast_state(mem, stats)
+        and a greedy non-interfering commit subset (exact, monotone).
+        The shards must already hold the cycle-start state
+        (``restore_state``); ``stats`` is the matching driver copy."""
+        self._push_stats(stats)
         total_moves = 0
         for color in range(self.n_colors):
             props = ray.get([a.step.remote(None, color, self.n_colors)
@@ -1385,81 +1623,89 @@ class DistLeiden:
             touched = set()
             sel = []
             for i in order:
-                a_, b_ = int(mem[mv["vids"][i]]), int(mv["targs"][i])
+                a_, b_ = int(mv["cur"][i]), int(mv["targs"][i])
                 if a_ in touched or b_ in touched:
                     continue
                 touched.add(a_)
                 touched.add(b_)
                 sel.append(i)
             sel = np.asarray(sel, dtype=np.int64)
-            mem[mv["vids"][sel]] = mv["targs"][sel]
+            mv_sel = {k: v[..., sel] for k, v in mv.items()}
+            _apply_moves_stats(stats, mv_sel)
+            tl = np.unique(np.concatenate([mv_sel["cur"],
+                                           mv_sel["targs"]]))
+            mv_sel["upd_labels"] = tl
+            mv_sel["upd_vals"] = {k: stats[k][:, tl].copy()
+                                  for k in stats}
+            a0 = self._term_sum(stats)
+            if a0 is not None:
+                mv_sel["agg0"] = a0
+            mv_ref = ray.put(mv_sel)
+            # shards apply the selected subset, then verified stats
+            # recompute from their partials (folding the moves in)
+            stats = self._stats_of(moves_ref=mv_ref)
+            self._push_stats(stats)
             total_moves += len(sel)
-            stats = self._stats_of(mem)
-            stats_ref = ray.put(stats)
-            agg0 = self._term_sum(stats)
-            ray.get([a.set_stats.remote(stats_ref, agg0)
-                     for a in self.actors])
         q = self._quality_of(stats)
-        return mem, stats, q, total_moves
+        return stats, q, total_moves
 
     # ------------------------------------------------------------------
     REFINE_MAX = 500_000  # internal edges per community refinement
 
-    def refine_distributed(self, mem):
+    def refine_distributed(self):
         """Per-community parallel refinement (merge-constrained) on the
-        base graph. Internal edges are bucketed by community hash on
-        the shards and shipped worker-to-worker; the driver only groups
-        the O(n) vertex lists and passes refs. Returns refined
-        membership (labels = global vid of a member => globally
-        unique)."""
+        base graph — FULLY SHARDED: internal edges AND the per-
+        community vertex groups are bucketed on the shards and shipped
+        worker-to-worker to the refine tasks; the refined (vid, label)
+        rows stay in the object store. The driver sees only the
+        community-space (refined label -> parent community) seed pairs
+        and the giant count. Returns (refined_refs, seed_pairs)."""
         R = max(self.P, 1)
-        # shards hold the committed membership already (level0 leaves
-        # them in sync); bucket their internal edges
         bucket_refs = [a.internal_edge_buckets.options(
+            num_returns=R).remote(R) for a in self.actors]
+        group_refs = [a.refine_group_partials.options(
             num_returns=R).remote(R) for a in self.actors]
         if R == 1:
             bucket_refs = [[r] for r in bucket_refs]
-
-        # group vertices per community on the driver (O(n))
-        vorder = np.argsort(mem, kind="stable")
-        vlab = mem[vorder]
-        uniq_comms, vstarts = np.unique(vlab, return_index=True)
-        vbounds = np.append(vstarts, len(vlab))
-        groups_per_bucket = [[] for _ in range(R)]
-        for i, c in enumerate(uniq_comms):
-            vids = np.sort(vorder[vbounds[i]:vbounds[i + 1]])
-            groups_per_bucket[int(c) % R].append(
-                (int(c), vids, self.node_size[:, vids]))
-
-        results = ray.get([_refine_bucket.remote(
-            groups_per_bucket[r], self.layers_cfg,
-            self.correct_self_loops, self.directed, self.seed,
-            self.max_comm_size, self.REFINE_MAX,
+            group_refs = [[r] for r in group_refs]
+        outs = [_refine_bucket.remote(
+            self.layers_cfg, self.correct_self_loops, self.directed,
+            self.seed, self.max_comm_size, self.REFINE_MAX, self.P,
+            *[group_refs[p][r] for p in range(self.P)],
             *[bucket_refs[p][r] for p in range(self.P)])
-            for r in range(R)])
-        refined = np.arange(self.n, dtype=np.int64)
-        n_giant = 0
-        for vv, ll, ng in results:
-            refined[vv] = ll
-            n_giant += ng
+            for r in range(R)]
+        refined_refs = [o[0] for o in outs]
+        seed_pairs = ray.get([o[1] for o in outs])
+        n_giant = int(sum(ray.get([o[2] for o in outs])))
         if n_giant:
             import logging
             logging.getLogger(__name__).warning(
                 "refinement: %d giant communities (>%d internal edges)"
-                " kept identity refinement", n_giant, self.REFINE_MAX)
-        return refined
+                " kept singleton refinement", n_giant, self.REFINE_MAX)
+        return refined_refs, seed_pairs
 
     # ------------------------------------------------------------------
-    def aggregate(self, refined_mem):
-        """Aggregate edge table by refined membership from per-shard
-        partials: returns (per-layer agg Graphs, labels, dense map).
-        The driver combines only (layer, comm_src, comm_dst) partials
-        — never the edge list."""
-        labels, dense = np.unique(refined_mem, return_inverse=True)
+    def aggregate_sharded(self, refined_refs, seed_pairs,
+                          sticky=False):
+        """Aggregate by the refined membership WITHOUT a vid-indexed
+        driver array: shards adopt the refine tasks' outputs (read
+        zero-copy, sliced to their referenced vids) and emit
+        (layer, comm_src, comm_dst) partials against their resident
+        codes. The driver combines only community-space arrays.
+        Returns (per-layer agg Graphs, labels, seed_mem) where
+        seed_mem[i] = the parent community of refined community i (the
+        Leiden seed-from-unrefined twist)."""
+        sl = np.concatenate([p[0] for p in seed_pairs]) \
+            if seed_pairs else np.empty(0, np.int64)
+        sc = np.concatenate([p[1] for p in seed_pairs]) \
+            if seed_pairs else np.empty(0, np.int64)
+        labels = np.unique(sl)
         nl = len(labels)
-        dense_ref = ray.put(dense.astype(np.int64))
-        parts = ray.get([a.agg_partials.remote(dense_ref, nl,
-                                               self.directed)
+        lab_ref = ray.put(labels)
+        ray.get([a.adopt_refined.remote(lab_ref, sticky, *refined_refs)
+                 for a in self.actors])
+        parts = ray.get([a.agg_partials_sharded.remote(nl,
+                                                       self.directed)
                          for a in self.actors])
         keys = np.concatenate([p[0] for p in parts])
         ws = np.concatenate([p[1] for p in parts])
@@ -1479,19 +1725,52 @@ class DistLeiden:
                 nl, src=(pair[mk] // nl).astype(np.int64),
                 dst=(pair[mk] % nl).astype(np.int64), weights=w[mk],
                 node_sizes=sizes[k], directed=self.directed))
-        return graphs, labels, dense
+        seed_mem = np.empty(nl, dtype=np.int64)
+        seed_mem[np.searchsorted(labels, sl)] = sc
+        return graphs, labels, seed_mem
+
+    def _gather_codes(self):
+        """Assemble the full vid -> refined-code map from shard slices
+        — used ONLY for the small upper levels (community-space from
+        level 1 on), never for level 0."""
+        slices = ray.get([a.own_codes.remote() for a in self.actors])
+        m = np.empty(self.n, dtype=np.int64)
+        for p in range(self.P):
+            m[p::self.P] = slices[p]
+        return m
+
+    def _agg_fixed_mask(self, nl):
+        """Fixed mask over the refined codes (an aggregate containing
+        a fixed vertex is fixed) from shard partials."""
+        parts = ray.get([a.fixed_code_partials.remote()
+                         for a in self.actors])
+        mask = np.zeros(nl, dtype=bool)
+        for u in parts:
+            mask[u] = True
+        return mask
 
     # ------------------------------------------------------------------
     def run(self, n_iterations=2, max_supersteps=200,
             tail_max_edges=150_000, tail_max_n=3000, max_levels=8,
             min_rel_improvement=1e-9, checkpoint=None,
-            initial_membership=None, is_membership_fixed=None):
+            initial_membership=None, is_membership_fixed=None,
+            membership_out=None):
         """Full multi-level pipeline: distributed local-move + refine +
         aggregate per level (the shard-actor pool is reused across
         levels). The exact in-memory schedule runs only on genuinely
         small aggregates (edge count below ``tail_max_edges``);
         edge-dense aggregates keep iterating distributed levels until
         quality stops improving. Returns (membership, quality, info).
+
+        DRIVER MEMORY: level-0 membership and the level-0 coarsening
+        map live only on the shards; the driver handles community-
+        space arrays (stats, seeds, upper-level maps) plus the user's
+        own O(n) inputs (warm seed / fixed mask, broadcast once). The
+        returned membership array is the one O(n) driver object — pass
+        ``membership_out=<dir>`` to have each shard write its
+        (vid, comm) slice as partitioned parquet instead (membership
+        in the returned tuple is then None), keeping the driver o(n)
+        end to end.
 
         ``initial_membership``: length-n labels (< 2n) warm-starting
         level 0 — incremental re-clustering after graph updates
@@ -1500,8 +1779,10 @@ class DistLeiden:
         communities instead of singletons, and refinement still
         re-validates every community from singletons inside it, so a
         stale merge gets split rather than frozen in."""
-        chain = []          # per level: dense map (level vids -> next)
+        chain_upper = []    # level>=1 coarsening maps (community-space)
+        n1 = None           # number of level-0 refined communities
         level = self
+        level_idx = 0
         seed = None
         if initial_membership is not None:
             seed = np.asarray(initial_membership, dtype=np.int64).copy()
@@ -1533,25 +1814,32 @@ class DistLeiden:
         final_mem_agg = None
         quality = None
         while True:
-            mem, q, steps, history = level.local_move_level0(
+            q, steps, history = level.local_move_level0(
                 mem=seed, max_supersteps=max_supersteps,
                 min_rel_improvement=min_rel_improvement,
                 checkpoint=checkpoint,
-                level_tag=f"L{len(chain)}", fixed=level_fixed)
+                level_tag=f"L{level_idx}", fixed=level_fixed)
             total_steps += steps
-            refined = level.refine_distributed(mem)
-            agg_graphs, labels, dense = level.aggregate(refined)
-            seed_mem = np.empty(len(labels), dtype=np.int64)
-            seed_mem[dense] = mem
-            chain.append(dense)
+            refined_refs, seed_pairs = level.refine_distributed()
+            agg_graphs, labels, seed_mem = level.aggregate_sharded(
+                refined_refs, seed_pairs, sticky=(level_idx == 0))
+            if level_idx == 0:
+                n1 = len(labels)
+            else:
+                # small upper level: gather its vid -> code map for
+                # the driver-side composition (community-space)
+                chain_upper.append(level._gather_codes())
             level_infos.append({"n": level.n, "edges": level.n_edges,
                                 "supersteps": steps, "quality": q})
+            agg_fixed = None
+            if level_fixed is not None:
+                agg_fixed = level._agg_fixed_mask(len(labels))
             n_agg_edges = sum(g.ecount for g in agg_graphs)
             small = (n_agg_edges <= tail_max_edges
                      and agg_graphs[0].n <= tail_max_n)
             plateaued = (q - prev_q) < min_rel_improvement * (1 + abs(q))
-            if small or len(chain) >= max_levels or \
-                    (plateaued and len(chain) > 1):
+            if small or level_idx + 1 >= max_levels or \
+                    (plateaued and level_idx > 0):
                 if small:
                     from ..partition import MutableVertexPartition
                     parts = []
@@ -1570,10 +1858,6 @@ class DistLeiden:
                     opt.min_comm_size = self.min_comm_size
                     opt.community_constraint_enforcement = \
                         self.enforcement
-                    agg_fixed = None
-                    if level_fixed is not None:
-                        agg_fixed = np.zeros(len(labels), dtype=bool)
-                        np.logical_or.at(agg_fixed, dense, level_fixed)
                     opt.optimise_partition_multiplex(
                         parts,
                         layer_weights=[lc["weight"]
@@ -1615,17 +1899,28 @@ class DistLeiden:
             # dense-relabel the seed for the next level's label space
             _, seed = np.unique(seed_mem, return_inverse=True)
             seed = seed.astype(np.int64)
-            if level_fixed is not None:
-                nf = np.zeros(len(labels), dtype=bool)
-                np.logical_or.at(nf, dense, level_fixed)
-                level_fixed = nf
+            level_fixed = agg_fixed
             level = nxt
+            level_idx += 1
 
-        # unwind: compose the per-level coarsening maps
-        composite = chain[0]
-        for dense in chain[1:]:
-            composite = dense[composite]
-        final = final_mem_agg[composite]
+        # unwind: upper maps compose driver-side (community-space);
+        # the level-0 map stays on the shards (sticky codes)
+        composite = np.arange(n1, dtype=np.int64)
+        for m in chain_upper:
+            composite = m[composite]
+        upper_map = final_mem_agg[composite]      # (n1,)
+        um_ref = ray.put(upper_map)
+
+        # community-space renumber from shard partials
+        parts = ray.get([a.final_label_partials.remote(um_ref)
+                         for a in self.actors])
+        ulab = np.unique(np.concatenate([p[0] for p in parts]))
+        counts = np.zeros(len(ulab), dtype=np.int64)
+        minv = np.full(len(ulab), np.iinfo(np.int64).max)
+        for u, c, mn in parts:
+            i = np.searchsorted(ulab, u)
+            counts[i] += c
+            np.minimum.at(minv, i, mn)
         if fixed is not None:
             # label-preserving output: fixed vertices keep their
             # seeded labels (they never moved, and a final community
@@ -1635,32 +1930,45 @@ class DistLeiden:
             # 2n + min member vid. No renumber, mirroring the
             # in-memory optimise path (reference
             # test_Optimiser.py:145-164).
-            ulab, uinv = np.unique(final, return_inverse=True)
+            s0_ref = ray.put(seed0)
+            fx_ref = ray.put(fixed)
+            fparts = ray.get([a.fixed_label_partials.remote(
+                um_ref, s0_ref, fx_ref) for a in self.actors])
             fix_lab = np.full(len(ulab), -1, dtype=np.int64)
-            fi = np.flatnonzero(fixed)
-            fix_lab[uinv[fi]] = seed0[fi]
-            minv = np.full(len(ulab), np.iinfo(np.int64).max)
-            np.minimum.at(minv, uinv, np.arange(self.n))
-            lab_out = np.where(fix_lab >= 0, fix_lab, 2 * self.n + minv)
-            final = lab_out[uinv]
-            if not np.array_equal(final[fi], seed0[fi]):
-                raise AssertionError(
-                    "fixed-membership invariant violated")
+            for fl, sl_ in fparts:
+                i = np.searchsorted(ulab, fl)
+                bad = (fix_lab[i] >= 0) & (fix_lab[i] != sl_)
+                if bad.any():
+                    raise AssertionError(
+                        "fixed-membership invariant violated")
+                fix_lab[i] = sl_
+            vals = np.where(fix_lab >= 0, fix_lab, 2 * self.n + minv)
         else:
             # dense renumber by decreasing size (deterministic)
-            ulab, uinv = np.unique(final, return_inverse=True)
-            counts = np.bincount(uinv)
-            first_v = np.full(len(ulab), np.iinfo(np.int64).max)
-            np.minimum.at(first_v, uinv, np.arange(self.n))
-            order = np.lexsort((first_v, -counts))
+            order = np.lexsort((minv, -counts))
             rank = np.empty(len(ulab), dtype=np.int64)
             rank[order] = np.arange(len(ulab))
-            final = rank[uinv]
+            vals = rank
+        keys_ref = ray.put(ulab)
+        vals_ref = ray.put(vals)
+
         info = {
             "levels": level_infos,
             "level0_supersteps": total_steps,
             "level0_quality": level_infos[0]["quality"],
             "final_quality": quality,
-            "n_communities": int(len(np.unique(final))),
+            "n_communities": int(len(ulab)),
         }
+        if membership_out is not None:
+            rows = ray.get([a.write_final.remote(
+                membership_out, um_ref, keys_ref, vals_ref)
+                for a in self.actors])
+            info["membership_rows"] = int(sum(rows))
+            info["membership_path"] = membership_out
+            return None, quality, info
+        slices = ray.get([a.final_own_labels.remote(
+            um_ref, keys_ref, vals_ref) for a in self.actors])
+        final = np.empty(self.n, dtype=np.int64)
+        for p in range(self.P):
+            final[p::self.P] = slices[p]
         return final, quality, info

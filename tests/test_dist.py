@@ -1078,3 +1078,33 @@ def test_dist_min_comm_size_enforcement(ray_session):
         min_comm_size=5, community_constraint_enforcement=10.0)
     sizes = np.bincount(np.unique(mem, return_inverse=True)[1])
     assert sorted(sizes.tolist()) == [5] * 20
+
+
+def test_leiden_driver_state_community_space(tmp_path, ray_session):
+    """Round-3 scale property: level-0 membership is SHARD-resident.
+    The driver's move loop holds only label-indexed stats (each
+    proposal carries its current community, so commits need no
+    mem[] lookup), refine grouping happens on the shards, and with
+    ``membership_out`` the final labels go shard -> partitioned
+    parquet without ever being gathered — verified here against the
+    gathered variant bit for bit."""
+    import pyarrow.dataset as pads
+    n = 4000
+    src = np.arange(0, n, 2, dtype=np.int64)
+    dst = src + 1
+    dl = DistLeiden(src, dst, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.1, P=8, seed=3)
+    mem, q, info = dl.run()
+    out = str(tmp_path / "membership")
+    dl2 = DistLeiden(src, dst, n=n, directed=False, quality="cpm",
+                     resolution_parameter=0.1, P=8, seed=3)
+    none_mem, q2, info2 = dl2.run(membership_out=out)
+    assert none_mem is None
+    assert q2 == q
+    assert info2["membership_rows"] == n
+    t = pads.dataset(out).to_table().to_pandas().sort_values("vid")
+    assert np.array_equal(t["comm"].to_numpy(), mem)
+    # the local-move API itself returns no vid-indexed array
+    res = dl2.local_move_level0()
+    assert isinstance(res, tuple) and len(res) == 3
+    assert np.isscalar(res[0]) or isinstance(res[0], float)
