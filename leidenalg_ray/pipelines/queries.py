@@ -1866,6 +1866,44 @@ CROSS JOIN nn CROSS JOIN anyfix
 """
 
 
+def q_leiden_recrawl_cliques(sf_dir):
+    """The canonical incremental-recrawl combination — warm start +
+    frozen seed vertices — through the DISTRIBUTED schedule: yesterday's
+    (deliberately stale: nations merged pairwise) communities seed the
+    optimiser, each nation's min supplier is frozen at ``n +
+    nationkey``, and the schedule must split the stale merges while
+    anchoring every clique to its frozen vertex. Closed form: same
+    output as ``leiden_fixed_cliques`` (anchored nations at
+    n + nationkey, edgeless singletons at the engine's 2n + vid)."""
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    sk = su["s_suppkey"].to_numpy(np.int64)
+    nk = su["s_nationkey"].to_numpy(np.int64)
+    nnat = int(nk.max()) + 1
+    counts = np.bincount(nk, minlength=nnat)
+    minv = np.full(nnat, np.iinfo(np.int64).max)
+    np.minimum.at(minv, nk, sk)
+    seed = np.arange(n, dtype=np.int64)
+    fixed = np.zeros(n, dtype=bool)
+    # stale warm start: nations with edges merged pairwise
+    active = counts[nk] >= 2
+    seed[sk[active]] = n + nk[active] // 2
+    # ...but each active nation's min supplier is frozen at its own
+    # distinctive label (overrides the merged seed for the anchor)
+    for nat in np.flatnonzero(counts >= 2):
+        seed[minv[nat]] = n + nat
+        fixed[minv[nat]] = True
+    dl = DistLeiden(s, d, weight=w, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=8, seed=42)
+    mem, q, info = dl.run(initial_membership=seed,
+                          is_membership_fixed=fixed)
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(mem.astype(np.int64))})
+
+
 def q_leiden_minsize_complete(sf_dir):
     """``min_comm_size`` + ``community_constraint_enforcement``
     through the DISTRIBUTED schedule, on the reference's canonical
@@ -6554,6 +6592,7 @@ QUERIES = {
     "leiden_multiplex_dataset_cliques": q_leiden_multiplex_dataset_cliques,
     "leiden_temporal_dataset_cliques": q_leiden_temporal_dataset_cliques,
     "leiden_fixed_cliques": q_leiden_fixed_cliques,
+    "leiden_recrawl_cliques": q_leiden_recrawl_cliques,
     "leiden_minsize_complete": q_leiden_minsize_complete,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
@@ -6707,6 +6746,7 @@ ORACLE_SQL = {
     "leiden_multiplex_dataset_cliques": SQL_LEIDEN_NATIONS,
     "leiden_temporal_dataset_cliques": SQL_LEIDEN_TEMPORAL,
     "leiden_fixed_cliques": SQL_LEIDEN_FIXED,
+    "leiden_recrawl_cliques": SQL_LEIDEN_FIXED,
     "leiden_minsize_complete": SQL_LEIDEN_MINSIZE,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
