@@ -138,7 +138,14 @@ def find_partition_temporal_dataset(slice_datasets, n_nodes,
 
     Returns ``(memberships, quality, info)`` with ``memberships`` a
     (T, n_nodes) array — row t is slice t's communities, labels shared
-    across slices."""
+    across slices.
+
+    Scale note (documented assumption): the per-layer node-size
+    matrix is (T+1, T*n_nodes) on the driver — structured (slice
+    indicators), so at extreme T*n the dense form should be replaced
+    by shard-side generation; for the expected regime (tens of
+    snapshots of a web graph, run per epoch) it is dwarfed by the
+    edge data."""
     import pyarrow as pa
     import ray.data as rd
 
