@@ -34,6 +34,19 @@ def _burn_fp(_):
     return float(x[0])
 
 
+def _probe_membw():
+    """64 MiB copy bandwidth in GiB/s — the machine-health yardstick
+    (the shared host's DRAM bandwidth drifts orders of magnitude)."""
+    import numpy as np
+    mb = np.empty(1 << 23)  # 64 MiB
+    mb[:] = 1.0
+    t0 = time.time()
+    mb2 = mb.copy()
+    bw = round((mb.nbytes / 2**30) / max(time.time() - t0, 1e-9), 3)
+    del mb, mb2
+    return bw
+
+
 def run_bench():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,12 +82,7 @@ def run_bench():
     # windows (measured 7 MB/s-13 GB/s); every bandwidth-bound stage
     # scales with it, so absolute walls are only comparable between
     # runs with similar membw_gib_s.
-    _mb = np.empty(1 << 23)  # 64 MiB
-    _mb[:] = 1.0
-    _t0 = time.time()
-    _mb2 = _mb.copy()
-    membw = round((_mb.nbytes / 2**30) / max(time.time() - _t0, 1e-9), 3)
-    del _mb, _mb2
+    membw = _probe_membw()
 
     # ------------------------------------------------------------------
     # Flagship: Common-Crawl-style pages -> extract -> graph -> ranks
@@ -381,6 +389,9 @@ def run_bench():
                   "pagerank_iters": int(p_iters)},
         "edges_traversed_per_sec": int(traversals / max(bsp_time, 1e-9)),
         "membw_gib_s": membw,
+        # probed again AFTER the run: a healthy-window claim needs
+        # the window to have held for the whole measurement
+        "membw_end_gib_s": _probe_membw(),
     }
     print(json.dumps(result))
     ray.shutdown()

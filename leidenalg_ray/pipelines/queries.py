@@ -3712,6 +3712,92 @@ def q_coloring_co(sf_dir):
                      "color": pa.array(colors[vids])})
 
 
+def q_betweenness_paths(sf_dir):
+    """Planted SQL-green twin for the Brandes sweep: one simple path
+    per nation (suppliers in suppkey order), seeds = the min-suppkey
+    end of each path. Shortest paths on a path are unique, so the
+    dependency of the vertex at position i in a k-path is exactly
+    k-1-i (0 for the seed) — integral, hence order-stable, hence
+    SQL-expressible. Runs the full distributed forward-sigma +
+    backward-dependency schedule of ``superstep.betweenness``."""
+    from ..dist.blocks import symmetrize_edges
+    n = tg.supplier_count(sf_dir)
+    g = DistGraph.from_dataset(
+        symmetrize_edges(tg.nation_path_edges(sf_dir)),
+        n=n, P=8, directed=False, dedup=False)
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = su["s_suppkey"].to_numpy(np.int64)
+    nk = su["s_nationkey"].to_numpy(np.int64)
+    counts = np.bincount(nk)
+    order = np.lexsort((sk, nk))
+    sk_s, nk_s = sk[order], nk[order]
+    first = np.r_[True, nk_s[1:] != nk_s[:-1]]
+    seeds = np.sort(sk_s[first & (counts[nk_s] >= 2)])
+    bc = ss.betweenness(g, seeds)
+    vids = np.sort(sk[counts[nk] >= 2])
+    return pa.table({"vid": pa.array(vids),
+                     "betweenness": pa.array(round6(bc[vids]))})
+
+
+SQL_BETWEENNESS_PATHS = """
+WITH s2 AS (SELECT s_suppkey,
+                   count(*) OVER (PARTITION BY s_nationkey) AS k,
+                   row_number() OVER (PARTITION BY s_nationkey
+                                      ORDER BY s_suppkey) - 1 AS pos
+            FROM supplier)
+SELECT CAST(s_suppkey AS BIGINT) AS vid,
+       round(CAST(CASE WHEN pos = 0 THEN 0 ELSE k - 1 - pos END
+                  AS DOUBLE), 6) AS betweenness
+FROM s2 WHERE k >= 2
+"""
+
+
+def q_coloring_cliques(sf_dir):
+    """Planted SQL-green twin for Luby-layer coloring: on disjoint
+    nation cliques every MIS layer removes exactly one vertex per
+    remaining clique (independence => at most one; maximality => at
+    least one), so a k-clique consumes colors 0..k-1 exactly. The
+    per-nation profile (distinct colors, min, max) is closed-form
+    without replicating hash priorities, and pins properness +
+    completeness of ``superstep.mis_coloring`` through the
+    distributed schedule."""
+    from ..dist.blocks import symmetrize_edges
+    import pandas as pd
+    n = tg.supplier_count(sf_dir)
+    g = DistGraph.from_dataset(
+        symmetrize_edges(tg.nation_clique_edges(sf_dir)),
+        n=n, P=8, directed=False, dedup=False)
+    colors, _ = ss.mis_coloring(g)
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = su["s_suppkey"].to_numpy(np.int64)
+    nk = su["s_nationkey"].to_numpy(np.int64)
+    counts = np.bincount(nk)
+    keep = counts[nk] >= 2
+    df = pd.DataFrame({"nationkey": nk[keep],
+                       "color": colors[sk[keep]]})
+    agg = df.groupby("nationkey")["color"] \
+        .agg(["nunique", "min", "max"]).reset_index()
+    return pa.table({
+        "nationkey": pa.array(agg["nationkey"].to_numpy(np.int64)),
+        "n_colors": pa.array(agg["nunique"].to_numpy(np.int64)),
+        "min_color": pa.array(agg["min"].to_numpy(np.int64)),
+        "max_color": pa.array(agg["max"].to_numpy(np.int64)),
+    })
+
+
+SQL_COLORING_CLIQUES = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_colors,
+       CAST(0 AS BIGINT) AS min_color,
+       CAST(count(*) - 1 AS BIGINT) AS max_color
+FROM supplier
+GROUP BY s_nationkey
+HAVING count(*) >= 2
+"""
+
+
 KTRUSS_K = 10
 KTRUSS_SQL_ROUNDS = 12
 
@@ -6638,6 +6724,8 @@ QUERIES = {
     "events_quantiles_approx": q_events_quantiles_approx,
     "spath_counts_co": q_spath_counts_co,
     "betweenness_co": q_betweenness_co,
+    "betweenness_paths": q_betweenness_paths,
+    "coloring_cliques": q_coloring_cliques,
     "docs_pivot_lang": q_docs_pivot_lang,
     "users_click_no_signup": q_users_click_no_signup,
     "bigram_topk": q_bigram_topk,
@@ -6793,6 +6881,8 @@ ORACLE_SQL = {
     "eccentricity_co": SQL_ECCENTRICITY_CO,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "mis_co": SQL_MIS_CO,
+    "betweenness_paths": SQL_BETWEENNESS_PATHS,
+    "coloring_cliques": SQL_COLORING_CLIQUES,
     "cohort_retention": SQL_COHORT_RETENTION,
     "ktruss_co": SQL_KTRUSS_CO,
     "modularity_terms_co": SQL_MODULARITY_TERMS_CO,

@@ -180,6 +180,28 @@ def nation_ring_edges(sf_dir):
                                                 batch_format="pandas")
 
 
+def nation_path_edges(sf_dir):
+    """Dataset (src, dst, weight=1): one simple path per nation
+    (suppliers in suppkey order, consecutive pairs — the ring builder
+    without the wraparound edge). Shortest paths on a path are unique
+    and integral, which makes sampled Brandes betweenness closed-form
+    (seed at one end -> dependency of position i is k-1-i)."""
+    import pandas as pd
+
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+
+    def path(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["s_suppkey"].to_numpy(np.int64))
+        if len(v) < 2:
+            return _empty_edges()
+        return pd.DataFrame({"src": v[:-1], "dst": v[1:],
+                             "weight": np.ones(len(v) - 1)})
+
+    return su.groupby("s_nationkey").map_groups(path,
+                                                batch_format="pandas")
+
+
 def _empty_edges():
     import pandas as pd
     return pd.DataFrame({"src": np.empty(0, np.int64),
