@@ -456,6 +456,14 @@ def run_scaling():
         "pages": r_lo["pages"],
         "queries_8": r_lo["queries"],
         "queries_32": r_hi["queries"],
+        # window health spanning BOTH runs so a collapse mid-scaling
+        # is visible (and rejectable) downstream, same contract as a
+        # plain run's membw_gib_s / membw_end_gib_s
+        "membw_gib_s": r_lo["membw_gib_s"],
+        "membw_end_gib_s": r_hi["membw_end_gib_s"],
+        "membw_min_gib_s": min(
+            r_lo["membw_gib_s"], r_lo["membw_end_gib_s"],
+            r_hi["membw_gib_s"], r_hi["membw_end_gib_s"]),
     }))
 
 

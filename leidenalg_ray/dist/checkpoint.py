@@ -24,14 +24,26 @@ import time
 
 import numpy as np
 
+# Version tag for the url -> vid assignment the checkpointed vertex
+# state is keyed on (stages/graph_build._bucket_of + assign_ids).
+# Changing the bucket hash or ranking order re-maps every vid, so any
+# checkpoint written under the old mapping would silently apply labels
+# to the wrong vertices on resume. Bump this when the mapping changes;
+# resume() rejects manifests with a different tag.
+# History: v1 = zlib.crc32 per-row (rounds 1-2); v2 = vectorised
+# FNV-1a (round 3).
+ID_FORMAT = "vids-fnv1a-v2"
+
 
 class CheckpointManager:
-    def __init__(self, root, algo, P, keep=2, every=1, n=None):
+    def __init__(self, root, algo, P, keep=2, every=1, n=None,
+                 fmt=ID_FORMAT):
         self.dir = os.path.join(root, algo)
         self.P = int(P)
         self.keep = keep
         self.every = max(1, int(every))
         self.n = None if n is None else int(n)
+        self.fmt = fmt
         os.makedirs(self.dir, exist_ok=True)
 
     def _step_dir(self, step):
@@ -58,6 +70,7 @@ class CheckpointManager:
             "step": int(step),
             "P": self.P,
             "n": self.n,
+            "fmt": self.fmt,
             "wall_time": time.time(),
             "partitions": lineage,
             "metrics": metrics or {},
@@ -97,12 +110,15 @@ class CheckpointManager:
         # ignore it instead of loading mismatched shards
         if manifest.get("P") != self.P or (
                 self.n is not None and manifest.get("n") is not None
-                and manifest["n"] != self.n):
+                and manifest["n"] != self.n) or \
+                manifest.get("fmt", "vids-crc32-v1") != self.fmt:
             import logging
             logging.getLogger(__name__).warning(
-                "ignoring checkpoint %s: shape mismatch "
-                "(P=%s n=%s, expected P=%s n=%s)", d,
-                manifest.get("P"), manifest.get("n"), self.P, self.n)
+                "ignoring checkpoint %s: shape/format mismatch "
+                "(P=%s n=%s fmt=%s, expected P=%s n=%s fmt=%s)", d,
+                manifest.get("P"), manifest.get("n"),
+                manifest.get("fmt", "vids-crc32-v1"),
+                self.P, self.n, self.fmt)
             return None
         shards = []
         for entry in manifest["partitions"]:

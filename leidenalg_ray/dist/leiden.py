@@ -258,8 +258,10 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
 
     dq = np.zeros(len(ci))
     dq_e = np.zeros(len(vu))
-    tot_sz_new = np.zeros(len(ci))      # summed-over-layers sizes for
-    tot_sz_cur_left = np.zeros(len(vu))  # the cap / alone checks
+    # summed-over-layers size the vertex leaves behind (alone check);
+    # the max_comm_size cap itself is layer-0 only (SZ[0] + nsz0_new),
+    # matching the in-memory kernel's p0.csize check.
+    tot_sz_cur_left = np.zeros(len(vu))
     nsz0_new = np.zeros(len(ci))
 
     for k, (qf, gamma, lam) in enumerate(qfs):
@@ -300,7 +302,6 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
                      SIk[curci] - k_in, SZk[curci] - nsz) \
             - term(Wk[curci], SOk[curci], SIk[curci], SZk[curci])
         dq += lam * dq_of(d_new, d_old)
-        tot_sz_new += SZk[csi] + nsz
         if k == 0:
             nsz0_new = nsz
 
@@ -656,9 +657,11 @@ class LeidenShard:
         return int(len(fl))
 
     def agg_partials_sharded(self, n_labels, directed):
-        """Like ``agg_partials`` but against the shard-resident
-        refined codes (``adopt_refined``) instead of a broadcast
-        O(n) dense map."""
+        """Per-layer (comm_src, comm_dst) -> weight partial sums over
+        this block's non-rev edges under the shard-resident refined
+        codes (``adopt_refined``), plus per-(layer, label) node-size
+        partials — the distributed aggregate build (no O(edges) or
+        O(n)-broadcast driver pass)."""
         b = self.block
         L = self.kv["nsz"].shape[0]
         keep = ~b["is_rev"]
@@ -891,39 +894,6 @@ class LeidenShard:
                  lab[bounds[r]:bounds[r + 1]],
                  ly[bounds[r]:bounds[r + 1]]) for r in range(R)]
 
-    def agg_partials(self, dense, n_labels, directed):
-        """Per-layer (comm_src, comm_dst) -> weight partial sums over
-        this block's non-rev edges under the refined dense labelling,
-        plus per-(layer, label) node-size partials — the distributed
-        form of the aggregate build (no O(edges) driver pass)."""
-        b = self.block
-        L = self.kv["nsz"].shape[0]
-        keep = ~b["is_rev"]
-        src_g = (b["src_local"] * self.P + self.p)[keep]
-        dst_g = b["dst_global"][keep]
-        w = b["weight"][keep]
-        lay = b["layer"][keep]
-        cs = dense[src_g].astype(np.int64)
-        cd = dense[dst_g].astype(np.int64)
-        if not directed:
-            lo = np.minimum(cs, cd)
-            hi = np.maximum(cs, cd)
-            cs, cd = lo, hi
-        # layer folded into the pair key so one unique pass serves all
-        # layers; the driver splits by uniq // (n_labels^2)
-        key = (lay * n_labels + cs) * n_labels + cd
-        uniq, inv = np.unique(key, return_inverse=True)
-        ws = np.zeros(len(uniq))
-        np.add.at(ws, inv, w)
-        own_vids = np.arange(self.kv["nsz"].shape[1],
-                             dtype=np.int64) * self.P + self.p
-        labs = dense[own_vids].astype(np.int64)
-        u2, inv2 = np.unique(labs, return_inverse=True)
-        sz = np.zeros((L, len(u2)))
-        for k in range(L):
-            np.add.at(sz[k], inv2, self.kv["nsz"][k])
-        return uniq, ws, u2, sz
-
 
 @ray.remote(num_returns=3)
 def _refine_bucket(layers_cfg, correct_self_loops,
@@ -1093,6 +1063,14 @@ class DistLeiden:
         self.max_comm_size = int(max_comm_size)
         self.min_comm_size = int(min_comm_size)
         self.enforcement = float(community_constraint_enforcement)
+        # The propose kernel only applies the soft bonus when BOTH
+        # enforcement > 0 and min_comm_size > 0; the driver's
+        # rollback/convergence relaxations must use the same condition
+        # or enforcement-without-min-size silently runs plain Leiden
+        # with monotone rollback disabled. Normalise here so every
+        # downstream `self.enforcement` check agrees with the kernel.
+        if self.min_comm_size <= 0:
+            self.enforcement = 0.0
         self._corr_loops_arg = correct_self_loops
 
         if _parquet_dir is not None:
@@ -1213,6 +1191,19 @@ class DistLeiden:
         spill_dir = spill_dir or tempfile.mkdtemp(prefix="lray_leiden_")
         os.makedirs(spill_dir, exist_ok=True)
         Pv = int(P)
+
+        # A layer column with no explicit per-layer config would
+        # otherwise leave L=1 in __init__ and crash shard actors with
+        # an out-of-bounds IndexError on the first gather. Infer the
+        # layer count from the data (one column-pruned scan) so the
+        # documented "a layer column makes this multiplex" usage works.
+        if (n_layers is None
+                and not isinstance(quality, (list, tuple))
+                and not isinstance(resolution_parameter, (list, tuple))
+                and layer_weights is None
+                and "layer" in edges_ds.schema().names):
+            n_layers = int(edges_ds.select_columns(["layer"])
+                           .max("layer")) + 1
 
         def incidence(t: pa.Table) -> pa.Table:
             src = t["src"].to_numpy(zero_copy_only=False) \
@@ -1369,13 +1360,6 @@ class DistLeiden:
                 stats["s_in"][k][nz], stats["size"][k][nz], gamma))
             out.append(t.sum(axis=1))
         return out if any_nl else None
-
-    def _broadcast_state(self, mem, stats):
-        mem_ref = ray.put(mem)
-        stats_ref = ray.put(stats)
-        agg0 = self._term_sum(stats)
-        ray.get([a.set_state.remote(mem_ref, stats_ref, agg0)
-                 for a in self.actors])
 
     @staticmethod
     def _concat_props(props):

@@ -289,7 +289,9 @@ def resolution_profile_dataset(edges_ds, n, quality="cpm",
                                  ["partition", "bisect_value"])
 
     def ensure_monotonicity(bisect_values, new_res):
-        # reference Optimiser.py:762-773
+        # reference Optimiser.py:762-773; the second repair loop is a
+        # no-op in the reference too (see optimiser.py note) — kept
+        # identical for behavioural parity.
         for res, bp in list(bisect_values.items()):
             if (bisect_values[new_res].partition.quality(res)
                     > bp.partition.quality(res)):

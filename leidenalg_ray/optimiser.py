@@ -427,7 +427,12 @@ class Optimiser:
             return part
 
         def ensure_monotonicity(bisect_values, new_res):
-            # reference Optimiser.py:762-773
+            # reference Optimiser.py:762-773. NOTE: the second repair
+            # loop is a no-op in the reference too (Optimiser.py:769
+            # assigns ``best_res = new_res`` inside the loop, so
+            # ``bisect_values[new_res]`` is always reassigned to
+            # itself); we mirror that behaviour exactly rather than
+            # "fix" it and diverge from the published profiles.
             for res, bp in list(bisect_values.items()):
                 if (bisect_values[new_res].partition.quality(res)
                         > bp.partition.quality(res)):

@@ -28,7 +28,9 @@ def _bucket_of(urls: pa.ChunkedArray, B: int) -> np.ndarray:
     """Deterministic url -> bucket via FNV-1a, vectorised over the
     Arrow string buffers: one numpy pass per byte position (urls are
     short), no per-row Python. Stable across processes (unlike
-    Python's salted hash)."""
+    Python's salted hash). Changing this hash re-maps every assigned
+    vid — bump ``dist.checkpoint.ID_FORMAT`` in lockstep so old
+    vid-keyed checkpoints are rejected on resume, not mis-applied."""
     arr = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) \
         else urls
     n = len(arr)

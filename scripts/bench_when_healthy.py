@@ -77,11 +77,14 @@ def main() -> int:
                   f"{r.stderr[-500:]}", flush=True)
             time.sleep(args.interval)
             continue
-        s = res.get("membw_gib_s")
+        # scaling runs now carry membw spanning both inner runs
+        # (membw_min_gib_s) — hold them to the same health bar as a
+        # plain run instead of accepting unconditionally
+        s = res.get("membw_min_gib_s", res.get("membw_gib_s"))
         e = res.get("membw_end_gib_s", s)
         lo = args.threshold
-        if args.scaling or (s is not None and s >= lo
-                            and e is not None and e >= lo):
+        if (s is not None and s >= lo
+                and e is not None and e >= lo):
             with open(args.out, "w") as f:
                 json.dump(res, f)
             print(f"[watch] ACCEPTED (start={s}, end={e}) -> "

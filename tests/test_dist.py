@@ -302,6 +302,26 @@ def test_checkpoint_resume(tmp_path, random_graph):
     assert manifest["P"] == 4
     assert len(manifest["partitions"]) == 4
     assert all("sha1" in e for e in manifest["partitions"])
+    assert manifest["fmt"] == "vids-fnv1a-v2"
+
+
+def test_checkpoint_rejects_stale_id_format(tmp_path):
+    """A checkpoint written under a different url->vid mapping version
+    (e.g. the crc32-era hash) must be ignored on resume, not applied
+    to the wrong vertices."""
+    import numpy as np
+    from leidenalg_ray.dist.checkpoint import CheckpointManager
+
+    old = CheckpointManager(str(tmp_path), "pagerank", 2, n=10,
+                            fmt="vids-crc32-v1")
+    old.save(3, [np.arange(5.0), np.arange(5.0) + 10])
+    cur = CheckpointManager(str(tmp_path), "pagerank", 2, n=10)
+    assert cur.resume() is None
+    # same fmt resumes fine
+    same = CheckpointManager(str(tmp_path), "pagerank", 2, n=10,
+                             fmt="vids-crc32-v1")
+    step, shards, _ = same.resume()
+    assert step == 3 and len(shards) == 2
 
 
 def test_leiden_checkpoint_resume(tmp_path):

@@ -236,3 +236,46 @@ def test_resolution_profile_dataset_matches_inmemory():
     want = sorted({(p.n_communities(), round(p.bisect_value(), 6))
                    for p in ref})
     assert got == want == [(6, 270.0), (60, 0.0)]
+
+
+def test_from_dataset_infers_layer_count():
+    """A bare ``layer`` column (no n_layers / per-layer lists) must
+    make the graph multiplex — previously L stayed 1 and shard actors
+    crashed with an out-of-bounds IndexError on the first gather."""
+    import pyarrow as pa
+    import ray.data as rd
+    from leidenalg_ray.dist.leiden import DistLeiden
+
+    n = 60
+    s0, d0 = _planted_cliques(n, 10)
+    s1, d1 = _planted_cliques(n, 10, 5)
+    t = pa.table({
+        "src": pa.array(np.concatenate([s0, s1])),
+        "dst": pa.array(np.concatenate([d0, d1])),
+        "layer": pa.array(np.r_[np.zeros(len(s0), np.int64),
+                                np.ones(len(s1), np.int64)]),
+    })
+    dl = DistLeiden.from_dataset(rd.from_arrow(t), n=n, quality="cpm",
+                                 resolution_parameter=0.5, P=4, seed=7)
+    assert dl.L == 2
+    mem, q, info = dl.run(n_iterations=3)
+    assert len(mem) == n and q > 0
+
+
+def test_enforcement_without_min_size_is_plain_leiden():
+    """enforcement > 0 with min_comm_size == 0 applies no kernel bonus,
+    so the driver must keep rollback/convergence active (normalised to
+    enforcement 0) — identical result to the unconstrained run."""
+    from leidenalg_ray.dist.leiden import DistLeiden
+
+    n = 60
+    s, d = _planted_cliques(n, 10)
+    kw = dict(n=n, directed=False, quality="cpm",
+              resolution_parameter=0.5, P=4, seed=11)
+    base = DistLeiden(s, d, **kw)
+    noop = DistLeiden(s, d, community_constraint_enforcement=5.0, **kw)
+    assert noop.enforcement == 0.0
+    m1, q1, _ = base.run(n_iterations=-1)
+    m2, q2, _ = noop.run(n_iterations=-1)
+    assert abs(q1 - q2) < 1e-12
+    assert np.array_equal(_canon(m1), _canon(m2))
