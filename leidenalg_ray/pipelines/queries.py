@@ -6632,6 +6632,156 @@ GROUP BY n.n_name
 """
 
 
+# --- graph contraction by vertex attribute (the host-graph workflow:
+# contract the url->url web graph to host->host; here part->brand on
+# the gate tables — same shape: small-side attribute broadcast, edge
+# relabel inside map_batches, fixed-size per-batch partials) ---------
+
+def _brand_codes(sf_dir):
+    """(sorted unique brands, partkey -> brand-code lookup array).
+    The part dim is the broadcast-small side even at crawl scale (the
+    host/brand domain is bounded); one column-pruned read."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_brand"])
+    pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brands, codes = np.unique(
+        np.asarray(t["p_brand"].to_pylist()), return_inverse=True)
+    lut = np.zeros(int(pk.max()) + 1, dtype=np.int64)
+    lut[pk] = codes
+    return brands, lut
+
+
+def q_brand_graph_co(sf_dir):
+    """Contract the part co-occurrence graph to brand level (the
+    host-graph contraction: url->host becomes part->brand). The
+    brand lookup broadcasts once via ``ray.put``; each edge batch
+    relabels vectorised and emits a fixed B*B integer partial, so the
+    shuffle carries O(B^2) rows per batch, never the edge list.
+    Self-pairs (intra-brand edges) are kept — they are the intra-host
+    link mass."""
+    import ray as _ray
+    brands, lut = _brand_codes(sf_dir)
+    B = len(brands)
+    ref = _ray.put(lut)
+    edges = tg.co_edge_rows(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        a = m[t["src"].to_numpy(zero_copy_only=False)]
+        b = m[t["dst"].to_numpy(zero_copy_only=False)]
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        key = lo * B + hi
+        # weights are integer-valued doubles (co counts): bincount in
+        # int64 so the partial sums are exact and order-free
+        ws = np.bincount(key, weights=w, minlength=B * B) \
+            .astype(np.int64)
+        nz = np.flatnonzero(ws)
+        return pa.table({"key": pa.array(nz.astype(np.int64)),
+                         "w": pa.array(ws[nz])})
+
+    agg = edges.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("key").aggregate(Sum("w", alias_name="w"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "brand_a": pa.array(brands[key // B]),
+            "brand_b": pa.array(brands[key % B]),
+            "weight": pa.array(
+                t["w"].to_numpy(zero_copy_only=False)
+                .astype(np.float64)),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_BRAND_GRAPH_CO = """
+WITH e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+                   count(*) AS w
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2)
+SELECT least(p1.p_brand, p2.p_brand) AS brand_a,
+       greatest(p1.p_brand, p2.p_brand) AS brand_b,
+       CAST(sum(e0.w) AS DOUBLE) AS weight
+FROM e0 JOIN part p1 ON p1.p_partkey = e0.a
+        JOIN part p2 ON p2.p_partkey = e0.b
+GROUP BY 1, 2
+"""
+
+
+def q_brand_pagerank(sf_dir):
+    """Weighted PageRank over the contracted brand graph — the
+    host-level PageRank workflow (contract, then rank hosts). The
+    contracted graph is community-space sized, but it flows through
+    the same Dataset -> DistGraph -> superstep path as the full graph
+    (kernels are graph-source-agnostic), including self-loop strength
+    handling the full co graph never exercises."""
+    from ..dist.blocks import DistGraph
+
+    brands, _ = _brand_codes(sf_dir)
+    B = len(brands)
+    con = q_brand_graph_co(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = np.searchsorted(brands, np.asarray(t["brand_a"]))
+        b = np.searchsorted(brands, np.asarray(t["brand_b"]))
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        nl = a != b                      # self-loops stay single
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b[nl]])),
+            "dst": pa.array(np.concatenate([b, a[nl]])),
+            "weight": pa.array(np.concatenate([w, w[nl]])),
+        })
+
+    g = DistGraph.from_dataset(
+        con.map_batches(sym, batch_format="pyarrow"),
+        n=B, P=4, directed=False, dedup=True)
+    rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                          max_iter=PAGERANK_ITERS, weighted=True)
+    return pa.table({"brand": pa.array(brands),
+                     "rank": pa.array(round6(rank))})
+
+
+SQL_BRAND_PAGERANK = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(*) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+c0 AS (SELECT least(p1.p_brand, p2.p_brand) AS ba,
+              greatest(p1.p_brand, p2.p_brand) AS bb,
+              CAST(sum(e0.w) AS DOUBLE) AS w
+       FROM e0 JOIN part p1 ON p1.p_partkey = e0.a
+               JOIN part p2 ON p2.p_partkey = e0.b
+       GROUP BY 1, 2),
+e AS (SELECT ba AS a, bb AS b, w FROM c0
+      UNION ALL
+      SELECT bb, ba, w FROM c0 WHERE ba <> bb),
+verts AS (SELECT a AS v, sum(w) AS strength FROM e GROUP BY a),
+nn AS (SELECT count(*) AS n FROM verts),
+pr(i, v, r) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         (1 - {DAMPING}) / (SELECT n FROM nn)
+         + {DAMPING} * sum(p.r * e.w / vs.strength)
+  FROM pr p
+  JOIN verts vs ON vs.v = p.v
+  JOIN e ON e.a = p.v
+  WHERE p.i < {PAGERANK_ITERS}
+  GROUP BY p.i, e.b
+)
+SELECT v AS brand, round(r, 6) AS rank
+FROM pr WHERE i = {PAGERANK_ITERS}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -6788,6 +6938,8 @@ QUERIES = {
     "price_equidepth": q_price_equidepth,
     "embed_components": q_embed_components,
     "revenue_by_nation": q_revenue_by_nation,
+    "brand_graph_co": q_brand_graph_co,
+    "brand_pagerank": q_brand_pagerank,
 }
 
 ORACLE_SQL = {
@@ -6938,4 +7090,6 @@ ORACLE_SQL = {
     "price_equidepth": SQL_PRICE_EQUIDEPTH,
     "embed_components": SQL_EMBED_COMPONENTS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "brand_graph_co": SQL_BRAND_GRAPH_CO,
+    "brand_pagerank": SQL_BRAND_PAGERANK,
 }

@@ -44,6 +44,10 @@ def main():
                          ">node-memory path, default); broadcast: "
                          "driver-sorted mapping broadcast (faster "
                          "while the url set fits one node)")
+    ap.add_argument("--host-graph", action="store_true",
+                    help="also write the contracted host->host graph "
+                         "(streaming url->host contraction of the "
+                         "link stream; out/host_graph/)")
     args = ap.parse_args()
 
     import ray
@@ -137,6 +141,12 @@ def main():
             "component": pa.array(comp[sl]),
             "comm": pa.array(mem[sl]),
         }), f)
+    if args.host_graph:
+        from leidenalg_ray.stages.extract import (extract_dataset,
+                                                  links_of)
+        from leidenalg_ray.stages.graph_build import host_graph
+        host_graph(links_of(extract_dataset(pages))) \
+            .write_parquet(os.path.join(args.out, "host_graph"))
     if args.build == "distributed":
         mapping.write_parquet(os.path.join(args.out, "url_mapping"))
     else:

@@ -96,3 +96,44 @@ def test_arrays_variant_matches_join_variant(pages):
     arr_set = {(vid2url2[s], vid2url2[d]): wt
                for s, d, wt in zip(src, dst, w)}
     assert join_set == arr_set
+
+
+def test_host_graph_matches_urlparse_oracle(pages):
+    """Streaming host contraction == brute-force contraction of the
+    same links via urllib.parse (an independent host parser), and the
+    vectorised regex agrees with urlparse on every corpus url."""
+    from collections import Counter
+    from urllib.parse import urlparse
+
+    from leidenalg_ray.stages.extract import links_of
+    from leidenalg_ray.stages.graph_build import host_graph
+
+    links = links_of(extract_dataset(rd.from_arrow(pages))).materialize()
+    got = {(r["src_host"], r["dst_host"]): r["weight"]
+           for r in host_graph(links).take_all()}
+
+    want = Counter()
+    for row in links.take_all():
+        hs = urlparse(row["src_url"]).netloc.lower()
+        hd = urlparse(row["dst_url"]).netloc.lower()
+        if hs and hd:
+            want[(hs, hd)] += 1.0
+    assert got == dict(want)
+    assert len({a for a, _ in got} | {b for _, b in got}) >= 16
+
+
+def test_host_of_edge_cases():
+    import pyarrow as pa
+    from leidenalg_ray.stages.graph_build import host_of
+
+    arr = pa.chunked_array([pa.array([
+        "https://A.Example/p.html",          # case folds
+        "http://h.example:8080/x?q=1",       # port kept, query cut
+        "ftp://f.example",                   # no path
+        "https://q.example?x=1",             # query before any slash
+        "not-a-url",                         # no scheme -> null
+        "//scheme-relative.example/x",       # no scheme -> null
+    ])])
+    got = host_of(arr).to_pylist()
+    assert got == ["a.example", "h.example:8080", "f.example",
+                   "q.example", None, None]
