@@ -52,6 +52,7 @@ from .functions_api import (
     slices_to_layers,
     time_slices_to_layers,
 )
+from .compare import compare_partitions, contingency
 
 __version__ = "0.1.0"
 
@@ -80,4 +81,6 @@ __all__ = [
     "resolution_profile_dataset",
     "slices_to_layers",
     "time_slices_to_layers",
+    "compare_partitions",
+    "contingency",
 ]

@@ -6782,6 +6782,103 @@ FROM pr WHERE i = {PAGERANK_ITERS}
 """
 
 
+# --- partition comparison metrics (igraph compare_communities
+# counterpart; reference workflow compares leidenalg partitions via
+# igraph) — distributed contingency build, single formula source in
+# leidenalg_ray/compare.py ------------------------------------------
+
+_CMP_KA, _CMP_KB = 7, 10
+
+
+def q_partition_compare(sf_dir):
+    """NMI / ARI / VI / Rand / split-join between the deterministic
+    partitions ``vid % 7`` and ``vid % 10`` of the part vertex set.
+    Each batch reduces to a fixed (7*10)-cell integer contingency
+    partial, one tiny shuffle, and the driver finishes on the (7, 10)
+    matrix via ``compare.metrics_from_contingency`` (ln terms
+    quantised to 1e-9 fixed point so the SQL oracle sums identical
+    integers)."""
+    from ..compare import metrics_from_contingency
+
+    ka, kb = _CMP_KA, _CMP_KB
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False)
+        key = (pk % ka) * kb + (pk % kb)
+        n = np.bincount(key, minlength=ka * kb)
+        return pa.table({
+            "cell": pa.array(np.arange(ka * kb, dtype=np.int64)),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    agg = parts.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("cell").aggregate(Sum("n", alias_name="n")) \
+        .take_all()
+    C = np.zeros(ka * kb, dtype=np.int64)
+    for r in agg:
+        C[r["cell"]] = r["n"]
+    C = C.reshape(ka, kb)
+    return pa.table({
+        "nmi": pa.array(round6([metrics_from_contingency(C, "nmi")])),
+        "ari": pa.array(round6([metrics_from_contingency(C, "ari")])),
+        "vi": pa.array(round6([metrics_from_contingency(C, "vi")])),
+        "rand": pa.array(round6([metrics_from_contingency(C, "rand")])),
+        "split_join": pa.array(
+            [int(metrics_from_contingency(C, "split-join"))],
+            pa.int64()),
+    })
+
+
+SQL_PARTITION_COMPARE = f"""
+WITH cells AS (SELECT p_partkey % {_CMP_KA} AS i,
+                      p_partkey % {_CMP_KB} AS j,
+                      count(*) AS n
+               FROM part GROUP BY 1, 2),
+nn AS (SELECT sum(n) AS N FROM cells),
+am AS (SELECT i, sum(n) AS a FROM cells GROUP BY i),
+bm AS (SELECT j, sum(n) AS b FROM cells GROUP BY j),
+-- per-cell ln terms quantised to 1e-9 fixed point BEFORE summation
+-- (identical parenthesisation to compare.metrics_from_contingency)
+ifp AS (SELECT sum(c.n * CAST(floor(ln(
+              (CAST(c.n AS DOUBLE) * nn.N)
+              / (CAST(am.a AS DOUBLE) * CAST(bm.b AS DOUBLE)))
+              * 1000000000 + 0.5) AS BIGINT)) AS v
+        FROM cells c, nn
+        JOIN am ON am.i = c.i JOIN bm ON bm.j = c.j),
+hafp AS (SELECT sum(a * CAST(floor(ln(nn.N / CAST(a AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT)) AS v FROM am, nn),
+hbfp AS (SELECT sum(b * CAST(floor(ln(nn.N / CAST(b AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT)) AS v FROM bm, nn),
+pairs AS (SELECT
+    (SELECT sum(n * (n - 1) // 2) FROM cells) AS sij,
+    (SELECT sum(a * (a - 1) // 2) FROM am) AS sa,
+    (SELECT sum(b * (b - 1) // 2) FROM bm) AS sb,
+    (SELECT N * (N - 1) // 2 FROM nn) AS np),
+sj AS (SELECT
+    (SELECT sum(mx) FROM (SELECT max(n) AS mx FROM cells GROUP BY i))
+    + (SELECT sum(mx) FROM (SELECT max(n) AS mx FROM cells GROUP BY j))
+    AS covered),
+fin AS (SELECT
+    (CAST(ifp.v AS DOUBLE) / 1000000000) / nn.N AS i_,
+    (CAST(hafp.v AS DOUBLE) / 1000000000) / nn.N AS ha,
+    (CAST(hbfp.v AS DOUBLE) / 1000000000) / nn.N AS hb,
+    CAST(p.sij AS DOUBLE) AS sij, CAST(p.sa AS DOUBLE) AS sa,
+    CAST(p.sb AS DOUBLE) AS sb, CAST(p.np AS DOUBLE) AS np,
+    nn.N AS n, sj.covered AS covered
+    FROM ifp, hafp, hbfp, pairs p, nn, sj)
+SELECT round(i_ / sqrt(ha * hb), 6) AS nmi,
+       round((sij - (sa * sb) / np)
+             / ((sa + sb) / 2.0 - (sa * sb) / np), 6) AS ari,
+       round(ha + hb - 2.0 * i_, 6) AS vi,
+       round((np + 2 * sij - sa - sb) / np, 6) AS rand,
+       CAST(2 * n - covered AS BIGINT) AS split_join
+FROM fin
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -6940,6 +7037,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "brand_graph_co": q_brand_graph_co,
     "brand_pagerank": q_brand_pagerank,
+    "partition_compare": q_partition_compare,
 }
 
 ORACLE_SQL = {
@@ -7092,4 +7190,5 @@ ORACLE_SQL = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "brand_graph_co": SQL_BRAND_GRAPH_CO,
     "brand_pagerank": SQL_BRAND_PAGERANK,
+    "partition_compare": SQL_PARTITION_COMPARE,
 }
