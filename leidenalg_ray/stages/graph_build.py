@@ -110,7 +110,19 @@ def assign_ids(urls_ds, B=None):
 
     mapping = bucketed.groupby("bucket").map_groups(
         rank_group, batch_format="pyarrow")
-    return mapping, n
+
+    # map_groups emits ZERO-COLUMN empty blocks for shuffle partitions
+    # holding no bucket; a later hash join against the mapping then
+    # fails inside pyarrow ("no match for key field ... on right side")
+    # whenever such a block lands alone in a join partition. Give every
+    # block the declared schema.
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "vid": pa.array([], pa.int64())})
+        return t
+
+    return mapping.map_batches(norm, batch_format="pyarrow"), n
 
 
 def dedup_edges(edges_ds, src="src", dst="dst"):
@@ -271,6 +283,87 @@ def pages_to_graph_arrays(pages_ds, B=32, concurrency=8):
     np.add.at(w, inv, wt)
     return ((uniq // n).astype(np.int64), (uniq % n).astype(np.int64),
             w, mdf, n)
+
+
+def pages_temporal_graph(pages_ds, n_slices, B=None,
+                         num_partitions=16, spill_dir=None,
+                         dedup=True):
+    """Crawl-snapshot slicing: cut the pages table into ``n_slices``
+    equal-width ``warc_ts`` windows and build one url->url edge table
+    per window on ONE shared id space — the input form
+    ``find_partition_temporal_dataset`` consumes (community evolution
+    across crawl snapshots).
+
+    Streaming shape: two column-pruned min/max scans for the window
+    bounds, one pass tagging each page with its slice and spilling to
+    slice-partitioned parquet (each page is extracted exactly once,
+    a failed run resumes per slice directory), a single shared
+    ``assign_ids`` over the corpus urls, then per-slice
+    extract -> links -> id-join. Returns
+    ``(slice_edge_datasets, mapping_ds, n, bounds_us)``.
+    """
+    import os
+    import tempfile
+
+    from .extract import extract_dataset, links_of, texts_of
+
+    T = int(n_slices)
+    if T < 1:
+        raise ValueError("need at least one slice")
+    # window bounds via int64 per-batch partials (timestamp-typed
+    # Dataset.min/max support varies across Ray versions)
+    mm = pages_ds.select_columns(["warc_ts"]).map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(pc.cast(t["warc_ts"],
+                                           pa.int64())).as_py()],
+                           pa.int64()),
+            "hi": pa.array([pc.max(pc.cast(t["warc_ts"],
+                                           pa.int64())).as_py()],
+                           pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True).take_all()
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    span = max(hi - lo + 1, 1)
+    bounds = [lo + span * t // T for t in range(T)] + [hi + 1]
+
+    spill_dir = spill_dir or tempfile.mkdtemp(prefix="lray_slices_")
+    os.makedirs(spill_dir, exist_ok=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["warc_ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sl = np.minimum(((ts - lo) * T) // span, T - 1)
+        return t.append_column("slice",
+                               pa.array(sl.astype(np.int64)))
+
+    pages_ds.map_batches(tag, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .write_parquet(spill_dir, partition_cols=["slice"])
+
+    slice_pages = [rd.read_parquet(os.path.join(spill_dir,
+                                                f"slice={t}"))
+                   for t in range(T)]
+    # shared id space: every url in the corpus, whichever slice
+    extracted = [extract_dataset(sp).materialize()
+                 for sp in slice_pages]
+    urls = slice_pages[0].select_columns(["url"])
+    for sp in slice_pages[1:]:
+        urls = urls.union(sp.select_columns(["url"]))
+    # a url recrawled in several snapshots must map to ONE vid:
+    # per-batch dedup partials + one url shuffle before the ranking
+    urls = urls.map_batches(
+        lambda t: t.group_by(["url"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("url").aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["url"]),
+                     batch_format="pyarrow")
+    mapping, n = assign_ids(urls, B=B)
+    mapping = mapping.materialize()
+    slice_edges = [links_to_edges(links_of(ex), mapping, n,
+                                  num_partitions=num_partitions,
+                                  dedup=dedup)
+                   for ex in extracted]
+    return slice_edges, mapping, n, bounds
 
 
 def pages_to_graph(pages_ds, B=None, num_partitions=16, dedup=True):

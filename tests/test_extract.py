@@ -137,3 +137,66 @@ def test_host_of_edge_cases():
     got = host_of(arr).to_pylist()
     assert got == ["a.example", "h.example:8080", "f.example",
                    "q.example", None, None]
+
+
+def test_pages_temporal_graph_slices_recrawl():
+    """Two crawl snapshots of the same url set (different link
+    structure, shifted warc_ts): pages_temporal_graph must cut at the
+    snapshot boundary, map every url to ONE shared vid, and each
+    slice's edge multiset must equal the per-snapshot build under the
+    same mapping; the slices then drive the distributed temporal
+    entry point."""
+    import pyarrow as pa
+    from leidenalg_ray import find_partition_temporal_dataset
+    from leidenalg_ray.sources.pages import generate_pages_table
+    from leidenalg_ray.stages.graph_build import pages_temporal_graph
+
+    n = 60
+    # epoch 0: 10-cliques at offset 0; epoch 1: shifted by 5
+    def cliq(shift):
+        s, d = [], []
+        for base in range(0, n, 10):
+            mem = [(base + k + shift) % n for k in range(10)]
+            for i in range(10):
+                for j in range(i + 1, 10):
+                    s.append(mem[i]); d.append(mem[j])
+        return np.array(s), np.array(d)
+
+    sA, dA = cliq(0)
+    sB, dB = cliq(5)
+    tabA = generate_pages_table(sA, dA, n, seed=1, dup_prob=0.0)
+    tabB = generate_pages_table(sB, dB, n, seed=2, dup_prob=0.0)
+    # push epoch 1 into a later warc_ts window
+    shift_us = 3_600_000_000_000  # 1000 h
+    tsB = pa.array((tabB["warc_ts"].cast(pa.int64()).to_numpy()
+                    + shift_us), pa.timestamp("us"))
+    tabB = tabB.set_column(tabB.schema.get_field_index("warc_ts"),
+                           "warc_ts", tsB)
+    pages = rd.from_arrow(pa.concat_tables([tabA, tabB]))
+
+    slices, mapping, nv, bounds = pages_temporal_graph(
+        pages, n_slices=2, B=4, num_partitions=4)
+    assert nv == n          # shared id space, recrawled urls deduped
+    url2vid = {r["url"]: r["vid"] for r in mapping.take_all()}
+
+    from leidenalg_ray.sources.pages import url_of
+    for edges_ds, (s_, d_) in zip(slices, [(sA, dA), (sB, dB)]):
+        got = Counter((r["src"], r["dst"], r["weight"])
+                      for r in edges_ds.take_all())
+        want = Counter()
+        for a, b in zip(s_, d_):
+            want[(url2vid[url_of(int(a))],
+                  url2vid[url_of(int(b))], 1.0)] += 1
+        assert got == Counter({k: 1 for k in want})
+
+    mems, q, info = find_partition_temporal_dataset(
+        slices, n_nodes=nv, quality="cpm", resolution_parameter=0.5,
+        interslice_weight=0.01, P=4, seed=3, n_iterations=-1)
+    assert mems.shape == (2, n)
+    # weak coupling: each slice recovers its own planted cliques
+    # (membership rows are indexed by ASSIGNED vid, not corpus vertex)
+    for row, shift in zip(mems, (0, 5)):
+        for base in range(0, n, 10):
+            vids = [url2vid[url_of((base + k + shift) % n)]
+                    for k in range(10)]
+            assert len({row[v] for v in vids}) == 1
