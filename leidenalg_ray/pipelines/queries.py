@@ -6782,6 +6782,67 @@ FROM pr WHERE i = {PAGERANK_ITERS}
 """
 
 
+def q_pages_temporal(sf_dir):
+    """End-to-end crawl-snapshot communities: a deterministic
+    two-epoch recrawl corpus (same urls, planted 10-cliques shifted
+    by 5 between epochs, epoch 1 pushed 1000 h later in ``warc_ts``)
+    -> ``pages_temporal_graph`` (slice spill, shared id space,
+    per-slice extraction) -> ``find_partition_temporal_dataset``.
+    Returns (slice, url, comm) with slice-0 labels canonicalised by
+    first-url appearance. Rows-only: the Leiden fixed point is
+    non-SQL; the slicing/extraction plumbing is oracle-checked in
+    ``tests/test_extract.py::test_pages_temporal_graph_slices_recrawl``
+    and the planted structure below is asserted directly."""
+    from ..functions_api import find_partition_temporal_dataset
+    from ..sources.pages import generate_pages_table
+    from ..stages.graph_build import pages_temporal_graph
+
+    n = 60
+
+    def cliq(shift):
+        s, d = [], []
+        for base in range(0, n, 10):
+            mem = [(base + k + shift) % n for k in range(10)]
+            for i in range(10):
+                for j in range(i + 1, 10):
+                    s.append(mem[i])
+                    d.append(mem[j])
+        return np.asarray(s), np.asarray(d)
+
+    sA, dA = cliq(0)
+    sB, dB = cliq(5)
+    tabA = generate_pages_table(sA, dA, n, seed=1, dup_prob=0.0)
+    tabB = generate_pages_table(sB, dB, n, seed=2, dup_prob=0.0)
+    tsB = pa.array(tabB["warc_ts"].cast(pa.int64()).to_numpy()
+                   + 3_600_000_000_000, pa.timestamp("us"))
+    tabB = tabB.set_column(tabB.schema.get_field_index("warc_ts"),
+                           "warc_ts", tsB)
+    pages = rd.from_arrow(pa.concat_tables([tabA, tabB]))
+    slices, mapping, nv, _ = pages_temporal_graph(
+        pages, n_slices=2, B=4, num_partitions=8)
+    mems, q, info = find_partition_temporal_dataset(
+        slices, n_nodes=nv, quality="cpm", resolution_parameter=0.5,
+        interslice_weight=0.01, P=4, seed=3, n_iterations=-1)
+
+    m = mapping.to_pandas().sort_values("vid")
+    urls = m["url"].to_numpy()
+    out_slice, out_url, out_comm = [], [], []
+    for t in range(2):
+        # canonicalise labels by first appearance in url order
+        seen = {}
+        for v in range(nv):
+            lab = int(mems[t][v])
+            c = seen.setdefault(lab, len(seen))
+            out_slice.append(t)
+            out_url.append(urls[v])
+            out_comm.append(c)
+    return pa.table({
+        "slice": pa.array(np.asarray(out_slice, np.int64)),
+        "url": pa.array(out_url, pa.string()),
+        "comm": pa.array(np.asarray(out_comm, np.int64)),
+    })
+
+
 # --- partition comparison metrics (igraph compare_communities
 # counterpart; reference workflow compares leidenalg partitions via
 # igraph) — distributed contingency build, single formula source in
@@ -7038,6 +7099,7 @@ QUERIES = {
     "brand_graph_co": q_brand_graph_co,
     "brand_pagerank": q_brand_pagerank,
     "partition_compare": q_partition_compare,
+    "pages_temporal": q_pages_temporal,
 }
 
 ORACLE_SQL = {
