@@ -125,31 +125,36 @@ def assign_ids(urls_ds, B=None):
     return mapping.map_batches(norm, batch_format="pyarrow"), n
 
 
-def dedup_edges(edges_ds, src="src", dst="dst"):
-    """(src, dst) link rows -> (src, dst, weight=count) with per-batch
-    pre-aggregation before the groupby shuffle."""
+def dedup_edges(edges_ds, src="src", dst="dst", extra=()):
+    """(src, dst[, extra...]) link rows -> (src, dst[, extra...],
+    weight=count) with per-batch pre-aggregation before the groupby
+    shuffle."""
+    keys = [src, dst] + list(extra)
+
     def preagg(t: pa.Table) -> pa.Table:
-        return t.group_by([src, dst]).aggregate([([], "count_all")]) \
-                .rename_columns([src, dst, "weight"])
+        return t.group_by(keys).aggregate([([], "count_all")]) \
+                .rename_columns(keys + ["weight"])
     pre = edges_ds.map_batches(preagg, batch_format="pyarrow",
                                zero_copy_batch=True)
-    out = pre.groupby([src, dst]).aggregate(Sum("weight",
-                                                alias_name="weight"))
+    out = pre.groupby(keys).aggregate(Sum("weight",
+                                          alias_name="weight"))
     def to_float(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("weight"), "weight",
                             pc.cast(t["weight"], pa.float64()))
     return out.map_batches(to_float, batch_format="pyarrow")
 
 
-def preagg_edges(edges_ds, src="src", dst="dst"):
+def preagg_edges(edges_ds, src="src", dst="dst", extra=()):
     """Per-batch combiner only — (src, dst, weight) multi-edge rows
     with duplicates possible ACROSS batches. For consumers that finish
     the dedup partition-locally (``DistGraph.from_dataset(dedup=True)``
     co-locates all copies of an edge by src%P) or whose math sums
     weights anyway; skips the groupby shuffle ``dedup_edges`` pays."""
+    keys = [src, dst] + list(extra)
+
     def preagg(t: pa.Table) -> pa.Table:
-        out = t.group_by([src, dst]).aggregate([([], "count_all")]) \
-               .rename_columns([src, dst, "weight"])
+        out = t.group_by(keys).aggregate([([], "count_all")]) \
+               .rename_columns(keys + ["weight"])
         return out.set_column(
             out.schema.get_field_index("weight"), "weight",
             pc.cast(out["weight"], pa.float64()))
@@ -199,12 +204,16 @@ def host_graph(links_ds, src="src_url", dst="dst_url"):
 
 
 def links_to_edges(links_ds, mapping_ds, n, num_partitions=16,
-                   drop_dangling=True, dedup=True):
+                   drop_dangling=True, dedup=True, carry=()):
     """(src_url, dst_url) -> (src, dst, weight) int edge table via two
     hash joins against the id mapping; links to urls outside the corpus
     are dropped (dangling targets, FIXTURES.md §1). ``dedup=False``
     returns per-batch pre-aggregated multi-edge rows instead of paying
-    the global groupby (see ``preagg_edges``)."""
+    the global groupby (see ``preagg_edges``). ``carry`` names extra
+    link columns (e.g. a crawl-slice tag) kept through the joins and
+    folded into the dedup key, so ONE join pass can serve every
+    slice."""
+    carry = list(carry)
     m_src = mapping_ds.map_batches(
         lambda t: t.rename_columns(["src_url", "src"]),
         batch_format="pyarrow")
@@ -214,8 +223,9 @@ def links_to_edges(links_ds, mapping_ds, n, num_partitions=16,
     j1 = links_ds.join(m_src, "inner", num_partitions, on=("src_url",))
     j2 = j1.join(m_dst, "inner" if drop_dangling else "left_outer",
                  num_partitions, on=("dst_url",))
-    ints = j2.select_columns(["src", "dst"])
-    return dedup_edges(ints) if dedup else preagg_edges(ints)
+    ints = j2.select_columns(["src", "dst"] + carry)
+    return dedup_edges(ints, extra=carry) if dedup \
+        else preagg_edges(ints, extra=carry)
 
 
 def pages_to_graph_arrays(pages_ds, B=32, concurrency=8):
@@ -359,10 +369,38 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
                      batch_format="pyarrow")
     mapping, n = assign_ids(urls, B=B)
     mapping = mapping.materialize()
-    slice_edges = [links_to_edges(links_of(ex), mapping, n,
-                                  num_partitions=num_partitions,
-                                  dedup=dedup)
-                   for ex in extracted]
+
+    # ONE id-join pass for every slice (the slice tag rides through
+    # the joins and the dedup key) instead of 2T mapping shuffles
+    def tag_links(t_idx):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "slice_t", pa.array(np.full(t.num_rows, t_idx,
+                                            np.int64)))
+        return fn
+
+    links_all = None
+    for t_idx, ex in enumerate(extracted):
+        tagged = links_of(ex).map_batches(tag_links(t_idx),
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
+        links_all = tagged if links_all is None \
+            else links_all.union(tagged)
+    edges_all = links_to_edges(links_all, mapping, n,
+                               num_partitions=num_partitions,
+                               dedup=dedup,
+                               carry=["slice_t"]).materialize()
+
+    def take_slice(t_idx):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["slice_t"], t_idx)) \
+                    .select(["src", "dst", "weight"])
+        return fn
+
+    slice_edges = [edges_all.map_batches(take_slice(t_idx),
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)
+                   for t_idx in range(T)]
     return slice_edges, mapping, n, bounds
 
 
