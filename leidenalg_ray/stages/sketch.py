@@ -65,6 +65,28 @@ def hll_partial(keys, values) -> pd.DataFrame:
     return df.groupby(["key", "bucket"], as_index=False)["rho"].max()
 
 
+# linear-counting branch has only HLL_M possible inputs — precomputed
+# with math.log so the vectorised path is bit-identical to the scalar
+# one (and to DuckDB ln, proven by the hll oracle rows)
+_HLL_LC_TABLE = np.array(
+    [0.0] + [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)])
+
+
+def hll_estimate_from_sums(s_present, n_present):
+    """Vectorised estimator from the ADDITIVE per-key reductions:
+    ``s_present`` = sum of 2^(27 - rho) over present registers,
+    ``n_present`` = number of present registers. Single formula source
+    (``hll_estimate`` delegates here)."""
+    s_present = np.atleast_1d(np.asarray(s_present, dtype=np.int64))
+    n_present = np.atleast_1d(np.asarray(n_present, dtype=np.int64))
+    v_empty = HLL_M - n_present
+    s_int = s_present + v_empty * (1 << HLL_RHO_MAX)
+    raw = HLL_ALPHA_MM / (s_int / float(1 << HLL_RHO_MAX))
+    lc = _HLL_LC_TABLE[v_empty]
+    return np.where((raw <= HLL_LC_THRESHOLD) & (v_empty > 0),
+                    lc, raw)
+
+
 def hll_estimate(registers: dict[int, int]) -> float:
     """Estimate from a {bucket: max_rho} register map.
 
@@ -72,13 +94,8 @@ def hll_estimate(registers: dict[int, int]) -> float:
     registers + 2^27 per empty register (<= 2^33, exact in float64),
     then one IEEE division — deterministic across engines.
     """
-    v_empty = HLL_M - len(registers)
-    s_int = sum(1 << (HLL_RHO_MAX - r) for r in registers.values())
-    s_int += v_empty * (1 << HLL_RHO_MAX)
-    raw = HLL_ALPHA_MM / (s_int / float(1 << HLL_RHO_MAX))
-    if raw <= HLL_LC_THRESHOLD and v_empty > 0:
-        return HLL_M * math.log(HLL_M / v_empty)
-    return raw
+    s = sum(1 << (HLL_RHO_MAX - r) for r in registers.values())
+    return float(hll_estimate_from_sums(s, len(registers))[0])
 
 
 CMS_D = 4                    # hash rows
@@ -177,11 +194,27 @@ def hll_count_distinct(ds, key: str, col: str):
     regs = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["key", "bucket"]).aggregate(Max("rho", alias_name="rho"))
 
-    def estimate(g: pd.DataFrame) -> pd.DataFrame:
-        regmap = dict(zip(g["bucket"].astype(int),
-                          g["rho"].astype(int)))
-        return pd.DataFrame({"key": [g["key"].iloc[0]],
-                             "hll_est": [hll_estimate(regmap)]})
+    # the estimator is additive in (2^(27-rho) sum, register count):
+    # per-batch integer partials + one tiny key groupby + a vectorised
+    # finish — no per-key Python call, keys may split across blocks
+    from ray.data.aggregate import Sum
 
-    return regs.groupby("key").map_groups(estimate,
-                                          batch_format="pandas")
+    def sums(t: pa.Table) -> pa.Table:
+        rho = t["rho"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.int64(1) << (HLL_RHO_MAX - rho)
+        tt = pa.table({"key": t["key"], "s": pa.array(w),
+                       "n": pa.array(np.ones(len(rho), np.int64))})
+        return tt.group_by(["key"]).aggregate([("s", "sum"),
+                                               ("n", "sum")]) \
+                 .rename_columns(["key", "s", "n"])
+
+    def estimate(t: pa.Table) -> pa.Table:
+        est = hll_estimate_from_sums(
+            t["s"].to_numpy(zero_copy_only=False),
+            t["n"].to_numpy(zero_copy_only=False))
+        return pa.table({"key": t["key"], "hll_est": pa.array(est)})
+
+    return regs.map_batches(sums, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("s", alias_name="s"),
+                                  Sum("n", alias_name="n")) \
+        .map_batches(estimate, batch_format="pyarrow")
