@@ -48,6 +48,11 @@ def main():
                     help="also write the contracted host->host graph "
                          "(streaming url->host contraction of the "
                          "link stream; out/host_graph/)")
+    ap.add_argument("--temporal", type=int, default=0, metavar="T",
+                    help="also slice the crawl into T equal-width "
+                         "warc_ts windows and write per-snapshot "
+                         "communities from the distributed temporal "
+                         "Leiden (out/temporal_communities/)")
     args = ap.parse_args()
 
     import ray
@@ -147,6 +152,30 @@ def main():
         from leidenalg_ray.stages.graph_build import host_graph
         host_graph(links_of(extract_dataset(pages))) \
             .write_parquet(os.path.join(args.out, "host_graph"))
+    if args.temporal > 0:
+        from leidenalg_ray.functions_api import (
+            find_partition_temporal_dataset)
+        from leidenalg_ray.stages.graph_build import (
+            pages_temporal_graph)
+        t_sl = time.time()
+        slices, t_mapping, t_n, bounds = pages_temporal_graph(
+            pages, n_slices=args.temporal, num_partitions=P)
+        t_mems, t_q, t_info = find_partition_temporal_dataset(
+            slices, n_nodes=t_n, quality=args.quality,
+            resolution_parameter=args.gamma, P=P, seed=42)
+        tdir = os.path.join(args.out, "temporal_communities")
+        os.makedirs(tdir, exist_ok=True)
+        for t_idx in range(args.temporal):
+            pq.write_table(pa.table({
+                "vid": pa.array(np.arange(t_n, dtype=np.int64)),
+                "comm": pa.array(t_mems[t_idx].astype(np.int64)),
+            }), os.path.join(tdir, f"slice-{t_idx:04d}.parquet"))
+        summary_temporal = {
+            "n_slices": args.temporal, "quality": float(t_q),
+            "sec_temporal": round(time.time() - t_sl, 2),
+        }
+    else:
+        summary_temporal = None
     if args.build == "distributed":
         mapping.write_parquet(os.path.join(args.out, "url_mapping"))
     else:
@@ -160,6 +189,8 @@ def main():
         "sec_build": round(t_build, 2), "sec_bsp": round(t_bsp, 2),
         "sec_leiden": round(t_leiden, 2),
     }
+    if summary_temporal is not None:
+        summary["temporal"] = summary_temporal
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
