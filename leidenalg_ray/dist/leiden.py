@@ -412,6 +412,7 @@ class LeidenShard:
 
     def __init__(self, p, P, block=None, parquet_dir=None):
         self.p, self.P = int(p), int(P)
+        self.parquet_dir = parquet_dir
         if block is None:
             block = self._load_parquet(parquet_dir)
         self._set_block(block)
@@ -471,6 +472,15 @@ class LeidenShard:
         self.scal = None
         self.fixed_local = None
         return True
+
+    def reload_parquet(self):
+        """Restore this actor's LEVEL-0 block from its parquet spill
+        (probe runs mutate blocks across levels) so one shard pool can
+        serve many optimisation runs — e.g. every gamma probe of a
+        resolution profile — without P actor respawns per run."""
+        if self.parquet_dir is None:
+            raise ValueError("shard was not parquet-backed")
+        return self.load_level(self._load_parquet(self.parquet_dir))
 
     def set_fixed(self, fixed):
         """Adopt the full fixed-membership mask (zero-copy broadcast
@@ -1075,9 +1085,16 @@ class DistLeiden:
 
         if _parquet_dir is not None:
             self.node_size = self._norm_sizes(node_sizes)
-            self.actors = [LeidenShard.remote(p, P,
-                                              parquet_dir=_parquet_dir)
-                           for p in range(P)]
+            if _actors is not None:
+                # recycle a parquet-backed pool (e.g. the previous
+                # resolution-profile probe): reload level-0 blocks
+                # instead of respawning P actors
+                self.actors = _actors
+                ray.get([a.reload_parquet.remote() for a in _actors])
+            else:
+                self.actors = [LeidenShard.remote(
+                    p, P, parquet_dir=_parquet_dir)
+                    for p in range(P)]
             self._finish_init(node_sizes)
             return
 

@@ -275,9 +275,15 @@ def resolution_profile_dataset(edges_ds, n, quality="cpm",
     def find_partition(res):
         dl = probes.pop("next", None)
         if dl is None or dl.gamma != float(res):
+            # recycle the previous probe's shard pool (level-0 blocks
+            # reload from the spill) — no P actor respawns per gamma
+            prev = probes.pop("prev", None)
             dl = DistLeiden(n=n, quality=quality,
                             resolution_parameter=float(res), P=P,
-                            seed=seed, _parquet_dir=spill, **kwargs)
+                            seed=seed, _parquet_dir=spill,
+                            _actors=(prev.actors if prev is not None
+                                     else None), **kwargs)
+        probes["prev"] = dl
         mem, q, info = dl.run(n_iterations=n_iterations)
         stats = stats_dl._stats_of(mem)
         return _ProfilePoint(res, mem, stats, stats_dl)
