@@ -6652,14 +6652,20 @@ def _brand_codes(sf_dir):
     return brands, lut
 
 
+_BRAND_GRAPH_CACHE = {}
+
+
 def q_brand_graph_co(sf_dir):
     """Contract the part co-occurrence graph to brand level (the
     host-graph contraction: url->host becomes part->brand). The
     brand lookup broadcasts once via ``ray.put``; each edge batch
-    relabels vectorised and emits a fixed B*B integer partial, so the
-    shuffle carries O(B^2) rows per batch, never the edge list.
-    Self-pairs (intra-brand edges) are kept — they are the intra-host
-    link mass."""
+    relabels vectorised and emits a fixed B*B integer partial, merged
+    on the driver (bounded O(B^2) state, no shuffle) — the edge list
+    never moves. Self-pairs (intra-brand edges) are kept — they are
+    the intra-host link mass. Memoised per sf_dir (brand_pagerank
+    reuses the contraction)."""
+    if sf_dir in _BRAND_GRAPH_CACHE:
+        return _BRAND_GRAPH_CACHE[sf_dir]
     import ray as _ray
     brands, lut = _brand_codes(sf_dir)
     B = len(brands)
@@ -6682,20 +6688,23 @@ def q_brand_graph_co(sf_dir):
         return pa.table({"key": pa.array(nz.astype(np.int64)),
                          "w": pa.array(ws[nz])})
 
-    agg = edges.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .groupby("key").aggregate(Sum("w", alias_name="w"))
-
-    def finish(t: pa.Table) -> pa.Table:
-        key = t["key"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "brand_a": pa.array(brands[key // B]),
-            "brand_b": pa.array(brands[key % B]),
-            "weight": pa.array(
-                t["w"].to_numpy(zero_copy_only=False)
-                .astype(np.float64)),
-        })
-    return agg.map_batches(finish, batch_format="pyarrow")
+    # merge the fixed B*B partials on the driver (bounded state; a
+    # Ray Data groupby here would pay the ~12 s fixed shuffle cost
+    # for a 325-row merge — CLAUDE.md hot-path rule)
+    acc = np.zeros(B * B, dtype=np.int64)
+    for part_t in edges.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        np.add.at(acc, part_t["key"].to_numpy(zero_copy_only=False),
+                  part_t["w"].to_numpy(zero_copy_only=False))
+    nz = np.flatnonzero(acc)
+    out = pa.table({
+        "brand_a": pa.array(brands[nz // B]),
+        "brand_b": pa.array(brands[nz % B]),
+        "weight": pa.array(acc[nz].astype(np.float64)),
+    })
+    _BRAND_GRAPH_CACHE[sf_dir] = out
+    return out
 
 
 SQL_BRAND_GRAPH_CO = """
@@ -6725,22 +6734,19 @@ def q_brand_pagerank(sf_dir):
 
     brands, _ = _brand_codes(sf_dir)
     B = len(brands)
-    con = q_brand_graph_co(sf_dir)
+    t = q_brand_graph_co(sf_dir)         # memoised contraction table
 
-    def sym(t: pa.Table) -> pa.Table:
-        a = np.searchsorted(brands, np.asarray(t["brand_a"]))
-        b = np.searchsorted(brands, np.asarray(t["brand_b"]))
-        w = t["weight"].to_numpy(zero_copy_only=False)
-        nl = a != b                      # self-loops stay single
-        return pa.table({
-            "src": pa.array(np.concatenate([a, b[nl]])),
-            "dst": pa.array(np.concatenate([b, a[nl]])),
-            "weight": pa.array(np.concatenate([w, w[nl]])),
-        })
-
+    a = np.searchsorted(brands, np.asarray(t["brand_a"].to_pylist()))
+    b = np.searchsorted(brands, np.asarray(t["brand_b"].to_pylist()))
+    w = t["weight"].to_numpy(zero_copy_only=False)
+    nl = a != b                          # self-loops stay single
+    sym = pa.table({
+        "src": pa.array(np.concatenate([a, b[nl]])),
+        "dst": pa.array(np.concatenate([b, a[nl]])),
+        "weight": pa.array(np.concatenate([w, w[nl]])),
+    })
     g = DistGraph.from_dataset(
-        con.map_batches(sym, batch_format="pyarrow"),
-        n=B, P=4, directed=False, dedup=True)
+        rd.from_arrow(sym), n=B, P=4, directed=False, dedup=True)
     rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
                           max_iter=PAGERANK_ITERS, weighted=True)
     return pa.table({"brand": pa.array(brands),
@@ -6874,13 +6880,14 @@ def q_partition_compare(sf_dir):
             "n": pa.array(n.astype(np.int64)),
         })
 
-    agg = parts.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .groupby("cell").aggregate(Sum("n", alias_name="n")) \
-        .take_all()
+    # driver-merge of the fixed 70-cell partials (no groupby shuffle
+    # for a 70-int merge — CLAUDE.md hot-path rule)
     C = np.zeros(ka * kb, dtype=np.int64)
-    for r in agg:
-        C[r["cell"]] = r["n"]
+    for part_t in parts.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        np.add.at(C, part_t["cell"].to_numpy(zero_copy_only=False),
+                  part_t["n"].to_numpy(zero_copy_only=False))
     C = C.reshape(ka, kb)
     return pa.table({
         "nmi": pa.array(round6([metrics_from_contingency(C, "nmi")])),

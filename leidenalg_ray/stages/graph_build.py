@@ -214,6 +214,22 @@ def links_to_edges(links_ds, mapping_ds, n, num_partitions=16,
     folded into the dedup key, so ONE join pass can serve every
     slice."""
     carry = list(carry)
+
+    # empty upstream datasets (e.g. a crawl window with no pages) can
+    # contribute ZERO-COLUMN empty blocks that crash the pyarrow hash
+    # join — rebuild the declared schema for them (carry columns are
+    # int64 tags by contract)
+    def _norm_links(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            cols = {"src_url": pa.array([], pa.string()),
+                    "dst_url": pa.array([], pa.string())}
+            for c in carry:
+                cols[c] = pa.array([], pa.int64())
+            return pa.table(cols)
+        return t
+
+    links_ds = links_ds.map_batches(_norm_links,
+                                    batch_format="pyarrow")
     m_src = mapping_ds.map_batches(
         lambda t: t.rename_columns(["src_url", "src"]),
         batch_format="pyarrow")
@@ -306,11 +322,14 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
 
     Streaming shape: two column-pruned min/max scans for the window
     bounds, one pass tagging each page with its slice and spilling to
-    slice-partitioned parquet (each page is extracted exactly once,
-    a failed run resumes per slice directory), a single shared
-    ``assign_ids`` over the corpus urls, then per-slice
-    extract -> links -> id-join. Returns
-    ``(slice_edge_datasets, mapping_ds, n, bounds_us)``.
+    slice-partitioned parquet (each page is extracted exactly once;
+    re-running with the same ``spill_dir`` reuses a completed spill —
+    a ``_SPILL_DONE`` marker guards against the double-append a naive
+    rerun would silently produce), a single shared ``assign_ids`` over
+    the corpus urls, then per-slice extract -> links -> id-join.
+    Returns ``(slice_edge_datasets, mapping_ds, n, bounds_us)`` where
+    ``bounds_us[t]`` is the first timestamp of slice t (consistent
+    with the tagging: slice(ts) = floor((ts-lo)*T/span)).
     """
     import os
     import tempfile
@@ -321,7 +340,8 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
     if T < 1:
         raise ValueError("need at least one slice")
     # window bounds via int64 per-batch partials (timestamp-typed
-    # Dataset.min/max support varies across Ray versions)
+    # Dataset.min/max support varies across Ray versions); empty
+    # blocks yield null partials — drop them
     mm = pages_ds.select_columns(["warc_ts"]).map_batches(
         lambda t: pa.table({
             "lo": pa.array([pc.min(pc.cast(t["warc_ts"],
@@ -331,13 +351,20 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
                                            pa.int64())).as_py()],
                            pa.int64()),
         }), batch_format="pyarrow", zero_copy_batch=True).take_all()
-    lo = min(r["lo"] for r in mm)
-    hi = max(r["hi"] for r in mm)
+    los = [r["lo"] for r in mm if r["lo"] is not None]
+    if not los:
+        raise ValueError("pages dataset is empty")
+    lo = min(los)
+    hi = max(r["hi"] for r in mm if r["hi"] is not None)
     span = max(hi - lo + 1, 1)
-    bounds = [lo + span * t // T for t in range(T)] + [hi + 1]
+    # slice t starts at the first ts with floor((ts-lo)*T/span) == t,
+    # i.e. lo + ceil(span*t/T) — matches the tag() assignment exactly
+    bounds = [lo + (span * t + T - 1) // T for t in range(T)] \
+        + [hi + 1]
 
     spill_dir = spill_dir or tempfile.mkdtemp(prefix="lray_slices_")
     os.makedirs(spill_dir, exist_ok=True)
+    marker = os.path.join(spill_dir, "_SPILL_DONE")
 
     def tag(t: pa.Table) -> pa.Table:
         ts = pc.cast(t["warc_ts"], pa.int64()) \
@@ -346,19 +373,33 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
         return t.append_column("slice",
                                pa.array(sl.astype(np.int64)))
 
-    pages_ds.map_batches(tag, batch_format="pyarrow",
-                         zero_copy_batch=True) \
-        .write_parquet(spill_dir, partition_cols=["slice"])
+    if not os.path.exists(marker):
+        pages_ds.map_batches(tag, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .write_parquet(spill_dir, partition_cols=["slice"])
+        with open(marker, "w") as f:
+            f.write("ok")
 
-    slice_pages = [rd.read_parquet(os.path.join(spill_dir,
-                                                f"slice={t}"))
-                   for t in range(T)]
+    # a window with zero pages writes no directory (clustered crawl
+    # timestamps): such slices are tracked and get a typed empty edge
+    # Dataset at the end — they must NOT enter the union/join pipeline
+    # (Ray Data passes zero-column empty blocks through map_batches
+    # untouched, and the pyarrow hash join crashes on them)
+    present = [t for t in range(T)
+               if os.path.isdir(os.path.join(spill_dir,
+                                             f"slice={t}"))]
+    slice_pages = {t: rd.read_parquet(os.path.join(spill_dir,
+                                                   f"slice={t}"))
+                   for t in present}
     # shared id space: every url in the corpus, whichever slice
-    extracted = [extract_dataset(sp).materialize()
-                 for sp in slice_pages]
-    urls = slice_pages[0].select_columns(["url"])
-    for sp in slice_pages[1:]:
-        urls = urls.union(sp.select_columns(["url"]))
+    extracted = {t: extract_dataset(slice_pages[t]).materialize()
+                 for t in present}
+    urls = None
+    for t in present:
+        u = slice_pages[t].select_columns(["url"])
+        urls = u if urls is None else urls.union(u)
+    if urls is None:
+        raise ValueError("pages dataset is empty")
     # a url recrawled in several snapshots must map to ONE vid:
     # per-batch dedup partials + one url shuffle before the ranking
     urls = urls.map_batches(
@@ -380,16 +421,22 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
         return fn
 
     links_all = None
-    for t_idx, ex in enumerate(extracted):
-        tagged = links_of(ex).map_batches(tag_links(t_idx),
-                                          batch_format="pyarrow",
-                                          zero_copy_batch=True)
+    for t_idx in present:
+        tagged = links_of(extracted[t_idx]) \
+            .map_batches(tag_links(t_idx), batch_format="pyarrow",
+                         zero_copy_batch=True)
         links_all = tagged if links_all is None \
             else links_all.union(tagged)
     edges_all = links_to_edges(links_all, mapping, n,
                                num_partitions=num_partitions,
                                dedup=dedup,
                                carry=["slice_t"]).materialize()
+
+    empty_edges = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+        "weight": pa.array([], pa.float64()),
+    }))
 
     def take_slice(t_idx):
         def fn(t: pa.Table) -> pa.Table:
@@ -400,18 +447,24 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
     slice_edges = [edges_all.map_batches(take_slice(t_idx),
                                          batch_format="pyarrow",
                                          zero_copy_batch=True)
+                   if t_idx in extracted else empty_edges
                    for t_idx in range(T)]
     return slice_edges, mapping, n, bounds
 
 
-def pages_to_graph(pages_ds, B=None, num_partitions=16, dedup=True):
+def pages_to_graph(pages_ds, B=None, num_partitions=16, dedup=True,
+                   extracted=None):
     """Full pipeline: pages -> extract -> id-assign -> dedup'd int edge
     table. Returns (edges Dataset(src,dst,weight), mapping Dataset, n).
     ``dedup=False`` leaves the exact dedup to the partition-local pass
-    in ``DistGraph.from_dataset(dedup=True)``."""
+    in ``DistGraph.from_dataset(dedup=True)``. Pass ``extracted`` (a
+    materialised ``extract_dataset`` result) to share one extraction
+    run with other consumers (host graph, text stages) instead of
+    re-parsing the corpus."""
     from .extract import extract_dataset, links_of, texts_of
 
-    extracted = extract_dataset(pages_ds).materialize()
+    if extracted is None:
+        extracted = extract_dataset(pages_ds).materialize()
     links = links_of(extracted)
     urls = texts_of(extracted).select_columns(["url"])
     mapping, n = assign_ids(urls, B=B)

@@ -77,10 +77,17 @@ def main():
     P = args.partitions
     pages = rd.read_parquet(args.pages)
     t0 = time.time()
+    # extraction is the dominant stage: run it ONCE and share the
+    # materialised result between the main build and --host-graph
+    shared_extracted = None
+    if args.build == "distributed" or args.host_graph:
+        from leidenalg_ray.stages.extract import extract_dataset
+        shared_extracted = extract_dataset(pages).materialize()
     if args.build == "distributed":
         # >node-memory shape: the driver never holds urls or edges
         edges_ds, mapping_ds, n = pages_to_graph(
-            pages, B=32, num_partitions=P, dedup=False)
+            pages, B=32, num_partitions=P, dedup=False,
+            extracted=shared_extracted)
         edges_ds = edges_ds.materialize()   # reused by three builds
         mapping = mapping_ds.materialize()
         n_edges = edges_ds.count()
@@ -147,10 +154,9 @@ def main():
             "comm": pa.array(mem[sl]),
         }), f)
     if args.host_graph:
-        from leidenalg_ray.stages.extract import (extract_dataset,
-                                                  links_of)
+        from leidenalg_ray.stages.extract import links_of
         from leidenalg_ray.stages.graph_build import host_graph
-        host_graph(links_of(extract_dataset(pages))) \
+        host_graph(links_of(shared_extracted)) \
             .write_parquet(os.path.join(args.out, "host_graph"))
     if args.temporal > 0:
         from leidenalg_ray.functions_api import (
@@ -170,6 +176,12 @@ def main():
                 "vid": pa.array(np.arange(t_n, dtype=np.int64)),
                 "comm": pa.array(t_mems[t_idx].astype(np.int64)),
             }), os.path.join(tdir, f"slice-{t_idx:04d}.parquet"))
+        # the temporal pipeline has its OWN id space (auto-B bucket
+        # ranking over the recrawl-deduped url set) — write its
+        # mapping so temporal vids are interpretable; do NOT join
+        # temporal_communities against the main url_mapping
+        t_mapping.write_parquet(
+            os.path.join(args.out, "temporal_url_mapping"))
         summary_temporal = {
             "n_slices": args.temporal, "quality": float(t_q),
             "sec_temporal": round(time.time() - t_sl, 2),

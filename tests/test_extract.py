@@ -200,3 +200,39 @@ def test_pages_temporal_graph_slices_recrawl():
             vids = [url2vid[url_of((base + k + shift) % n)]
                     for k in range(10)]
             assert len({row[v] for v in vids}) == 1
+
+
+def test_pages_temporal_graph_empty_window_and_bounds():
+    """Clustered crawl timestamps leave middle windows empty: those
+    slices must come back as empty edge Datasets (not crash), and the
+    returned bounds must agree with the tagging formula."""
+    import pyarrow as pa
+    from leidenalg_ray.sources.pages import generate_pages_table
+    from leidenalg_ray.stages.graph_build import pages_temporal_graph
+
+    n = 20
+    s = np.array([0, 1, 2, 3])
+    d = np.array([1, 2, 3, 0])
+    tabA = generate_pages_table(s, d, n, seed=1, dup_prob=0.0)
+    tabB = generate_pages_table(d, s, n, seed=2, dup_prob=0.0)
+    shift = 4_000_000_000_000
+    tsB = pa.array(tabB["warc_ts"].cast(pa.int64()).to_numpy()
+                   + shift, pa.timestamp("us"))
+    tabB = tabB.set_column(tabB.schema.get_field_index("warc_ts"),
+                           "warc_ts", tsB)
+    pages = rd.from_arrow(pa.concat_tables([tabA, tabB]))
+
+    slices, mapping, nv, bounds = pages_temporal_graph(
+        pages, n_slices=4, B=4, num_partitions=4)
+    assert len(slices) == 4 and len(bounds) == 5
+    counts = [e.count() for e in slices]
+    assert counts[0] > 0 and counts[-1] > 0
+    assert counts[1] == 0 and counts[2] == 0   # empty middle windows
+    # bounds consistent with the tag formula: a ts at bounds[t] lands
+    # in slice t, and bounds[t]-1 lands in slice t-1
+    lo, hi = bounds[0], bounds[-1] - 1
+    span = hi - lo + 1
+    T = 4
+    for t in range(1, T):
+        assert (bounds[t] - lo) * T // span == t
+        assert (bounds[t] - 1 - lo) * T // span == t - 1
