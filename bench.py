@@ -280,6 +280,11 @@ def run_bench():
                           # per superstep: messages (float32, ~n values)
                           # + rank/norm shard reads (float64)
                           "msg_bytes_per_superstep": int(4 * bsp_n)},
+            # window-health keys: run_scaling reads both from each
+            # subprocess result, so the pages-mode early return must
+            # carry them like the full run does (bench.py:391-394)
+            "membw_gib_s": membw,
+            "membw_end_gib_s": _probe_membw(),
         }
         print(json.dumps(result))
         ray.shutdown()
