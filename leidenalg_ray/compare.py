@@ -45,8 +45,9 @@ def _qln(x):
 
 def compare_partitions(m1, m2, method: str = "nmi") -> float:
     """Similarity/distance between two partitions of the same vertex
-    set. ``method``: ``nmi`` (normalised mutual information, sqrt
-    normalisation), ``ari`` (adjusted Rand index), ``vi`` (variation
+    set. ``method``: ``nmi`` (normalised mutual information, Danon
+    2I/(Ha+Hb) normalisation as in igraph compare_communities),
+    ``ari`` (adjusted Rand index), ``vi`` (variation
     of information, nats), ``rand`` (Rand index) or ``split-join``
     (van Dongen split-join distance, integer)."""
     return metrics_from_contingency(contingency(m1, m2), method)
@@ -108,6 +109,9 @@ def metrics_from_contingency(C, method: str = "nmi") -> float:
     if method == "nmi":
         if Ha == 0.0 and Hb == 0.0:
             return 1.0  # both trivial -> identical
-        denom = np.sqrt(Ha * Hb)
-        return float(I / denom) if denom > 0 else 0.0
+        # Danon et al. 2005 arithmetic-mean normalisation 2I/(Ha+Hb)
+        # — igraph compare_communities("nmi")'s definition, the
+        # upstream workflow counterpart this module mirrors
+        denom = Ha + Hb
+        return float(2.0 * I / denom) if denom > 0 else 0.0
     raise ValueError(f"unknown method {method!r}")

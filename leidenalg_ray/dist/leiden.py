@@ -1504,12 +1504,26 @@ class DistLeiden:
                     admit = np.zeros(len(vids), dtype=bool)
                     for i in order:
                         t_ = int(mv["targs"][i])
+                        c_ = int(mv["cur"][i])
                         nsv = mv["nsz"][0][i]
                         snap_fill = stats["size"][0][t_] + nsv <= min_s
                         if snap_fill and run_size[t_] + nsv > min_s:
                             continue
+                        # leave premise: the kernel charged -E only
+                        # when the SNAPSHOT said the source drops
+                        # under min_s (dist/leiden.py:348-349);
+                        # parallel leavers can drain it below without
+                        # any penalty in the same step — skip a move
+                        # whose un-penalised leave premise broke
+                        # against RUNNING sizes (the sequential queue
+                        # would have re-scored it with -E)
+                        snap_left = stats["size"][0][c_] - nsv
+                        run_left = run_size[c_] - nsv
+                        if (0 < run_left < min_s) \
+                                and not (0 < snap_left < min_s):
+                            continue
                         run_size[t_] += nsv
-                        run_size[int(mv["cur"][i])] -= nsv
+                        run_size[c_] -= nsv
                         admit[i] = True
                     mv = {k: v[..., admit] for k, v in mv.items()}
                     vids = mv["vids"]

@@ -1911,11 +1911,18 @@ def q_leiden_minsize_complete(sf_dir):
     over the suppliers under CPM gamma=1 is move-indifferent (every
     merge delta is exactly 0 — internal weight gained equals the
     resolution penalty), so the soft min-size bonus/penalty alone
-    shapes the fixed point: communities of exactly 5. Reported as the
-    size histogram (the grouping itself is seed-dependent on an
-    indifferent landscape; the sizes are the closed form). The K_n
-    instance is a driver-built planted verification graph, like the
-    other planted rows."""
+    shapes the fixed point. The landscape has MANY stuck states
+    (e.g. all-size-4 communities: the +E fill bonus exactly cancels
+    the -E leave penalty), so a size histogram would be
+    seed/schedule-dependent. The emitted row asserts only the
+    invariants that hold in EVERY fixed point of the dynamics:
+    total mass = n, no community above min_comm_size (a member of a
+    >min_s community always has the positive-score escape to an
+    empty community: +E fill, no leave penalty), and no singleton
+    coexisting with another fillable (<min_s) community (that move
+    scores +E with no leave penalty). The K_n instance is a
+    driver-built planted verification graph, like the other planted
+    rows."""
     n = tg.supplier_count(sf_dir)
     ii, jj = np.triu_indices(n, k=1)
     dl = DistLeiden(ii.astype(np.int64), jj.astype(np.int64), n=n,
@@ -1925,14 +1932,21 @@ def q_leiden_minsize_complete(sf_dir):
                     community_constraint_enforcement=10.0)
     mem, q, info = dl.run()
     sizes = np.bincount(np.unique(mem, return_inverse=True)[1])
-    us, uc = np.unique(sizes, return_counts=True)
-    return pa.table({"comm_size": pa.array(us.astype(np.int64)),
-                     "n_comms": pa.array(uc.astype(np.int64))})
+    min_s = 5
+    n1 = int((sizes == 1).sum())
+    mid_small = int(((sizes >= 2) & (sizes < min_s)).sum())
+    escapable_singleton = n1 >= 2 or (n1 == 1 and mid_small > 0)
+    fixed_ok = (int(sizes.max()) <= min_s) \
+        and not escapable_singleton
+    return pa.table({
+        "total": pa.array([int(sizes.sum())], pa.int64()),
+        "fixed_ok": pa.array([int(fixed_ok)], pa.int64()),
+    })
 
 
 SQL_LEIDEN_MINSIZE = """
-SELECT CAST(5 AS BIGINT) AS comm_size,
-       CAST(count(*) / 5 AS BIGINT) AS n_comms
+SELECT CAST(count(*) AS BIGINT) AS total,
+       CAST(1 AS BIGINT) AS fixed_ok
 FROM supplier
 """
 
@@ -6937,7 +6951,7 @@ fin AS (SELECT
     CAST(p.sb AS DOUBLE) AS sb, CAST(p.np AS DOUBLE) AS np,
     nn.N AS n, sj.covered AS covered
     FROM ifp, hafp, hbfp, pairs p, nn, sj)
-SELECT round(i_ / sqrt(ha * hb), 6) AS nmi,
+SELECT round(2.0 * i_ / (ha + hb), 6) AS nmi,
        round((sij - (sa * sb) / np)
              / ((sa + sb) / 2.0 - (sa * sb) / np), 6) AS ari,
        round(ha + hb - 2.0 * i_, 6) AS vi,

@@ -332,6 +332,7 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
     with the tagging: slice(ts) = floor((ts-lo)*T/span)).
     """
     import os
+    import shutil
     import tempfile
 
     from .extract import extract_dataset, links_of, texts_of
@@ -374,6 +375,16 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
                                pa.array(sl.astype(np.int64)))
 
     if not os.path.exists(marker):
+        # the marker only protects COMPLETED spills: a crash mid
+        # write_parquet leaves partial slice=* files without it, and
+        # Ray writes uuid-named files, so a blind re-spill would add
+        # a full second copy alongside them (duplicated pages double
+        # per-slice edge weights silently). Clear stale slice dirs
+        # before re-spilling.
+        for d in os.listdir(spill_dir):
+            if d.startswith("slice="):
+                shutil.rmtree(os.path.join(spill_dir, d),
+                              ignore_errors=True)
         pages_ds.map_batches(tag, batch_format="pyarrow",
                              zero_copy_batch=True) \
             .write_parquet(spill_dir, partition_cols=["slice"])

@@ -44,7 +44,7 @@ def _naive(m1, m2, method):
         return Ha + Hb - 2 * I
     if Ha == 0 and Hb == 0:
         return 1.0
-    return I / math.sqrt(Ha * Hb)
+    return 2 * I / (Ha + Hb)  # Danon normalisation (igraph nmi)
 
 
 METHODS = ["nmi", "ari", "vi", "rand", "split-join"]

@@ -236,3 +236,34 @@ def test_pages_temporal_graph_empty_window_and_bounds():
     for t in range(1, T):
         assert (bounds[t] - lo) * T // span == t
         assert (bounds[t] - 1 - lo) * T // span == t - 1
+
+
+def test_pages_temporal_graph_stale_spill_recovery(tmp_path):
+    """A crash mid-spill leaves slice=* files WITHOUT the _SPILL_DONE
+    marker; a rerun with the same spill_dir must clear the stale
+    files and produce the same edges as a clean run — not silently
+    duplicate pages and double per-slice edge weights."""
+    import pyarrow as pa
+    from leidenalg_ray.sources.pages import generate_pages_table
+    from leidenalg_ray.stages.graph_build import pages_temporal_graph
+
+    n = 20
+    s = np.array([0, 1, 2, 3, 4, 5])
+    d = np.array([1, 2, 3, 4, 5, 0])
+    tab = generate_pages_table(s, d, n, seed=1, dup_prob=0.0)
+    pages = rd.from_arrow(tab)
+
+    spill = str(tmp_path / "spill")
+    slices, _, _, _ = pages_temporal_graph(
+        pages, n_slices=2, B=4, num_partitions=4, spill_dir=spill)
+    clean = sorted((r["src"], r["dst"], r["weight"])
+                   for e in slices for r in e.take_all())
+
+    # simulate the crash: completed slice files present, marker gone
+    import os
+    os.remove(os.path.join(spill, "_SPILL_DONE"))
+    slices2, _, _, _ = pages_temporal_graph(
+        pages, n_slices=2, B=4, num_partitions=4, spill_dir=spill)
+    redo = sorted((r["src"], r["dst"], r["weight"])
+                  for e in slices2 for r in e.take_all())
+    assert redo == clean
