@@ -31,7 +31,7 @@ from .checkpoint import CheckpointManager
 def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
              weighted=False, checkpoint=None,
              message_dtype=np.float64, active=False, personalize=None,
-             init_rank=None):
+             init_rank=None, result_out=None):
     """North-rule semantics: rank = (1-d)/n + d*(sum_in rank/outdeg +
     dangling_mass/n); iterate until L1 delta < tol. ``weighted`` uses
     strength-normalised contributions instead of degree.
@@ -57,7 +57,13 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
     reached that state in-run, so warm-starting a converged vector
     after small graph updates re-converges in a handful of supersteps
     instead of from scratch — the dynamic-recrawl path for a web-scale
-    link graph."""
+    link graph.
+
+    ``result_out=<dir>``: each shard writes its ``(vid, rank)``
+    parquet from its worker instead of the driver assembling an O(n)
+    array — returns ``({"path", "rows", "column"}, iters)``. The
+    at-scale output seam (all superstep kernels share it via
+    ``_finish``), mirroring ``DistLeiden.run(membership_out=)``."""
     P, n, sizes = g.P, g.n, g.sizes
     if active:
         act_refs, n_eff = g.active_masks()
@@ -145,7 +151,8 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
             rank_refs = [ray.put(s) for s in shards]
             if metrics.get("l1_delta", np.inf) < tol:
                 # the checkpointed run already converged
-                return assemble(g, rank_refs), start_iter
+                return _finish(g, rank_refs, start_iter, result_out,
+                               "rank")
 
     for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(
@@ -165,7 +172,7 @@ def pagerank(g: DistGraph, damping=0.85, tol=1e-6, max_iter=200,
                       metrics={"l1_delta": delta})
         if delta < tol:
             break
-    return assemble(g, rank_refs), it + 1
+    return _finish(g, rank_refs, it + 1, result_out, "rank")
 
 
 def assemble(g: DistGraph, shard_refs):
@@ -178,11 +185,61 @@ def assemble(g: DistGraph, shard_refs):
     return out
 
 
+@ray.remote
+def _write_shard_task(shard, p, P, out_dir, column):
+    """Write one shard's (vid, value) parquet from the worker.
+
+    Crash-safe + resumable: writes to a tmp name and ``os.replace``s
+    into place, and skips a part file that already exists, so a rerun
+    after a mid-write crash neither duplicates nor re-does finished
+    partitions (a torn write only ever exists under the tmp name)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"part-{p:05d}.parquet")
+    if os.path.exists(path):
+        return len(shard)
+    shard = np.asarray(shard)
+    vids = p + P * np.arange(len(shard), dtype=np.int64)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(pa.table({"vid": pa.array(vids),
+                             column: pa.array(shard)}), tmp)
+    os.replace(tmp, path)
+    return len(shard)
+
+
+def write_shard_results(g: DistGraph, shard_refs, out_dir, column):
+    """Shard-side partitioned parquet output — the o(n)-driver seam.
+
+    Each shard writes its own ``part-{p:05d}.parquet`` with columns
+    ``(vid, <column>)`` directly from a worker task (the shard ref
+    never moves through the driver), mirroring
+    ``DistLeiden.run(membership_out=)``. Returns total rows written.
+    At 10^10 vertices the driver holds P object refs and P ints —
+    never an O(n) array."""
+    rows = ray.get([_write_shard_task.remote(
+        shard_refs[p], p, g.P, out_dir, column) for p in range(g.P)])
+    return int(sum(rows))
+
+
+def _finish(g: DistGraph, shard_refs, iters, result_out, column):
+    """Common kernel epilogue: assemble on the driver (the in-memory
+    tier / oracle path), or — when ``result_out`` is a directory —
+    write per-shard parquet from the workers and hand back only
+    ``{"path", "rows", "column"}`` (the at-scale path; driver state
+    stays o(n))."""
+    if result_out is None:
+        return assemble(g, shard_refs), iters
+    rows = write_shard_results(g, shard_refs, result_out, column)
+    return {"path": result_out, "rows": rows, "column": column}, iters
+
+
 # ----------------------------------------------------------------------
 # Connected components (weak): min-label propagation to fixed point
 # ----------------------------------------------------------------------
 def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None,
-                         init_labels=None):
+                         init_labels=None, result_out=None):
     """Exact membership; graph blocks must contain both edge
     directions (``from_edges(..., both_directions=True)``).
 
@@ -236,7 +293,8 @@ def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None,
             start_iter, shards, metrics = resumed
             label_refs = [ray.put(s) for s in shards]
             if metrics.get("changed", -1) == 0:
-                return assemble(g, label_refs), start_iter
+                return _finish(g, label_refs, start_iter, result_out,
+                               "component")
     it = start_iter
     for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(
@@ -251,14 +309,14 @@ def connected_components(g: DistGraph, max_iter=10_000, checkpoint=None,
                       metrics={"changed": changed})
         if changed == 0:
             break
-    return assemble(g, label_refs), it + 1
+    return _finish(g, label_refs, it + 1, result_out, "component")
 
 
 # ----------------------------------------------------------------------
 # BFS distances: frontier min-distance propagation from seed vertices
 # ----------------------------------------------------------------------
 def bfs_distances(g: DistGraph, sources, max_iter=10_000,
-                  checkpoint=None):
+                  checkpoint=None, result_out=None):
     """Unweighted hop distance from ``sources`` to every reachable
     vertex; unreachable vertices hold ``INF`` (int64 max). Same
     superstep shape as connected components (min-combine), so it
@@ -306,7 +364,8 @@ def bfs_distances(g: DistGraph, sources, max_iter=10_000,
             start_iter, shards, metrics = resumed
             dist_refs = [ray.put(s) for s in shards]
             if metrics.get("changed", -1) == 0:
-                return assemble(g, dist_refs), start_iter
+                return _finish(g, dist_refs, start_iter, result_out,
+                               "dist")
     it = start_iter
     for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(
@@ -321,13 +380,14 @@ def bfs_distances(g: DistGraph, sources, max_iter=10_000,
                       metrics={"changed": changed})
         if changed == 0:
             break
-    return assemble(g, dist_refs), it + 1
+    return _finish(g, dist_refs, it + 1, result_out, "dist")
 
 
 # ----------------------------------------------------------------------
 # Weighted SSSP: Bellman-Ford min-plus relaxation to fixed point
 # ----------------------------------------------------------------------
-def sssp(g: DistGraph, sources, max_iter=10_000, checkpoint=None):
+def sssp(g: DistGraph, sources, max_iter=10_000, checkpoint=None,
+         result_out=None):
     """Weighted shortest distances from ``sources`` (min-plus
     relaxation per superstep — the BSP Bellman-Ford); unreachable
     vertices hold ``inf``. Same exchange shape as ``bfs_distances``
@@ -371,7 +431,8 @@ def sssp(g: DistGraph, sources, max_iter=10_000, checkpoint=None):
             start_iter, shards, metrics = resumed
             dist_refs = [ray.put(s) for s in shards]
             if metrics.get("changed", -1) == 0:
-                return assemble(g, dist_refs), start_iter
+                return _finish(g, dist_refs, start_iter, result_out,
+                               "dist")
     it = start_iter
     for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(
@@ -386,14 +447,14 @@ def sssp(g: DistGraph, sources, max_iter=10_000, checkpoint=None):
                       metrics={"changed": changed})
         if changed == 0:
             break
-    return assemble(g, dist_refs), it + 1
+    return _finish(g, dist_refs, it + 1, result_out, "dist")
 
 
 # ----------------------------------------------------------------------
 # k-core: iterative peel to the maximal subgraph with min degree >= k
 # ----------------------------------------------------------------------
 def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None,
-          init_alive=None):
+          init_alive=None, result_out=None):
     """Boolean per-partition membership masks; each superstep counts,
     per vertex, its edges whose *source* endpoint is still in the core
     candidate set (blocks hold both directions, so that is the degree
@@ -407,7 +468,32 @@ def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None,
     subset of the (k-1)-core, so a core *decomposition* peels each
     level from the previous level's survivors instead of the whole
     graph — the fixed point is unchanged (peeling is monotone from
-    any superset of the k-core)."""
+    any superset of the k-core). For the fully shard-resident
+    decomposition use :func:`coreness`.
+
+    ``result_out=<dir>``: shard-side ``(vid, in_core)`` parquet —
+    see :func:`pagerank`."""
+    P = g.P
+    if init_alive is not None:
+        init_alive = np.asarray(init_alive, dtype=bool)
+        if len(init_alive) != g.n:
+            raise ValueError(
+                f"init_alive has length {len(init_alive)}, graph has "
+                f"n={g.n}")
+        alive_refs = [ray.put(init_alive[p::P].copy())
+                      for p in range(P)]
+    else:
+        alive_refs = None
+    alive_refs, iters = _kcore_shards(g, k, alive_refs, max_iter,
+                                      checkpoint)
+    return _finish(g, alive_refs, iters, result_out, "in_core")
+
+
+def _kcore_shards(g: DistGraph, k, alive_refs=None, max_iter=10_000,
+                  checkpoint=None):
+    """Shard-level peel loop: takes/returns per-partition bool mask
+    refs so callers (``kcore``, ``coreness``) can compose levels
+    without ever assembling an O(n) array on the driver."""
     P, n, sizes = g.P, g.n, g.sizes
 
     @ray.remote
@@ -430,16 +516,8 @@ def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None,
         new = old & (deg >= k)
         return new, int((new != old).sum())
 
-    # start from the active vertex set (vertices with >= 1 edge)
-    if init_alive is not None:
-        init_alive = np.asarray(init_alive, dtype=bool)
-        if len(init_alive) != g.n:
-            raise ValueError(
-                f"init_alive has length {len(init_alive)}, graph has "
-                f"n={g.n}")
-        alive_refs = [ray.put(init_alive[p::P].copy())
-                      for p in range(P)]
-    else:
+    # default start: the active vertex set (vertices with >= 1 edge)
+    if alive_refs is None:
         act_refs, _ = g.active_masks()
         alive_refs = [ray.put(np.asarray(ray.get(act_refs[p])).copy())
                       for p in range(P)]
@@ -452,7 +530,7 @@ def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None,
             start_iter, shards, metrics = resumed
             alive_refs = [ray.put(s) for s in shards]
             if metrics.get("changed", -1) == 0:
-                return assemble(g, alive_refs), start_iter
+                return alive_refs, start_iter
     it = start_iter
     for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(
@@ -467,7 +545,55 @@ def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None,
                       metrics={"changed": changed})
         if changed == 0:
             break
-    return assemble(g, alive_refs), it + 1
+    return alive_refs, it + 1
+
+
+def coreness(g: DistGraph, levels, max_iter=10_000, checkpoint=None,
+             result_out=None):
+    """Stepped core decomposition entirely on shards: per vertex, the
+    highest level k in ``levels`` (ascending) whose k-core still
+    contains it; 1 for active vertices in no listed core, 0 for
+    inactive (degree-0) ids. Each level's peel warm-starts from the
+    previous level's survivors (k-core ⊆ (k-1)-core) and the running
+    ``coreness`` vector is updated by per-shard worker tasks — the
+    driver holds only per-level alive counts, never an O(n) array
+    (the decomposition twin of ``q_coreness_co``'s semantics with the
+    driver-side level loop pushed onto the shards)."""
+    P = g.P
+    act_refs, _ = g.active_masks()
+
+    @ray.remote
+    def init_core(act):
+        return np.where(np.asarray(act), np.int64(1), np.int64(0))
+
+    @ray.remote
+    def to_bool(act):
+        return np.asarray(act, dtype=bool).copy()
+
+    @ray.remote
+    def bump(core, alive, k):
+        new = core.copy()
+        new[alive] = k
+        return new
+
+    @ray.remote
+    def count_alive(alive):
+        return int(alive.sum())
+
+    core_refs = [init_core.remote(act_refs[p]) for p in range(P)]
+    alive_refs = [to_bool.remote(act_refs[p]) for p in range(P)]
+    total_iters = 0
+    for k in levels:
+        alive_refs, iters = _kcore_shards(g, int(k), alive_refs,
+                                          max_iter, checkpoint)
+        total_iters += iters
+        n_alive = sum(ray.get([count_alive.remote(a)
+                               for a in alive_refs]))
+        if n_alive == 0:
+            break
+        core_refs = [bump.remote(core_refs[p], alive_refs[p], int(k))
+                     for p in range(P)]
+    return _finish(g, core_refs, total_iters, result_out, "coreness")
 
 
 # ----------------------------------------------------------------------
@@ -565,7 +691,7 @@ def hits(g: DistGraph, g_rev: DistGraph, iters=20):
 # Katz centrality: fixed-iteration Jacobi update
 # ----------------------------------------------------------------------
 def katz(g: DistGraph, alpha=0.005, beta=1.0, iters=20,
-         weighted=False):
+         weighted=False, result_out=None):
     """Katz centrality, simultaneous (Jacobi) update from the OLD
     state: x_{k+1}(v) = beta + alpha * sum over in-edges (u, v) of
     x_k(u) [* weight]; x_0 = beta on the active vertex set (vertices
@@ -614,6 +740,9 @@ def katz(g: DistGraph, alpha=0.005, beta=1.0, iters=20,
         x_refs = [reduce.remote(act_refs[q],
                                 *[msg[p][q] for p in range(P)])
                   for q in range(P)]
+    if result_out is not None:
+        rows = write_shard_results(g, x_refs, result_out, "katz")
+        return {"path": result_out, "rows": rows, "column": "katz"}
     return assemble(g, x_refs)
 
 
@@ -744,7 +873,7 @@ def wl_refinement(g: DistGraph, iters=2):
 # Label propagation: plurality label of neighbours, ties -> lowest label
 # ----------------------------------------------------------------------
 def label_propagation(g: DistGraph, max_iter=100, weighted=True,
-                      checkpoint=None):
+                      checkpoint=None, result_out=None):
     """Synchronous supersteps; each vertex adopts the neighbour label
     with the highest total edge weight (ties: lowest label); vertices
     with no neighbours keep their label. Fixed point or max_iter.
@@ -808,7 +937,8 @@ def label_propagation(g: DistGraph, max_iter=100, weighted=True,
             start_iter, shards, metrics = resumed
             label_refs = [ray.put(s) for s in shards]
             if metrics.get("changed", -1) == 0:
-                return assemble(g, label_refs), start_iter
+                return _finish(g, label_refs, start_iter, result_out,
+                               "label")
     it = start_iter
     for it in range(start_iter, max_iter):
         msg_refs = [gather.options(num_returns=P).remote(
@@ -823,14 +953,14 @@ def label_propagation(g: DistGraph, max_iter=100, weighted=True,
                       metrics={"changed": changed})
         if changed == 0:
             break
-    return assemble(g, label_refs), it + 1
+    return _finish(g, label_refs, it + 1, result_out, "label")
 
 
 # ----------------------------------------------------------------------
 # Seeded (semi-supervised) label propagation
 # ----------------------------------------------------------------------
 def label_propagation_seeded(g: DistGraph, seeds, seed_labels,
-                             iters=10, weighted=True):
+                             iters=10, weighted=True, result_out=None):
     """Semi-supervised label spreading (the distributed analogue of
     the reference's ``is_membership_fixed``): seed vertices hold
     pinned class labels; every other vertex is unlabeled (-1) until a
@@ -910,6 +1040,9 @@ def label_propagation_seeded(g: DistGraph, seeds, seed_labels,
         label_refs = [reduce.remote(label_refs[q], fixed_refs[q],
                                     *[msg_refs[p][q] for p in range(P)])
                       for q in range(P)]
+    if result_out is not None:
+        rows = write_shard_results(g, label_refs, result_out, "label")
+        return {"path": result_out, "rows": rows, "column": "label"}
     return assemble(g, label_refs)
 
 

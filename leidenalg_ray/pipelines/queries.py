@@ -879,16 +879,8 @@ def q_coreness_co(sf_dir):
     level's survivors (k-core ⊆ (k-1)-core), so the whole
     decomposition costs barely more than the deepest single peel."""
     g = _co_distgraph(sf_dir)
-    act = g.active_global()
-    core = np.where(act, np.int64(1), np.int64(0))
-    alive = act
-    for k in CORENESS_LEVELS:
-        mask, _ = ss.kcore(g, k, init_alive=alive)
-        if not mask.any():
-            break
-        core[mask] = k
-        alive = mask
-    vids = np.flatnonzero(act).astype(np.int64)
+    core, _ = ss.coreness(g, CORENESS_LEVELS)
+    vids = np.flatnonzero(core > 0).astype(np.int64)
     return pa.table({"vid": pa.array(vids),
                      "coreness": pa.array(core[vids])})
 

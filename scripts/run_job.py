@@ -12,6 +12,11 @@ from the latest complete manifest), and writes partitioned parquet
 outputs (one directory per table; per-vertex results sharded by
 vid % P so a rerun can skip finished partitions).
 
+Per-vertex results (out/pagerank, out/components, out/communities)
+are written FROM THE SHARDS (``result_out=`` / ``membership_out=``):
+no kernel output is ever assembled into an O(n) driver array, so the
+job's driver footprint is O(P) refs + counters at any vertex count.
+
 Standalone safety: initialises Ray only if no session exists.
 """
 
@@ -118,10 +123,15 @@ def main():
                                  directed=True)
         g2 = DistGraph.from_edges(src, dst, n=n, P=P,
                                   both_directions=True)
-    rank, pr_iters = ss.pagerank(g, tol=1e-6,
-                                 checkpoint=args.checkpoint)
-    comp, cc_iters = ss.connected_components(
-        g2, checkpoint=args.checkpoint)
+    # per-vertex outputs are written shard-side (resumable: finished
+    # part files are skipped on rerun); the driver sees only counters
+    os.makedirs(args.out, exist_ok=True)
+    pr_res, pr_iters = ss.pagerank(
+        g, tol=1e-6, checkpoint=args.checkpoint,
+        result_out=os.path.join(args.out, "pagerank"))
+    cc_res, cc_iters = ss.connected_components(
+        g2, checkpoint=args.checkpoint,
+        result_out=os.path.join(args.out, "components"))
     t_bsp = time.time() - t0
 
     t0 = time.time()
@@ -133,26 +143,11 @@ def main():
         dl = DistLeiden(src, dst, weight=w, n=n, directed=False,
                         quality=args.quality,
                         resolution_parameter=args.gamma, P=P, seed=42)
-    mem, q, info = dl.run(checkpoint=args.checkpoint)
+    _, q, info = dl.run(checkpoint=args.checkpoint,
+                        membership_out=os.path.join(args.out,
+                                                    "communities"))
     t_leiden = time.time() - t0
-
-    # partitioned, resumable output: one file per vid % P shard
-    os.makedirs(args.out, exist_ok=True)
-    vdir = os.path.join(args.out, "vertices")
-    os.makedirs(vdir, exist_ok=True)
     import pyarrow.parquet as pq
-    vids = np.arange(n, dtype=np.int64)
-    for p in range(P):
-        f = os.path.join(vdir, f"part-{p:04d}.parquet")
-        if os.path.exists(f):
-            continue  # resume: skip finished partitions
-        sl = slice(p, n, P)
-        pq.write_table(pa.table({
-            "vid": pa.array(vids[sl]),
-            "rank": pa.array(np.round(rank[sl], 10)),
-            "component": pa.array(comp[sl]),
-            "comm": pa.array(mem[sl]),
-        }), f)
     if args.host_graph:
         from leidenalg_ray.stages.extract import links_of
         from leidenalg_ray.stages.graph_build import host_graph
@@ -196,6 +191,9 @@ def main():
     summary = {
         "n_vertices": int(n), "n_edges": int(n_edges),
         "pagerank_iters": int(pr_iters), "cc_iters": int(cc_iters),
+        "pagerank_rows": int(pr_res["rows"]),
+        "component_rows": int(cc_res["rows"]),
+        "membership_rows": int(info["membership_rows"]),
         "leiden_quality": float(q),
         "n_communities": info["n_communities"],
         "sec_build": round(t_build, 2), "sec_bsp": round(t_bsp, 2),

@@ -1128,3 +1128,113 @@ def test_leiden_driver_state_community_space(tmp_path, ray_session):
     res = dl2.local_move_level0()
     assert isinstance(res, tuple) and len(res) == 3
     assert np.isscalar(res[0]) or isinstance(res[0], float)
+
+
+# ----------------------------------------------------------------------
+# Shard-side result output for superstep kernels (result_out=)
+# ----------------------------------------------------------------------
+def _read_result(d, column):
+    import pyarrow.parquet as pq
+    t = pq.read_table(d).sort_by("vid")
+    return t["vid"].to_numpy(), t[column].to_numpy(zero_copy_only=False)
+
+
+def test_result_out_matches_assemble(tmp_path, random_graph):
+    """``result_out=`` writes per-shard (vid, value) parquet from the
+    workers; the driver gets only {path, rows, column}. Values must be
+    bit-identical to the assembled path for every kernel."""
+    import os
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    g2 = DistGraph.from_edges(src, dst, n=n, P=4,
+                              both_directions=True)
+
+    rank, it1 = ss.pagerank(g, tol=1e-10)
+    res, it2 = ss.pagerank(g, tol=1e-10,
+                           result_out=str(tmp_path / "pr"))
+    assert it1 == it2
+    assert res == {"path": str(tmp_path / "pr"), "rows": n,
+                   "column": "rank"}
+    parts = sorted(os.listdir(tmp_path / "pr"))
+    assert len(parts) == 4          # one file per shard
+    vids, vals = _read_result(str(tmp_path / "pr"), "rank")
+    assert np.array_equal(vids, np.arange(n))
+    assert np.array_equal(vals, rank)
+
+    comp, _ = ss.connected_components(g2)
+    res, _ = ss.connected_components(
+        g2, result_out=str(tmp_path / "cc"))
+    assert res["rows"] == n
+    vids, vals = _read_result(str(tmp_path / "cc"), "component")
+    assert np.array_equal(vals, comp)
+
+    lab, _ = ss.label_propagation(g2, max_iter=4)
+    res, _ = ss.label_propagation(
+        g2, max_iter=4, result_out=str(tmp_path / "lp"))
+    vids, vals = _read_result(str(tmp_path / "lp"), "label")
+    assert np.array_equal(vals, lab)
+
+    mask, _ = ss.kcore(g2, 5)
+    res, _ = ss.kcore(g2, 5, result_out=str(tmp_path / "kc"))
+    vids, vals = _read_result(str(tmp_path / "kc"), "in_core")
+    assert np.array_equal(vals, mask)
+
+    dist, _ = ss.bfs_distances(g2, [0, 7])
+    res, _ = ss.bfs_distances(g2, [0, 7],
+                              result_out=str(tmp_path / "bfs"))
+    vids, vals = _read_result(str(tmp_path / "bfs"), "dist")
+    assert np.array_equal(vals, dist)
+
+    kz = ss.katz(g, iters=5)
+    res = ss.katz(g, iters=5, result_out=str(tmp_path / "katz"))
+    assert res["rows"] == n
+    vids, vals = _read_result(str(tmp_path / "katz"), "katz")
+    assert np.array_equal(vals, kz)
+
+
+def test_result_out_resume_skips_finished(tmp_path, random_graph):
+    """A part file already present is left untouched (resume), and a
+    torn write (tmp name) never shadows a finished partition."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    d = tmp_path / "pr"
+    os.makedirs(d)
+    # plant a sentinel "finished" shard 2 and a torn tmp for shard 1
+    sentinel = pa.table({"vid": pa.array([-1], pa.int64()),
+                         "rank": pa.array([99.0])})
+    pq.write_table(sentinel, str(d / "part-00002.parquet"))
+    (d / "part-00001.parquet.tmp-123").write_bytes(b"torn")
+    res, _ = ss.pagerank(g, tol=1e-10, result_out=str(d))
+    assert res["rows"] == n        # counted, not re-written
+    t2 = pq.read_table(str(d / "part-00002.parquet"))
+    assert t2["rank"].to_pylist() == [99.0]   # untouched
+    t1 = pq.read_table(str(d / "part-00001.parquet"))
+    assert len(t1) == len(np.arange(1, n, 4))  # fresh write landed
+
+
+def test_coreness_kernel_matches_level_loop(tmp_path, random_graph):
+    """The shard-resident stepped decomposition equals the driver-side
+    per-level kcore loop it replaces, and its result_out path equals
+    its assembled path."""
+    src, dst, n = random_graph
+    g2 = DistGraph.from_edges(src, dst, n=n, P=4,
+                              both_directions=True)
+    levels = (2, 4, 6, 8, 10)
+    core, _ = ss.coreness(g2, levels)
+    act = g2.active_global()
+    exp = np.where(act, np.int64(1), np.int64(0))
+    alive = act
+    for k in levels:
+        mask, _ = ss.kcore(g2, k, init_alive=alive)
+        if not mask.any():
+            break
+        exp[mask] = k
+        alive = mask
+    assert np.array_equal(core, exp)
+    res, _ = ss.coreness(g2, levels,
+                         result_out=str(tmp_path / "core"))
+    vids, vals = _read_result(str(tmp_path / "core"), "coreness")
+    assert np.array_equal(vals, core)
