@@ -223,8 +223,51 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
     # per-layer gather: weight(v -> community) by (pair, layer)
     w_vc = np.zeros((L, len(uniq)))
     np.add.at(w_vc, (lay, inv), weight)
+
+    # candidate-set variants (reference ``Optimiser.py:77-112``; the
+    # in-memory twin is ``optimiser.py:140-162``). The default
+    # "all_neighbors" keeps the neighbour-community pairs as-is.
+    consider = scal.get("consider_comms", "all_neighbors")
+    if consider == "all":
+        # ALL_COMMS: every live community is a candidate for every
+        # active vertex — required for negative-weight graphs, where
+        # the best target can share NO edge with the vertex. The
+        # shard tracks ALL live labels in this mode (set_config), so
+        # this is inherently Ω(V·C) work and O(C) shard state; the
+        # cross-product pairs carry w=0 unless a neighbour pair
+        # already exists.
+        live = st["stat_labels"][
+            (np.asarray(st["size"]).sum(axis=0) > 0)]
+        act_v = np.unique(
+            (uniq // M).astype(np.int64))
+        keys_all = (act_v[:, None] * M + live[None, :]).ravel()
+        merged = np.union1d(uniq, keys_all)
+        w2 = np.zeros((L, len(merged)))
+        w2[:, np.searchsorted(merged, uniq)] = w_vc
+        uniq, w_vc = merged, w2
     pv = (uniq // M).astype(np.int64)   # src_local per pair
     pc_ = (uniq % M).astype(np.int64)   # candidate community per pair
+    if consider == "rand_neighbor":
+        # RAND_NEIGH_COMM: one candidate per vertex — the community
+        # of a uniformly random incident edge (edge-multiplicity
+        # weighted, like the in-memory kernel's random-neighbour
+        # draw); the vertex's own community pair is kept so w_cur
+        # stays exact. Seeded per (run seed, shard, superstep) for
+        # reproducibility.
+        rng = np.random.default_rng(st["rng_seed"])
+        vb = np.flatnonzero(np.r_[True,
+                                  src_local[1:] != src_local[:-1]])
+        vcnt = np.diff(np.append(vb, len(src_local)))
+        pick = vb + rng.integers(0, vcnt)
+        chosen_of = np.full(int(src_local.max()) + 1, -1,
+                            dtype=np.int64)
+        chosen_of[src_local[vb]] = mem_ref[dref[pick]]
+        keep = ((pc_ == chosen_of[pv])
+                | (pc_ == mem_ref[own_idx[pv]]))
+        uniq, w_vc = uniq[keep], w_vc[:, keep]
+        pv, pc_ = pv[keep], pc_[keep]
+        if len(uniq) == 0:
+            return _empty_props(L)
 
     cur = mem_ref[own_idx[pv]]
 
@@ -544,6 +587,12 @@ class LeidenShard:
         scal = dict(scal)
         scal["p"] = self.p
         self.scal = scal
+        # ALL_COMMS mode: the shard must be able to score a move into
+        # ANY live community, so stats track all live labels (O(C)
+        # resident — the cost the user opts into with consider_comms=
+        # "all"; reference Optimiser.py:77-112 is Ω(V·C) too)
+        self._track_all = scal.get("consider_comms") == "all"
+        self._step_no = 0
         return True
 
     def set_state(self, mem, stats, agg0=None):
@@ -738,6 +787,10 @@ class LeidenShard:
 
     def _compress_stats(self, stats, agg0):
         labels = np.unique(self.mem_ref)
+        if getattr(self, "_track_all", False):
+            live = np.flatnonzero(
+                np.asarray(stats["size"]).sum(axis=0) > 0)
+            labels = np.union1d(labels, live)
         self.stat_labels = labels
         # stats arrive (L, 2n); keep (L, n_tracked) slices
         self.stats = {k: np.asarray(stats[k])[:, labels]
@@ -798,7 +851,9 @@ class LeidenShard:
             new_ref = targs[found]
         labels = np.asarray(moves["upd_labels"], dtype=np.int64)
         self._upsert(labels, moves["upd_vals"],
-                     allow_new=np.isin(labels, new_ref))
+                     allow_new=(None if getattr(self, "_track_all",
+                                                False)
+                                else np.isin(labels, new_ref)))
         if "agg0" in moves:
             self.agg0 = moves["agg0"]
 
@@ -815,10 +870,14 @@ class LeidenShard:
         if push is not None:
             # boundary correction: update tracked labels only (an
             # untracked label can't be read until a move references
-            # it, and that move re-ships its value)
+            # it, and that move re-ships its value); in ALL_COMMS
+            # mode every pushed label is adopted — all live labels
+            # are candidates
             nlab = len(push["labels"])
             self._upsert(push["labels"], push["vals"],
-                         allow_new=np.zeros(nlab, dtype=bool))
+                         allow_new=(None if getattr(self, "_track_all",
+                                                    False)
+                                    else np.zeros(nlab, dtype=bool)))
             if "agg0" in push:
                 self.agg0 = push["agg0"]
         if snapshot:
@@ -827,9 +886,13 @@ class LeidenShard:
             self._apply_moves(moves)
         if color is None:
             return None
+        self._step_no = getattr(self, "_step_no", 0) + 1
+        rng_seed = (int(self.scal.get("seed", 42)) * 1_000_003
+                    + self._step_no * self.P + self.p) % (2 ** 63)
         st = {"mem_ref": self.mem_ref, "own_ref_idx": self.own_ref_idx,
               "stat_labels": self.stat_labels, "agg0": self.agg0,
-              "fixed_local": self.fixed_local, **self.stats}
+              "fixed_local": self.fixed_local, "rng_seed": rng_seed,
+              **self.stats}
         return _propose_kernel(self.block, self.kv, st, self.scal,
                                color, n_colors)
 
@@ -1035,12 +1098,23 @@ class DistLeiden:
                  max_comm_size=0, layer=None, layer_weights=None,
                  n_layers=None, min_comm_size=0,
                  community_constraint_enforcement=0.0,
+                 consider_comms="all_neighbors",
                  _actors=None, _parquet_dir=None):
         """``quality`` / ``resolution_parameter`` may be lists (one per
         layer) for multiplex graphs; ``layer`` tags each edge with its
         layer index; ``node_sizes`` is (n,) or (L, n) — per-layer node
         sizes (temporal slices mark vertex presence this way,
-        reference ``functions.py:517-526``)."""
+        reference ``functions.py:517-526``).
+
+        ``consider_comms`` (reference ``Optimiser.py:77-112``; accepts
+        the in-memory tier's int constants or the strings
+        "all_neighbors" / "all" / "rand_neighbor"): the local-move
+        candidate set. "all" (ALL_COMMS) scores every live community
+        for every active vertex — required for negative-weight graphs
+        (e.g. bipartite CPM with a negative layer), inherently Ω(V·C)
+        with O(C) shard stat state. RAND_COMM is not offered on the
+        distributed tier (a shard cannot read a random vertex's
+        membership without O(n) state; use the in-memory tier)."""
         self.n = None if n is None else int(n)
         self.P, self.directed = int(P), bool(directed)
         # normalise the per-layer configuration
@@ -1081,6 +1155,20 @@ class DistLeiden:
         # downstream `self.enforcement` check agrees with the kernel.
         if self.min_comm_size <= 0:
             self.enforcement = 0.0
+        from ..optimiser import (ALL_NEIGH_COMMS, ALL_COMMS,
+                                 RAND_COMM, RAND_NEIGH_COMM)
+        int_map = {ALL_NEIGH_COMMS: "all_neighbors",
+                   ALL_COMMS: "all", RAND_COMM: "rand",
+                   RAND_NEIGH_COMM: "rand_neighbor"}
+        if isinstance(consider_comms, (int, np.integer)):
+            consider_comms = int_map.get(int(consider_comms))
+        if consider_comms not in ("all_neighbors", "all",
+                                  "rand_neighbor"):
+            raise ValueError(
+                f"consider_comms={consider_comms!r} not supported on "
+                "the distributed tier (RAND_COMM needs O(n) shard "
+                "state; use the in-memory tier)")
+        self.consider_comms = consider_comms
         self._corr_loops_arg = correct_self_loops
 
         if _parquet_dir is not None:
@@ -1181,6 +1269,9 @@ class DistLeiden:
             "min_comm_size": self.min_comm_size,
             "enforcement": self.enforcement,
             "label_space": 2 * n,
+            "consider_comms": self.consider_comms,
+            "seed": (int(self.seed) if np.isscalar(self.seed)
+                     else 42),
         }
         ray.get([a.set_config.remote(scal) for a in self.actors])
 
@@ -1191,7 +1282,8 @@ class DistLeiden:
                      correct_self_loops=None, max_comm_size=0,
                      spill_dir=None, node_sizes=None, layer_weights=None,
                      n_layers=None, min_comm_size=0,
-                     community_constraint_enforcement=0.0):
+                     community_constraint_enforcement=0.0,
+                     consider_comms="all_neighbors"):
         """Dataset-native construction: edges Dataset(src, dst
         [, weight][, layer]) -> symmetrised incidence rows ->
         partitioned parquet spill (the resumable L0 input) -> each
@@ -1261,6 +1353,7 @@ class DistLeiden:
                    min_comm_size=min_comm_size,
                    community_constraint_enforcement=(
                        community_constraint_enforcement),
+                   consider_comms=consider_comms,
                    _parquet_dir=spill_dir)
 
     @classmethod
@@ -1269,7 +1362,8 @@ class DistLeiden:
                             P=8, seed=42, n_colors=2,
                             correct_self_loops=None, max_comm_size=0,
                             spill_dir=None, node_sizes=None,
-                            layer_weights=None):
+                            layer_weights=None,
+                            consider_comms="all_neighbors"):
         """Multiplex construction from one edge Dataset per layer on a
         shared vertex id space [0, n): each Dataset is tagged with its
         layer index and unioned, then spilled/partitioned once
@@ -1298,7 +1392,8 @@ class DistLeiden:
             n_colors=n_colors, correct_self_loops=correct_self_loops,
             max_comm_size=max_comm_size, spill_dir=spill_dir,
             node_sizes=node_sizes, layer_weights=layer_weights,
-            n_layers=len(layer_ds_list))
+            n_layers=len(layer_ds_list),
+            consider_comms=consider_comms)
 
     def active_vids(self):
         """Vids with at least one incident edge (degree > 0) — the
@@ -1869,6 +1964,14 @@ class DistLeiden:
                         parts.append(part)
                     opt = Optimiser()
                     opt.set_rng_seed(self.seed)
+                    from ..optimiser import (ALL_NEIGH_COMMS,
+                                             ALL_COMMS,
+                                             RAND_NEIGH_COMM)
+                    opt.consider_comms = {
+                        "all_neighbors": ALL_NEIGH_COMMS,
+                        "all": ALL_COMMS,
+                        "rand_neighbor": RAND_NEIGH_COMM,
+                    }[self.consider_comms]
                     opt.max_comm_size = self.max_comm_size
                     opt.min_comm_size = self.min_comm_size
                     opt.community_constraint_enforcement = \
@@ -1907,6 +2010,7 @@ class DistLeiden:
                 max_comm_size=self.max_comm_size,
                 min_comm_size=self.min_comm_size,
                 community_constraint_enforcement=self.enforcement,
+                consider_comms=self.consider_comms,
                 layer=lay_next,
                 layer_weights=[lc["weight"]
                                for lc in self.layers_cfg],

@@ -1589,6 +1589,44 @@ def q_leiden_warm_cliques(sf_dir):
                      "comm": pa.array(_renumber_dense(mem, n))})
 
 
+def q_leiden_negweight_bipartite(sf_dir):
+    """Distributed Leiden with ``consider_comms="all"`` (ALL_COMMS) on
+    the full 25+25 bipartite graph with edge weight -0.1, CPM
+    gamma=-0.1 — the negative-weight fixture of reference
+    ``tests/test_Optimiser.py:167-175`` through the SHARD schedule.
+    Same-side vertices share no edge, so only the all-communities
+    candidate set can merge a side; a mixed community (a, b) scores
+    exactly the sum of its pure parts (-0.1ab + 0.05(a+b)(a+b-1) =
+    0.05(a^2-a) + 0.05(b^2-b)), so cross merges are quality-neutral
+    and never taken (> eps gate) while same-side merges strictly
+    improve — every schedule reaches the two pure sides from
+    singletons. Renumber contract: equal sizes, min-vid asc -> side A
+    (vid 0) is community 0."""
+    s, d, w = _planted_edges(tg.nation_bipartite_edges(sf_dir))
+    n = 50
+    dl = DistLeiden(s, d, weight=w, n=n, directed=False, quality="cpm",
+                    resolution_parameter=-0.1, P=8, seed=42,
+                    consider_comms="all")
+    mem, q, info = dl.run()
+    side = np.arange(n) < 25
+    if len(set(mem[side])) != 1 or len(set(mem[~side])) != 1 \
+            or mem[0] == mem[n - 1]:
+        raise AssertionError(
+            "negative-weight bipartite fixed point is not the two "
+            f"pure sides: {np.bincount(_renumber_dense(mem, n))}")
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, n))})
+
+
+SQL_LEIDEN_NEGWEIGHT_BIPARTITE = """
+SELECT CAST(n_nationkey AS BIGINT) AS vid, CAST(0 AS BIGINT) AS comm
+FROM nation
+UNION ALL
+SELECT CAST(n_nationkey AS BIGINT) + 25, CAST(1 AS BIGINT)
+FROM nation
+"""
+
+
 def q_leiden_modularity_cliques(sf_dir):
     """Distributed Leiden, Modularity, same planted cliques: merging
     disconnected communities always decreases modularity and splitting
@@ -6988,6 +7026,7 @@ QUERIES = {
     "leiden_modularity_co": q_leiden_modularity_co,
     "leiden_cpm_cliques": q_leiden_cpm_cliques,
     "leiden_warm_cliques": q_leiden_warm_cliques,
+    "leiden_negweight_bipartite": q_leiden_negweight_bipartite,
     "leiden_modularity_cliques": q_leiden_modularity_cliques,
     "leiden_cpm_stars": q_leiden_cpm_stars,
     "leiden_surprise_cliques": q_leiden_surprise_cliques,
@@ -7146,6 +7185,7 @@ ORACLE_SQL = {
     "assortativity_co": SQL_ASSORTATIVITY_CO,
     "leiden_cpm_cliques": SQL_LEIDEN_NATIONS,
     "leiden_warm_cliques": SQL_LEIDEN_NATIONS,
+    "leiden_negweight_bipartite": SQL_LEIDEN_NEGWEIGHT_BIPARTITE,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
     "leiden_surprise_cliques": SQL_LEIDEN_NATIONS,

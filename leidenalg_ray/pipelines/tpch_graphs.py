@@ -155,6 +155,43 @@ def nation_clique_edges(sf_dir):
                               zero_copy_batch=True)
 
 
+def nation_bipartite_edges(sf_dir, weight=-0.1):
+    """Dataset (src, dst, weight=-0.1): the FULL bipartite graph
+    between two nation-indexed sides — side A vid = n_nationkey
+    (0..24), side B vid = 25 + n_nationkey — every cross pair one
+    edge. The negative-weight ALL_COMMS fixture (reference
+    ``tests/test_Optimiser.py:167-175``) at nation scale: same-side
+    vertices share no edge, so only an all-communities candidate set
+    can merge a side."""
+    na = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey"])
+
+    def keyed(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                name: pc.cast(t["n_nationkey"], pa.int64()),
+                "one": pa.array(np.zeros(t.num_rows, np.int64)),
+            })
+        return fn
+
+    left = na.map_batches(keyed("a"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = na.map_batches(keyed("b"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = left.join(right, "inner", 4, on=("one",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["a"],
+            "dst": pc.add(pc.cast(t["b"], pa.int64()),
+                          pa.scalar(25, pa.int64())),
+            "weight": pa.array(np.full(t.num_rows, float(weight))),
+        })
+
+    return joined.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def nation_ring_edges(sf_dir):
     """Dataset (src, dst, weight=1): one ring per nation (suppliers in
     suppkey order, consecutive + wraparound when size >= 3)."""

@@ -1238,3 +1238,85 @@ def test_coreness_kernel_matches_level_loop(tmp_path, random_graph):
                          result_out=str(tmp_path / "core"))
     vids, vals = _read_result(str(tmp_path / "core"), "coreness")
     assert np.array_equal(vals, core)
+
+
+# ----------------------------------------------------------------------
+# Candidate-set variants in the distributed propose kernel
+# ----------------------------------------------------------------------
+def test_dist_all_comms_negative_weight_bipartite():
+    """Reference tests/test_Optimiser.py:167-175 through the shard
+    schedule: full 50+50 bipartite, edge weight -0.1, CPM gamma=-0.1.
+    Same-side vertices share no edge, so only consider_comms="all"
+    (ALL_COMMS) can merge a side; the fixed point is the two pure
+    sides and the quality matches the in-memory ALL_COMMS tier."""
+    a = np.repeat(np.arange(50), 50)
+    b = 50 + np.tile(np.arange(50), 50)
+    w = np.full(len(a), -0.1)
+    dl = DistLeiden(a, b, weight=w, n=100, directed=False,
+                    quality="cpm", resolution_parameter=-0.1, P=4,
+                    seed=1, consider_comms="all")
+    mem, q, info = dl.run()
+    side = np.arange(100) < 50
+    assert len(set(mem[side])) == 1
+    assert len(set(mem[~side])) == 1
+    assert mem[0] != mem[99]
+
+    from leidenalg_ray import CPMVertexPartition
+    from leidenalg_ray.graph import Graph
+    from leidenalg_ray.optimiser import ALL_COMMS, Optimiser
+    g = Graph(100, src=a, dst=b, weights=w)
+    p = CPMVertexPartition(g, resolution_parameter=-0.1)
+    opt = Optimiser()
+    opt.set_rng_seed(1)
+    opt.consider_comms = ALL_COMMS
+    opt.optimise_partition(p)
+    assert q == pytest.approx(p.quality(), abs=1e-9)
+
+    # the default neighbour-only candidate set CANNOT merge a side
+    # (no same-side edges): from singletons every neighbour move is
+    # into a negative-weight community -> no improving move exists
+    dl2 = DistLeiden(a, b, weight=w, n=100, directed=False,
+                     quality="cpm", resolution_parameter=-0.1, P=4,
+                     seed=1)
+    mem2, q2, _ = dl2.run()
+    assert len(np.unique(mem2)) == 100   # stuck at singletons
+    assert q < p.quality() + 1e-9 and q2 < q
+
+
+def test_dist_rand_neigh_comm_recovers_cliques():
+    """consider_comms="rand_neighbor" (RAND_NEIGH_COMM): one random
+    incident edge's community per vertex per superstep. On disjoint
+    cliques no community can ever span two cliques (no cross edges,
+    and empty/targets stay inside), and the schedule still recovers
+    the planted cliques."""
+    srcs, dsts = [], []
+    for c in range(5):
+        vids = np.arange(20) + c * 20
+        ii, jj = np.triu_indices(20, k=1)
+        srcs.append(vids[ii])
+        dsts.append(vids[jj])
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    dl = DistLeiden(src, dst, n=100, directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=4, seed=7,
+                    consider_comms="rand_neighbor")
+    mem, q, info = dl.run()
+    # communities never span cliques
+    for c in range(5):
+        labs = set(mem[c * 20:(c + 1) * 20].tolist())
+        other = set(np.delete(mem, np.s_[c * 20:(c + 1) * 20]).tolist())
+        assert not (labs & other)
+    # and with the full schedule it reaches one community per clique
+    assert len(np.unique(mem)) == 5
+
+
+def test_dist_consider_comms_validation():
+    a = np.array([0, 1]); b = np.array([1, 2])
+    with pytest.raises(ValueError, match="consider_comms"):
+        DistLeiden(a, b, n=3, directed=False, quality="cpm",
+                   resolution_parameter=0.1, P=2, consider_comms="rand")
+    from leidenalg_ray.optimiser import ALL_COMMS
+    dl = DistLeiden(a, b, n=3, directed=False, quality="cpm",
+                    resolution_parameter=0.1, P=2,
+                    consider_comms=ALL_COMMS)   # int constant accepted
+    assert dl.consider_comms == "all"
