@@ -1627,6 +1627,46 @@ FROM nation
 """
 
 
+def q_leiden_bipartite_cliques(sf_dir):
+    """Distributed ``CPMVertexPartition.Bipartite`` (3 CPM layers,
+    class-masked node sizes, layer weights [1,-1,-1]; reference
+    ``VertexPartition.py:950-1105``) through the shard kernel, on one
+    complete bipartite block per nation (side A = s_suppkey, side B =
+    n + s_suppkey). With gamma_0 = gamma_1 = 0 the objective is
+    w_in - gamma_01 * (#cross-side pairs), so the unique optimum is
+    one community per nation block (a^2 edges vs a^2 cross pairs at
+    gamma_01 = 0.5: merging blocks adds 2*a1*a2 penalised pairs with
+    no edges, splitting loses edges). Comm ids follow the renumber
+    contract with sizes 2*|nation| and min member vid = the nation's
+    min s_suppkey."""
+    s, d, w = _planted_edges(tg.nation_bipartite_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    types = np.r_[np.zeros(n, np.int64), np.ones(n, np.int64)]
+    dl = DistLeiden.bipartite(s, d, types=types, weight=w, n=2 * n,
+                              resolution_parameter_01=0.5, P=8,
+                              seed=42)
+    mem, q, info = dl.run()
+    return pa.table({"vid": pa.array(np.arange(2 * n,
+                                               dtype=np.int64)),
+                     "comm": pa.array(_renumber_dense(mem, 2 * n))})
+
+
+SQL_LEIDEN_BIPARTITE_NATIONS = """
+WITH sz AS (SELECT s_nationkey, count(*) AS cnt, min(s_suppkey) AS mv
+            FROM supplier GROUP BY s_nationkey),
+r AS (SELECT s_nationkey,
+             CAST(dense_rank() OVER (ORDER BY cnt DESC, mv ASC)
+                  AS BIGINT) - 1 AS comm
+      FROM sz),
+n AS (SELECT count(*) AS n FROM supplier)
+SELECT CAST(s.s_suppkey AS BIGINT) AS vid, r.comm AS comm
+FROM supplier s JOIN r ON s.s_nationkey = r.s_nationkey
+UNION ALL
+SELECT CAST(s.s_suppkey AS BIGINT) + n.n, r.comm
+FROM supplier s JOIN r ON s.s_nationkey = r.s_nationkey, n
+"""
+
+
 def q_leiden_modularity_cliques(sf_dir):
     """Distributed Leiden, Modularity, same planted cliques: merging
     disconnected communities always decreases modularity and splitting
@@ -7027,6 +7067,7 @@ QUERIES = {
     "leiden_cpm_cliques": q_leiden_cpm_cliques,
     "leiden_warm_cliques": q_leiden_warm_cliques,
     "leiden_negweight_bipartite": q_leiden_negweight_bipartite,
+    "leiden_bipartite_cliques": q_leiden_bipartite_cliques,
     "leiden_modularity_cliques": q_leiden_modularity_cliques,
     "leiden_cpm_stars": q_leiden_cpm_stars,
     "leiden_surprise_cliques": q_leiden_surprise_cliques,
@@ -7186,6 +7227,7 @@ ORACLE_SQL = {
     "leiden_cpm_cliques": SQL_LEIDEN_NATIONS,
     "leiden_warm_cliques": SQL_LEIDEN_NATIONS,
     "leiden_negweight_bipartite": SQL_LEIDEN_NEGWEIGHT_BIPARTITE,
+    "leiden_bipartite_cliques": SQL_LEIDEN_BIPARTITE_NATIONS,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
     "leiden_surprise_cliques": SQL_LEIDEN_NATIONS,

@@ -192,6 +192,34 @@ def nation_bipartite_edges(sf_dir, weight=-0.1):
                               zero_copy_batch=True)
 
 
+def nation_bipartite_clique_edges(sf_dir):
+    """Dataset (src, dst, weight=1): one COMPLETE BIPARTITE block per
+    nation — side A vid = s_suppkey, side B vid = n + s_suppkey
+    (n = supplier count), every cross pair within a nation one edge.
+    The bipartite-CPM planted fixture: with gamma_0 = gamma_1 = 0 the
+    objective reduces to w_in - gamma_01 * (#cross-side pairs), so
+    one community per nation block is the unique optimum (merging
+    blocks adds cross pairs with no edges; splitting loses edges)."""
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    n = supplier_count(sf_dir)
+    right = su.map_batches(
+        lambda t: t.rename_columns(["suppkey_r", "s_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = su.join(right, "inner", 4, on=("s_nationkey",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t["s_suppkey"], pa.int64()),
+            "dst": pc.add(pc.cast(t["suppkey_r"], pa.int64()),
+                          pa.scalar(n, pa.int64())),
+            "weight": pa.array(np.ones(t.num_rows)),
+        })
+
+    return joined.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def nation_ring_edges(sf_dir):
     """Dataset (src, dst, weight=1): one ring per nation (suppliers in
     suppkey order, consecutive + wraparound when size >= 3)."""

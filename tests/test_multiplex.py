@@ -279,3 +279,58 @@ def test_enforcement_without_min_size_is_plain_leiden():
     m2, q2, _ = noop.run(n_iterations=-1)
     assert abs(q1 - q2) < 1e-12
     assert np.array_equal(_canon(m1), _canon(m2))
+
+
+def test_bipartite_distributed_matches_inmemory():
+    """DistLeiden.bipartite (3 CPM layers, class-masked node sizes,
+    layer weights [1,-1,-1] through the shard kernel) reaches the
+    in-memory CPMVertexPartition.Bipartite + optimise_partition_
+    multiplex quality on the same graph, for both unit and
+    degree-as-node-size masses (reference
+    VertexPartition.py:950-1105)."""
+    import numpy as np
+    import pytest
+
+    from leidenalg_ray.dist.leiden import DistLeiden
+
+    g, types = bipartite8()
+    for g01, deg in ((0.2, False), (0.1, True)):
+        dl = DistLeiden.bipartite(g.src, g.dst, types=np.array(types),
+                                  n=8, resolution_parameter_01=g01,
+                                  degree_as_node_size=deg, P=4, seed=3)
+        mem, q, info = dl.run()
+        p01, p0, p1 = CPMVertexPartition.Bipartite(
+            g, resolution_parameter_01=g01, types=types,
+            degree_as_node_size=deg)
+        opt = Optimiser()
+        opt.set_rng_seed(3)
+        opt.optimise_partition_multiplex([p01, p0, p1],
+                                         layer_weights=[1, -1, -1])
+        q_in = p01.quality() - p0.quality() - p1.quality()
+        assert q == pytest.approx(q_in, abs=1e-9)
+        assert len(set(mem.tolist())) == len(p01)
+
+
+def test_bipartite_from_dataset(ray_session):
+    """Dataset-native bipartite construction: same fixed point as the
+    array path, degree strengths from streaming bincount partials."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from leidenalg_ray.dist.leiden import DistLeiden
+
+    g, types = bipartite8()
+    ds = rd.from_arrow(pa.table({"src": pa.array(g.src),
+                                 "dst": pa.array(g.dst)}))
+    dl = DistLeiden.bipartite_from_dataset(
+        ds, types=np.array(types), n=8, resolution_parameter_01=0.1,
+        degree_as_node_size=True, P=4, seed=3)
+    mem, q, info = dl.run()
+    dl2 = DistLeiden.bipartite(g.src, g.dst, types=np.array(types),
+                               n=8, resolution_parameter_01=0.1,
+                               degree_as_node_size=True, P=4, seed=3)
+    mem2, q2, _ = dl2.run()
+    assert q == pytest.approx(q2, abs=1e-12)
+    assert np.array_equal(mem, mem2)
