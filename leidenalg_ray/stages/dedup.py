@@ -24,6 +24,7 @@ different parallelism levels produce identical output.
 from __future__ import annotations
 
 import hashlib
+import logging
 import zlib
 
 import numpy as np
@@ -31,9 +32,33 @@ import numpy as np
 from leidenalg_ray.util import round6
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data.aggregate import Count, Min
 
-from .text import TOKEN_RE, hash_token
+from .text import TOKEN_RE, hash_token, hash_tokens
+
+logger = logging.getLogger("leidenalg_ray.dedup")
+
+
+@ray.remote(num_cpus=0)
+class DropCounter:
+    """Side-channel for bounded stages' skew guards — the brief's "no
+    silent caps" rule: an over-cap LSH bucket that returns zero pairs
+    increments this counter (and logs) instead of vanishing. Create
+    one, pass its handle as ``drop_counter=``, read
+    ``snapshot.remote()`` after the run."""
+
+    def __init__(self):
+        self.dropped_buckets = 0
+        self.dropped_ids = 0
+
+    def add(self, n_ids):
+        self.dropped_buckets += 1
+        self.dropped_ids += int(n_ids)
+
+    def snapshot(self):
+        return {"dropped_buckets": self.dropped_buckets,
+                "dropped_ids": self.dropped_ids}
 
 
 # ----------------------------------------------------------------------
@@ -80,6 +105,27 @@ def _shingles(text, k=3):
          range(len(toks) - k + 1)], dtype=np.uint64))
 
 
+def _shingles_batch(texts, k=3):
+    """``_shingles`` over a whole batch with one distinct-string md5
+    pass (``hash_tokens``): shingle strings repeat heavily across
+    natural-language documents, and md5-per-occurrence was the CPU
+    floor of every dedup stage. Bit-identical output to the per-doc
+    form (same md5 strings, same sorted-unique per doc)."""
+    all_sh, spans = [], []
+    for t in texts:
+        toks = TOKEN_RE.findall(t.lower())
+        if len(toks) < k:
+            sh = [" ".join(toks)] if toks else []
+        else:
+            sh = [" ".join(toks[i:i + k])
+                  for i in range(len(toks) - k + 1)]
+        spans.append((len(all_sh), len(all_sh) + len(sh)))
+        all_sh.extend(sh)
+    hv = hash_tokens(all_sh)
+    return [np.unique(hv[lo:hi]) if hi > lo
+            else np.empty(0, np.uint64) for lo, hi in spans]
+
+
 class MinHasher:
     """Actor-pool stage: doc -> (band_id, band_hash, doc_id) rows."""
 
@@ -91,13 +137,8 @@ class MinHasher:
         self.k = shingle_k
 
     def signature(self, text):
-        sh = _shingles(text, self.k)
-        if len(sh) == 0:
-            return np.zeros(self.num_hashes, dtype=np.uint64)
         # (a*x + b) mod M61 per hash function, min over shingles
-        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) \
-            % np.uint64(_M61)
-        return vals.min(axis=1)
+        return self.sig_of_shingles(_shingles(text, self.k))
 
     # Band bucket key: polynomial fold of the band's minhash values in
     # wrapping uint64 (FNV-64 prime) — SQL-expressible (HUGEINT mod
@@ -113,12 +154,20 @@ class MinHasher:
             bh = bh * self._BAND_C + chunks[:, r]
         return bh
 
+    def sig_of_shingles(self, sh):
+        if len(sh) == 0:
+            return np.zeros(self.num_hashes, dtype=np.uint64)
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) \
+            % np.uint64(_M61)
+        return vals.min(axis=1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         n = len(doc_ids)
         band_hash = np.empty((n, self.bands), dtype=np.uint64)
-        for i, text in enumerate(batch["text"].to_pylist()):
-            band_hash[i] = self.band_hashes(self.signature(text))
+        shingles = _shingles_batch(batch["text"].to_pylist(), self.k)
+        for i, sh in enumerate(shingles):
+            band_hash[i] = self.band_hashes(self.sig_of_shingles(sh))
         return pa.table({
             "band_id": pa.array(
                 np.tile(np.arange(self.bands, dtype=np.int32), n)),
@@ -129,10 +178,17 @@ class MinHasher:
 
 
 def minhash_candidates(docs_ds, num_hashes=64, bands=16, shingle_k=3,
-                       seed=7, concurrency=4):
+                       seed=7, concurrency=4, max_bucket=2000,
+                       drop_counter=None):
     """Candidate near-dup pairs (a < b) from LSH band buckets.
     ``MinHasher`` runs as an autoscaling actor pool so the hash-param
-    setup happens once per actor, not once per batch."""
+    setup happens once per actor, not once per batch.
+
+    ``max_bucket``: skew guard — a band bucket with more ids would
+    emit O(bucket^2) pairs (a degenerate boilerplate cluster, not a
+    near-dup signal). Dropped buckets are NOT silent: each logs a
+    warning and, when a ``DropCounter`` handle is passed as
+    ``drop_counter``, increments it with the bucket size."""
     bands_ds = docs_ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
@@ -142,7 +198,16 @@ def minhash_candidates(docs_ds, num_hashes=64, bands=16, shingle_k=3,
 
     def pairs(t: pa.Table) -> pa.Table:
         ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2 or len(ids) > 2000:  # cap pathological buckets
+        if len(ids) > max_bucket:   # capped pathological bucket
+            if drop_counter is not None:
+                drop_counter.add.remote(len(ids))
+            logger.warning(
+                "LSH band bucket with %d ids exceeds max_bucket=%d — "
+                "dropping its pairs (skew guard)", len(ids),
+                max_bucket)
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
         ii, jj = np.triu_indices(len(ids), k=1)
@@ -158,8 +223,9 @@ def shingle_signatures(docs_ds, shingle_k=3):
     hash set, computed exactly once, packed as a uint64 blob (Arrow's
     hash join cannot carry list columns as payload, binary it can)."""
     def rows(t: pa.Table) -> pa.Table:
-        sh = [np.sort(_shingles(x, shingle_k)).tobytes()
-              for x in t["text"].to_pylist()]
+        sh = [s.tobytes()   # _shingles_batch output is already sorted
+              for s in _shingles_batch(t["text"].to_pylist(),
+                                       shingle_k)]
         return pa.table({
             "doc_id": t["doc_id"],
             "sh": pa.array(sh, pa.binary()),
@@ -240,18 +306,21 @@ def jaccard_verify_candidates(pairs_ds, docs_ds, threshold=0.8,
     import ray
 
     pairs_mat = pairs_ds.materialize()
-    ids = set()
+    ids = [np.empty(0, np.int64)]
     for t in pairs_mat.iter_batches(batch_format="pyarrow"):
-        ids.update(t["a"].to_pylist())
-        ids.update(t["b"].to_pylist())
-    ids_ref = ray.put(ids)
+        ids.append(t["a"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+        ids.append(t["b"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+    ids_ref = ray.put(np.unique(np.concatenate(ids)))
 
     def keep(t: pa.Table) -> pa.Table:
+        # broadcast sorted id array + vectorised membership (np.isin),
+        # not a per-row Python set probe
         want = ray.get(ids_ref)
-        mask = np.fromiter((d in want for d in
-                            t["doc_id"].to_pylist()), dtype=bool,
-                           count=t.num_rows)
-        return t.filter(pa.array(mask))
+        d = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.filter(pa.array(np.isin(d, want)))
 
     sig_rows = shingle_signatures(
         docs_ds.map_batches(keep, batch_format="pyarrow",
@@ -305,15 +374,16 @@ def simhash_signatures(docs_ds):
     token stays Python (the stable hash the oracle replicates)."""
     def sig(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        doc_idx, tok_hashes = [], []
+        doc_idx, all_toks = [], []
         for i, t in enumerate(batch["text"].to_pylist()):
             toks = TOKEN_RE.findall(t.lower())
             if toks:
                 doc_idx.append(np.full(len(toks), i, dtype=np.int64))
-                tok_hashes.extend(hash_token(w) for w in toks)
+                all_toks.extend(toks)
         counts = np.zeros((n, 64), dtype=np.int64)
-        if tok_hashes:
-            hs = np.array(tok_hashes, dtype=np.uint64)
+        if all_toks:
+            # one md5 per DISTINCT token across the batch
+            hs = hash_tokens(all_toks)
             di = np.concatenate(doc_idx)
             shifts = np.arange(64, dtype=np.uint64)[None, :]
             bits = ((hs[:, None] >> shifts) & np.uint64(1)) \
@@ -328,11 +398,14 @@ def simhash_signatures(docs_ds):
                                zero_copy_batch=True)
 
 
-def simhash_dedup(docs_ds, max_hamming=3):
+def simhash_dedup(docs_ds, max_hamming=3, max_bucket=2000,
+                  drop_counter=None):
     """Near-dup pairs by SimHash: block on each of the four 16-bit
     chunks (any pair within Hamming<=3 of 64 bits shares at least one
     identical chunk... with 4 chunks and <=3 differing bits, yes by
-    pigeonhole), verify Hamming distance."""
+    pigeonhole), verify Hamming distance. ``max_bucket`` /
+    ``drop_counter``: the same non-silent skew guard as
+    ``minhash_candidates``."""
     sigs = simhash_signatures(docs_ds)
 
     def bandrows(t: pa.Table) -> pa.Table:
@@ -360,7 +433,17 @@ def simhash_dedup(docs_ds, max_hamming=3):
         keep = np.ones(len(d), dtype=bool)
         keep[1:] = d[1:] != d[:-1]
         d, s = d[keep], s[keep]
-        if len(d) < 2 or len(d) > 2000:
+        if len(d) > max_bucket:     # capped pathological bucket
+            if drop_counter is not None:
+                drop_counter.add.remote(len(d))
+            logger.warning(
+                "SimHash chunk bucket with %d ids exceeds "
+                "max_bucket=%d — dropping its pairs (skew guard)",
+                len(d), max_bucket)
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int32())})
+        if len(d) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int32())})

@@ -157,7 +157,7 @@ def rolling_fingerprint(docs_ds, window=8, base=257,
         out = np.empty(batch.num_rows, dtype=np.uint64)
         for i, t in enumerate(batch["text"].to_pylist()):
             toks = TOKEN_RE.findall(t.lower())
-            hs = np.array([hash_token(w) for w in toks], dtype=np.uint64)
+            hs = hash_tokens(toks)
             if len(hs) < window:
                 h = np.uint64(0)
                 for x in hs:
@@ -187,6 +187,22 @@ def hash_token(w: str) -> int:
     every hash-derived operator (MinHash shingles, SimHash bits,
     rolling fingerprints) has an exact SQL oracle."""
     return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+
+
+def hash_tokens(words) -> np.ndarray:
+    """``hash_token`` over a sequence, md5-hashing each DISTINCT
+    string once (``np.unique`` + scatter-back). Natural-language
+    batches repeat most tokens/shingles heavily, so this removes the
+    md5-per-occurrence CPU floor of the dedup stages while producing
+    bit-identical hashes (same md5, same SQL oracle)."""
+    if len(words) == 0:
+        return np.empty(0, np.uint64)
+    uniq, inv = np.unique(np.asarray(words, dtype=object),
+                          return_inverse=True)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+         for w in uniq), dtype=np.uint64, count=len(uniq))
+    return hs[inv]
 
 
 def vocab_top_terms(docs_ds, k=50):

@@ -257,3 +257,50 @@ def test_ivf_topk_hot_bucket_skew():
         got = out[out.query_id == j].sort_values("rank")["vec_id"] \
             .to_numpy()
         assert np.array_equal(got, want)
+
+
+def test_hash_tokens_bit_identical():
+    """The distinct-cache vectorised hasher produces exactly the same
+    md5-derived hashes as the per-occurrence loop (the SQL oracles
+    replicate that md5, so this identity is load-bearing)."""
+    words = ["the", "cat", "the", "mat", "cat", "the", ""]
+    got = tx.hash_tokens(words)
+    want = np.array([tx.hash_token(w) for w in words], dtype=np.uint64)
+    assert np.array_equal(got, want)
+    assert len(tx.hash_tokens([])) == 0
+
+
+def test_shingles_batch_matches_per_doc():
+    texts = ["the quick brown fox jumps", "short", "",
+             "the quick brown fox jumps over the quick brown fox",
+             "a b", "x y z w"]
+    batch = dd._shingles_batch(texts, 3)
+    for t, got in zip(texts, batch):
+        want = dd._shingles(t, 3)
+        assert np.array_equal(got, want), t
+
+
+def test_lsh_drop_counter_counts_capped_buckets(ray_session):
+    """'No silent caps': an over-max_bucket LSH bucket increments the
+    DropCounter (one increment per dropped band bucket) instead of
+    silently vanishing; under-cap runs leave it at zero."""
+    import ray
+
+    texts = ["identical boilerplate page body text here"] * 12
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(12, dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+    ctr = dd.DropCounter.remote()
+    cand = dd.minhash_candidates(docs, num_hashes=16, bands=4,
+                                 max_bucket=5, drop_counter=ctr)
+    assert cand.count() == 0        # every bucket over the cap
+    snap = ray.get(ctr.snapshot.remote())
+    assert snap["dropped_buckets"] == 4   # one per band, 12 ids each
+    assert snap["dropped_ids"] == 48
+    # under the cap: pairs flow, counter untouched
+    ctr2 = dd.DropCounter.remote()
+    cand2 = dd.minhash_candidates(docs, num_hashes=16, bands=4,
+                                  max_bucket=100, drop_counter=ctr2)
+    assert cand2.count() == 12 * 11 // 2
+    assert ray.get(ctr2.snapshot.remote())["dropped_buckets"] == 0
