@@ -1990,7 +1990,73 @@ class DistLeiden:
             min_rel_improvement=1e-9, checkpoint=None,
             initial_membership=None, is_membership_fixed=None,
             membership_out=None):
-        """Full multi-level pipeline: distributed local-move + refine +
+        """Full multi-level pipeline; returns (membership, quality,
+        info). ``n_iterations`` follows the reference contract
+        (``Optimiser.py:341-352``) in the form that fits a multi-level
+        engine: one ``run`` pass already iterates distributed levels
+        until quality plateaus, and a POSITIVE ``n_iterations``
+        additionally governs the in-memory tail's optimisation passes
+        (the reference's per-pass loop at the scale where it can still
+        improve anything). ``n_iterations < 0`` is the explicit
+        "iterate until no improvement" contract: FULL
+        move+refine+aggregate passes repeat, each warm-started from
+        the previous pass's membership, until a pass no longer
+        improves quality (``info["passes"]`` reports the count).
+        With ``is_membership_fixed`` the multi-pass loop is skipped —
+        fixed-label outputs live in the ``2n + min-vid`` space, which
+        is not a valid warm-seed label space; a single pass already
+        reaches the reference fixed point on the pinned fixtures."""
+        if n_iterations >= 0 or is_membership_fixed is not None:
+            return self._run_pass(
+                n_iterations=n_iterations,
+                max_supersteps=max_supersteps,
+                tail_max_edges=tail_max_edges, tail_max_n=tail_max_n,
+                max_levels=max_levels,
+                min_rel_improvement=min_rel_improvement,
+                checkpoint=checkpoint,
+                initial_membership=initial_membership,
+                is_membership_fixed=is_membership_fixed,
+                membership_out=membership_out)
+        seed_cur = initial_membership
+        itr, q_prev = 0, None
+        while True:
+            mem, q, info = self._run_pass(
+                n_iterations=-1, max_supersteps=max_supersteps,
+                tail_max_edges=tail_max_edges, tail_max_n=tail_max_n,
+                max_levels=max_levels,
+                min_rel_improvement=min_rel_improvement,
+                checkpoint=checkpoint, initial_membership=seed_cur,
+                membership_out=None,
+                tag_prefix=("" if itr == 0 else f"P{itr}"))
+            itr += 1
+            if q_prev is not None \
+                    and q - q_prev <= min_rel_improvement * (1 + abs(q)):
+                break
+            q_prev = q
+            seed_cur = mem
+        info["passes"] = itr
+        if membership_out is not None:
+            # converged: one cheap final pass seeded at the fixed
+            # point writes the shard-side output (labels are dense
+            # renumbered < n, a valid warm seed)
+            _, q, info2 = self._run_pass(
+                n_iterations=-1, max_supersteps=max_supersteps,
+                tail_max_edges=tail_max_edges, tail_max_n=tail_max_n,
+                max_levels=max_levels,
+                min_rel_improvement=min_rel_improvement,
+                checkpoint=checkpoint, initial_membership=mem,
+                membership_out=membership_out,
+                tag_prefix=f"P{itr}")
+            info2["passes"] = itr
+            return None, q, info2
+        return mem, q, info
+
+    def _run_pass(self, n_iterations=2, max_supersteps=200,
+                  tail_max_edges=150_000, tail_max_n=3000, max_levels=8,
+                  min_rel_improvement=1e-9, checkpoint=None,
+                  initial_membership=None, is_membership_fixed=None,
+                  membership_out=None, tag_prefix=""):
+        """One full multi-level pass: distributed local-move + refine +
         aggregate per level (the shard-actor pool is reused across
         levels). The exact in-memory schedule runs only on genuinely
         small aggregates (edge count below ``tail_max_edges``);
@@ -2053,7 +2119,8 @@ class DistLeiden:
                 mem=seed, max_supersteps=max_supersteps,
                 min_rel_improvement=min_rel_improvement,
                 checkpoint=checkpoint,
-                level_tag=f"L{level_idx}", fixed=level_fixed)
+                level_tag=f"{tag_prefix}L{level_idx}",
+                fixed=level_fixed)
             total_steps += steps
             refined_refs, seed_pairs = level.refine_distributed()
             agg_graphs, labels, seed_mem = level.aggregate_sharded(

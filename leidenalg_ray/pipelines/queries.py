@@ -6872,27 +6872,18 @@ FROM pr WHERE i = {PAGERANK_ITERS}
 """
 
 
-def q_pages_temporal(sf_dir):
-    """End-to-end crawl-snapshot communities: a deterministic
-    two-epoch recrawl corpus (same urls, planted 10-cliques shifted
-    by 5 between epochs, epoch 1 pushed 1000 h later in ``warc_ts``)
-    -> ``pages_temporal_graph`` (slice spill, shared id space,
-    per-slice extraction) -> ``find_partition_temporal_dataset``.
-    Returns (slice, url, comm) with slice-0 labels canonicalised by
-    first-url appearance. Rows-only: the Leiden fixed point is
-    non-SQL; the slicing/extraction plumbing is oracle-checked in
-    ``tests/test_extract.py::test_pages_temporal_graph_slices_recrawl``
-    and the planted structure below is asserted directly."""
-    from ..functions_api import find_partition_temporal_dataset
+def _temporal_recrawl_pages(n=60, shift=5):
+    """Deterministic two-epoch recrawl corpus: same urls, planted
+    10-cliques shifted by ``shift`` between epochs, epoch 1 pushed
+    1000 h later in ``warc_ts``. Shared by the rows-only end-to-end
+    row (``pages_temporal``) and its closed-form driver-green twin
+    (``pages_temporal_cliques``)."""
     from ..sources.pages import generate_pages_table
-    from ..stages.graph_build import pages_temporal_graph
 
-    n = 60
-
-    def cliq(shift):
+    def cliq(sh):
         s, d = [], []
         for base in range(0, n, 10):
-            mem = [(base + k + shift) % n for k in range(10)]
+            mem = [(base + k + sh) % n for k in range(10)]
             for i in range(10):
                 for j in range(i + 1, 10):
                     s.append(mem[i])
@@ -6900,27 +6891,42 @@ def q_pages_temporal(sf_dir):
         return np.asarray(s), np.asarray(d)
 
     sA, dA = cliq(0)
-    sB, dB = cliq(5)
+    sB, dB = cliq(shift)
     tabA = generate_pages_table(sA, dA, n, seed=1, dup_prob=0.0)
     tabB = generate_pages_table(sB, dB, n, seed=2, dup_prob=0.0)
     tsB = pa.array(tabB["warc_ts"].cast(pa.int64()).to_numpy()
                    + 3_600_000_000_000, pa.timestamp("us"))
     tabB = tabB.set_column(tabB.schema.get_field_index("warc_ts"),
                            "warc_ts", tsB)
-    pages = rd.from_arrow(pa.concat_tables([tabA, tabB]))
+    return rd.from_arrow(pa.concat_tables([tabA, tabB]))
+
+
+def _temporal_communities(interslice_weight, n=60):
+    """pages -> pages_temporal_graph -> temporal Leiden -> (slice,
+    url, comm) with per-slice labels canonicalised by first url
+    appearance (temporal vids are url-rank-ordered, so vid order IS
+    url order)."""
+    from ..functions_api import find_partition_temporal_dataset
+    from ..stages.graph_build import pages_temporal_graph
+
+    pages = _temporal_recrawl_pages(n)
     slices, mapping, nv, _ = pages_temporal_graph(
         pages, n_slices=2, B=4, num_partitions=8)
     mems, q, info = find_partition_temporal_dataset(
         slices, n_nodes=nv, quality="cpm", resolution_parameter=0.5,
-        interslice_weight=0.01, P=4, seed=3, n_iterations=-1)
+        interslice_weight=interslice_weight, P=4, seed=3,
+        n_iterations=-1)
 
     m = mapping.to_pandas().sort_values("vid")
     urls = m["url"].to_numpy()
+    # bucket-rank vids are NOT globally url-ordered — canonicalise by
+    # actual url order so the labels are id-assignment-independent
+    url_order = np.argsort(urls)
     out_slice, out_url, out_comm = [], [], []
     for t in range(2):
         # canonicalise labels by first appearance in url order
         seen = {}
-        for v in range(nv):
+        for v in url_order:
             lab = int(mems[t][v])
             c = seen.setdefault(lab, len(seen))
             out_slice.append(t)
@@ -6931,6 +6937,56 @@ def q_pages_temporal(sf_dir):
         "url": pa.array(out_url, pa.string()),
         "comm": pa.array(np.asarray(out_comm, np.int64)),
     })
+
+
+def q_pages_temporal(sf_dir):
+    """End-to-end crawl-snapshot communities: the two-epoch recrawl
+    corpus -> ``pages_temporal_graph`` (slice spill, shared id space,
+    per-slice extraction) -> ``find_partition_temporal_dataset`` with
+    a small positive interslice coupling. Rows-only: the coupled
+    Leiden fixed point is non-SQL; the slicing/extraction plumbing is
+    oracle-checked in ``tests/test_extract.py::
+    test_pages_temporal_graph_slices_recrawl`` and the SAME path is
+    driver-green via the closed-form ``pages_temporal_cliques`` twin
+    (interslice_weight=0)."""
+    return _temporal_communities(interslice_weight=0.01)
+
+
+def q_pages_temporal_cliques(sf_dir):
+    """Driver-green twin of ``pages_temporal`` (reference
+    ``functions.py:337-364`` slice->layer coupling): the identical
+    corpus and temporal slicing path with ``interslice_weight=0``, so
+    each snapshot's fixed point is CLOSED FORM — its epoch's planted
+    10-cliques (CPM gamma=0.5 on disjoint cliques, decoupled layers).
+    Slice 0 cliques are v // 10; slice 1 (shifted by 5) cliques are
+    ((v + 55) % 60) // 10; labels are canonicalised by first url
+    appearance, i.e. dense rank of each clique's min url. Urls are
+    SQL-reconstructible (``url_of``: zero-padded vid), so the oracle
+    needs only generate_series — the one formerly rows-only row with
+    no planted twin now has one."""
+    return _temporal_communities(interslice_weight=0.0)
+
+
+SQL_PAGES_TEMPORAL_CLIQUES = """
+WITH v AS (SELECT unnest(generate_series(0, 59)) AS v),
+u AS (SELECT v, 'https://s' || lpad(CAST(v % 16 AS VARCHAR), 2, '0')
+            || '.example/p' || lpad(CAST(v AS VARCHAR), 9, '0')
+            || '.html' AS url,
+            v // 10 AS cl0,
+            ((v + 55) % 60) // 10 AS cl1
+      FROM v),
+r0 AS (SELECT cl0, CAST(dense_rank() OVER (ORDER BY min(url))
+                        AS BIGINT) - 1 AS comm
+       FROM u GROUP BY cl0),
+r1 AS (SELECT cl1, CAST(dense_rank() OVER (ORDER BY min(url))
+                        AS BIGINT) - 1 AS comm
+       FROM u GROUP BY cl1)
+SELECT CAST(0 AS BIGINT) AS slice, u.url AS url, r0.comm AS comm
+FROM u JOIN r0 ON u.cl0 = r0.cl0
+UNION ALL
+SELECT CAST(1 AS BIGINT), u.url, r1.comm
+FROM u JOIN r1 ON u.cl1 = r1.cl1
+"""
 
 
 # --- partition comparison metrics (igraph compare_communities
@@ -7193,6 +7249,7 @@ QUERIES = {
     "brand_pagerank": q_brand_pagerank,
     "partition_compare": q_partition_compare,
     "pages_temporal": q_pages_temporal,
+    "pages_temporal_cliques": q_pages_temporal_cliques,
 }
 
 ORACLE_SQL = {
@@ -7228,6 +7285,7 @@ ORACLE_SQL = {
     "leiden_warm_cliques": SQL_LEIDEN_NATIONS,
     "leiden_negweight_bipartite": SQL_LEIDEN_NEGWEIGHT_BIPARTITE,
     "leiden_bipartite_cliques": SQL_LEIDEN_BIPARTITE_NATIONS,
+    "pages_temporal_cliques": SQL_PAGES_TEMPORAL_CLIQUES,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
     "leiden_surprise_cliques": SQL_LEIDEN_NATIONS,

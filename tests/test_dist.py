@@ -1320,3 +1320,40 @@ def test_dist_consider_comms_validation():
                     resolution_parameter=0.1, P=2,
                     consider_comms=ALL_COMMS)   # int constant accepted
     assert dl.consider_comms == "all"
+
+
+def test_run_n_iterations_negative_until_no_improvement(tmp_path):
+    """n_iterations=-1 (reference Optimiser.py:341-352): full
+    move+refine+aggregate passes repeat, warm-started from the
+    previous pass, until one no longer improves. On planted cliques
+    the first pass reaches the unique optimum, so exactly one
+    improving pass runs (+ the no-improvement detection pass), the
+    result matches the default schedule, and the shard-side
+    membership_out path agrees bit for bit."""
+    import pyarrow.dataset as pads
+    srcs, dsts = [], []
+    for c in range(5):
+        vids = np.arange(20) + c * 20
+        ii, jj = np.triu_indices(20, k=1)
+        srcs.append(vids[ii])
+        dsts.append(vids[jj])
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+
+    def mk():
+        return DistLeiden(src, dst, n=100, directed=False,
+                          quality="cpm", resolution_parameter=0.5,
+                          P=4, seed=7)
+
+    mem_def, q_def, _ = mk().run()
+    mem_neg, q_neg, info = mk().run(n_iterations=-1)
+    assert q_neg == pytest.approx(q_def, abs=1e-12)
+    assert np.array_equal(mem_neg, mem_def)
+    assert info["passes"] >= 2          # improving pass + detection
+    out = str(tmp_path / "mem")
+    none_mem, q_out, info2 = mk().run(n_iterations=-1,
+                                      membership_out=out)
+    assert none_mem is None
+    assert q_out == pytest.approx(q_def, abs=1e-12)
+    t = pads.dataset(out).to_table().sort_by("vid")
+    assert np.array_equal(t["comm"].to_numpy(), mem_def)
