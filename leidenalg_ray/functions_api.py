@@ -124,7 +124,8 @@ def find_partition_temporal_dataset(slice_datasets, n_nodes,
                                     resolution_parameter=1.0,
                                     interslice_weight=1.0, P=8,
                                     seed=42, n_iterations=2,
-                                    max_comm_size=0, **kwargs):
+                                    max_comm_size=0,
+                                    membership_out=None, **kwargs):
     """Distributed ``find_partition_temporal``: T edge Datasets (one
     per time slice, all on the shared node id space [0, n_nodes)) are
     laid out on the union vertex space ``vid = t*n_nodes + node``,
@@ -138,7 +139,10 @@ def find_partition_temporal_dataset(slice_datasets, n_nodes,
 
     Returns ``(memberships, quality, info)`` with ``memberships`` a
     (T, n_nodes) array — row t is slice t's communities, labels shared
-    across slices.
+    across slices. ``membership_out=<dir>``: the shards write the
+    union-space ``(vid, comm)`` labels as partitioned parquet instead
+    (``slice = vid // n_nodes``, ``node = vid % n_nodes``) and
+    ``memberships`` is None — the o(n·T)-driver output path.
 
     Scale note (documented assumption): the per-layer node-size
     matrix is (T+1, T*n_nodes) on the driver — structured (slice
@@ -207,7 +211,10 @@ def find_partition_temporal_dataset(slice_datasets, n_nodes,
         resolution_parameter=gammas, layer_weights=[1.0] * L,
         n_layers=L, P=P, seed=seed, max_comm_size=max_comm_size,
         node_sizes=sizes, **kwargs)
-    mem, q, info = dl.run(n_iterations=n_iterations)
+    mem, q, info = dl.run(n_iterations=n_iterations,
+                          membership_out=membership_out)
+    if membership_out is not None:
+        return None, q, info
     return mem.reshape(T, n_nodes), q, info
 
 

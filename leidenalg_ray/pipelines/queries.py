@@ -334,6 +334,31 @@ def q_pagerank_co(sf_dir):
                      "rank": pa.array(round6(rank[vids]))})
 
 
+def q_pagerank_shardout_co(sf_dir):
+    """The same PageRank run through the o(n)-driver OUTPUT seam
+    (``result_out=``): each shard writes its (vid, rank) parquet from
+    a worker task, the driver sees only {path, rows, column}, and the
+    query reads the partitioned files back — so the driver gate
+    verifies the shard-side write path end-to-end against the same
+    SQL oracle as ``pagerank_co``."""
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    g = _co_distgraph(sf_dir)
+    out = tempfile.mkdtemp(prefix="lray_pr_out_")
+    res, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                         max_iter=PAGERANK_ITERS, weighted=True,
+                         active=True, result_out=out)
+    assert res["rows"] == g.n
+    t = pads.dataset(out).to_table()
+    vids = t["vid"].to_numpy()
+    rank = t["rank"].to_numpy()
+    act = g.active_global()[vids]
+    return pa.table({"vid": pa.array(vids[act]),
+                     "rank": pa.array(round6(rank[act]))})
+
+
 SQL_PAGERANK_CO = f"""
 WITH RECURSIVE
 e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
@@ -7097,6 +7122,7 @@ QUERIES = {
     "cc_ps": q_cc_ps,
     "cc_sizes_ps": q_cc_sizes_ps,
     "pagerank_co": q_pagerank_co,
+    "pagerank_shardout_co": q_pagerank_shardout_co,
     "pagerank_ps": q_pagerank_ps,
     "pagerank_warm_co": q_pagerank_warm_co,
     "cc_incremental_ps": q_cc_incremental_ps,
@@ -7262,6 +7288,7 @@ ORACLE_SQL = {
     "cc_ps": SQL_CC_PS,
     "cc_sizes_ps": SQL_CC_SIZES_PS,
     "pagerank_co": SQL_PAGERANK_CO,
+    "pagerank_shardout_co": SQL_PAGERANK_CO,
     "pagerank_ps": SQL_PAGERANK_PS,
     "pagerank_warm_co": SQL_PAGERANK_WARM_CO,
     "cc_incremental_ps": SQL_CC_INCREMENTAL_PS,

@@ -67,7 +67,6 @@ def main():
                  ignore_reinit_error=True, logging_level="ERROR")
     import logging
 
-    import numpy as np
     import pyarrow as pa
     import ray.data as rd
     rd.DataContext.get_current().enable_progress_bars = False
@@ -147,7 +146,6 @@ def main():
                         membership_out=os.path.join(args.out,
                                                     "communities"))
     t_leiden = time.time() - t0
-    import pyarrow.parquet as pq
     if args.host_graph:
         from leidenalg_ray.stages.extract import links_of
         from leidenalg_ray.stages.graph_build import host_graph
@@ -161,16 +159,14 @@ def main():
         t_sl = time.time()
         slices, t_mapping, t_n, bounds = pages_temporal_graph(
             pages, n_slices=args.temporal, num_partitions=P)
-        t_mems, t_q, t_info = find_partition_temporal_dataset(
-            slices, n_nodes=t_n, quality=args.quality,
-            resolution_parameter=args.gamma, P=P, seed=42)
+        # shard-side output: union-space (vid, comm) parquet where
+        # slice = vid // t_n and node = vid % t_n — the driver never
+        # holds the (T, n) membership matrix
         tdir = os.path.join(args.out, "temporal_communities")
-        os.makedirs(tdir, exist_ok=True)
-        for t_idx in range(args.temporal):
-            pq.write_table(pa.table({
-                "vid": pa.array(np.arange(t_n, dtype=np.int64)),
-                "comm": pa.array(t_mems[t_idx].astype(np.int64)),
-            }), os.path.join(tdir, f"slice-{t_idx:04d}.parquet"))
+        _, t_q, t_info = find_partition_temporal_dataset(
+            slices, n_nodes=t_n, quality=args.quality,
+            resolution_parameter=args.gamma, P=P, seed=42,
+            membership_out=tdir)
         # the temporal pipeline has its OWN id space (auto-B bucket
         # ranking over the recrawl-deduped url set) — write its
         # mapping so temporal vids are interpretable; do NOT join

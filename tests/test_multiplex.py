@@ -334,3 +334,40 @@ def test_bipartite_from_dataset(ray_session):
     mem2, q2, _ = dl2.run()
     assert q == pytest.approx(q2, abs=1e-12)
     assert np.array_equal(mem, mem2)
+
+
+def test_temporal_dataset_membership_out(tmp_path, ray_session):
+    """find_partition_temporal_dataset(membership_out=): shards write
+    union-space (vid, comm) parquet (slice = vid // n, node = vid % n)
+    and the returned memberships are None; labels equal the gathered
+    run bit for bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from leidenalg_ray.functions_api import (
+        find_partition_temporal_dataset)
+
+    n = 40
+    ii, jj = np.triu_indices(10, k=1)
+    src = np.concatenate([b + ii for b in range(0, n, 10)])
+    dst = np.concatenate([b + jj for b in range(0, n, 10)])
+    ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                 "dst": pa.array(dst)}))
+    mems, q, info = find_partition_temporal_dataset(
+        [ds, ds], n_nodes=n, quality="cpm", resolution_parameter=0.5,
+        interslice_weight=0.5, P=4, seed=3)
+    out = str(tmp_path / "tc")
+    none_mem, q2, info2 = find_partition_temporal_dataset(
+        [ds, ds], n_nodes=n, quality="cpm", resolution_parameter=0.5,
+        interslice_weight=0.5, P=4, seed=3, membership_out=out)
+    assert none_mem is None
+    assert q2 == q
+    t = pads.dataset(out).to_table().sort_by("vid")
+    vid = t["vid"].to_numpy()
+    comm = t["comm"].to_numpy()
+    assert len(vid) == 2 * n
+    got = np.empty((2, n), dtype=np.int64)
+    got[vid // n, vid % n] = comm
+    assert np.array_equal(got, mems)
