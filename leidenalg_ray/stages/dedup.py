@@ -68,10 +68,15 @@ def exact_dedup(docs_ds):
     """(text_hash, rep_doc_id, n_dups): one row per distinct text,
     representative = min doc_id. SQL oracle: group by md5(text)."""
     def h(batch: pa.Table) -> pa.Table:
+        # md5 each DISTINCT text once — duplicate-heavy batches (the
+        # whole point of this stage) skip repeat digests
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(texts, return_inverse=True)
+        digests = np.asarray(
+            [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in uniq], dtype=object)
         return pa.table({
-            "text_hash": pa.array(
-                [hashlib.md5(t.encode("utf-8")).hexdigest()
-                 for t in batch["text"].to_pylist()], pa.string()),
+            "text_hash": pa.array(digests[inv], pa.string()),
             "doc_id": batch["doc_id"],
         })
     hashed = docs_ds.map_batches(h, batch_format="pyarrow",

@@ -1357,3 +1357,32 @@ def test_run_n_iterations_negative_until_no_improvement(tmp_path):
     assert q_out == pytest.approx(q_def, abs=1e-12)
     t = pads.dataset(out).to_table().sort_by("vid")
     assert np.array_equal(t["comm"].to_numpy(), mem_def)
+
+
+def test_all_comms_tracks_live_labels_default_stays_compressed():
+    """Documented tradeoff: consider_comms="all" makes each shard
+    track ALL live community labels (it must score any of them);
+    the default mode keeps the label set compressed to referenced
+    labels. Perfect matching on n vertices, P=8: each shard
+    references ~2n/P vids, but the live label count at singleton
+    init is n."""
+    import ray
+    n = 800
+    src = np.arange(0, n, 2, dtype=np.int64)
+    dst = np.arange(1, n, 2, dtype=np.int64)
+
+    def footprints(mode):
+        dl = DistLeiden(src, dst, n=n, directed=False, quality="cpm",
+                        resolution_parameter=0.1, P=8, seed=3,
+                        consider_comms=mode)
+        # stage state exactly as a run would, then inspect
+        ray.get([a.init_mem.remote(None) for a in dl.actors])
+        stats = dl._stats_of()
+        dl._push_stats(stats)
+        return ray.get([a.state_footprint.remote()
+                        for a in dl.actors])
+
+    for fp in footprints("all_neighbors"):
+        assert fp["stat_labels"] < n // 2      # compressed
+    for fp in footprints("all"):
+        assert fp["stat_labels"] == n          # all live singletons
