@@ -4067,6 +4067,45 @@ FROM d
 """
 
 
+def q_media_decode_real(sf_dir):
+    """REAL byte-level media decode through the actor pool — no stub:
+    ``synth_real_media_table`` writes valid 24-bit BMPs and 16-bit
+    PCM WAVs whose dimensions/colors/samples are closed forms of the
+    media id, ``MediaDecoderRealFlat`` parses the actual bytes
+    (BITMAPINFOHEADER rows with 4-byte padding, RIFF chunks) and
+    computes channel means / luminance / rms / peak / zcr / duration
+    — the SQL oracle reproduces every value from id arithmetic alone,
+    so any parse bug is a gate FAIL. Compressed codecs remain the
+    documented ``NotImplementedError`` seam."""
+    from ..stages import multimodal as mm
+    media = rd.from_arrow(mm.synth_real_media_table(90))
+    return media.map_batches(mm.MediaDecoderRealFlat,
+                             batch_format="pyarrow", batch_size=16,
+                             zero_copy_batch=True, concurrency=(1, 4))
+
+
+SQL_MEDIA_DECODE_REAL = """
+WITH ids AS (SELECT unnest(generate_series(0, 89)) AS i),
+img AS (SELECT i, (i*37)%256 AS r, (i*59)%256 AS g, (i*83)%256 AS b
+        FROM ids WHERE i%2=0),
+aud AS (SELECT i, 800 + (i%5)*80 AS n, (i*291)%32768 AS v
+        FROM ids WHERE i%2=1)
+SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind,
+       CAST(8 + i%13 AS BIGINT) AS width,
+       CAST(8 + i%7 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_frames,
+       round(r/255.0, 6) AS f0, round(g/255.0, 6) AS f1,
+       round(b/255.0, 6) AS f2,
+       round((299*r + 587*g + 114*b)/255000.0, 6) AS f3
+FROM img
+UNION ALL
+SELECT CAST(i AS BIGINT), 'audio', 0, 0, CAST(n AS BIGINT),
+       round(v/32768.0, 6), round(v/32768.0, 6), 0.0,
+       round(n/8000.0, 6)
+FROM aud
+"""
+
+
 MEDIA_FRAME_EVERY = 2
 
 
@@ -7220,6 +7259,7 @@ QUERIES = {
     "ktruss_co": q_ktruss_co,
     "modularity_terms_co": q_modularity_terms_co,
     "media_decode": q_media_decode,
+    "media_decode_real": q_media_decode_real,
     "media_frame_sample": q_media_frame_sample,
     "orders_percent_rank": q_orders_percent_rank,
     "events_moving_avg": q_events_moving_avg,
@@ -7379,6 +7419,7 @@ ORACLE_SQL = {
     "ktruss_co": SQL_KTRUSS_CO,
     "modularity_terms_co": SQL_MODULARITY_TERMS_CO,
     "media_decode": SQL_MEDIA_DECODE,
+    "media_decode_real": SQL_MEDIA_DECODE_REAL,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "orders_percent_rank": SQL_ORDERS_PERCENT_RANK,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,

@@ -1,13 +1,22 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata (task brief).
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED: ``decode=\"fake\"`` produces a deterministic fake decode
-(seeded by the content hash) with the real output schema, and
-``decode=\"real\"`` raises ``NotImplementedError`` at actor
-construction (where a real deployment would import PIL/libav). The
-Ray-side plumbing — schema, batch sizing for large binary payloads,
-actor-pool signature, partitioned output layout — is real and tested.
+Decode tiers:
+
+- ``decode="real"``: REAL byte-level decoding for the uncompressed
+  formats a numpy-only container can parse — 24-bit uncompressed BMP
+  (``decode_bmp``) and 16-bit PCM WAV (``decode_wav``) — plus a
+  real nearest-neighbour ``image_resize``. Compressed codecs
+  (JPEG/PNG/MP3/H.264 containers) raise ``NotImplementedError`` at
+  the per-payload seam where PIL / torchaudio / PyAV would plug in
+  (those libs aren't in this container).
+- ``decode="fake"``: deterministic pseudo-decode (seeded by the
+  content hash) with the real output schema — for plumbing tests and
+  synthetic corpora with arbitrary payload bytes.
+
+The Ray-side plumbing — schema, batch sizing for large binary
+payloads, actor-pool signature, partitioned output layout — is the
+same for both tiers.
 
 Schema convention:
 ``media(media_id: int64, kind: string, payload: binary,
@@ -23,6 +32,118 @@ import json
 
 import numpy as np
 import pyarrow as pa
+
+from leidenalg_ray.util import round6
+
+
+# ----------------------------------------------------------------------
+# Real uncompressed codecs (pure numpy — no external libraries)
+# ----------------------------------------------------------------------
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Serialise an (h, w, 3) uint8 RGB array as a standard 24-bit
+    uncompressed BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row
+    padding) — a real file any image viewer opens."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # BGR, bottom-up
+    pix = rows.tobytes()
+    header = (b"BM"
+              + (54 + len(pix)).to_bytes(4, "little")
+              + b"\x00\x00\x00\x00"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little")
+              + len(pix).to_bytes(4, "little")
+              + (2835).to_bytes(4, "little") * 2
+              + (0).to_bytes(4, "little") * 2)
+    return header + pix
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB
+    array. Raises ``NotImplementedError`` on compressed / other-depth
+    BMPs (the codec seam)."""
+    buf = bytes(buf)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP is decodable without "
+            f"codec libraries (got bpp={bpp}, compression={comp})")
+    hh = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(buf, np.uint8, count=stride * hh,
+                        offset=off).reshape(hh, stride)
+    arr = arr[:, :w * 3].reshape(hh, w, 3)
+    if h > 0:
+        arr = arr[::-1]           # bottom-up storage
+    return np.ascontiguousarray(arr[:, :, ::-1])   # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate=8000) -> bytes:
+    """Serialise int16 mono samples as a standard PCM WAV."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + int(sample_rate).to_bytes(4, "little")
+           + int(sample_rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(data).to_bytes(4, "little"))
+    return hdr + data
+
+
+def decode_wav(buf: bytes):
+    """Parse a 16-bit PCM WAV into (samples: int16 array (n, ch),
+    sample_rate). Raises ``NotImplementedError`` on non-PCM /
+    other-depth encodings (the codec seam)."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        clen = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is decodable without codec "
+            f"libraries (got format={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples) // channels
+    return samples[:n * channels].reshape(n, channels), rate
+
+
+def image_resize(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real nearest-neighbour resize (pure numpy index sampling)."""
+    rgb = np.asarray(rgb)
+    h, w = rgb.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return rgb[yi][:, xi]
 
 
 def synth_media_table(n=64, seed=42, payload_bytes=4096):
@@ -46,27 +167,105 @@ def synth_media_table(n=64, seed=42, payload_bytes=4096):
     })
 
 
+def synth_real_media_table(n=90):
+    """Deterministic REAL media corpus: valid 24-bit BMPs (even ids)
+    and 16-bit PCM WAVs (odd ids), with dimensions/colors/samples in
+    closed form of the id — so a byte-level decode has an arithmetic
+    oracle. Image i: (8+(i%13)) x (8+(i%7)) constant color
+    ((i*37)%256, (i*59)%256, (i*83)%256). Audio i: 800+(i%5)*80 DC
+    samples of value (i*291)%32768 at 8 kHz."""
+    rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8 + (i % 13), 8 + (i % 7)
+            rgb = np.empty((h, w, 3), dtype=np.uint8)
+            rgb[..., 0] = (i * 37) % 256
+            rgb[..., 1] = (i * 59) % 256
+            rgb[..., 2] = (i * 83) % 256
+            rows["kind"].append("image")
+            rows["payload"].append(encode_bmp(rgb))
+            rows["meta"].append(json.dumps({"codec": "bmp24"}))
+        else:
+            ns = 800 + (i % 5) * 80
+            v = (i * 291) % 32768
+            rows["kind"].append("audio")
+            rows["payload"].append(encode_wav(
+                np.full(ns, v, dtype=np.int16), 8000))
+            rows["meta"].append(json.dumps({"codec": "pcm16"}))
+        rows["media_id"].append(i)
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "meta": pa.array(rows["meta"], pa.string()),
+    })
+
+
 class MediaDecoder:
     """Actor-pool decode/feature-extract stage.
 
+    ``decode="real"``: byte-level decode of the payloads — 24-bit BMP
+    and 16-bit PCM WAV parse for real (``decode_bmp``/``decode_wav``);
+    images yield (width, height, 1 frame, [mean_r, mean_g, mean_b,
+    luminance]/255), audio yields (0, 0, n_samples, [rms, peak, zcr,
+    duration_sec]) — all round6 doubles. Compressed codecs and video
+    containers raise ``NotImplementedError`` at the per-payload seam
+    where PIL / torchaudio / PyAV would plug in.
     ``decode="fake"``: deterministic pseudo-decode — dimensions and an
     8-dim feature vector derived from the payload's blake2b digest, so
     output is reproducible across runs and parallelism levels.
-    ``decode="real"``: raises NotImplementedError (no codecs in this
-    container) — the seam where PIL / torchaudio / PyAV would load,
-    ONCE per actor.
     """
 
     def __init__(self, decode="fake", feature_dim=8):
-        if decode == "real":
-            raise NotImplementedError(
-                "image/audio codecs are not available in this "
-                "container; use decode='fake' (deterministic stub)")
-        if decode != "fake":
+        if decode not in ("fake", "real"):
             raise ValueError(f"unknown decode mode {decode!r}")
+        self.decode = decode
         self.feature_dim = feature_dim
 
+    def _real_row(self, kind, payload):
+        if kind == "image":
+            rgb = decode_bmp(payload)
+            h, w = rgb.shape[:2]
+            means = rgb.reshape(-1, 3).mean(axis=0)
+            lum = (0.299 * means[0] + 0.587 * means[1]
+                   + 0.114 * means[2])
+            return (w, h, 1,
+                    np.r_[means / 255.0, lum / 255.0][:4])
+        if kind == "audio":
+            samples, rate = decode_wav(payload)
+            x = samples[:, 0].astype(np.float64) / 32768.0
+            rms = float(np.sqrt(np.mean(x * x)))
+            peak = float(np.abs(x).max(initial=0.0))
+            zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
+                       if len(x) > 1 else 0.0)
+            return (0, 0, len(x),
+                    np.array([rms, peak, zc, len(x) / rate]))
+        raise NotImplementedError(
+            f"kind={kind!r} needs a codec library (PyAV/PIL) not "
+            "available in this container")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode == "real":
+            ids = batch["media_id"].to_pylist()
+            width = np.empty(len(ids), dtype=np.int32)
+            height = np.empty(len(ids), dtype=np.int32)
+            n_frames = np.empty(len(ids), dtype=np.int32)
+            feats = []
+            for i, (k, p) in enumerate(zip(batch["kind"].to_pylist(),
+                                           batch["payload"]
+                                           .to_pylist())):
+                w, h, nf, f = self._real_row(k, p)
+                width[i], height[i], n_frames[i] = w, h, nf
+                feats.append(round6(f).astype(np.float32))
+            return pa.table({
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "n_frames": pa.array(n_frames),
+                "feature": pa.array([f.tolist() for f in feats],
+                                    pa.list_(pa.float32())),
+            })
         ids = batch["media_id"].to_pylist()
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
@@ -172,6 +371,58 @@ class MediaDecoderMd5:
         }
         for j in range(self.feature_dim):
             cols[f"f{j}"] = pa.array(feats[:, j])
+        return pa.table(cols)
+
+
+class MediaDecoderRealFlat:
+    """``MediaDecoder(decode="real")`` with flat float64 feature
+    columns (f0..f3, round6) — the SQL-comparable form (list<float32>
+    hashes differently across engines). Images: f0..f2 = channel
+    means / 255, f3 = (299*mr + 587*mg + 114*mb) / 255000 (the
+    integer-numerator luminance form — one double division on both
+    sides, so the oracle's arithmetic is bit-identical). Audio:
+    f0 = rms, f1 = peak, f2 = zero-crossing rate, f3 = seconds."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        width = np.empty(len(ids), dtype=np.int64)
+        height = np.empty(len(ids), dtype=np.int64)
+        n_frames = np.empty(len(ids), dtype=np.int64)
+        feats = np.empty((len(ids), 4), dtype=np.float64)
+        for i, (k, p) in enumerate(zip(batch["kind"].to_pylist(),
+                                       batch["payload"].to_pylist())):
+            if k == "image":
+                rgb = decode_bmp(p)
+                h, w = rgb.shape[:2]
+                m = rgb.reshape(-1, 3).mean(axis=0)
+                width[i], height[i], n_frames[i] = w, h, 1
+                feats[i] = [m[0] / 255.0, m[1] / 255.0, m[2] / 255.0,
+                            (299.0 * m[0] + 587.0 * m[1]
+                             + 114.0 * m[2]) / 255000.0]
+            elif k == "audio":
+                samples, rate = decode_wav(p)
+                x = samples[:, 0].astype(np.float64) / 32768.0
+                width[i], height[i], n_frames[i] = 0, 0, len(x)
+                zc = (float(np.mean(np.signbit(x[1:])
+                                    != np.signbit(x[:-1])))
+                      if len(x) > 1 else 0.0)
+                feats[i] = [float(np.sqrt(np.mean(x * x))),
+                            float(np.abs(x).max(initial=0.0)), zc,
+                            len(x) / rate]
+            else:
+                raise NotImplementedError(
+                    f"kind={k!r} needs a codec library not in this "
+                    "container")
+        cols = {
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "width": pa.array(width),
+            "height": pa.array(height),
+            "n_frames": pa.array(n_frames),
+        }
+        f6 = round6(feats)
+        for j in range(4):
+            cols[f"f{j}"] = pa.array(f6[:, j])
         return pa.table(cols)
 
 

@@ -1,6 +1,7 @@
 """Multimodal plumbing: schema, determinism, stub seam."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -23,9 +24,18 @@ def test_decode_schema_and_determinism():
     assert (a[a.kind == "image"].n_frames == 1).all()
 
 
-def test_real_decode_raises():
-    with pytest.raises(NotImplementedError):
-        mm.MediaDecoder(decode="real")
+def test_real_decode_seam_moved_to_compressed_codecs():
+    """Round 4: decode='real' is a REAL byte-level decoder for
+    uncompressed BMP/WAV; the NotImplementedError seam now lives at
+    the per-payload compressed-codec boundary (and unknown modes
+    still reject at construction)."""
+    dec = mm.MediaDecoder(decode="real")   # constructs fine now
+    t = pa.table({"media_id": [0], "kind": ["image"],
+                  "payload": [b"\x89PNG\r\n\x1a\n" + b"\x00" * 32]})
+    with pytest.raises(ValueError):        # not a BMP
+        dec(t)
+    with pytest.raises(ValueError):
+        mm.MediaDecoder(decode="imaginary")
 
 
 def test_frame_sampling():
@@ -35,3 +45,90 @@ def test_frame_sampling():
     assert (vids.frame % 2 == 0).all()
     imgs = out[out.kind == "image"]
     assert (imgs.frame == 0).all()
+
+
+def test_bmp_roundtrip_including_row_padding():
+    """encode_bmp/decode_bmp are real 24-bit BMP bytes: roundtrip is
+    exact for odd widths (4-byte row padding) and bottom-up storage;
+    decode rejects non-BMP and raises the codec seam on other
+    depths."""
+    import numpy as np
+    import pytest
+
+    from leidenalg_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for (h, w) in ((5, 7), (1, 1), (3, 4), (8, 9)):
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(rgb)), rgb)
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"not a bitmap")
+    buf = bytearray(mm.encode_bmp(rng.integers(0, 256, (2, 2, 3),
+                                               dtype=np.uint8)))
+    buf[28:30] = (32).to_bytes(2, "little")   # 32bpp -> codec seam
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp(bytes(buf))
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+    import pytest
+
+    from leidenalg_ray.stages import multimodal as mm
+
+    s = (np.sin(np.arange(400) / 5.0) * 20000).astype(np.int16)
+    out, rate = mm.decode_wav(mm.encode_wav(s, 16000))
+    assert rate == 16000
+    assert np.array_equal(out[:, 0], s)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxJUNK")
+    buf = bytearray(mm.encode_wav(s))
+    buf[20:22] = (3).to_bytes(2, "little")    # float PCM -> seam
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(bytes(buf))
+
+
+def test_image_resize_nearest_neighbour():
+    import numpy as np
+
+    from leidenalg_ray.stages import multimodal as mm
+
+    # column-striped image: resize keeps the stripe values
+    rgb = np.zeros((4, 8, 3), dtype=np.uint8)
+    rgb[:, 4:, :] = 255
+    small = mm.image_resize(rgb, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 0 and small[0, 1, 0] == 255
+    big = mm.image_resize(rgb, 16, 8)
+    assert big.shape == (8, 16, 3)
+    assert (big[:, :8] == 0).all() and (big[:, 8:] == 255).all()
+
+
+def test_media_decoder_real_mode_decodes_actual_bytes():
+    """decode='real' parses payload bytes (not a content hash): a
+    non-constant image's means come out exactly, and video still
+    raises the documented codec seam."""
+    import numpy as np
+    import pytest
+
+    from leidenalg_ray.stages import multimodal as mm
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[..., 0] = 10
+    rgb[:2, :, 0] = 30          # mean_r = 20
+    rgb[..., 1] = 7
+    t = __import__("pyarrow").table({
+        "media_id": [0],
+        "kind": ["image"],
+        "payload": [mm.encode_bmp(rgb)],
+    })
+    out = mm.MediaDecoder(decode="real")(t).to_pandas()
+    assert out["width"][0] == 4 and out["height"][0] == 4
+    f = out["feature"][0]
+    assert abs(f[0] - 20 / 255) < 1e-6
+    assert abs(f[1] - 7 / 255) < 1e-6
+    t2 = __import__("pyarrow").table({
+        "media_id": [1], "kind": ["video"], "payload": [b"\x00" * 64],
+    })
+    with pytest.raises(Exception):
+        mm.MediaDecoder(decode="real")(t2)
