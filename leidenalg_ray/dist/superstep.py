@@ -599,7 +599,7 @@ def coreness(g: DistGraph, levels, max_iter=10_000, checkpoint=None,
 # ----------------------------------------------------------------------
 # HITS: hubs & authorities, simultaneous (Jacobi) update, L1 normalise
 # ----------------------------------------------------------------------
-def hits(g: DistGraph, g_rev: DistGraph, iters=20):
+def hits(g: DistGraph, g_rev: DistGraph, iters=20, result_out=None):
     """Fixed-iteration HITS on a directed graph. Per iteration, from
     the OLD state: authority_raw(v) = sum of hub over in-edges,
     hub_raw(v) = sum of authority over out-edges; both vectors L1
@@ -681,6 +681,20 @@ def hits(g: DistGraph, g_rev: DistGraph, iters=20):
         auth_refs = [scale.remote(a_out[q][0], a_tot) for q in range(P)]
         hub_refs = [scale.remote(h_out[q][0], h_tot) for q in range(P)]
 
+    if result_out is not None:
+        # shard-side (vid, hub)/(vid, authority) parquet under
+        # <dir>/hub and <dir>/authority; the per-shard active masks
+        # are never assembled either
+        import os
+        hub_rows = write_shard_results(
+            g, hub_refs, os.path.join(result_out, "hub"), "hub")
+        auth_rows = write_shard_results(
+            g, auth_refs, os.path.join(result_out, "authority"),
+            "authority")
+        return ({"path": result_out, "rows": hub_rows,
+                 "column": "hub"},
+                {"path": result_out, "rows": auth_rows,
+                 "column": "authority"}, None)
     act = np.zeros(n, dtype=bool)
     for p in range(P):
         act[p::P] = ray.get(act_refs[p])
@@ -749,7 +763,8 @@ def katz(g: DistGraph, alpha=0.005, beta=1.0, iters=20,
 # ----------------------------------------------------------------------
 # Eigenvector centrality: power iteration, L1 normalise per step
 # ----------------------------------------------------------------------
-def eigenvector_centrality(g: DistGraph, iters=20, weighted=False):
+def eigenvector_centrality(g: DistGraph, iters=20, weighted=False,
+                           result_out=None):
     """Power iteration on the (weighted) adjacency operator with L1
     normalisation (sum = 1) per superstep, from the uniform vector on
     the active vertex set. Fixed ``iters`` so the SQL oracle can
@@ -800,6 +815,11 @@ def eigenvector_centrality(g: DistGraph, iters=20, weighted=False):
                 for q in range(P)]
         tot = sum(ray.get([o[1] for o in outs]))
         x_refs = [scale.remote(outs[q][0], tot) for q in range(P)]
+    if result_out is not None:
+        rows = write_shard_results(g, x_refs, result_out,
+                                   "eigenvector")
+        return ({"path": result_out, "rows": rows,
+                 "column": "eigenvector"}, None)
     act = np.zeros(n, dtype=bool)
     for p in range(P):
         act[p::P] = ray.get(act_refs[p])

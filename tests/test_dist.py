@@ -1386,3 +1386,26 @@ def test_all_comms_tracks_live_labels_default_stays_compressed():
         assert fp["stat_labels"] < n // 2      # compressed
     for fp in footprints("all"):
         assert fp["stat_labels"] == n          # all live singletons
+
+
+def test_result_out_hits_and_eigenvector(tmp_path, random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    g_rev = DistGraph.from_edges(dst, src, n=n, P=4, directed=True)
+    g2 = DistGraph.from_edges(src, dst, n=n, P=4,
+                              both_directions=True)
+    hub, auth, act = ss.hits(g, g_rev, iters=5)
+    hres, ares, none_act = ss.hits(g, g_rev, iters=5,
+                                   result_out=str(tmp_path / "h"))
+    assert none_act is None and hres["rows"] == n
+    _, hv = _read_result(str(tmp_path / "h" / "hub"), "hub")
+    _, av = _read_result(str(tmp_path / "h" / "authority"),
+                         "authority")
+    assert np.array_equal(hv, hub) and np.array_equal(av, auth)
+
+    x, act2 = ss.eigenvector_centrality(g2, iters=5)
+    res, none2 = ss.eigenvector_centrality(
+        g2, iters=5, result_out=str(tmp_path / "ev"))
+    assert none2 is None and res["rows"] == n
+    _, xv = _read_result(str(tmp_path / "ev"), "eigenvector")
+    assert np.array_equal(xv, x)
