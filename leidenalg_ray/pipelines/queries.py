@@ -4106,6 +4106,69 @@ FROM aud
 """
 
 
+def q_media_ann(sf_dir):
+    """Composition row: REAL media decode feeds the similarity-search
+    stack. Decoded BMP feature vectors (channel means + luminance,
+    round6) become the embedding column; images 2/4/6 are the query
+    vectors (also obtained THROUGH the byte-level decode); brute-force
+    cosine top-5 over the image corpus. Media 0 is excluded on both
+    sides (its constant-black image is the zero vector — cosine is
+    undefined and engines disagree on NaN ordering)."""
+    from ..stages import multimodal as mm
+    media_tab = mm.synth_real_media_table(90)
+    feats_ds = rd.from_arrow(media_tab).map_batches(
+        mm.MediaDecoderRealFlat, batch_format="pyarrow",
+        batch_size=16, zero_copy_batch=True, concurrency=(1, 4))
+
+    def to_emb(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["kind"], "image"),
+                             pc.greater(t["media_id"], 0)))
+        f = np.stack([t[f"f{j}"].to_numpy() for j in range(4)],
+                     axis=1)
+        return pa.table({
+            "vec_id": t["media_id"],
+            "embedding": pa.array(f.tolist(), pa.list_(pa.float64())),
+        })
+
+    emb = feats_ds.map_batches(to_emb, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    qsel = media_tab.filter(
+        pc.is_in(media_tab["media_id"],
+                 pa.array([2, 4, 6], pa.int64())))
+    qrows = mm.MediaDecoderRealFlat()(qsel)
+    qv = np.stack([qrows[f"f{j}"].to_numpy() for j in range(4)],
+                  axis=1)
+    return annm.brute_force_topk(
+        emb, qv, qrows["media_id"].to_numpy(zero_copy_only=False),
+        k=5)
+
+
+SQL_MEDIA_ANN = """
+WITH ids AS (SELECT unnest(generate_series(2, 89)) AS i),
+f AS (SELECT i,
+             list_value(
+               round(((i*37)%256)/255.0, 6),
+               round(((i*59)%256)/255.0, 6),
+               round(((i*83)%256)/255.0, 6),
+               round((299*((i*37)%256) + 587*((i*59)%256)
+                      + 114*((i*83)%256))/255000.0, 6)) AS emb
+      FROM ids WHERE i%2=0)
+SELECT CAST(q.i AS BIGINT) AS query_id, CAST(e.i AS BIGINT) AS vec_id,
+       round(list_cosine_similarity(CAST(q.emb AS DOUBLE[]),
+                                    CAST(e.emb AS DOUBLE[])), 6)
+           AS cos,
+       CAST(row_number() OVER (
+           PARTITION BY q.i
+           ORDER BY list_cosine_similarity(
+               CAST(q.emb AS DOUBLE[]),
+               CAST(e.emb AS DOUBLE[])) DESC, e.i)
+         AS BIGINT) AS rank
+FROM f q CROSS JOIN f e
+WHERE q.i IN (2, 4, 6)
+QUALIFY rank <= 5
+"""
+
+
 MEDIA_FRAME_EVERY = 2
 
 
@@ -7260,6 +7323,7 @@ QUERIES = {
     "modularity_terms_co": q_modularity_terms_co,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
+    "media_ann": q_media_ann,
     "media_frame_sample": q_media_frame_sample,
     "orders_percent_rank": q_orders_percent_rank,
     "events_moving_avg": q_events_moving_avg,
@@ -7420,6 +7484,7 @@ ORACLE_SQL = {
     "modularity_terms_co": SQL_MODULARITY_TERMS_CO,
     "media_decode": SQL_MEDIA_DECODE,
     "media_decode_real": SQL_MEDIA_DECODE_REAL,
+    "media_ann": SQL_MEDIA_ANN,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "orders_percent_rank": SQL_ORDERS_PERCENT_RANK,
     "events_moving_avg": SQL_EVENTS_MOVING_AVG,
