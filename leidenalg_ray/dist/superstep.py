@@ -1337,18 +1337,11 @@ def multi_bfs(g: DistGraph, sources, max_iter=10_000):
     return out, it + 1
 
 
-def spath_counts(g: DistGraph, source, max_depth=64):
-    """Single-source shortest-path counts (the sigma of Brandes'
-    betweenness): level-synchronous BSP — at level d every edge
-    (u, v) with dist[u] == d contributes sigma[u] to v's incoming
-    sum, pre-aggregated per destination partition inside the block
-    task; the reduce assigns dist = d + 1 and sigma = total incoming
-    to still-unlabelled vertices. Integer-exact (int64 counts;
-    overflow only on pathological path-count blowups).
-
-    Returns (dist, sigma) length-n int64 arrays (INF / 0 where
-    unreached).
-    """
+def _spath_shards(g: DistGraph, source, max_depth=64):
+    """Shard-level forward pass of Brandes: returns (dist_refs,
+    sig_refs, maxd) — per-partition int64 shards as object refs plus
+    the deepest assigned level; the driver holds only refs and
+    per-level change counts."""
     P, n, sizes = g.P, g.n, g.sizes
     INF = np.iinfo(np.int64).max
 
@@ -1387,6 +1380,7 @@ def spath_counts(g: DistGraph, source, max_depth=64):
             sg[source // P] = 1
         dist_refs.append(ray.put(dd))
         sig_refs.append(ray.put(sg))
+    maxd = 0
     for d in range(max_depth):
         msg_refs = [gather.options(num_returns=P).remote(
             g.blocks[p], dist_refs[p], sig_refs[p], d)
@@ -1398,37 +1392,63 @@ def spath_counts(g: DistGraph, source, max_depth=64):
         sig_refs = [o[1] for o in outs]
         if sum(ray.get([o[2] for o in outs])) == 0:
             break
-    dist = np.full(n, INF, dtype=np.int64)
-    sigma = np.zeros(n, dtype=np.int64)
-    dshards, sshards = ray.get(dist_refs), ray.get(sig_refs)
-    for p in range(P):
-        dist[p::P] = dshards[p]
-        sigma[p::P] = sshards[p]
-    return dist, sigma
+        maxd = d + 1
+    return dist_refs, sig_refs, maxd
 
 
-def betweenness(g: DistGraph, sources):
+def spath_counts(g: DistGraph, source, max_depth=64):
+    """Single-source shortest-path counts (the sigma of Brandes'
+    betweenness): level-synchronous BSP — at level d every edge
+    (u, v) with dist[u] == d contributes sigma[u] to v's incoming
+    sum, pre-aggregated per destination partition inside the block
+    task; the reduce assigns dist = d + 1 and sigma = total incoming
+    to still-unlabelled vertices. Integer-exact (int64 counts;
+    overflow only on pathological path-count blowups).
+
+    Returns (dist, sigma) length-n int64 arrays (INF / 0 where
+    unreached) — the oracle-facing assembled form of
+    ``_spath_shards``.
+    """
+    dist_refs, sig_refs, _ = _spath_shards(g, source, max_depth)
+    return assemble(g, dist_refs), assemble(g, sig_refs)
+
+
+def betweenness(g: DistGraph, sources, result_out=None):
     """Seed-sampled betweenness centrality (Brandes): forward
-    ``spath_counts`` per seed, then the backward dependency sweep
+    ``_spath_shards`` per seed, then the backward dependency sweep
     level by level — delta[v] += sigma[v]/sigma[w] * (1 + delta[w])
     over DAG edges (v, w), dist[w] == dist[v] + 1 — run as one block
     task round per level with destination-partition pre-aggregation.
     Endpoints excluded (the classic definition). Blocks must hold
     both directions (undirected semantics).
 
+    SHARD-RESIDENT end to end (round 4): dist/sigma/delta/acc live as
+    per-partition object refs; the driver orchestrates refs and
+    per-level counts only — no O(n) array per source. With
+    ``result_out=<dir>`` the accumulated dependencies write per shard
+    (column ``betweenness``) and the return is {path, rows, column}.
+
     Sampled sources approximate full betweenness at 100-TB scale
     (Brandes & Pich 2007); pass every vertex for the exact value.
-    Returns a length-n float64 array of summed dependencies.
+    Returns a length-n float64 array of summed dependencies (or the
+    result_out descriptor).
     """
     P, n, sizes = g.P, g.n, g.sizes
     INF = np.iinfo(np.int64).max
-    acc = np.zeros(n, dtype=np.float64)
 
     @ray.remote
-    def back_gather(block, p, dist, sigma, delta, d):
+    def zeros(sz):
+        return np.zeros(sz, dtype=np.float64)
+
+    @ray.remote
+    def back_gather(block, p, d, *shards):
         # edges (src, dst) with dist[dst] == d, dist[src] == d - 1:
         # contribution to src: sigma[src]/sigma[dst] * (1 + delta[dst])
-        # grouped per src partition owner == this block's partition
+        # grouped per src partition owner == this block's partition.
+        # ``shards`` = P dist shards, P sigma shards, P delta shards.
+        dist = shards[:P]
+        sigma = shards[P:2 * P]
+        delta = shards[2 * P:]
         src = block["src_local"]
         off = block["dst_offsets"]
         contrib = np.zeros(len(src), dtype=np.float64)
@@ -1446,26 +1466,41 @@ def betweenness(g: DistGraph, sources):
         np.add.at(out, src[keep], contrib[keep])
         return out
 
+    @ray.remote
+    def back_update(delta_q, dist_q, sig_q, upd_q, d):
+        new = delta_q.copy()
+        m = dist_q == d - 1
+        new[m] += sig_q[m] * upd_q[m]
+        return new
+
+    @ray.remote
+    def acc_update(acc_q, delta_q, dist_q):
+        m = (dist_q > 0) & (dist_q < INF)
+        new = acc_q.copy()
+        new[m] += delta_q[m]
+        return new
+
+    acc_refs = [zeros.remote(sizes[p]) for p in range(P)]
     for s in sources:
-        dist, sigma = spath_counts(g, int(s))
-        maxd = int(dist[dist < INF].max()) if (dist < INF).any() else 0
-        delta = np.zeros(n, dtype=np.float64)
-        # shard views per partition for the block tasks
+        dist_refs, sig_refs, maxd = _spath_shards(g, int(s))
+        delta_refs = [zeros.remote(sizes[p]) for p in range(P)]
         for d in range(maxd, 0, -1):
-            dist_sh = [dist[q::P] for q in range(P)]
-            sig_sh = [sigma[q::P] for q in range(P)]
-            del_sh = [delta[q::P] for q in range(P)]
-            outs = ray.get([back_gather.remote(
-                g.blocks[p], p, dist_sh, sig_sh, del_sh, d)
-                for p in range(P)])
-            upd = np.zeros(n, dtype=np.float64)
-            for p in range(P):
-                upd[p::P] = outs[p]
-            mprev = dist == d - 1
-            delta[mprev] += sigma[mprev] * upd[mprev]
-        mask = (dist > 0) & (dist < INF)
-        acc[mask] += delta[mask]
-    return acc
+            upd_refs = [back_gather.remote(
+                g.blocks[p], p, d,
+                *dist_refs, *sig_refs, *delta_refs)
+                for p in range(P)]
+            delta_refs = [back_update.remote(
+                delta_refs[q], dist_refs[q], sig_refs[q],
+                upd_refs[q], d) for q in range(P)]
+        acc_refs = [acc_update.remote(acc_refs[q], delta_refs[q],
+                                      dist_refs[q])
+                    for q in range(P)]
+    if result_out is not None:
+        rows = write_shard_results(g, acc_refs, result_out,
+                                   "betweenness")
+        return {"path": result_out, "rows": rows,
+                "column": "betweenness"}
+    return assemble(g, acc_refs)
 
 
 MIS_KEY_STRIDE = 100_000_000

@@ -1409,3 +1409,15 @@ def test_result_out_hits_and_eigenvector(tmp_path, random_graph):
     assert none2 is None and res["rows"] == n
     _, xv = _read_result(str(tmp_path / "ev"), "eigenvector")
     assert np.array_equal(xv, x)
+
+
+def test_betweenness_result_out(tmp_path, random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4,
+                             both_directions=True)
+    seeds = [0, 5, 9]
+    bc = ss.betweenness(g, seeds)
+    res = ss.betweenness(g, seeds, result_out=str(tmp_path / "bc"))
+    assert res["rows"] == n
+    _, vals = _read_result(str(tmp_path / "bc"), "betweenness")
+    assert np.array_equal(vals, bc)
