@@ -178,3 +178,47 @@ def test_cms_one_sided_and_mergeable(seed, n, domain, cut_frac):
     keys, true = np.unique(stream, return_counts=True)
     est = sk.cms_estimate(whole, keys)
     assert (est >= true).all()
+
+
+@settings(max_examples=12, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(8, 60),
+       density=st.floats(0.05, 0.5), P=st.sampled_from([2, 3, 4]))
+def test_coreness_matches_serial_peel(seed, n, density, P):
+    """Property: the shard-resident stepped decomposition equals a
+    serial peel at every level, for arbitrary random graphs and
+    partition counts (the coreness kernel's correctness does not
+    depend on P)."""
+    import numpy as np
+
+    from leidenalg_ray.dist import superstep as ss
+    from leidenalg_ray.dist.blocks import DistGraph
+    from leidenalg_ray.oracle import kcore_serial
+
+    rng = np.random.default_rng(seed)
+    m = max(1, int(density * n * (n - 1) / 2))
+    raw_s = rng.integers(0, n, m)
+    raw_d = rng.integers(0, n, m)
+    # simple graph: the serial peel semantics assume no multi-edges
+    # or loops (same normalisation as test_kcore_matches_serial)
+    nl = raw_s != raw_d
+    a = np.minimum(raw_s[nl], raw_d[nl])
+    b = np.maximum(raw_s[nl], raw_d[nl])
+    pairs = np.unique(a * np.int64(n) + b)
+    src = (pairs // n).astype(np.int64)
+    dst = (pairs % n).astype(np.int64)
+    if len(src) == 0:
+        return
+    g = DistGraph.from_edges(src, dst, n=n, P=P,
+                             both_directions=True)
+    levels = (2, 3, 5)
+    core, _ = ss.coreness(g, levels)
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    deg = np.bincount(np.concatenate([src, dst]), minlength=n)
+    exp = np.where(deg > 0, np.int64(1), np.int64(0))
+    for k in levels:
+        mask = kcore_serial(s2, d2, n, k)
+        if not mask.any():
+            break
+        exp[mask] = k
+    assert np.array_equal(core, exp)
