@@ -1516,7 +1516,7 @@ def mis_key(v, r):
     return h * MIS_KEY_STRIDE + v
 
 
-def luby_mis(g: DistGraph, max_rounds=64):
+def luby_mis(g: DistGraph, max_rounds=64, result_out=None):
     """Maximal independent set via deterministic Luby rounds: a
     vertex joins the MIS when its priority key is strictly smaller
     than every ACTIVE neighbour's; its neighbours then deactivate.
@@ -1606,15 +1606,17 @@ def luby_mis(g: DistGraph, max_rounds=64):
         rounds = r + 1
         if remaining == 0:
             break
-    out = np.zeros(n, dtype=np.int64)
-    shards = ray.get(state_refs)
-    for p in range(P):
-        out[p::P] = shards[p]
-    out[out == 3] = 0
-    return out, rounds
+    @ray.remote
+    def norm_state(s):
+        out = s.copy()
+        out[out == 3] = 0
+        return out
+
+    state_refs = [norm_state.remote(s) for s in state_refs]
+    return _finish(g, state_refs, rounds, result_out, "state")
 
 
-def mis_coloring(g: DistGraph, max_colors=256):
+def mis_coloring(g: DistGraph, max_colors=256, result_out=None):
     """Distributed greedy graph coloring by iterated Luby layers:
     colour c = maximal independent set of the still-uncoloured
     subgraph. Deterministic (inherits ``mis_key``), parallelism-
@@ -1720,8 +1722,4 @@ def mis_coloring(g: DistGraph, max_colors=256):
         remaining_refs = [o[0] for o in outs]
         uncolored = sum(ray.get([o[1] for o in outs]))
         color += 1
-    out = np.full(n, -1, dtype=np.int64)
-    shards = ray.get(color_refs)
-    for p in range(P):
-        out[p::P] = shards[p]
-    return out, color
+    return _finish(g, color_refs, color, result_out, "color")
