@@ -1069,7 +1069,8 @@ def label_propagation_seeded(g: DistGraph, seeds, seed_labels,
 # ----------------------------------------------------------------------
 # Strongly connected components: FW-BW colouring
 # ----------------------------------------------------------------------
-def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000):
+def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000,
+        result_out=None):
     """SCC labels (= min vid in the component) via the distributed
     FW-BW-colouring algorithm (Orzan-style; public BSP formulation):
 
@@ -1089,6 +1090,11 @@ def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000):
 
     ``g_bwd`` must be the same edge set with src/dst swapped (same
     ``n`` and ``P``). Returns (labels over raw vids, supersteps).
+
+    SHARD-RESIDENT (round 4): the running assignment lives as
+    per-partition object refs mutated by worker tasks; the driver
+    orchestrates refs and per-round unassigned counts only.
+    ``result_out=<dir>``: shard-side ``(vid, scc)`` parquet.
     """
     P, n, sizes = g_fwd.P, g_fwd.n, g_fwd.sizes
     assert g_bwd.P == P and g_bwd.n == n
@@ -1136,19 +1142,45 @@ def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000):
         new[hit] = F[hit]
         return new, int(hit.sum())
 
-    act_masks, n_active = g_fwd.active_masks()
-    act = [np.asarray(ray.get(m)) for m in act_masks]
-    vids = [np.arange(p, n, P, dtype=np.int64) for p in range(P)]
-    # inactive vertices are their own singleton (filtered by callers
-    # via active_global); start them assigned so they never colour
-    scc_shards = [np.where(act[p], -1, vids[p]) for p in range(P)]
+    @ray.remote(num_returns=2)
+    def init_scc(act, p):
+        vids = np.arange(p, n, P, dtype=np.int64)
+        # inactive vertices are their own singleton (filtered by
+        # callers via active_global); start them assigned so they
+        # never colour
+        s = np.where(np.asarray(act), np.int64(-1), vids)
+        return s, int((s < 0).sum())
+
+    @ray.remote(num_returns=2)
+    def round_state(scc_q, p):
+        vids = np.arange(p, n, P, dtype=np.int64)
+        return scc_q >= 0, np.where(scc_q < 0, vids, BIG)
+
+    @ray.remote
+    def mk_marks(F_q, scc_q, p):
+        vids = np.arange(p, n, P, dtype=np.int64)
+        return np.where((F_q == vids) & (scc_q < 0), F_q,
+                        np.int64(-1))
+
+    @ray.remote(num_returns=2)
+    def apply_marks(scc_q, m_q):
+        newly = m_q >= 0
+        new = scc_q.copy()
+        new[newly] = m_q[newly]
+        return new, int((new < 0).sum())
+
+    act_masks, _ = g_fwd.active_masks()
+    res = [init_scc.remote(act_masks[p], p) for p in range(P)]
+    scc_refs = [r[0] for r in res]
+    unassigned = sum(ray.get([r[1] for r in res]))
     steps = 0
     for _round in range(max_rounds):
-        if all((s >= 0).all() for s in scc_shards):
+        if unassigned == 0:
             break
-        assigned_refs = [ray.put(scc_shards[p] >= 0) for p in range(P)]
-        F_refs = [ray.put(np.where(scc_shards[p] < 0, vids[p], BIG))
-                  for p in range(P)]
+        st = [round_state.options(num_returns=2).remote(
+            scc_refs[p], p) for p in range(P)]
+        assigned_refs = [s[0] for s in st]
+        F_refs = [s[1] for s in st]
         while True:
             msg = [fgather.options(num_returns=P).remote(
                 g_fwd.blocks[p], F_refs[p]) for p in range(P)]
@@ -1159,10 +1191,8 @@ def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000):
             steps += 1
             if sum(ray.get([o[1] for o in outs])) == 0:
                 break
-        F_shards = ray.get(F_refs)
-        m_refs = [ray.put(np.where(
-            (F_shards[p] == vids[p]) & (scc_shards[p] < 0),
-            F_shards[p], np.int64(-1))) for p in range(P)]
+        m_refs = [mk_marks.remote(F_refs[p], scc_refs[p], p)
+                  for p in range(P)]
         while True:
             msg = [bgather.options(num_returns=P).remote(
                 g_bwd.blocks[p], m_refs[p]) for p in range(P)]
@@ -1173,13 +1203,11 @@ def scc(g_fwd: DistGraph, g_bwd: DistGraph, max_rounds=1_000):
             steps += 1
             if sum(ray.get([o[1] for o in outs])) == 0:
                 break
-        for p, m in enumerate(ray.get(m_refs)):
-            newly = m >= 0
-            scc_shards[p][newly] = m[newly]
-    out = np.zeros(n, dtype=np.int64)
-    for p in range(P):
-        out[p::P] = scc_shards[p]
-    return out, steps
+        outs = [apply_marks.options(num_returns=2).remote(
+            scc_refs[p], m_refs[p]) for p in range(P)]
+        scc_refs = [o[0] for o in outs]
+        unassigned = sum(ray.get([o[1] for o in outs]))
+    return _finish(g_fwd, scc_refs, steps, result_out, "scc")
 
 
 # ----------------------------------------------------------------------
