@@ -3068,6 +3068,61 @@ def q_hll_parts_per_supplier(sf_dir):
     return est.map_batches(finish, batch_format="pyarrow")
 
 
+def q_bloom_seen_parts(sf_dir):
+    """Bloom-filter seen-set (``stages/sketch.py``): build the
+    4096-bit / k=4 filter over the DISTINCT part keys appearing in
+    lineitem (per-batch word-OR partials, O(1) driver state), then
+    probe every part key plus a shifted non-member range. No false
+    negatives by construction; the false-positive pattern is
+    deterministic (md5 bit positions), so the SQL twin reproduces the
+    ENTIRE output bit for bit — build and probe."""
+    from ..stages import sketch as sk
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey"])
+    words = sk.bloom_build(li, "l_partkey")
+    pk = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey"])
+
+    def mk_probes(t: pa.Table) -> pa.Table:
+        x = t["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"probe_id": pa.array(
+            np.concatenate([x, x + 1_000_000]))})
+
+    probes = pk.map_batches(mk_probes, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return sk.bloom_contains(probes, "probe_id", words)
+
+
+SQL_BLOOM_SEEN_PARTS = """
+WITH ins AS (SELECT DISTINCT l_partkey AS x FROM lineitem),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+ipos AS (SELECT (('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                     || CAST(x AS VARCHAR)), 1, 16))
+                 ::UBIGINT % 4096) AS pos
+         FROM ins CROSS JOIN js),
+words AS (SELECT pos // 64 AS w,
+                 bit_or(1::UBIGINT << CAST(pos % 64 AS INT)) AS bits
+          FROM ipos GROUP BY 1),
+probes AS (SELECT CAST(p_partkey AS BIGINT) AS probe_id FROM part
+           UNION ALL
+           SELECT CAST(p_partkey AS BIGINT) + 1000000 FROM part),
+ppos AS (SELECT probe_id, j,
+                (('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                     || CAST(probe_id AS VARCHAR)), 1, 16))
+                 ::UBIGINT % 4096) AS pos
+         FROM probes CROSS JOIN js),
+hits AS (SELECT probe_id, j,
+                coalesce(((w.bits >> CAST(pos % 64 AS INT))
+                          & 1) = 1, FALSE) AS b
+         FROM ppos LEFT JOIN words w ON w.w = pos // 64)
+SELECT probe_id,
+       CAST(CASE WHEN bool_and(b) THEN 1 ELSE 0 END AS BIGINT)
+           AS maybe_present
+FROM hits GROUP BY probe_id
+"""
+
+
 SQL_HLL_PARTS_PER_SUPPLIER = """
 WITH d AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
 h AS (SELECT l_suppkey,
@@ -7301,6 +7356,7 @@ QUERIES = {
     "random_walks": q_random_walks,
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
     "hll_parts_per_supplier": q_hll_parts_per_supplier,
+    "bloom_seen_parts": q_bloom_seen_parts,
     "top_orders_per_cust": q_top_orders_per_cust,
     "closeness_co": q_closeness_co,
     "orders_rollup": q_orders_rollup,
@@ -7464,6 +7520,7 @@ ORACLE_SQL = {
     "random_walks": SQL_RANDOM_WALKS,
     "distinct_parts_per_supplier": SQL_DISTINCT_PARTS_PER_SUPPLIER,
     "hll_parts_per_supplier": SQL_HLL_PARTS_PER_SUPPLIER,
+    "bloom_seen_parts": SQL_BLOOM_SEEN_PARTS,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "closeness_co": SQL_CLOSENESS_CO,
     "orders_rollup": SQL_ORDERS_ROLLUP,

@@ -218,3 +218,83 @@ def hll_count_distinct(ds, key: str, col: str):
         .groupby("key").aggregate(Sum("s", alias_name="s"),
                                   Sum("n", alias_name="n")) \
         .map_batches(estimate, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# Bloom filter: mergeable bit-set membership (seen-set / frontier dedup)
+# ----------------------------------------------------------------------
+# At 100 TB the "have we seen this url/id before" test is the gate in
+# front of every expensive verify stage; a Bloom filter answers it
+# with a FIXED-size mergeable state (here 4096 bits = 64 uint64
+# words, k=4 hashes) — per-batch partial word-ORs, driver state O(1),
+# no false negatives. The bit positions are the repo-standard md5
+# derivation over "j:value" strings, so the whole filter (build AND
+# probe) has an exact DuckDB replica (``('0x' || substr(md5(...),
+# 1, 16))::UBIGINT % 4096`` + ``bit_or``). Bloom (CACM 1970) —
+# public algorithm.
+BLOOM_M = 4096
+BLOOM_K = 4
+BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_positions(values, j):
+    """Bit positions of hash j for a value sequence (md5 of
+    'j:value', first 8 bytes big-endian, mod BLOOM_M) — one md5 per
+    distinct value via ``hash_tokens``."""
+    from .text import hash_tokens
+    keys = [f"{j}:{v}" for v in values]
+    return (hash_tokens(keys).astype(np.int64) % BLOOM_M)
+
+
+def bloom_build(ds, col: str):
+    """Build the 64-word filter over a Dataset column: per-batch
+    partial word arrays, OR-merged on the driver (64 uint64 words —
+    O(1) driver state regardless of corpus size)."""
+    import pyarrow as pa_
+
+    def partial(t: pa_.Table) -> pa_.Table:
+        vals = t[col].to_pylist()
+        words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+        for j in range(BLOOM_K):
+            pos = _bloom_positions(vals, j)
+            np.bitwise_or.at(
+                words, pos // 64,
+                np.uint64(1) << (pos % 64).astype(np.uint64))
+        return pa_.table({
+            "w": pa_.array(np.arange(BLOOM_WORDS, dtype=np.int64)),
+            "bits": pa_.array(words),
+        })
+
+    words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        np.bitwise_or.at(words,
+                         b["w"].to_numpy(zero_copy_only=False),
+                         b["bits"].to_numpy(zero_copy_only=False))
+    return words
+
+
+def bloom_contains(probe_ds, col: str, words):
+    """Vectorised membership probe: the 64-word filter is broadcast
+    once (``ray.put``); every batch checks all k bit positions with
+    numpy shifts. Appends ``maybe_present`` (int64 0/1; no false
+    negatives by construction)."""
+    import pyarrow as pa_
+    import ray
+
+    ref = ray.put(np.asarray(words, dtype=np.uint64))
+
+    def check(t: pa_.Table) -> pa_.Table:
+        w = ray.get(ref)
+        vals = t[col].to_pylist()
+        ok = np.ones(len(vals), dtype=bool)
+        for j in range(BLOOM_K):
+            pos = _bloom_positions(vals, j)
+            ok &= ((w[pos // 64] >> (pos % 64).astype(np.uint64))
+                   & np.uint64(1)).astype(bool)
+        return t.append_column("maybe_present",
+                               pa_.array(ok.astype(np.int64)))
+
+    return probe_ds.map_batches(check, batch_format="pyarrow",
+                                zero_copy_batch=True)

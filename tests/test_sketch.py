@@ -76,3 +76,35 @@ def test_cms_cells_match_sql_hash_derivation():
     h = int.from_bytes(
         hashlib.md5(f"{v}#{r}".encode()).digest()[:4], "big")
     assert sk.cms_cells([v], r)[0] == h % sk.CMS_W
+
+
+def test_bloom_no_false_negatives_and_mergeable(ray_session):
+    """Bloom filter: every inserted value probes positive (no false
+    negatives), the false-positive rate is near the analytic
+    (1 - e^{-kn/m})^k, and building from two halves ORs to the same
+    words as one pass (mergeable partials)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from leidenalg_ray.stages import sketch as sk
+
+    members = np.arange(0, 600, 2, dtype=np.int64)
+    ins = rd.from_arrow(pa.table({"x": pa.array(members)}))
+    words = sk.bloom_build(ins, "x")
+    half_a = sk.bloom_build(
+        rd.from_arrow(pa.table({"x": pa.array(members[:150])})), "x")
+    half_b = sk.bloom_build(
+        rd.from_arrow(pa.table({"x": pa.array(members[150:])})), "x")
+    assert np.array_equal(words, half_a | half_b)
+
+    probes = rd.from_arrow(pa.table({
+        "x": pa.array(np.arange(2000, dtype=np.int64))}))
+    out = sk.bloom_contains(probes, "x", words).to_pandas() \
+        .sort_values("x").reset_index(drop=True)
+    is_member = (out.x % 2 == 0) & (out.x < 600)
+    assert (out.maybe_present[is_member] == 1).all()
+    fp = out.maybe_present[~is_member].mean()
+    expect = (1 - np.exp(-sk.BLOOM_K * len(members)
+                         / sk.BLOOM_M)) ** sk.BLOOM_K
+    assert fp < 5 * expect + 0.01
