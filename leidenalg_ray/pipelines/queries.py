@@ -4579,6 +4579,16 @@ def q_contamination(sf_dir):
     return tx.contamination_check(_docs(sf_dir))
 
 
+def q_contamination_bloom(sf_dir):
+    """The at-scale contamination form: a broadcast Bloom filter
+    (2^18 bits over the eval grams) gates the exact membership probe
+    — only Bloom-positive grams touch the exact set. No false
+    negatives + exact verify make the output bit-identical to the
+    unfiltered stage, so the SAME exact SQL oracle is the gate: a
+    PASS here proves the prefilter loses nothing."""
+    return tx.contamination_check_bloom(_docs(sf_dir))
+
+
 SQL_CONTAMINATION = """
 WITH toks AS (SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
@@ -7390,6 +7400,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_entropy": q_doc_entropy,
     "contamination": q_contamination,
+    "contamination_bloom": q_contamination_bloom,
     "price_histogram": q_price_histogram,
     "profile_lineitem": q_profile_lineitem,
     "conductance_co": q_conductance_co,
@@ -7552,6 +7563,7 @@ ORACLE_SQL = {
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_entropy": SQL_DOC_ENTROPY,
     "contamination": SQL_CONTAMINATION,
+    "contamination_bloom": SQL_CONTAMINATION,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "conductance_co": SQL_CONDUCTANCE_CO,

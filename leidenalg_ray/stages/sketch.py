@@ -237,35 +237,61 @@ BLOOM_K = 4
 BLOOM_WORDS = BLOOM_M // 64
 
 
-def _bloom_positions(values, j):
+def _bloom_positions(values, j, m_bits=BLOOM_M):
     """Bit positions of hash j for a value sequence (md5 of
-    'j:value', first 8 bytes big-endian, mod BLOOM_M) — one md5 per
-    distinct value via ``hash_tokens``."""
+    'j:value', first 8 bytes big-endian, mod ``m_bits``) — one md5
+    per distinct value via ``hash_tokens``."""
     from .text import hash_tokens
     keys = [f"{j}:{v}" for v in values]
-    return (hash_tokens(keys).astype(np.int64) % BLOOM_M)
+    return (hash_tokens(keys).astype(np.int64) % m_bits)
 
 
-def bloom_build(ds, col: str):
-    """Build the 64-word filter over a Dataset column: per-batch
-    partial word arrays, OR-merged on the driver (64 uint64 words —
-    O(1) driver state regardless of corpus size)."""
+def bloom_from_values(values, m_bits=BLOOM_M):
+    """Filter words from an in-memory value sequence (the broadcast
+    small side, e.g. an eval-gram set)."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    values = list(values)
+    for j in range(BLOOM_K):
+        pos = _bloom_positions(values, j, m_bits)
+        np.bitwise_or.at(words, pos // 64,
+                         np.uint64(1) << (pos % 64).astype(np.uint64))
+    return words
+
+
+def bloom_probe_mask(values, words):
+    """Vectorised membership mask of a value sequence against filter
+    ``words`` (m inferred from the word count)."""
+    m_bits = len(words) * 64
+    ok = np.ones(len(values), dtype=bool)
+    for j in range(BLOOM_K):
+        pos = _bloom_positions(values, j, m_bits)
+        ok &= ((words[pos // 64] >> (pos % 64).astype(np.uint64))
+               & np.uint64(1)).astype(bool)
+    return ok
+
+
+def bloom_build(ds, col: str, m_bits=BLOOM_M):
+    """Build the filter over a Dataset column: per-batch partial word
+    arrays, OR-merged on the driver (m_bits/64 uint64 words — fixed
+    driver state regardless of corpus size)."""
     import pyarrow as pa_
+
+    n_words = m_bits // 64
 
     def partial(t: pa_.Table) -> pa_.Table:
         vals = t[col].to_pylist()
-        words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+        words = np.zeros(n_words, dtype=np.uint64)
         for j in range(BLOOM_K):
-            pos = _bloom_positions(vals, j)
+            pos = _bloom_positions(vals, j, m_bits)
             np.bitwise_or.at(
                 words, pos // 64,
                 np.uint64(1) << (pos % 64).astype(np.uint64))
         return pa_.table({
-            "w": pa_.array(np.arange(BLOOM_WORDS, dtype=np.int64)),
+            "w": pa_.array(np.arange(n_words, dtype=np.int64)),
             "bits": pa_.array(words),
         })
 
-    words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+    words = np.zeros(n_words, dtype=np.uint64)
     for b in ds.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True) \
             .iter_batches(batch_format="pyarrow"):
@@ -287,12 +313,7 @@ def bloom_contains(probe_ds, col: str, words):
 
     def check(t: pa_.Table) -> pa_.Table:
         w = ray.get(ref)
-        vals = t[col].to_pylist()
-        ok = np.ones(len(vals), dtype=bool)
-        for j in range(BLOOM_K):
-            pos = _bloom_positions(vals, j)
-            ok &= ((w[pos // 64] >> (pos % 64).astype(np.uint64))
-                   & np.uint64(1)).astype(bool)
+        ok = bloom_probe_mask(t[col].to_pylist(), w)
         return t.append_column("maybe_present",
                                pa_.array(ok.astype(np.int64)))
 

@@ -523,6 +523,67 @@ def contamination_check(docs_ds, concurrency=4):
         fn_constructor_kwargs={"eval_grams_ref": ref})
 
 
+class ContaminationCheckBloom(ContaminationCheck):
+    """``ContaminationCheck`` with a Bloom prefilter in front of the
+    exact set: each doc's grams first pass the fixed-size filter
+    (vectorised bit probes); only Bloom-positive grams touch the
+    exact membership structure. No false negatives + exact verify =>
+    output BIT-IDENTICAL to the unfiltered stage — which is exactly
+    what the driver gate checks. At 100 TB the exact side becomes a
+    partitioned/disk-backed index probed only ~fp-rate of the time;
+    the broadcast filter stays a few MB however large the eval set."""
+
+    def __init__(self, eval_grams_ref, bloom_ref, n=CONTAM_N,
+                 mod=CONTAM_MOD):
+        import ray
+        super().__init__(eval_grams_ref, n=n, mod=mod)
+        self.words = (ray.get(bloom_ref)
+                      if isinstance(bloom_ref, ray.ObjectRef)
+                      else bloom_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .sketch import bloom_probe_mask
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_n, out_hit = [], [], []
+        for d, t in zip(ids, texts):
+            if d % self.mod == 0:
+                continue
+            gs = _word_ngrams(self.token_re.findall(t.lower()), self.n)
+            if not gs:
+                continue
+            cand = bloom_probe_mask(gs, self.words)
+            out_id.append(d)
+            out_n.append(len(gs))
+            out_hit.append(sum(1 for g, ok in zip(gs, cand)
+                               if ok and g in self.eval))
+        frac = (round6(np.asarray(out_hit, dtype=np.float64)
+                       / np.asarray(out_n, dtype=np.float64))
+                if out_n else np.empty(0, dtype=np.float64))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_grams": pa.array(out_n, pa.int64()),
+            "n_hit": pa.array(out_hit, pa.int64()),
+            "contamination": pa.array(frac, pa.float64()),
+        })
+
+
+def contamination_check_bloom(docs_ds, concurrency=4,
+                              m_bits=1 << 18):
+    import ray
+
+    from .sketch import bloom_from_values
+    ev = eval_gram_set(docs_ds)
+    ref = ray.put(ev)
+    bref = ray.put(bloom_from_values(ev, m_bits))
+    return docs_ds.map_batches(
+        ContaminationCheckBloom, batch_format="pyarrow",
+        batch_size=2048, zero_copy_batch=True,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"eval_grams_ref": ref,
+                               "bloom_ref": bref})
+
+
 # ----------------------------------------------------------------------
 # PII scrubbing (email / phone masking)
 # ----------------------------------------------------------------------
