@@ -1421,3 +1421,18 @@ def test_betweenness_result_out(tmp_path, random_graph):
     assert res["rows"] == n
     _, vals = _read_result(str(tmp_path / "bc"), "betweenness")
     assert np.array_equal(vals, bc)
+
+
+def test_result_out_more_shards_than_vertices(tmp_path):
+    """P > n: zero/short shards still write valid (possibly empty)
+    part files and the read-back matches the assembled path."""
+    src = np.array([0, 1])
+    dst = np.array([1, 2])
+    g = DistGraph.from_edges(src, dst, n=3, P=4, directed=True)
+    rank, _ = ss.pagerank(g, tol=1e-10)
+    res, _ = ss.pagerank(g, tol=1e-10,
+                         result_out=str(tmp_path / "pr"))
+    assert res["rows"] == 3
+    vids, vals = _read_result(str(tmp_path / "pr"), "rank")
+    assert np.array_equal(vids, np.arange(3))
+    assert np.array_equal(vals, rank)
