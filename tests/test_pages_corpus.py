@@ -78,3 +78,40 @@ def test_run_job_end_to_end_o_n_free_outputs(tmp_path):
     # rank sums to 1 (dangling mass conserved end to end)
     ranks = pq.read_table(os.path.join(out, "pagerank"))
     assert abs(sum(ranks["rank"].to_pylist()) - 1.0) < 1e-6
+
+
+def test_run_job_distributed_build_with_host_graph(tmp_path):
+    """Flagship job through the >node-memory path (--build
+    distributed: bucket-rank id assignment, hash-join edge resolve,
+    Dataset-built CSR, parquet spill) plus --host-graph; shard-side
+    outputs land and rank mass is conserved."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    corpus = str(tmp_path / "pages")
+    ensure_pages_corpus(corpus, 400, seed=5, shard_rows=128)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "run_job.py"),
+         "--pages", corpus, "--out", out, "--partitions", "4",
+         "--num-cpus", "4", "--build", "distributed", "--host-graph"],
+        capture_output=True, text=True,
+        env=dict(os.environ, RAY_ADDRESS="local"), cwd=repo,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(open(os.path.join(out, "summary.json")).read())
+    n = summary["n_vertices"]
+    assert summary["pagerank_rows"] == n
+    assert summary["membership_rows"] == n
+    ranks = pq.read_table(os.path.join(out, "pagerank"))
+    assert len(ranks) == n
+    assert abs(sum(ranks["rank"].to_pylist()) - 1.0) < 1e-6
+    hg = pq.read_table(os.path.join(out, "host_graph"))
+    assert len(hg) > 0
+    mapping = pq.read_table(os.path.join(out, "url_mapping"))
+    assert len(mapping) == n
