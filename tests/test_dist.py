@@ -1436,3 +1436,18 @@ def test_result_out_more_shards_than_vertices(tmp_path):
     vids, vals = _read_result(str(tmp_path / "pr"), "rank")
     assert np.array_equal(vids, np.arange(3))
     assert np.array_equal(vals, rank)
+
+
+def test_result_out_after_checkpoint_resume(tmp_path, random_graph):
+    """A converged checkpoint resumed WITH result_out= goes through
+    the shard-side write path (the early-return branch) and matches
+    the original run bit for bit."""
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    ck = str(tmp_path / "ck")
+    rank, _ = ss.pagerank(g, tol=1e-8, checkpoint=ck)
+    res, _ = ss.pagerank(g, tol=1e-8, checkpoint=ck,
+                         result_out=str(tmp_path / "pr"))
+    assert res["rows"] == n
+    _, vals = _read_result(str(tmp_path / "pr"), "rank")
+    assert np.array_equal(vals, rank)
