@@ -859,7 +859,7 @@ class LeidenShard:
 
     # ------------------------------------------------------------------
     def step(self, moves, color, n_colors, push=None,
-             snapshot=False):
+             snapshot=False, step_no=None):
         """Apply the previously-committed moves (broadcast deltas) —
         or adopt a driver-verified stats upsert ``push`` at a cycle
         boundary — then propose for the given colour: one actor round
@@ -886,9 +886,15 @@ class LeidenShard:
             self._apply_moves(moves)
         if color is None:
             return None
+        # rand_neighbor draws are seeded per (run seed, shard,
+        # superstep). The driver passes its global superstep counter
+        # (checkpoint-resumed runs continue the sequence instead of
+        # replaying from 0); the per-actor counter is only the
+        # fallback for driverless calls (safe cycles).
         self._step_no = getattr(self, "_step_no", 0) + 1
+        sn = self._step_no if step_no is None else int(step_no)
         rng_seed = (int(self.scal.get("seed", 42)) * 1_000_003
-                    + self._step_no * self.P + self.p) % (2 ** 63)
+                    + sn * self.P + self.p) % (2 ** 63)
         st = {"mem_ref": self.mem_ref, "own_ref_idx": self.own_ref_idx,
               "stat_labels": self.stat_labels, "agg0": self.agg0,
               "fixed_local": self.fixed_local, "rng_seed": rng_seed,
@@ -1650,11 +1656,13 @@ class DistLeiden:
                                   self.P, n=self.n)
                 if checkpoint else None)
         start_cycle = 0
+        resume_step = 0
         resumed_metrics = None
         if ckpt is not None:
             resumed = ckpt.resume()
             if resumed is not None:
                 start_cycle, shards, metrics = resumed
+                resume_step = int(metrics.get("step", 0))
                 full = np.empty(self.n, dtype=np.int64)  # transient
                 for p in range(self.P):
                     full[p::self.P] = shards[p]
@@ -1672,7 +1680,7 @@ class DistLeiden:
         if resumed_metrics is not None:
             return q, int(resumed_metrics.get("step", 0)), []
         history = []
-        step = 0
+        step = resume_step   # continue the per-superstep rng sequence
         cycle_no = 0
         cur_colors = self.n_colors
         pending_ref = None    # moves committed but not yet shipped
@@ -1685,7 +1693,7 @@ class DistLeiden:
             for color in range(cur_colors):
                 props = ray.get([a.step.remote(pending_ref, color,
                                                cur_colors, stats_push,
-                                               snapshot)
+                                               snapshot, step)
                                  for a in self.actors])
                 snapshot = False
                 mv = self._concat_props(props)
@@ -2036,19 +2044,29 @@ class DistLeiden:
             seed_cur = mem
         info["passes"] = itr
         if membership_out is not None:
-            # converged: one cheap final pass seeded at the fixed
-            # point writes the shard-side output (labels are dense
-            # renumbered < n, a valid warm seed)
-            _, q, info2 = self._run_pass(
-                n_iterations=-1, max_supersteps=max_supersteps,
-                tail_max_edges=tail_max_edges, tail_max_n=tail_max_n,
-                max_levels=max_levels,
-                min_rel_improvement=min_rel_improvement,
-                checkpoint=checkpoint, initial_membership=mem,
-                membership_out=membership_out,
-                tag_prefix=f"P{itr}")
-            info2["passes"] = itr
-            return None, q, info2
+            # the -1 multi-pass loop already holds the length-n
+            # membership on the driver (each pass's warm seed — the
+            # documented O(n) warm-seed contract), so the output is
+            # written directly from it, partitioned by vid % P like
+            # the shard-side path — no extra move+refine+aggregate
+            # pass just to route bytes
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            os.makedirs(membership_out, exist_ok=True)
+            for p in range(self.P):
+                sl = mem[p::self.P]
+                vids = p + self.P * np.arange(len(sl),
+                                              dtype=np.int64)
+                tmp = os.path.join(
+                    membership_out,
+                    f"part-{p:05d}.parquet.tmp-{os.getpid()}")
+                pq.write_table(pa.table({"vid": pa.array(vids),
+                                         "comm": pa.array(sl)}), tmp)
+                os.replace(tmp, tmp[:-len(f".tmp-{os.getpid()}")])
+            info["membership_rows"] = int(self.n)
+            info["membership_path"] = membership_out
+            return None, q, info
         return mem, q, info
 
     def _run_pass(self, n_iterations=2, max_supersteps=200,

@@ -217,7 +217,37 @@ def write_shard_results(g: DistGraph, shard_refs, out_dir, column):
     never moves through the driver), mirroring
     ``DistLeiden.run(membership_out=)``. Returns total rows written.
     At 10^10 vertices the driver holds P object refs and P ints —
-    never an O(n) array."""
+    never an O(n) array.
+
+    Resume is IDENTITY-CHECKED: a ``_RESULT_MANIFEST.json`` recording
+    (n, P, column) is written before the shard tasks launch; existing
+    part files are skipped only when the manifest matches — a dir
+    left by a different graph size, partition count or kernel is
+    cleared instead of silently reused (the same stale-output rule as
+    the temporal spill's ``_SPILL_DONE``)."""
+    import json
+    import os
+    manifest = os.path.join(out_dir, "_RESULT_MANIFEST.json")
+    expect = {"n": int(g.n), "P": int(g.P), "column": column}
+    if os.path.isdir(out_dir):
+        ok = False
+        if os.path.exists(manifest):
+            try:
+                with open(manifest) as f:
+                    ok = json.load(f) == expect
+            except (ValueError, OSError):
+                ok = False
+        if not ok:
+            for f in os.listdir(out_dir):
+                if f.startswith("part-") \
+                        or f == "_RESULT_MANIFEST.json":
+                    os.remove(os.path.join(out_dir, f))
+    os.makedirs(out_dir, exist_ok=True)
+    if not os.path.exists(manifest):
+        tmp = manifest + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(expect, f)
+        os.replace(tmp, manifest)
     rows = ray.get([_write_shard_task.remote(
         shard_refs[p], p, g.P, out_dir, column) for p in range(g.P)])
     return int(sum(rows))
@@ -686,14 +716,13 @@ def hits(g: DistGraph, g_rev: DistGraph, iters=20, result_out=None):
         # <dir>/hub and <dir>/authority; the per-shard active masks
         # are never assembled either
         import os
-        hub_rows = write_shard_results(
-            g, hub_refs, os.path.join(result_out, "hub"), "hub")
-        auth_rows = write_shard_results(
-            g, auth_refs, os.path.join(result_out, "authority"),
-            "authority")
-        return ({"path": result_out, "rows": hub_rows,
-                 "column": "hub"},
-                {"path": result_out, "rows": auth_rows,
+        hub_dir = os.path.join(result_out, "hub")
+        auth_dir = os.path.join(result_out, "authority")
+        hub_rows = write_shard_results(g, hub_refs, hub_dir, "hub")
+        auth_rows = write_shard_results(g, auth_refs, auth_dir,
+                                        "authority")
+        return ({"path": hub_dir, "rows": hub_rows, "column": "hub"},
+                {"path": auth_dir, "rows": auth_rows,
                  "column": "authority"}, None)
     act = np.zeros(n, dtype=bool)
     for p in range(P):

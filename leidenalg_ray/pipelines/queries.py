@@ -341,17 +341,21 @@ def q_pagerank_shardout_co(sf_dir):
     query reads the partitioned files back — so the driver gate
     verifies the shard-side write path end-to-end against the same
     SQL oracle as ``pagerank_co``."""
+    import shutil
     import tempfile
 
     import pyarrow.dataset as pads
 
     g = _co_distgraph(sf_dir)
     out = tempfile.mkdtemp(prefix="lray_pr_out_")
-    res, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
-                         max_iter=PAGERANK_ITERS, weighted=True,
-                         active=True, result_out=out)
-    assert res["rows"] == g.n
-    t = pads.dataset(out).to_table()
+    try:
+        res, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                             max_iter=PAGERANK_ITERS, weighted=True,
+                             active=True, result_out=out)
+        assert res["rows"] == g.n
+        t = pads.dataset(out).to_table()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     vids = t["vid"].to_numpy()
     rank = t["rank"].to_numpy()
     act = g.active_global()[vids]

@@ -167,6 +167,42 @@ def synth_media_table(n=64, seed=42, payload_bytes=4096):
     })
 
 
+def _media_features(kind, payload, lum_int_form=False):
+    """Shared byte-level decode + feature extraction for the real
+    decoders: (width, height, n_frames, 4 features). The ONLY
+    divergence between the two callers is the luminance arithmetic —
+    ``lum_int_form=True`` uses the integer-numerator form
+    ``(299*mr + 587*mg + 114*mb) / 255000`` (one double division on
+    each side, so the SQL twin's expression is bit-identical);
+    ``False`` uses the conventional ``0.299*m/255`` weights."""
+    if kind == "image":
+        rgb = decode_bmp(payload)
+        h, w = rgb.shape[:2]
+        m = rgb.reshape(-1, 3).mean(axis=0)
+        if lum_int_form:
+            feats = np.array([m[0] / 255.0, m[1] / 255.0,
+                              m[2] / 255.0,
+                              (299.0 * m[0] + 587.0 * m[1]
+                               + 114.0 * m[2]) / 255000.0])
+        else:
+            lum = 0.299 * m[0] + 0.587 * m[1] + 0.114 * m[2]
+            feats = np.r_[m / 255.0, lum / 255.0][:4]
+        return w, h, 1, feats
+    if kind == "audio":
+        samples, rate = decode_wav(payload)
+        x = samples[:, 0].astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = float(np.abs(x).max(initial=0.0))
+        zc = (float(np.mean(np.signbit(x[1:])
+                            != np.signbit(x[:-1])))
+              if len(x) > 1 else 0.0)
+        return 0, 0, len(x), np.array([rms, peak, zc,
+                                       len(x) / rate])
+    raise NotImplementedError(
+        f"kind={kind!r} needs a codec library (PyAV/PIL) not "
+        "available in this container")
+
+
 def synth_real_media_table(n=90):
     """Deterministic REAL media corpus: valid 24-bit BMPs (even ids)
     and 16-bit PCM WAVs (odd ids), with dimensions/colors/samples in
@@ -223,26 +259,7 @@ class MediaDecoder:
         self.feature_dim = feature_dim
 
     def _real_row(self, kind, payload):
-        if kind == "image":
-            rgb = decode_bmp(payload)
-            h, w = rgb.shape[:2]
-            means = rgb.reshape(-1, 3).mean(axis=0)
-            lum = (0.299 * means[0] + 0.587 * means[1]
-                   + 0.114 * means[2])
-            return (w, h, 1,
-                    np.r_[means / 255.0, lum / 255.0][:4])
-        if kind == "audio":
-            samples, rate = decode_wav(payload)
-            x = samples[:, 0].astype(np.float64) / 32768.0
-            rms = float(np.sqrt(np.mean(x * x)))
-            peak = float(np.abs(x).max(initial=0.0))
-            zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
-                       if len(x) > 1 else 0.0)
-            return (0, 0, len(x),
-                    np.array([rms, peak, zc, len(x) / rate]))
-        raise NotImplementedError(
-            f"kind={kind!r} needs a codec library (PyAV/PIL) not "
-            "available in this container")
+        return _media_features(kind, payload, lum_int_form=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decode == "real":
@@ -391,28 +408,9 @@ class MediaDecoderRealFlat:
         feats = np.empty((len(ids), 4), dtype=np.float64)
         for i, (k, p) in enumerate(zip(batch["kind"].to_pylist(),
                                        batch["payload"].to_pylist())):
-            if k == "image":
-                rgb = decode_bmp(p)
-                h, w = rgb.shape[:2]
-                m = rgb.reshape(-1, 3).mean(axis=0)
-                width[i], height[i], n_frames[i] = w, h, 1
-                feats[i] = [m[0] / 255.0, m[1] / 255.0, m[2] / 255.0,
-                            (299.0 * m[0] + 587.0 * m[1]
-                             + 114.0 * m[2]) / 255000.0]
-            elif k == "audio":
-                samples, rate = decode_wav(p)
-                x = samples[:, 0].astype(np.float64) / 32768.0
-                width[i], height[i], n_frames[i] = 0, 0, len(x)
-                zc = (float(np.mean(np.signbit(x[1:])
-                                    != np.signbit(x[:-1])))
-                      if len(x) > 1 else 0.0)
-                feats[i] = [float(np.sqrt(np.mean(x * x))),
-                            float(np.abs(x).max(initial=0.0)), zc,
-                            len(x) / rate]
-            else:
-                raise NotImplementedError(
-                    f"kind={k!r} needs a codec library not in this "
-                    "container")
+            w, h, nf, f = _media_features(k, p, lum_int_form=True)
+            width[i], height[i], n_frames[i] = w, h, nf
+            feats[i] = f
         cols = {
             "media_id": batch["media_id"],
             "kind": batch["kind"],

@@ -1155,8 +1155,9 @@ def test_result_out_matches_assemble(tmp_path, random_graph):
     assert it1 == it2
     assert res == {"path": str(tmp_path / "pr"), "rows": n,
                    "column": "rank"}
-    parts = sorted(os.listdir(tmp_path / "pr"))
-    assert len(parts) == 4          # one file per shard
+    parts = sorted(f for f in os.listdir(tmp_path / "pr")
+                   if f.startswith("part-"))
+    assert len(parts) == 4          # one file per shard (+ manifest)
     vids, vals = _read_result(str(tmp_path / "pr"), "rank")
     assert np.array_equal(vids, np.arange(n))
     assert np.array_equal(vals, rank)
@@ -1193,8 +1194,12 @@ def test_result_out_matches_assemble(tmp_path, random_graph):
 
 
 def test_result_out_resume_skips_finished(tmp_path, random_graph):
-    """A part file already present is left untouched (resume), and a
-    torn write (tmp name) never shadows a finished partition."""
+    """Resume is identity-checked: with a MATCHING manifest an
+    existing part file is left untouched, a torn write (tmp name)
+    never shadows a finished partition — and a dir whose manifest
+    does NOT match (different P / column / graph) is cleared instead
+    of silently reused."""
+    import json
     import os
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1202,7 +1207,9 @@ def test_result_out_resume_skips_finished(tmp_path, random_graph):
     g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
     d = tmp_path / "pr"
     os.makedirs(d)
-    # plant a sentinel "finished" shard 2 and a torn tmp for shard 1
+    # matching-identity resume: sentinel survives
+    json.dump({"n": int(n), "P": 4, "column": "rank"},
+              open(d / "_RESULT_MANIFEST.json", "w"))
     sentinel = pa.table({"vid": pa.array([-1], pa.int64()),
                          "rank": pa.array([99.0])})
     pq.write_table(sentinel, str(d / "part-00002.parquet"))
@@ -1213,6 +1220,26 @@ def test_result_out_resume_skips_finished(tmp_path, random_graph):
     assert t2["rank"].to_pylist() == [99.0]   # untouched
     t1 = pq.read_table(str(d / "part-00001.parquet"))
     assert len(t1) == len(np.arange(1, n, 4))  # fresh write landed
+
+    # identity mismatch (stale dir from a different run shape):
+    # cleared and rewritten, not silently reused
+    d2 = tmp_path / "pr2"
+    os.makedirs(d2)
+    json.dump({"n": int(n), "P": 8, "column": "rank"},
+              open(d2 / "_RESULT_MANIFEST.json", "w"))
+    pq.write_table(sentinel, str(d2 / "part-00002.parquet"))
+    rank, _ = ss.pagerank(g, tol=1e-10)
+    res, _ = ss.pagerank(g, tol=1e-10, result_out=str(d2))
+    t = pq.read_table(str(d2)).sort_by("vid")
+    assert np.array_equal(t["vid"].to_numpy(), np.arange(n))
+    assert np.array_equal(t["rank"].to_numpy(), rank)
+    # no manifest at all (pre-manifest dir or torn create): cleared
+    d3 = tmp_path / "pr3"
+    os.makedirs(d3)
+    pq.write_table(sentinel, str(d3 / "part-00002.parquet"))
+    res, _ = ss.pagerank(g, tol=1e-10, result_out=str(d3))
+    t = pq.read_table(str(d3)).sort_by("vid")
+    assert np.array_equal(t["rank"].to_numpy(), rank)
 
 
 def test_coreness_kernel_matches_level_loop(tmp_path, random_graph):
