@@ -1478,3 +1478,41 @@ def test_result_out_after_checkpoint_resume(tmp_path, random_graph):
     assert res["rows"] == n
     _, vals = _read_result(str(tmp_path / "pr"), "rank")
     assert np.array_equal(vals, rank)
+
+
+def test_rand_neigh_checkpoint_resume_continues_seed_sequence(
+        tmp_path):
+    """A rand_neighbor run interrupted by a small superstep budget
+    and resumed from its checkpoint continues the per-superstep rng
+    sequence (driver step counter resumes from the checkpoint's step
+    metric) and still reaches the planted fixed point."""
+    srcs, dsts = [], []
+    for c in range(4):
+        vids = np.arange(15) + c * 15
+        ii, jj = np.triu_indices(15, k=1)
+        srcs.append(vids[ii])
+        dsts.append(vids[jj])
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    ck = str(tmp_path / "ck")
+
+    def mk():
+        return DistLeiden(src, dst, n=60, directed=False,
+                          quality="cpm", resolution_parameter=0.5,
+                          P=4, seed=11,
+                          consider_comms="rand_neighbor")
+
+    # interrupted level-0 local move (tiny superstep budget)
+    q1, s1, _ = mk().local_move_level0(max_supersteps=2,
+                                       checkpoint=ck)
+    # resume: picks up the saved shards AND the step counter
+    q2, s2, _ = mk().local_move_level0(max_supersteps=200,
+                                       checkpoint=ck)
+    assert s2 >= 2                  # counter continued, not reset
+    mem, q, info = mk().run()       # full schedule sanity
+    for c in range(4):
+        labs = set(mem[c * 15:(c + 1) * 15].tolist())
+        other = set(np.delete(mem,
+                              np.s_[c * 15:(c + 1) * 15]).tolist())
+        assert not (labs & other)
+    assert len(np.unique(mem)) == 4
