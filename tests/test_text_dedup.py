@@ -304,3 +304,21 @@ def test_lsh_drop_counter_counts_capped_buckets(ray_session):
                                   max_bucket=100, drop_counter=ctr2)
     assert cand2.count() == 12 * 11 // 2
     assert ray.get(ctr2.snapshot.remote())["dropped_buckets"] == 0
+
+
+def test_simhash_drop_counter(ray_session):
+    """The SimHash chunk-bucket cap uses the same non-silent
+    DropCounter channel as the MinHash bands."""
+    import ray
+
+    texts = ["same exact page body"] * 8
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+    ctr = dd.DropCounter.remote()
+    out = dd.simhash_dedup(docs, max_bucket=4, drop_counter=ctr)
+    assert out.count() == 0
+    snap = ray.get(ctr.snapshot.remote())
+    assert snap["dropped_buckets"] == 4    # one per 16-bit chunk
+    assert snap["dropped_ids"] == 32
