@@ -25,6 +25,26 @@ def docs():
     }))
 
 
+def _drop_snapshot(ctr, want_buckets, timeout_s=15.0):
+    """Poll the DropCounter until the expected bucket count lands.
+
+    ``add.remote()`` is fire-and-forget from map_groups workers; task
+    completion does not guarantee the actor has processed the message
+    before the driver's ``snapshot`` call, so a fresh read can race to
+    zero. Poll with a deadline instead of sleeping blind."""
+    import time
+
+    import ray
+
+    deadline = time.monotonic() + timeout_s
+    while True:
+        snap = ray.get(ctr.snapshot.remote())
+        if snap["dropped_buckets"] >= want_buckets \
+                or time.monotonic() >= deadline:
+            return snap
+        time.sleep(0.2)
+
+
 def test_exact_dedup(docs):
     out = dd.exact_dedup(docs).to_pandas()
     assert len(out) == 4  # docs 0 and 4 identical
@@ -295,7 +315,7 @@ def test_lsh_drop_counter_counts_capped_buckets(ray_session):
     cand = dd.minhash_candidates(docs, num_hashes=16, bands=4,
                                  max_bucket=5, drop_counter=ctr)
     assert cand.count() == 0        # every bucket over the cap
-    snap = ray.get(ctr.snapshot.remote())
+    snap = _drop_snapshot(ctr, want_buckets=4)
     assert snap["dropped_buckets"] == 4   # one per band, 12 ids each
     assert snap["dropped_ids"] == 48
     # under the cap: pairs flow, counter untouched
@@ -309,8 +329,6 @@ def test_lsh_drop_counter_counts_capped_buckets(ray_session):
 def test_simhash_drop_counter(ray_session):
     """The SimHash chunk-bucket cap uses the same non-silent
     DropCounter channel as the MinHash bands."""
-    import ray
-
     texts = ["same exact page body"] * 8
     docs = rd.from_arrow(pa.table({
         "doc_id": pa.array(np.arange(8, dtype=np.int64)),
@@ -319,6 +337,6 @@ def test_simhash_drop_counter(ray_session):
     ctr = dd.DropCounter.remote()
     out = dd.simhash_dedup(docs, max_bucket=4, drop_counter=ctr)
     assert out.count() == 0
-    snap = ray.get(ctr.snapshot.remote())
+    snap = _drop_snapshot(ctr, want_buckets=4)
     assert snap["dropped_buckets"] == 4    # one per 16-bit chunk
     assert snap["dropped_ids"] == 32
