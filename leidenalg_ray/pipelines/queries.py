@@ -857,6 +857,132 @@ FROM pr WHERE i = {PAGERANK_ITERS}
 """
 
 
+def q_spam_mass_co(sf_dir):
+    """TrustRank spam mass (Gyongyi, Garcia-Molina & Pedersen, VLDB
+    2004) on the weighted co graph: global PageRank ``rank`` and
+    TrustRank ``trust`` (teleport + dangling mass restricted to the
+    PPR_SEEDS smallest active vids — the 'manually vetted' seed set),
+    both at fixed PAGERANK_ITERS; absolute spam mass ``mass`` = r - t
+    and relative spam mass ``rel_mass`` = (r - t)/r. A page with high
+    rank but little of it reachable from trusted seeds is the spam
+    review queue. Both PageRank runs reuse the cached shard state
+    (one CSR build); the composition adds no new shuffle."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    seeds = np.flatnonzero(act)[:PPR_SEEDS].astype(np.int64)
+    rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                          max_iter=PAGERANK_ITERS, weighted=True,
+                          active=True)
+    trust, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                           max_iter=PAGERANK_ITERS, weighted=True,
+                           active=True, personalize=seeds)
+    vids = np.flatnonzero(act).astype(np.int64)
+    r, t = rank[vids], trust[vids]
+    return pa.table({
+        "vid": pa.array(vids),
+        "rank": pa.array(round6(r)),
+        "trust": pa.array(round6(t)),
+        "mass": pa.array(round6(r - t)),
+        "rel_mass": pa.array(round6((r - t) / r)),
+    })
+
+
+SQL_SPAM_MASS_CO = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT a AS v, sum(w) AS strength FROM e GROUP BY a),
+nn AS (SELECT count(*) AS n FROM verts),
+seeds AS (SELECT v FROM verts ORDER BY v LIMIT {PPR_SEEDS}),
+ks AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+pr(i, v, r) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         (1 - {DAMPING}) / (SELECT n FROM nn)
+         + {DAMPING} * sum(p.r * e.w / vs.strength)
+  FROM pr p
+  JOIN verts vs ON vs.v = p.v
+  JOIN e ON e.a = p.v
+  WHERE p.i < {PAGERANK_ITERS}
+  GROUP BY p.i, e.b
+),
+tr(i, v, r) AS (
+  SELECT 0, v,
+         CASE WHEN v IN (SELECT v FROM seeds)
+              THEN 1.0 / (SELECT k FROM ks) ELSE 0.0 END
+  FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         (1 - {DAMPING}) * (CASE WHEN e.b IN (SELECT v FROM seeds)
+                                 THEN 1.0 / (SELECT k FROM ks)
+                                 ELSE 0.0 END)
+         + {DAMPING} * sum(p.r * e.w / vs.strength)
+  FROM tr p
+  JOIN verts vs ON vs.v = p.v
+  JOIN e ON e.a = p.v
+  WHERE p.i < {PAGERANK_ITERS}
+  GROUP BY p.i, e.b
+)
+SELECT pr.v AS vid, round(pr.r, 6) AS rank, round(tr.r, 6) AS trust,
+       round(pr.r - tr.r, 6) AS mass,
+       round((pr.r - tr.r) / pr.r, 6) AS rel_mass
+FROM pr JOIN tr ON tr.v = pr.v AND tr.i = pr.i
+WHERE pr.i = {PAGERANK_ITERS}
+"""
+
+
+def q_diameter_sweep_co(sf_dir):
+    """Double-sweep BFS diameter lower bound (Magnien, Latapy &
+    Habib's classic heuristic): BFS from the smallest active vid,
+    take the farthest reached vertex (smallest vid on ties), BFS
+    again from it — the second eccentricity lower-bounds the graph
+    diameter. Two frontier-BSP kernel runs, one row out; the exact
+    all-pairs diameter is never materialised."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    s0 = int(np.flatnonzero(act)[0])
+    INF = np.iinfo(np.int64).max
+    d0, _ = ss.bfs_distances(g, [s0])
+    fin0 = np.flatnonzero(act & (d0 < INF))
+    far = int(fin0[d0[fin0] == d0[fin0].max()].min())
+    d1, _ = ss.bfs_distances(g, [far])
+    fin1 = np.flatnonzero(act & (d1 < INF))
+    return pa.table({
+        "start_vid": pa.array([s0], pa.int64()),
+        "far_vid": pa.array([far], pa.int64()),
+        "diameter_lb": pa.array([int(d1[fin1].max())], pa.int64()),
+    })
+
+
+SQL_DIAMETER_SWEEP_CO = f"""
+WITH RECURSIVE
+{_SQL_CO_EDGES_BOTH_MAT},
+s0 AS (SELECT min(a) AS v FROM e),
+b0(v, d) AS (
+  SELECT v, 0 FROM s0
+  UNION
+  SELECT e.b, b0.d + 1 FROM b0 JOIN e ON e.a = b0.v WHERE b0.d < 30
+),
+d0 AS (SELECT v, min(d) AS d FROM b0 GROUP BY v),
+far AS (SELECT v FROM d0 ORDER BY d DESC, v ASC LIMIT 1),
+b1(v, d) AS (
+  SELECT v, 0 FROM far
+  UNION
+  SELECT e.b, b1.d + 1 FROM b1 JOIN e ON e.a = b1.v WHERE b1.d < 30
+),
+d1 AS (SELECT v, min(d) AS d FROM b1 GROUP BY v)
+SELECT (SELECT v FROM s0) AS start_vid,
+       (SELECT v FROM far) AS far_vid,
+       (SELECT CAST(max(d) AS BIGINT) FROM d1) AS diameter_lb
+"""
+
+
 KCORE_K = 80
 _KCORE_SQL_ITERS = 12
 
@@ -7304,6 +7430,8 @@ QUERIES = {
     "bfs_dist_co": q_bfs_dist_co,
     "sssp_co": q_sssp_co,
     "pagerank_personalized_co": q_pagerank_personalized_co,
+    "spam_mass_co": q_spam_mass_co,
+    "diameter_sweep_co": q_diameter_sweep_co,
     "kcore_co": q_kcore_co,
     "hits_ps": q_hits_ps,
     "katz_co": q_katz_co,
@@ -7472,6 +7600,8 @@ ORACLE_SQL = {
     "bfs_dist_co": SQL_BFS_DIST_CO,
     "sssp_co": SQL_SSSP_CO,
     "pagerank_personalized_co": SQL_PAGERANK_PERSONALIZED_CO,
+    "spam_mass_co": SQL_SPAM_MASS_CO,
+    "diameter_sweep_co": SQL_DIAMETER_SWEEP_CO,
     "kcore_co": SQL_KCORE_CO,
     "hits_ps": SQL_HITS_PS,
     "katz_co": SQL_KATZ_CO,

@@ -1516,3 +1516,46 @@ def test_rand_neigh_checkpoint_resume_continues_seed_sequence(
                               np.s_[c * 15:(c + 1) * 15]).tolist())
         assert not (labs & other)
     assert len(np.unique(mem)) == 4
+
+
+def test_spam_mass_isolated_component_is_all_spam():
+    """TrustRank / spam-mass composition (q_spam_mass_co semantics;
+    Gyongyi et al. VLDB 2004): with teleport restricted to seeds in
+    one component, a disconnected component receives trust exactly 0,
+    so its relative spam mass (r - t)/r is exactly 1; the seed
+    component keeps strictly positive trust everywhere."""
+    ii, jj = np.triu_indices(20, k=1)
+    src = np.concatenate([ii, jj, ii + 20, jj + 20])
+    dst = np.concatenate([jj, ii, jj + 20, ii + 20])
+    g = DistGraph.from_edges(src, dst, n=40, P=4, directed=True)
+    seeds = np.array([0, 1, 2], dtype=np.int64)
+    r, _ = ss.pagerank(g, damping=0.85, tol=0.0, max_iter=30)
+    t, _ = ss.pagerank(g, damping=0.85, tol=0.0, max_iter=30,
+                       personalize=seeds)
+    assert r.sum() == pytest.approx(1.0, abs=1e-9)
+    assert t.sum() == pytest.approx(1.0, abs=1e-9)
+    assert t[20:].max() == 0.0
+    mass = (r - t) / r
+    assert np.allclose(mass[20:], 1.0, atol=1e-12)
+    assert t[:20].min() > 0
+    assert mass[:20].max() < 1.0
+
+
+def test_diameter_double_sweep_exact_on_path():
+    """Double-sweep BFS (q_diameter_sweep_co semantics): starting
+    anywhere on a path graph, the farthest vertex is an endpoint and
+    the second sweep's eccentricity equals the true diameter (the
+    lower-bound heuristic is tight on trees)."""
+    k = 17
+    a = np.arange(k)
+    b = np.arange(1, k + 1)
+    g = DistGraph.from_edges(np.concatenate([a, b]),
+                             np.concatenate([b, a]),
+                             n=k + 1, P=3, directed=True)
+    INF = np.iinfo(np.int64).max
+    d0, _ = ss.bfs_distances(g, [8])
+    fin = np.flatnonzero(d0 < INF)
+    far = int(fin[d0[fin] == d0[fin].max()].min())
+    assert far in (0, k)
+    d1, _ = ss.bfs_distances(g, [far])
+    assert int(d1[d1 < INF].max()) == k
