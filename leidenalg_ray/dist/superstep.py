@@ -629,7 +629,8 @@ def coreness(g: DistGraph, levels, max_iter=10_000, checkpoint=None,
 # ----------------------------------------------------------------------
 # HITS: hubs & authorities, simultaneous (Jacobi) update, L1 normalise
 # ----------------------------------------------------------------------
-def hits(g: DistGraph, g_rev: DistGraph, iters=20, result_out=None):
+def hits(g: DistGraph, g_rev: DistGraph, iters=20, result_out=None,
+         degree_normalized=False):
     """Fixed-iteration HITS on a directed graph. Per iteration, from
     the OLD state: authority_raw(v) = sum of hub over in-edges,
     hub_raw(v) = sum of authority over out-edges; both vectors L1
@@ -642,13 +643,38 @@ def hits(g: DistGraph, g_rev: DistGraph, iters=20, result_out=None):
     of shipping destination state into source blocks.
 
     Isolated ids (no in- or out-edge anywhere) are excluded from the
-    vertex set via the union of both graphs' active masks."""
+    vertex set via the union of both graphs' active masks.
+
+    ``degree_normalized=True`` gives SALSA (Lempel & Moran 2000): each
+    sender's state is split equally over its edges in that orientation
+    (hub mass / out-degree on the forward gather, authority mass /
+    in-degree on the reversed gather) — the power iteration of the two
+    stochastic SALSA chains instead of the unnormalised HITS matrices.
+    The per-shard sender degrees are a one-off bincount over the
+    shard's own block; no extra exchange."""
     P, n, sizes = g.P, g.n, g.sizes
     assert g_rev.P == P and g_rev.n == n
 
     @ray.remote
-    def gather(block, state):
+    def block_degree(block, size):
+        return np.bincount(block["src_local"],
+                           minlength=size).astype(np.float64)
+
+    if degree_normalized:
+        fwd_deg = [block_degree.remote(g.blocks[p], sizes[p])
+                   for p in range(P)]
+        rev_deg = [block_degree.remote(g_rev.blocks[p], sizes[p])
+                   for p in range(P)]
+    else:
+        fwd_deg = rev_deg = [None] * P
+
+    @ray.remote
+    def gather(block, state, deg):
         per_edge = state[block["src_local"]]
+        if deg is not None:
+            # deg[src_local] >= 1: a vertex with no edge in this
+            # orientation never appears as a sender here
+            per_edge = per_edge / deg[block["src_local"]]
         off = block["dst_offsets"]
         outs = []
         for q in range(P):
@@ -696,10 +722,10 @@ def hits(g: DistGraph, g_rev: DistGraph, iters=20, result_out=None):
     for _ in range(iters):
         # authority_raw <- forward edges carrying OLD hub
         a_msgs = [gather.options(num_returns=P).remote(
-            g.blocks[p], hub_refs[p]) for p in range(P)]
+            g.blocks[p], hub_refs[p], fwd_deg[p]) for p in range(P)]
         # hub_raw <- reversed edges carrying OLD authority
         h_msgs = [gather.options(num_returns=P).remote(
-            g_rev.blocks[p], auth_refs[p]) for p in range(P)]
+            g_rev.blocks[p], auth_refs[p], rev_deg[p]) for p in range(P)]
         a_out = [combine.remote(act_refs[q],
                                 *[a_msgs[p][q] for p in range(P)])
                  for q in range(P)]
@@ -728,6 +754,16 @@ def hits(g: DistGraph, g_rev: DistGraph, iters=20, result_out=None):
     for p in range(P):
         act[p::P] = ray.get(act_refs[p])
     return assemble(g, hub_refs), assemble(g, auth_refs), act
+
+
+def salsa(g: DistGraph, g_rev: DistGraph, iters=20, result_out=None):
+    """SALSA (Lempel & Moran, 'The stochastic approach for
+    link-structure analysis', 2000): HITS with each gather
+    degree-normalised on the sender side, i.e. the power iteration of
+    the two stochastic chains. Same exchange shape, masks, and
+    ``result_out`` seam as ``hits``."""
+    return hits(g, g_rev, iters=iters, result_out=result_out,
+                degree_normalized=True)
 
 
 # ----------------------------------------------------------------------

@@ -1129,6 +1129,59 @@ def _ps_rev_distgraph(sf_dir, P=8):
     return _G_CACHE[key]
 
 
+def q_salsa_ps(sf_dir):
+    """SALSA hubs/authorities (Lempel & Moran 2000) on the directed
+    part->supplier graph: the HITS exchange with each sender's mass
+    split over its edges (hub/out-degree forward, authority/in-degree
+    reversed) — the stochastic chains whose fixed point is
+    indegree-proportional within authority components. Fixed
+    HITS_ITERS simultaneous iterations, L1 normalised, rounded to 6
+    decimals for the CTE twin."""
+    g = _ps_distgraph(sf_dir, symmetric=False)
+    g_rev = _ps_rev_distgraph(sf_dir)
+    hub, auth, act = ss.salsa(g, g_rev, iters=HITS_ITERS)
+    vids = np.flatnonzero(act).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "hub": pa.array(round6(hub[vids])),
+                     "authority": pa.array(round6(auth[vids]))})
+
+
+SQL_SALSA_PS = f"""
+WITH RECURSIVE
+e AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem GROUP BY 1, 2),
+outdeg AS (SELECT a AS v, CAST(count(*) AS DOUBLE) AS d
+           FROM e GROUP BY a),
+indeg AS (SELECT b AS v, CAST(count(*) AS DOUBLE) AS d
+          FROM e GROUP BY b),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+hits(i, v, h, a) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn), 1.0 / (SELECT n FROM nn)
+  FROM verts
+  UNION ALL
+  SELECT q.i, q.v,
+         q.hr / sum(q.hr) OVER (),
+         q.ar / sum(q.ar) OVER ()
+  FROM (
+    SELECT p.i + 1 AS i, p.v AS v,
+           COALESCE((SELECT sum(p2.a / di.d)
+                     FROM hits p2 JOIN e ON e.b = p2.v
+                     JOIN indeg di ON di.v = p2.v
+                     WHERE e.a = p.v AND p2.i = p.i), 0) AS hr,
+           COALESCE((SELECT sum(p2.h / od.d)
+                     FROM hits p2 JOIN e ON e.a = p2.v
+                     JOIN outdeg od ON od.v = p2.v
+                     WHERE e.b = p.v AND p2.i = p.i), 0) AS ar
+    FROM hits p WHERE p.i < {HITS_ITERS}
+  ) q
+)
+SELECT v AS vid, round(h, 6) AS hub, round(a, 6) AS authority
+FROM hits WHERE i = {HITS_ITERS}
+"""
+
+
 KATZ_ALPHA = 0.005
 KATZ_BETA = 1.0
 KATZ_ITERS = 20
@@ -7434,6 +7487,7 @@ QUERIES = {
     "diameter_sweep_co": q_diameter_sweep_co,
     "kcore_co": q_kcore_co,
     "hits_ps": q_hits_ps,
+    "salsa_ps": q_salsa_ps,
     "katz_co": q_katz_co,
     "eigencentrality_co": q_eigencentrality_co,
     "wl_colors_co": q_wl_colors_co,
@@ -7604,6 +7658,7 @@ ORACLE_SQL = {
     "diameter_sweep_co": SQL_DIAMETER_SWEEP_CO,
     "kcore_co": SQL_KCORE_CO,
     "hits_ps": SQL_HITS_PS,
+    "salsa_ps": SQL_SALSA_PS,
     "katz_co": SQL_KATZ_CO,
     "eigencentrality_co": SQL_EIGENCENTRALITY_CO,
     "wl_colors_co": SQL_WL_COLORS_CO,

@@ -1559,3 +1559,41 @@ def test_diameter_double_sweep_exact_on_path():
     assert far in (0, k)
     d1, _ = ss.bfs_distances(g, [far])
     assert int(d1[d1 < INF].max()) == k
+
+
+def test_salsa_matches_serial(random_graph):
+    """SALSA kernel vs a serial numpy replica of the same
+    simultaneous-update recursion (sender-degree-normalised HITS)."""
+    src, dst, n = random_graph
+    e = np.unique(np.stack([src, dst], 1), axis=0)
+    s, d = e[:, 0], e[:, 1]
+    g = DistGraph.from_edges(s, d, n=n, P=4, directed=True)
+    g_rev = DistGraph.from_edges(d, s, n=n, P=4, directed=True)
+    hub, auth, act = ss.salsa(g, g_rev, iters=15)
+    outdeg = np.bincount(s, minlength=n).astype(float)
+    indeg = np.bincount(d, minlength=n).astype(float)
+    act_ser = (outdeg + indeg) > 0
+    h = np.where(act_ser, 1.0 / act_ser.sum(), 0.0)
+    a = h.copy()
+    for _ in range(15):
+        ar = np.zeros(n)
+        hr = np.zeros(n)
+        np.add.at(ar, d, h[s] / outdeg[s])
+        np.add.at(hr, s, a[d] / indeg[d])
+        a, h = ar / ar.sum(), hr / hr.sum()
+    assert np.array_equal(act, act_ser)
+    assert np.abs(hub - h).max() < 1e-12
+    assert np.abs(auth - a).max() < 1e-12
+
+
+def test_salsa_authority_fixed_point_is_indegree():
+    """Lempel & Moran 2000, Prop. 2: on a connected authority chain
+    the SALSA authority weights converge to indegree / total edges
+    (unlike HITS, which tilts to the principal eigenvector)."""
+    s = np.array([0, 0, 1, 1, 2, 2, 0], dtype=np.int64)
+    d = np.array([10, 11, 11, 12, 12, 10, 12], dtype=np.int64)
+    g = DistGraph.from_edges(s, d, n=13, P=3, directed=True)
+    g_rev = DistGraph.from_edges(d, s, n=13, P=3, directed=True)
+    _, auth, _ = ss.salsa(g, g_rev, iters=200)
+    indeg = np.bincount(d, minlength=13).astype(float)
+    assert np.allclose(auth, indeg / indeg.sum(), atol=1e-9)
