@@ -1371,6 +1371,202 @@ def random_walks(g: DistGraph, seeds, length):
             np.concatenate(out_v))
 
 
+N2V_R_MAX = 4         # class multiplicities live in 1..N2V_R_MAX
+N2V_R_PRIME = 32452843
+
+
+def node2vec_hash(w, s, u, r):
+    """``walk_hash`` extended with the multiset-replica index ``r``
+    (same modular idiom, one more prime multiplier); replicable
+    verbatim in SQL."""
+    M = WALK_MOD
+    return ((w % M) * 7919 + (s % M) * 104729
+            + (u % M) * 15485863 + (r % M) * N2V_R_PRIME) % M
+
+
+def node2vec_walks(g: DistGraph, seeds, length,
+                   mult_return=1, mult_common=2, mult_far=1):
+    """Second-order (node2vec; Grover & Leskovec 2016) biased walks.
+    From ``cur`` with predecessor ``prev``, each out-neighbour ``u``
+    falls in a class — return (``u == prev``), common (``u`` is an
+    out-neighbour of ``prev``), far (neither) — with integer
+    multiplicity ``m`` in 1..N2V_R_MAX standing in for node2vec's
+    1/p, 1, 1/q edge weights. The step goes to the candidate
+    minimising ``(min_{r<m} node2vec_hash(w, s, u, r), u)``: a
+    deterministic draw from the weighted multiset (each candidate
+    entered m times), reproducible across runs / parallelism levels
+    and replicable in SQL. The first step (no predecessor) is the
+    uniform m=1 draw.
+
+    BSP shape: two shard rounds per step. Round A on cur's partition
+    enumerates the walk's candidates and buckets them by
+    ``prev % P``; round B on prev's partition classifies each
+    candidate against prev's adjacency run (CSR sorted by
+    (src, dst): membership is one binary search on the combined
+    ``src_local * n + dst`` key — fits int64 while n^2/P < 2^63) and
+    returns ONE best candidate per walk; the driver merges
+    O(frontier) per-walk partials, never the candidate set.
+
+    Returns (walk_id, step, vid) int64 arrays like ``random_walks``.
+    """
+    for m in (mult_return, mult_common, mult_far):
+        if not 1 <= m <= N2V_R_MAX:
+            raise ValueError(f"class multiplicity {m} outside "
+                             f"1..{N2V_R_MAX}")
+    P, sizes, n = g.P, g.sizes, g.n
+    nI = np.int64(n)
+
+    @ray.remote
+    def build_adj(block, p):
+        src = block["src_local"]
+        off = block["dst_offsets"]
+        dstg = np.empty(len(src), dtype=np.int64)
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            dstg[sl] = block["dst_local"][sl] * P + q
+        order = np.lexsort((dstg, src))
+        ss_, dg = src[order], dstg[order]
+        starts = np.searchsorted(ss_, np.arange(sizes[p] + 1))
+        member_key = ss_ * nI + dg       # globally sorted
+        return starts, dg, member_key
+
+    @ray.remote
+    def first_step(adj, wids, curs, step):
+        """Uniform m=1 step (no predecessor): one best per walk."""
+        starts, dg, _ = adj
+        loc = curs // P
+        deg = starts[loc + 1] - starts[loc]
+        out = np.full(len(wids), -1, dtype=np.int64)
+        live = np.flatnonzero(deg > 0)
+        if len(live) == 0:
+            return out
+        counts = deg[live]
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        flat = np.concatenate(
+            [dg[starts[loc[i]]:starts[loc[i] + 1]] for i in live])
+        w_rep = np.repeat(wids[live], counts)
+        key = node2vec_hash(w_rep, step, flat, 0) * nI + flat
+        best = np.minimum.reduceat(key, offs[:-1])
+        out[live] = best % nI
+        return out
+
+    @ray.remote
+    def enumerate_candidates(adj, wids, prevs, curs):
+        """Round A: candidate (wid, prev, u) triples bucketed by
+        prev % P."""
+        starts, dg, _ = adj
+        loc = curs // P
+        deg = starts[loc + 1] - starts[loc]
+        live = np.flatnonzero(deg > 0)
+        if len(live) == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return [(empty, empty, empty)] * P
+        counts = deg[live]
+        flat = np.concatenate(
+            [dg[starts[loc[i]]:starts[loc[i] + 1]] for i in live])
+        w_rep = np.repeat(wids[live], counts)
+        p_rep = np.repeat(prevs[live], counts)
+        buckets = (p_rep % P).astype(np.int64)
+        outs = []
+        for q in range(P):
+            m = buckets == q
+            outs.append((w_rep[m], p_rep[m], flat[m]))
+        return outs
+
+    @ray.remote
+    def classify_and_pick(adj, step, *incoming):
+        """Round B: class multiplicity against prev's adjacency, then
+        per-walk (hash, u) min — returns one partial best per walk."""
+        _, _, member_key = adj
+        w = np.concatenate([t[0] for t in incoming])
+        pv = np.concatenate([t[1] for t in incoming])
+        u = np.concatenate([t[2] for t in incoming])
+        if len(w) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0,
+                                                         dtype=np.int64)
+        qk = (pv // P) * nI + u
+        if len(member_key):
+            idx = np.minimum(np.searchsorted(member_key, qk),
+                             len(member_key) - 1)
+            is_nbr = member_key[idx] == qk
+        else:
+            is_nbr = np.zeros(len(w), dtype=bool)
+        mcls = np.full(len(w), mult_far, dtype=np.int64)
+        mcls[is_nbr] = mult_common
+        mcls[u == pv] = mult_return
+        base = ((w % WALK_MOD) * 7919 + (step % WALK_MOD) * 104729
+                + (u % WALK_MOD) * 15485863)
+        key = base % WALK_MOD
+        for r in range(1, N2V_R_MAX):
+            hr = (base + r * N2V_R_PRIME) % WALK_MOD
+            key = np.where(r < mcls, np.minimum(key, hr), key)
+        packed = key * nI + u
+        order = np.lexsort((packed, w))
+        ws, ps = w[order], packed[order]
+        first = np.ones(len(ws), dtype=bool)
+        first[1:] = ws[1:] != ws[:-1]
+        return ws[first], ps[first]
+
+    adj_refs = [build_adj.remote(g.blocks[p], p) for p in range(P)]
+    wids = np.asarray(seeds, dtype=np.int64)
+    cur = wids.copy()
+    prev = np.full(len(wids), -1, dtype=np.int64)
+    out_w = [wids.copy()]
+    out_s = [np.zeros(len(wids), dtype=np.int64)]
+    out_v = [cur.copy()]
+    for s in range(1, length + 1):
+        if len(wids) == 0:
+            break
+        parts = (cur % P).astype(np.int64)
+        if s == 1:
+            nxt = np.full(len(wids), -1, dtype=np.int64)
+            futs = {}
+            for p in range(P):
+                idx = np.flatnonzero(parts == p)
+                if len(idx):
+                    futs[p] = (idx, first_step.remote(
+                        adj_refs[p], wids[idx], cur[idx], s))
+            for p, (idx, f) in futs.items():
+                nxt[idx] = ray.get(f)
+            alive = nxt >= 0
+            wids, cur, prev = wids[alive], nxt[alive], cur[alive]
+        else:
+            cand_futs = []
+            for p in range(P):
+                idx = np.flatnonzero(parts == p)
+                if len(idx):
+                    cand_futs.append(
+                        enumerate_candidates.options(
+                            num_returns=P).remote(
+                            adj_refs[p], wids[idx], prev[idx],
+                            cur[idx]))
+            pick_futs = [classify_and_pick.remote(
+                adj_refs[q], s, *[cf[q] for cf in cand_futs])
+                for q in range(P)]
+            parts_out = ray.get(pick_futs)
+            aw = np.concatenate([t[0] for t in parts_out])
+            ap = np.concatenate([t[1] for t in parts_out])
+            if len(aw) == 0:
+                break
+            order = np.lexsort((ap, aw))
+            aw_s, ap_s = aw[order], ap[order]
+            first = np.ones(len(aw_s), dtype=bool)
+            first[1:] = aw_s[1:] != aw_s[:-1]
+            win_w, win_u = aw_s[first], ap_s[first] % nI
+            # realign to walk order, vectorised (win_w is sorted);
+            # dead walks simply drop out of the frontier
+            keep = np.isin(wids, win_w)
+            new_cur = win_u[np.searchsorted(win_w, wids[keep])]
+            prev = cur[keep]
+            wids = wids[keep]
+            cur = new_cur
+        out_w.append(wids.copy())
+        out_s.append(np.full(len(wids), s, dtype=np.int64))
+        out_v.append(cur.copy())
+    return (np.concatenate(out_w), np.concatenate(out_s),
+            np.concatenate(out_v))
+
+
 def multi_bfs(g: DistGraph, sources, max_iter=10_000):
     """Per-source unweighted hop distances for a SMALL seed set
     (closeness / eccentricity probes): one (k, size_p) int64 plane

@@ -1620,6 +1620,66 @@ SELECT w AS walk_id, s AS step, cur AS vid FROM walk
 """
 
 
+N2V_MR, N2V_MC, N2V_MF = 3, 2, 1   # return / common / far multiplicities
+
+
+def q_node2vec_walks(sf_dir):
+    """Second-order node2vec walks (Grover & Leskovec 2016) over the
+    directed item-sequence graph: integer class multiplicities
+    (return=3, common-neighbour=2, far=1) stand in for 1/p, 1, 1/q,
+    and the draw is the deterministic weighted-multiset hash min —
+    the full bias logic (predecessor-adjacency classification) runs
+    through the two-round BSP kernel ``superstep.node2vec_walks``."""
+    edges, n = _item_seq_edges(sf_dir)
+    g = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
+                               dedup=True)
+    act = np.flatnonzero(g.active_global())
+    seeds = act[:WALK_SEEDS].astype(np.int64)
+    w, s, v = ss.node2vec_walks(g, seeds, length=WALK_LEN,
+                                mult_return=N2V_MR,
+                                mult_common=N2V_MC, mult_far=N2V_MF)
+    return pa.table({"walk_id": pa.array(w), "step": pa.array(s),
+                     "vid": pa.array(v)})
+
+
+SQL_NODE2VEC_WALKS = f"""
+WITH RECURSIVE
+seq AS (SELECT l_partkey AS a,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS b
+        FROM lineitem),
+e AS (SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+seeds AS (SELECT v FROM verts ORDER BY v LIMIT {WALK_SEEDS}),
+walk(w, s, prev, cur) AS (
+  SELECT v, 0, CAST(-1 AS BIGINT), v FROM seeds
+  UNION ALL
+  SELECT w, s + 1, walk.cur,
+         (SELECT eb.b FROM e eb WHERE eb.a = walk.cur
+          ORDER BY
+            (SELECT min(((walk.w % 1000003) * 7919
+                         + ((walk.s + 1) % 1000003) * 104729
+                         + (eb.b % 1000003) * 15485863
+                         + rr.r * 32452843) % 1000003)
+             FROM (VALUES (0), (1), (2), (3)) rr(r)
+             WHERE rr.r < CASE
+                 WHEN walk.prev < 0 THEN 1
+                 WHEN eb.b = walk.prev THEN {N2V_MR}
+                 WHEN EXISTS (SELECT 1 FROM e e2
+                              WHERE e2.a = walk.prev
+                                AND e2.b = eb.b) THEN {N2V_MC}
+                 ELSE {N2V_MF} END),
+            eb.b
+          LIMIT 1)
+  FROM walk
+  WHERE s < {WALK_LEN}
+    AND EXISTS (SELECT 1 FROM e eb WHERE eb.a = walk.cur)
+)
+SELECT w AS walk_id, s AS step, cur AS vid FROM walk
+"""
+
+
 def _leiden_co_dataset(sf_dir, quality, gamma):
     """Dataset-native Leiden on the co graph: the edge Dataset spills
     to partitioned parquet and each shard actor loads only its own
@@ -7550,6 +7610,7 @@ QUERIES = {
     "events_window_sliding": q_events_window_sliding,
     "events_quantiles": q_events_quantiles,
     "random_walks": q_random_walks,
+    "node2vec_walks": q_node2vec_walks,
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
     "hll_parts_per_supplier": q_hll_parts_per_supplier,
     "bloom_seen_parts": q_bloom_seen_parts,
@@ -7718,6 +7779,7 @@ ORACLE_SQL = {
     "events_window_sliding": SQL_EVENTS_WINDOW_SLIDING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "random_walks": SQL_RANDOM_WALKS,
+    "node2vec_walks": SQL_NODE2VEC_WALKS,
     "distinct_parts_per_supplier": SQL_DISTINCT_PARTS_PER_SUPPLIER,
     "hll_parts_per_supplier": SQL_HLL_PARTS_PER_SUPPLIER,
     "bloom_seen_parts": SQL_BLOOM_SEEN_PARTS,

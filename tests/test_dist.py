@@ -1597,3 +1597,65 @@ def test_salsa_authority_fixed_point_is_indegree():
     _, auth, _ = ss.salsa(g, g_rev, iters=200)
     indeg = np.bincount(d, minlength=13).astype(float)
     assert np.allclose(auth, indeg / indeg.sum(), atol=1e-9)
+
+
+def _node2vec_serial(s_, d_, n, seeds, length, mr, mc, mf):
+    M = 1000003
+    adj = [np.sort(d_[s_ == vv]) for vv in range(n)]
+    nbr = [set(a.tolist()) for a in adj]
+    rows = []
+    for wd in seeds:
+        cur, prev = int(wd), -1
+        rows.append((int(wd), 0, cur))
+        for s2 in range(1, length + 1):
+            c = adj[cur]
+            if len(c) == 0:
+                break
+            best = None
+            for u in c:
+                u = int(u)
+                if prev < 0:
+                    mm = 1
+                elif u == prev:
+                    mm = mr
+                elif u in nbr[prev]:
+                    mm = mc
+                else:
+                    mm = mf
+                key = min(((wd % M) * 7919 + (s2 % M) * 104729
+                           + (u % M) * 15485863 + r * 32452843) % M
+                          for r in range(mm))
+                if best is None or (key, u) < best:
+                    best = (key, u)
+            prev, cur = cur, best[1]
+            rows.append((int(wd), s2, cur))
+    return sorted(rows)
+
+
+def test_node2vec_matches_serial_and_p_invariant():
+    """Two-round BSP node2vec kernel == per-walk serial replica of the
+    weighted-multiset hash draw, and the output is identical at
+    different partition counts (the determinism contract)."""
+    rng = np.random.default_rng(7)
+    n, m = 300, 2400
+    e = np.unique(np.stack([rng.integers(0, n, m),
+                            rng.integers(0, n, m)], 1), axis=0)
+    s_, d_ = e[:, 0], e[:, 1]
+    seeds = np.arange(0, 40, 5, dtype=np.int64)
+    want = _node2vec_serial(s_, d_, n, seeds, 10, 3, 2, 1)
+    outs = []
+    for P in (3, 5):
+        g = DistGraph.from_edges(s_, d_, n=n, P=P, directed=True)
+        w, st, v = ss.node2vec_walks(g, seeds, length=10,
+                                     mult_return=3, mult_common=2,
+                                     mult_far=1)
+        outs.append(sorted(zip(w.tolist(), st.tolist(), v.tolist())))
+    assert outs[0] == want
+    assert outs[1] == want
+
+
+def test_node2vec_multiplicity_bounds():
+    g = DistGraph.from_edges(np.array([0]), np.array([1]), n=2, P=2,
+                             directed=True)
+    with pytest.raises(ValueError):
+        ss.node2vec_walks(g, [0], 2, mult_common=5)
