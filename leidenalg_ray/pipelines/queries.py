@@ -1571,6 +1571,70 @@ GROUP BY vv.v
 """
 
 
+def q_bowtie_items(sf_dir):
+    """Bow-tie decomposition (Broder et al., 'Graph structure in the
+    web', WWW 2000) of the directed item-sequence graph, relative to
+    the SCC of the smallest active vid: 'scc' = mutually reachable
+    with the seed, 'in' = reaches the core, 'out' = reached from the
+    core, 'other' = tendrils/disconnected. Two frontier-BSP BFS runs
+    (forward blocks + reversed blocks from the same one-shuffle
+    spill); the driver holds two bool masks, never an edge list."""
+    edges, n = _item_seq_edges(sf_dir)
+    import tempfile
+    spill = tempfile.mkdtemp(prefix="lray_bowtie_")
+    gf = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
+                                dedup=True, spill_dir=spill)
+    swapped = rd.read_parquet(spill, columns=["src", "dst"]) \
+        .map_batches(
+            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    gb = DistGraph.from_dataset(swapped, n=n, P=8, directed=True,
+                                dedup=True)
+    act = gf.active_global()
+    seed = int(np.flatnonzero(act)[0])
+    INF = np.iinfo(np.int64).max
+    df, _ = ss.bfs_distances(gf, [seed])
+    db, _ = ss.bfs_distances(gb, [seed])
+    fwd, bwd = df < INF, db < INF
+    vids = np.flatnonzero(act).astype(np.int64)
+    cls = np.where(fwd[vids] & bwd[vids], "scc",
+                   np.where(bwd[vids], "in",
+                            np.where(fwd[vids], "out", "other")))
+    return pa.table({"vid": pa.array(vids),
+                     "cls": pa.array(cls.astype(object), pa.string())})
+
+
+SQL_BOWTIE_ITEMS = """
+WITH RECURSIVE
+seq AS (SELECT l_partkey AS a,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS b
+        FROM lineitem),
+e AS (SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+s AS (SELECT min(v) AS v FROM verts),
+fwd(v) AS (
+  SELECT v FROM s
+  UNION
+  SELECT e.b FROM fwd JOIN e ON e.a = fwd.v
+),
+bwd(v) AS (
+  SELECT v FROM s
+  UNION
+  SELECT e.a FROM bwd JOIN e ON e.b = bwd.v
+)
+SELECT vv.v AS vid,
+       CASE WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'scc'
+            WHEN b.v IS NOT NULL THEN 'in'
+            WHEN f.v IS NOT NULL THEN 'out'
+            ELSE 'other' END AS cls
+FROM verts vv
+LEFT JOIN fwd f ON f.v = vv.v
+LEFT JOIN bwd b ON b.v = vv.v
+"""
+
+
 WALK_SEEDS = 8
 WALK_LEN = 8
 
@@ -7607,6 +7671,7 @@ QUERIES = {
     "dedup_cluster": q_dedup_cluster,
     "tfidf_topk": q_tfidf_topk,
     "scc_items": q_scc_items,
+    "bowtie_items": q_bowtie_items,
     "events_window_sliding": q_events_window_sliding,
     "events_quantiles": q_events_quantiles,
     "random_walks": q_random_walks,
@@ -7776,6 +7841,7 @@ ORACLE_SQL = {
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "scc_items": SQL_SCC_ITEMS,
+    "bowtie_items": SQL_BOWTIE_ITEMS,
     "events_window_sliding": SQL_EVENTS_WINDOW_SLIDING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "random_walks": SQL_RANDOM_WALKS,

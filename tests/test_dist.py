@@ -1659,3 +1659,21 @@ def test_node2vec_multiplicity_bounds():
                              directed=True)
     with pytest.raises(ValueError):
         ss.node2vec_walks(g, [0], 2, mult_common=5)
+
+
+def test_bowtie_classification_planted():
+    """Bow-tie classes relative to the seed's SCC (q_bowtie_items
+    semantics): planted core cycle 0->1->2->0, in-link 3->0, out-link
+    2->4, in-tendril 3->7, disconnected 5->6."""
+    s = np.array([0, 1, 2, 3, 2, 5, 3], dtype=np.int64)
+    d = np.array([1, 2, 0, 0, 4, 6, 7], dtype=np.int64)
+    gf = DistGraph.from_edges(s, d, n=8, P=3, directed=True)
+    gb = DistGraph.from_edges(d, s, n=8, P=3, directed=True)
+    INF = np.iinfo(np.int64).max
+    df, _ = ss.bfs_distances(gf, [0])
+    db, _ = ss.bfs_distances(gb, [0])
+    fwd, bwd = df < INF, db < INF
+    cls = np.where(fwd & bwd, "scc",
+                   np.where(bwd, "in", np.where(fwd, "out", "other")))
+    assert list(cls) == ["scc", "scc", "scc", "in", "out",
+                         "other", "other", "other"]
