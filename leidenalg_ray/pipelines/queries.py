@@ -1684,6 +1684,61 @@ SELECT w AS walk_id, s AS step, cur AS vid FROM walk
 """
 
 
+EFFDIAM_SEEDS = 8
+EFFDIAM_Q = 0.9
+_EFFDIAM_SQL_DEPTH = 100   # >= observed BFS depth at the gate scales
+
+
+def q_effective_diameter_items(sf_dir):
+    """Effective diameter (ANF-style, Palmer/Gibbons/Faloutsos 2002):
+    the smallest hop distance d such that >= 90% of the reachable
+    (seed, vertex) pairs — seeds = the EFFDIAM_SEEDS smallest active
+    vids, self-pairs at distance 0 included — are within d. One
+    ``multi_bfs`` plane run (k distance rows per partition, messages
+    pre-aggregated by destination); the driver reduces the k x n
+    matrix to a single row."""
+    edges, n = _item_seq_edges(sf_dir)
+    g = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
+                               dedup=True)
+    act = np.flatnonzero(g.active_global())
+    seeds = act[:EFFDIAM_SEEDS].astype(np.int64)
+    dist, _ = ss.multi_bfs(g, seeds)
+    INF = np.iinfo(np.int64).max
+    fin = np.sort(dist[dist < INF])
+    thr = int(np.ceil(EFFDIAM_Q * len(fin)))
+    return pa.table({
+        "n_reach": pa.array([len(fin)], pa.int64()),
+        "eff_diameter": pa.array([int(fin[thr - 1])], pa.int64()),
+    })
+
+
+SQL_EFFECTIVE_DIAMETER_ITEMS = f"""
+WITH RECURSIVE
+seq AS (SELECT l_partkey AS a,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS b
+        FROM lineitem),
+e AS (SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+seeds AS (SELECT v FROM verts ORDER BY v LIMIT {EFFDIAM_SEEDS}),
+bfs(s, v, d) AS (
+  SELECT v, v, 0 FROM seeds
+  UNION
+  SELECT bfs.s, e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.v
+  WHERE bfs.d < {_EFFDIAM_SQL_DEPTH}
+),
+dmin AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v),
+tot AS (SELECT count(*) AS c FROM dmin),
+run AS (SELECT d, sum(count(*)) OVER (ORDER BY d) AS cum
+        FROM dmin GROUP BY d)
+SELECT (SELECT CAST(c AS BIGINT) FROM tot) AS n_reach,
+       (SELECT CAST(min(d) AS BIGINT) FROM run
+        WHERE cum >= ceil({EFFDIAM_Q} * (SELECT c FROM tot)))
+       AS eff_diameter
+"""
+
+
 N2V_MR, N2V_MC, N2V_MF = 3, 2, 1   # return / common / far multiplicities
 
 
@@ -7672,6 +7727,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
+    "effective_diameter_items": q_effective_diameter_items,
     "events_window_sliding": q_events_window_sliding,
     "events_quantiles": q_events_quantiles,
     "random_walks": q_random_walks,
@@ -7842,6 +7898,7 @@ ORACLE_SQL = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
+    "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,
     "events_window_sliding": SQL_EVENTS_WINDOW_SLIDING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "random_walks": SQL_RANDOM_WALKS,

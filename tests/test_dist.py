@@ -1677,3 +1677,19 @@ def test_bowtie_classification_planted():
                    np.where(bwd, "in", np.where(fwd, "out", "other")))
     assert list(cls) == ["scc", "scc", "scc", "in", "out",
                          "other", "other", "other"]
+
+
+def test_effective_diameter_closed_form_on_path():
+    """q_effective_diameter_items math: on a 10-vertex directed path
+    with one seed, distances are 0..9 (10 pairs), the 90th-percentile
+    threshold is ceil(0.9*10)=9 pairs, so the effective diameter is
+    the 9th-smallest distance = 8."""
+    s = np.arange(9)
+    d = np.arange(1, 10)
+    g = DistGraph.from_edges(s, d, n=10, P=3, directed=True)
+    dist, _ = ss.multi_bfs(g, np.array([0], dtype=np.int64))
+    INF = np.iinfo(np.int64).max
+    fin = np.sort(dist[dist < INF])
+    assert len(fin) == 10
+    thr = int(np.ceil(0.9 * len(fin)))
+    assert int(fin[thr - 1]) == 8
