@@ -650,21 +650,15 @@ def hits(g: DistGraph, g_rev: DistGraph, iters=20, result_out=None,
     (hub mass / out-degree on the forward gather, authority mass /
     in-degree on the reversed gather) — the power iteration of the two
     stochastic SALSA chains instead of the unnormalised HITS matrices.
-    The per-shard sender degrees are a one-off bincount over the
-    shard's own block; no extra exchange."""
+    The sender degrees are the build's existing per-partition
+    out-degree shards; no extra task or exchange."""
     P, n, sizes = g.P, g.n, g.sizes
     assert g_rev.P == P and g_rev.n == n
 
-    @ray.remote
-    def block_degree(block, size):
-        return np.bincount(block["src_local"],
-                           minlength=size).astype(np.float64)
-
     if degree_normalized:
-        fwd_deg = [block_degree.remote(g.blocks[p], sizes[p])
-                   for p in range(P)]
-        rev_deg = [block_degree.remote(g_rev.blocks[p], sizes[p])
-                   for p in range(P)]
+        # the build already holds per-partition out-degree shards
+        # (exactly the bincount of each block's src_local)
+        fwd_deg, rev_deg = g.out_deg, g_rev.out_deg
     else:
         fwd_deg = rev_deg = [None] * P
 
@@ -1291,6 +1285,23 @@ def walk_hash(w, s, u):
             + (u % M) * 15485863) % M
 
 
+def _block_csr_view(block, P, size_p):
+    """Per-partition src-sorted CSR view of a block for the walk
+    kernels: (starts, dstg_global, src_sorted), with each src run's
+    destinations sorted ascending (lexsort) so membership tests can
+    binary-search a run."""
+    src = block["src_local"]
+    off = block["dst_offsets"]
+    dstg = np.empty(len(src), dtype=np.int64)
+    for q in range(P):
+        sl = slice(int(off[q]), int(off[q + 1]))
+        dstg[sl] = block["dst_local"][sl] * P + q
+    order = np.lexsort((dstg, src))
+    ss_, dg = src[order], dstg[order]
+    starts = np.searchsorted(ss_, np.arange(size_p + 1))
+    return starts, dg, ss_
+
+
 def random_walks(g: DistGraph, seeds, length):
     """Fixed-length walks along directed edges; the step from ``cur``
     for walk ``w`` at step ``s`` goes to the out-neighbour ``u``
@@ -1311,15 +1322,7 @@ def random_walks(g: DistGraph, seeds, length):
 
     @ray.remote
     def build_adj(block, p):
-        src = block["src_local"]
-        off = block["dst_offsets"]
-        dstg = np.empty(len(src), dtype=np.int64)
-        for q in range(P):
-            sl = slice(int(off[q]), int(off[q + 1]))
-            dstg[sl] = block["dst_local"][sl] * P + q
-        order = np.argsort(src, kind="stable")
-        ss_, dg = src[order], dstg[order]
-        starts = np.searchsorted(ss_, np.arange(sizes[p] + 1))
+        starts, dg, _ = _block_csr_view(block, P, sizes[p])
         return starts, dg
 
     @ray.remote
@@ -1418,17 +1421,8 @@ def node2vec_walks(g: DistGraph, seeds, length,
 
     @ray.remote
     def build_adj(block, p):
-        src = block["src_local"]
-        off = block["dst_offsets"]
-        dstg = np.empty(len(src), dtype=np.int64)
-        for q in range(P):
-            sl = slice(int(off[q]), int(off[q + 1]))
-            dstg[sl] = block["dst_local"][sl] * P + q
-        order = np.lexsort((dstg, src))
-        ss_, dg = src[order], dstg[order]
-        starts = np.searchsorted(ss_, np.arange(sizes[p] + 1))
-        member_key = ss_ * nI + dg       # globally sorted
-        return starts, dg, member_key
+        starts, dg, ss_ = _block_csr_view(block, P, sizes[p])
+        return starts, dg, ss_ * nI + dg   # member key: globally sorted
 
     @ray.remote
     def first_step(adj, wids, curs, step):

@@ -1525,24 +1525,48 @@ def _item_seq_edges(sf_dir):
         seq, batch_format="pandas"), n
 
 
+def _item_seq_distgraph(sf_dir, P=8):
+    """Cached forward item-sequence DistGraph: the l_orderkey shuffle
+    and parquet spill run once per sf_dir and are shared by every
+    item-sequence query (SCC, bow-tie, walks, effective diameter).
+    The spill dir is kept on the instance so the reversed build can
+    reuse it."""
+    key = (sf_dir, "item_seq")
+    if key not in _G_CACHE:
+        import tempfile
+        edges, n = _item_seq_edges(sf_dir)
+        spill = tempfile.mkdtemp(prefix="lray_itemseq_")
+        g = DistGraph.from_dataset(edges, n=n, P=P, directed=True,
+                                   dedup=True, spill_dir=spill)
+        g._item_seq_spill = spill
+        _G_CACHE[key] = g
+    return _G_CACHE[key]
+
+
+def _item_seq_rev_distgraph(sf_dir, P=8):
+    """Reversed item-sequence blocks from the forward build's parquet
+    spill — the l_orderkey shuffle runs once, not twice."""
+    key = (sf_dir, "item_seq_rev")
+    if key not in _G_CACHE:
+        gf = _item_seq_distgraph(sf_dir, P)
+        swapped = rd.read_parquet(gf._item_seq_spill,
+                                  columns=["src", "dst"]) \
+            .map_batches(
+                lambda t: pa.table({"src": t["dst"],
+                                    "dst": t["src"]}),
+                batch_format="pyarrow", zero_copy_batch=True)
+        _G_CACHE[key] = DistGraph.from_dataset(
+            swapped, n=gf.n, P=P, directed=True, dedup=True)
+    return _G_CACHE[key]
+
+
 def q_scc_items(sf_dir):
     """Strongly connected components of the directed item-sequence
     graph: the FW-BW-colouring BSP kernel (``superstep.scc``) over
     Dataset-built CSR blocks — forward and reversed block sets, no
     driver edge list."""
-    edges, n = _item_seq_edges(sf_dir)
-    import tempfile
-    spill = tempfile.mkdtemp(prefix="lray_scc_")
-    gf = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
-                                dedup=True, spill_dir=spill)
-    # reversed blocks from the forward build's parquet spill — the
-    # l_orderkey shuffle runs once, not twice
-    swapped = rd.read_parquet(spill, columns=["src", "dst"]) \
-        .map_batches(
-            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
-            batch_format="pyarrow", zero_copy_batch=True)
-    gb = DistGraph.from_dataset(swapped, n=n, P=8, directed=True,
-                                dedup=True)
+    gf = _item_seq_distgraph(sf_dir)
+    gb = _item_seq_rev_distgraph(sf_dir)
     lab, _ = ss.scc(gf, gb)
     vids = np.flatnonzero(gf.active_global()).astype(np.int64)
     return pa.table({"vid": pa.array(vids),
@@ -1579,17 +1603,8 @@ def q_bowtie_items(sf_dir):
     core, 'other' = tendrils/disconnected. Two frontier-BSP BFS runs
     (forward blocks + reversed blocks from the same one-shuffle
     spill); the driver holds two bool masks, never an edge list."""
-    edges, n = _item_seq_edges(sf_dir)
-    import tempfile
-    spill = tempfile.mkdtemp(prefix="lray_bowtie_")
-    gf = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
-                                dedup=True, spill_dir=spill)
-    swapped = rd.read_parquet(spill, columns=["src", "dst"]) \
-        .map_batches(
-            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
-            batch_format="pyarrow", zero_copy_batch=True)
-    gb = DistGraph.from_dataset(swapped, n=n, P=8, directed=True,
-                                dedup=True)
+    gf = _item_seq_distgraph(sf_dir)
+    gb = _item_seq_rev_distgraph(sf_dir)
     act = gf.active_global()
     seed = int(np.flatnonzero(act)[0])
     INF = np.iinfo(np.int64).max
@@ -1645,9 +1660,7 @@ def q_random_walks(sf_dir):
     8 smallest active vids; each step is the out-neighbour minimising
     (walk_hash(w, s, u), u) — the BSP frontier kernel
     ``superstep.random_walks`` over Dataset-built CSR blocks."""
-    edges, n = _item_seq_edges(sf_dir)
-    g = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
-                               dedup=True)
+    g = _item_seq_distgraph(sf_dir)
     act = np.flatnonzero(g.active_global())
     seeds = act[:WALK_SEEDS].astype(np.int64)
     w, s, v = ss.random_walks(g, seeds, length=WALK_LEN)
@@ -1697,9 +1710,7 @@ def q_effective_diameter_items(sf_dir):
     ``multi_bfs`` plane run (k distance rows per partition, messages
     pre-aggregated by destination); the driver reduces the k x n
     matrix to a single row."""
-    edges, n = _item_seq_edges(sf_dir)
-    g = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
-                               dedup=True)
+    g = _item_seq_distgraph(sf_dir)
     act = np.flatnonzero(g.active_global())
     seeds = act[:EFFDIAM_SEEDS].astype(np.int64)
     dist, _ = ss.multi_bfs(g, seeds)
@@ -1749,9 +1760,7 @@ def q_node2vec_walks(sf_dir):
     and the draw is the deterministic weighted-multiset hash min —
     the full bias logic (predecessor-adjacency classification) runs
     through the two-round BSP kernel ``superstep.node2vec_walks``."""
-    edges, n = _item_seq_edges(sf_dir)
-    g = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
-                               dedup=True)
+    g = _item_seq_distgraph(sf_dir)
     act = np.flatnonzero(g.active_global())
     seeds = act[:WALK_SEEDS].astype(np.int64)
     w, s, v = ss.node2vec_walks(g, seeds, length=WALK_LEN,
@@ -5924,9 +5933,7 @@ def q_walk_skipgrams(sf_dir):
     walk_id shuffle, per-walk vectorised window pairing (|step delta|
     <= 2, both directions), per-batch pair-count partials, and a
     pair-vocabulary-sized groupby."""
-    edges, n = _item_seq_edges(sf_dir)
-    g = DistGraph.from_dataset(edges, n=n, P=8, directed=True,
-                               dedup=True)
+    g = _item_seq_distgraph(sf_dir)
     act = np.flatnonzero(g.active_global())
     seeds = act[:WALK_SEEDS].astype(np.int64)
     w, s, v = ss.random_walks(g, seeds, length=WALK_LEN)
