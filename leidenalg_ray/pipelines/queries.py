@@ -7513,6 +7513,59 @@ def q_pages_temporal(sf_dir):
     return _temporal_communities(interslice_weight=0.01)
 
 
+def q_anchor_terms_cliques(sf_dir):
+    """Inbound anchor-text term counts per target page — the classic
+    web-link relevance signal — through the REAL extraction actor
+    pool (``ExtractAnchors``) over a planted corpus: six disjoint
+    10-cliques, every member linking to its 9 peers with anchor
+    'to {v}', so each target receives exactly 9 'to' tokens and 9 of
+    its own vid token (closed form). Off-corpus hrefs (the
+    generator's occasional dangling absent.example link) are dropped
+    by the corpus-url prefix filter, matching the oracle's
+    generate_series universe. Per-batch explode partials; the final
+    combine runs on the bounded (targets x terms) partial table."""
+    from ..sources.pages import generate_pages_table
+    from ..stages.extract import anchors_dataset
+
+    n = 60
+    ii, jj = np.meshgrid(np.arange(10), np.arange(10))
+    keep = ii.ravel() != jj.ravel()
+    bi, bj = ii.ravel()[keep], jj.ravel()[keep]
+    src = np.concatenate([bi + 10 * c for c in range(6)])
+    dst = np.concatenate([bj + 10 * c for c in range(6)])
+    pages = rd.from_arrow(generate_pages_table(src, dst, n, seed=1,
+                                               dup_prob=0.0))
+    anchors = anchors_dataset(pages, concurrency=4, batch_size=16)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["dst_url", "anchor"]).to_pandas()
+        df = df[df.dst_url.str.startswith("https://s")]
+        df = df.assign(term=df.anchor.str.split()).explode("term")
+        out = df.groupby(["dst_url", "term"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    agg = anchors.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas().groupby(["dst_url", "term"],
+                             as_index=False)["cnt"].sum()
+    return pa.table({
+        "dst_url": pa.array(agg["dst_url"], pa.string()),
+        "term": pa.array(agg["term"], pa.string()),
+        "cnt": pa.array(agg["cnt"].to_numpy(np.int64)),
+    })
+
+
+SQL_ANCHOR_TERMS_CLIQUES = """
+WITH v AS (SELECT unnest(generate_series(0, 59)) AS v),
+u AS (SELECT v, 'https://s' || lpad(CAST(v % 16 AS VARCHAR), 2, '0')
+            || '.example/p' || lpad(CAST(v AS VARCHAR), 9, '0')
+            || '.html' AS url
+      FROM v)
+SELECT url AS dst_url, 'to' AS term, CAST(9 AS BIGINT) AS cnt FROM u
+UNION ALL
+SELECT url, CAST(v AS VARCHAR), CAST(9 AS BIGINT) FROM u
+"""
+
+
 def q_pages_temporal_cliques(sf_dir):
     """Driver-green twin of ``pages_temporal`` (reference
     ``functions.py:337-364`` slice->layer coupling): the identical
@@ -7822,6 +7875,7 @@ QUERIES = {
     "partition_compare": q_partition_compare,
     "pages_temporal": q_pages_temporal,
     "pages_temporal_cliques": q_pages_temporal_cliques,
+    "anchor_terms_cliques": q_anchor_terms_cliques,
 }
 
 ORACLE_SQL = {
@@ -7862,6 +7916,7 @@ ORACLE_SQL = {
     "leiden_negweight_bipartite": SQL_LEIDEN_NEGWEIGHT_BIPARTITE,
     "leiden_bipartite_cliques": SQL_LEIDEN_BIPARTITE_NATIONS,
     "pages_temporal_cliques": SQL_PAGES_TEMPORAL_CLIQUES,
+    "anchor_terms_cliques": SQL_ANCHOR_TERMS_CLIQUES,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
     "leiden_surprise_cliques": SQL_LEIDEN_NATIONS,

@@ -25,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 
 _A_HREF = re.compile(rb'<a\s[^>]*?href="([^"]*)"', re.IGNORECASE | re.DOTALL)
+_A_FULL = re.compile(rb'<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>',
+                     re.IGNORECASE | re.DOTALL)
 _TAG = re.compile(rb"<[^>]*>")
 _WS = re.compile(r"\s+")
 _ENTITIES = [(b"&lt;", b"<"), (b"&gt;", b">"), (b"&quot;", b'"'),
@@ -48,6 +50,56 @@ def extract_text(html: bytes) -> str:
     for ent, ch in _ENTITIES:
         raw = raw.replace(ent, ch)
     return _WS.sub(" ", raw.decode("utf-8", "replace")).strip()
+
+
+def extract_anchors(html: bytes):
+    """(href, anchor_text) pairs in document order for absolute
+    http(s) links: the anchor body up to the matching ``</a>``,
+    processed exactly like ``extract_text`` (tags stripped, entities
+    decoded, whitespace collapsed). Duplicates preserved."""
+    out = []
+    for m in _A_FULL.finditer(html):
+        href = m.group(1)
+        if href.startswith(b"http://") or href.startswith(b"https://"):
+            out.append((href.decode("utf-8", "replace"),
+                        extract_text(m.group(2))))
+    return out
+
+
+class ExtractAnchors:
+    """Actor-pool stage: pages batch -> one row per anchor with its
+    visible text — the inbound-anchor-text signal of a web link
+    graph. Output schema: ``(src_url, dst_url, anchor: string,
+    link_pos: int32)``."""
+
+    def __init__(self):
+        self._a_full = _A_FULL
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        src, dst, anc, pos = [], [], [], []
+        for u, h in zip(urls, htmls):
+            for i, (link, text) in enumerate(extract_anchors(h)):
+                src.append(u)
+                dst.append(link)
+                anc.append(text)
+                pos.append(i)
+        return pa.table({
+            "src_url": pa.array(src, pa.string()),
+            "dst_url": pa.array(dst, pa.string()),
+            "anchor": pa.array(anc, pa.string()),
+            "link_pos": pa.array(pos, pa.int32()),
+        })
+
+
+def anchors_dataset(pages_ds, concurrency=8, batch_size=1024):
+    """pages Dataset -> (src_url, dst_url, anchor, link_pos) Dataset
+    via the ExtractAnchors actor pool."""
+    return pages_ds.map_batches(ExtractAnchors, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                zero_copy_batch=True,
+                                concurrency=(1, concurrency))
 
 
 class ExtractPages:

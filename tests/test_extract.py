@@ -267,3 +267,43 @@ def test_pages_temporal_graph_stale_spill_recovery(tmp_path):
     redo = sorted((r["src"], r["dst"], r["weight"])
                   for e in slices2 for r in e.take_all())
     assert redo == clean
+
+
+def test_extract_anchors_semantics():
+    """Anchor text: body up to the matching </a>, tags stripped,
+    entities decoded, whitespace collapsed; non-http(s) hrefs
+    skipped; duplicates preserved in document order."""
+    from leidenalg_ray.stages.extract import extract_anchors
+
+    html = (b'<a href="https://x.example/a">one <b>bold</b>  text</a>'
+            b'<a href="mailto:z@example">skip</a>'
+            b'<a href="https://x.example/a">one &amp; two</a>'
+            b'<a class="c" href="http://y.example/">  padded </a>')
+    got = extract_anchors(html)
+    assert got == [
+        ("https://x.example/a", "one bold text"),
+        ("https://x.example/a", "one & two"),
+        ("http://y.example/", "padded"),
+    ]
+
+
+def test_anchors_dataset_matches_serial(ray_session):
+    """Actor-pool anchors output == per-row serial extraction."""
+    import ray.data as rd
+
+    from leidenalg_ray.sources.pages import generate_pages_table
+    from leidenalg_ray.stages.extract import (anchors_dataset,
+                                              extract_anchors)
+
+    src = np.array([0, 0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 2, 0, 0], dtype=np.int64)
+    tab = generate_pages_table(src, dst, 4, seed=9)
+    out = anchors_dataset(rd.from_arrow(tab), concurrency=2,
+                          batch_size=2).to_pandas()
+    want = []
+    for u, h in zip(tab["url"].to_pylist(), tab["html"].to_pylist()):
+        for i, (link, text) in enumerate(extract_anchors(h)):
+            want.append((u, link, text, i))
+    got = list(map(tuple, out[["src_url", "dst_url", "anchor",
+                               "link_pos"]].to_numpy()))
+    assert sorted(got) == sorted(want)
