@@ -7566,6 +7566,46 @@ SELECT url, CAST(v AS VARCHAR), CAST(9 AS BIGINT) FROM u
 """
 
 
+def q_url_canonical_planted(sf_dir):
+    """URL canonicalization (`stages/urls.py` — fragment strip, host
+    lowercase, default-port drop, tracking-param removal) over a
+    planted corpus of 100 deliberately-messy urls; the oracle states
+    the known canonical form closed-form, so the whole RE2 rule chain
+    is value-checked, not mirrored."""
+    from ..stages.urls import canonicalize_urls
+
+    msgs = []
+    for v in range(100):
+        u = f"HTTPS://Site{v % 7}.Example:443/p/{v}?id={v}"
+        if v % 2 == 0:
+            u += "&utm_source=feed"
+        if v % 3 == 0:
+            u += f"&gclid=g{v}"
+        if v % 5 == 0:
+            u += "#frag"
+        msgs.append(u)
+    ds = rd.from_arrow(pa.table({"url": pa.array(msgs, pa.string())}))
+    df = canonicalize_urls(ds).to_pandas()
+    return pa.table({"url": pa.array(df["url"], pa.string()),
+                     "canon_url": pa.array(df["canon_url"],
+                                           pa.string())})
+
+
+SQL_URL_CANONICAL_PLANTED = """
+WITH v AS (SELECT unnest(generate_series(0, 99)) AS v)
+SELECT 'HTTPS://Site' || CAST(v % 7 AS VARCHAR) || '.Example:443/p/'
+       || CAST(v AS VARCHAR) || '?id=' || CAST(v AS VARCHAR)
+       || CASE WHEN v % 2 = 0 THEN '&utm_source=feed' ELSE '' END
+       || CASE WHEN v % 3 = 0
+               THEN '&gclid=g' || CAST(v AS VARCHAR) ELSE '' END
+       || CASE WHEN v % 5 = 0 THEN '#frag' ELSE '' END AS url,
+       'https://site' || CAST(v % 7 AS VARCHAR) || '.example/p/'
+       || CAST(v AS VARCHAR) || '?id=' || CAST(v AS VARCHAR)
+       AS canon_url
+FROM v
+"""
+
+
 def q_pages_temporal_cliques(sf_dir):
     """Driver-green twin of ``pages_temporal`` (reference
     ``functions.py:337-364`` slice->layer coupling): the identical
@@ -7876,6 +7916,7 @@ QUERIES = {
     "pages_temporal": q_pages_temporal,
     "pages_temporal_cliques": q_pages_temporal_cliques,
     "anchor_terms_cliques": q_anchor_terms_cliques,
+    "url_canonical_planted": q_url_canonical_planted,
 }
 
 ORACLE_SQL = {
@@ -7917,6 +7958,7 @@ ORACLE_SQL = {
     "leiden_bipartite_cliques": SQL_LEIDEN_BIPARTITE_NATIONS,
     "pages_temporal_cliques": SQL_PAGES_TEMPORAL_CLIQUES,
     "anchor_terms_cliques": SQL_ANCHOR_TERMS_CLIQUES,
+    "url_canonical_planted": SQL_URL_CANONICAL_PLANTED,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
     "leiden_surprise_cliques": SQL_LEIDEN_NATIONS,

@@ -307,3 +307,26 @@ def test_anchors_dataset_matches_serial(ray_session):
     got = list(map(tuple, out[["src_url", "dst_url", "anchor",
                                "link_pos"]].to_numpy()))
     assert sorted(got) == sorted(want)
+
+
+def test_url_canonicalize_rules():
+    """Rule-by-rule edge cases for stages/urls.py: fragments, case,
+    default vs non-default ports, tracking params in every query
+    position, dangling '?', scheme-less passthrough."""
+    import pyarrow as pa
+
+    from leidenalg_ray.stages.urls import canonicalize_url_array
+
+    cases = {
+        "HTTPS://A.B:443/p?id=1#f": "https://a.b/p?id=1",
+        "http://Host.EX:80": "http://host.ex",
+        "https://a.b:8443/p": "https://a.b:8443/p",   # non-default kept
+        "https://a.b/p?utm_source=x": "https://a.b/p",
+        "https://a.b/p?utm_source=x&keep=1": "https://a.b/p?keep=1",
+        "https://a.b/p?keep=1&fbclid=z&x=2": "https://a.b/p?keep=1&x=2",
+        "https://a.b/P?Keep=UP": "https://a.b/P?Keep=UP",  # path case kept
+        "plain#frag": "plain",
+    }
+    got = canonicalize_url_array(
+        pa.array(list(cases.keys()), pa.string())).to_pylist()
+    assert got == list(cases.values())
