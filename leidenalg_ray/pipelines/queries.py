@@ -7566,6 +7566,38 @@ SELECT url, CAST(v AS VARCHAR), CAST(9 AS BIGINT) FROM u
 """
 
 
+def q_redirect_resolve_planted(sf_dir):
+    """Redirect-chain resolution (``dist/redirects.py`` pointer
+    doubling): planted mapping of ten 9-hop chains (v -> v+1 within
+    each block of 10, terminal at v%10==9), one 3-cycle and one
+    self-loop. Resolved rows are closed form — final = the block
+    terminal, hops = distance — and the cycle/self-loop entries are
+    correctly omitted (the oracle universe excludes them)."""
+    from ..dist.redirects import resolve_redirects
+
+    src, dst = [], []
+    for v in range(100):
+        if v % 10 != 9:
+            src.append(v)
+            dst.append(v + 1)
+    src += [200, 201, 202, 300]
+    dst += [201, 202, 200, 300]
+    vid, fin, hops = resolve_redirects(np.asarray(src, np.int64),
+                                       np.asarray(dst, np.int64),
+                                       P=8, rounds=10)
+    return pa.table({"vid": pa.array(vid), "final": pa.array(fin),
+                     "hops": pa.array(hops)})
+
+
+SQL_REDIRECT_RESOLVE_PLANTED = """
+WITH v AS (SELECT unnest(generate_series(0, 99)) AS v)
+SELECT v AS vid,
+       CAST(10 * (v // 10) + 9 AS BIGINT) AS final,
+       CAST(9 - v % 10 AS BIGINT) AS hops
+FROM v WHERE v % 10 <> 9
+"""
+
+
 def q_url_canonical_planted(sf_dir):
     """URL canonicalization (`stages/urls.py` — fragment strip, host
     lowercase, default-port drop, tracking-param removal) over a
@@ -7917,6 +7949,7 @@ QUERIES = {
     "pages_temporal_cliques": q_pages_temporal_cliques,
     "anchor_terms_cliques": q_anchor_terms_cliques,
     "url_canonical_planted": q_url_canonical_planted,
+    "redirect_resolve_planted": q_redirect_resolve_planted,
 }
 
 ORACLE_SQL = {
@@ -7959,6 +7992,7 @@ ORACLE_SQL = {
     "pages_temporal_cliques": SQL_PAGES_TEMPORAL_CLIQUES,
     "anchor_terms_cliques": SQL_ANCHOR_TERMS_CLIQUES,
     "url_canonical_planted": SQL_URL_CANONICAL_PLANTED,
+    "redirect_resolve_planted": SQL_REDIRECT_RESOLVE_PLANTED,
     "leiden_modularity_cliques": SQL_LEIDEN_NATIONS,
     "leiden_cpm_stars": SQL_LEIDEN_NATIONS,
     "leiden_surprise_cliques": SQL_LEIDEN_NATIONS,

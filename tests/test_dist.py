@@ -1693,3 +1693,33 @@ def test_effective_diameter_closed_form_on_path():
     assert len(fin) == 10
     thr = int(np.ceil(0.9 * len(fin)))
     assert int(fin[thr - 1]) == 8
+
+
+def test_redirect_pointer_doubling_matches_serial():
+    """Pointer-doubling resolve == serial chain walk on a random
+    functional mapping (with planted cycles excluded on both sides);
+    a 5000-hop chain resolves within 13 doubling rounds."""
+    from leidenalg_ray.dist.redirects import resolve_redirects
+
+    rng = np.random.default_rng(11)
+    n = 400
+    srcs = rng.choice(n, size=250, replace=False).astype(np.int64)
+    dsts = rng.integers(0, n, size=250).astype(np.int64)
+    vid, fin, hops = resolve_redirects(srcs, dsts, P=4, rounds=20)
+    nxt = dict(zip(srcs.tolist(), dsts.tolist()))
+    want = {}
+    for s in srcs.tolist():
+        cur, h, seen = s, 0, set()
+        while cur in nxt and cur not in seen:
+            seen.add(cur)
+            cur = nxt[cur]
+            h += 1
+        if cur not in nxt:             # terminal (not a cycle)
+            want[s] = (cur, h)
+    got = {int(v): (int(f), int(h)) for v, f, h in zip(vid, fin, hops)}
+    assert got == want
+    # long chain: 5000 hops, log2 rounds
+    s2 = np.arange(5000, dtype=np.int64)
+    v2, f2, h2 = resolve_redirects(s2, s2 + 1, P=4, rounds=13)
+    assert len(v2) == 5000 and (f2 == 5000).all()
+    assert h2[np.argsort(v2)][0] == 5000
