@@ -237,6 +237,13 @@ def links_to_edges(links_ds, mapping_ds, n, num_partitions=16,
         lambda t: t.rename_columns(["dst_url", "dst"]),
         batch_format="pyarrow")
     j1 = links_ds.join(m_src, "inner", num_partitions, on=("src_url",))
+    # Ray's join emits ZERO-COLUMN empty blocks for dataless hash
+    # partitions, and map_batches passes empties through WITHOUT
+    # calling fn (CLAUDE.md gotcha), so they would crash the second
+    # join layout-dependently ("No match for FieldRef dst_url").
+    # repartition coalesces blocks and drops the schema-less empties
+    # — block-level only, no row shuffle.
+    j1 = j1.repartition(num_partitions)
     j2 = j1.join(m_dst, "inner" if drop_dangling else "left_outer",
                  num_partitions, on=("dst_url",))
     ints = j2.select_columns(["src", "dst"] + carry)
@@ -464,20 +471,44 @@ def pages_temporal_graph(pages_ds, n_slices, B=None,
 
 
 def pages_to_graph(pages_ds, B=None, num_partitions=16, dedup=True,
-                   extracted=None):
+                   extracted=None, canonicalize=False):
     """Full pipeline: pages -> extract -> id-assign -> dedup'd int edge
     table. Returns (edges Dataset(src,dst,weight), mapping Dataset, n).
     ``dedup=False`` leaves the exact dedup to the partition-local pass
     in ``DistGraph.from_dataset(dedup=True)``. Pass ``extracted`` (a
     materialised ``extract_dataset`` result) to share one extraction
     run with other consumers (host graph, text stages) instead of
-    re-parsing the corpus."""
+    re-parsing the corpus.
+
+    ``canonicalize=True`` runs `stages/urls.py` over page urls and
+    both link endpoints before id assignment, so url variants (case,
+    fragments, tracking params, default ports) merge into one vertex
+    and their links resolve. Colliding page urls are globally deduped
+    (one url shuffle — the canonical universe must be unique before
+    `assign_ids`); off the default path because it changes vertex
+    identity."""
     from .extract import extract_dataset, links_of, texts_of
 
     if extracted is None:
         extracted = extract_dataset(pages_ds).materialize()
     links = links_of(extracted)
     urls = texts_of(extracted).select_columns(["url"])
+    if canonicalize:
+        import pyarrow.compute as pc
+
+        from .urls import canonicalize_url_array
+
+        links = links.map_batches(
+            lambda t: pa.table({
+                "src_url": canonicalize_url_array(t["src_url"]),
+                "dst_url": canonicalize_url_array(t["dst_url"])}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        urls = urls.map_batches(
+            lambda t: pa.table(
+                {"url": pc.unique(canonicalize_url_array(t["url"]))}),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("url").map_groups(lambda df: df.head(1),
+                                       batch_format="pandas")
     mapping, n = assign_ids(urls, B=B)
     mapping = mapping.materialize()
     edges = links_to_edges(links, mapping, n,

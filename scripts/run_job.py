@@ -53,6 +53,14 @@ def main():
                     help="also write the contracted host->host graph "
                          "(streaming url->host contraction of the "
                          "link stream; out/host_graph/)")
+    ap.add_argument("--canonicalize", action="store_true",
+                    help="canonicalize urls (case/fragments/tracking "
+                         "params/default ports) before id assignment "
+                         "so url variants merge into one vertex "
+                         "(distributed build only)")
+    ap.add_argument("--anchors", action="store_true",
+                    help="write per-target inbound anchor-term "
+                         "counts (out/anchor_terms/)")
     ap.add_argument("--temporal", type=int, default=0, metavar="T",
                     help="also slice the crawl into T equal-width "
                          "warc_ts windows and write per-snapshot "
@@ -87,11 +95,14 @@ def main():
     if args.build == "distributed" or args.host_graph:
         from leidenalg_ray.stages.extract import extract_dataset
         shared_extracted = extract_dataset(pages).materialize()
+    if args.canonicalize and args.build != "distributed":
+        ap.error("--canonicalize requires --build distributed")
     if args.build == "distributed":
         # >node-memory shape: the driver never holds urls or edges
         edges_ds, mapping_ds, n = pages_to_graph(
             pages, B=32, num_partitions=P, dedup=False,
-            extracted=shared_extracted)
+            extracted=shared_extracted,
+            canonicalize=args.canonicalize)
         edges_ds = edges_ds.materialize()   # reused by three builds
         mapping = mapping_ds.materialize()
         n_edges = edges_ds.count()
@@ -151,6 +162,28 @@ def main():
         from leidenalg_ray.stages.graph_build import host_graph
         host_graph(links_of(shared_extracted)) \
             .write_parquet(os.path.join(args.out, "host_graph"))
+    if args.anchors:
+        import pandas as pd
+
+        from ray.data.aggregate import Sum
+
+        from leidenalg_ray.stages.extract import anchors_dataset
+
+        def term_partial(t: pa.Table) -> "pd.DataFrame":
+            df = t.select(["dst_url", "anchor"]).to_pandas()
+            df = df.assign(term=df.anchor.str.split()).explode("term")
+            df = df.dropna(subset=["term"])
+            out = df.groupby(["dst_url", "term"],
+                             as_index=False).size()
+            return out.rename(columns={"size": "cnt"})
+
+        # per-batch partials, ONE (dst_url, term) shuffle, streamed
+        # straight to partitioned parquet
+        anchors_dataset(pages).map_batches(
+            term_partial, batch_format="pyarrow") \
+            .groupby(["dst_url", "term"]) \
+            .aggregate(Sum("cnt", alias_name="cnt")) \
+            .write_parquet(os.path.join(args.out, "anchor_terms"))
     if args.temporal > 0:
         from leidenalg_ray.functions_api import (
             find_partition_temporal_dataset)

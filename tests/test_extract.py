@@ -330,3 +330,31 @@ def test_url_canonicalize_rules():
     got = canonicalize_url_array(
         pa.array(list(cases.keys()), pa.string())).to_pylist()
     assert got == list(cases.values())
+
+
+def test_pages_to_graph_canonicalize_merges_variants(ray_session):
+    """canonicalize=True: url variants (case/fragment/tracking params)
+    merge into one vertex and their links resolve; without it the
+    messy hrefs dangle. Also pins the tiny-layout join robustness
+    (zero-column empty blocks from dataless join partitions)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from leidenalg_ray.stages.graph_build import pages_to_graph
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["https://A.example/", "https://b.example/p",
+                         "https://c.example/"]),
+        "html": pa.array([
+            b'<a href="https://B.example/p?utm_source=x">b</a>',
+            b'<a href="https://A.example/#top">a</a>',
+            b'no links'], pa.binary()),
+    }))
+    e0, _, n0 = pages_to_graph(pages, B=4, num_partitions=4)
+    assert n0 == 3 and e0.count() == 0      # messy hrefs dangle
+    e1, m1, n1 = pages_to_graph(pages, B=4, num_partitions=4,
+                                canonicalize=True)
+    assert n1 == 3 and e1.count() == 2      # variants resolved
+    assert sorted(m1.to_pandas()["url"]) == [
+        "https://a.example/", "https://b.example/p",
+        "https://c.example/"]

@@ -99,7 +99,8 @@ def test_run_job_distributed_build_with_host_graph(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts", "run_job.py"),
          "--pages", corpus, "--out", out, "--partitions", "4",
-         "--num-cpus", "4", "--build", "distributed", "--host-graph"],
+         "--num-cpus", "4", "--build", "distributed", "--host-graph",
+         "--canonicalize", "--anchors"],
         capture_output=True, text=True,
         env=dict(os.environ, RAY_ADDRESS="local"), cwd=repo,
         timeout=600)
@@ -115,3 +116,14 @@ def test_run_job_distributed_build_with_host_graph(tmp_path):
     assert len(hg) > 0
     mapping = pq.read_table(os.path.join(out, "url_mapping"))
     assert len(mapping) == n
+    # --canonicalize: the synthetic corpus is already canonical, so
+    # vertex identity is unchanged (n matched above) but the url
+    # column went through the rule chain (all lowercase hosts)
+    assert all(u.startswith("https://s")
+               for u in mapping["url"].to_pylist())
+    # --anchors: per-target inbound anchor-term counts landed; the
+    # corpus anchors are 'to {v}', so 'to' rows exist for real targets
+    anc = pq.read_table(os.path.join(out, "anchor_terms"))
+    assert len(anc) > 0
+    terms = set(anc["term"].to_pylist())
+    assert "to" in terms
