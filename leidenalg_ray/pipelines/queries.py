@@ -7773,6 +7773,324 @@ FROM fin
 """
 
 
+# ----------------------------------------------------------------------
+# cocitation / bibliographic coupling (igraph cocitation()/bibcoupling()
+# parity, top pairs) over the directed item-sequence graph
+# ----------------------------------------------------------------------
+COCITE_DEG_CAP = 64
+COCITE_TOPK = 100
+
+# the shared directed-edge CTE every item-seq oracle uses (same total
+# order as _item_seq_edges: l_linenumber ties broken on l_partkey)
+_SQL_SEQ_E = """seq AS (SELECT l_partkey AS a,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS b
+        FROM lineitem),
+e AS (SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL)"""
+
+
+def _neighbor_pair_counts(g: DistGraph, cap: int, drop_counter=None):
+    """Unordered-pair multiplicities over each source's DISTINCT
+    out-neighbour set: count(u, v) = |{w : w->u and w->v}| for u < v.
+
+    A source's out-edges live in exactly ONE CSR block (blocks are
+    src-partitioned), so each block emits complete pair-count partials
+    for its resident sources with NO shuffle; the driver merges P
+    partials (bounded at gate scale — the at-scale form feeds the same
+    partials into a pair-key groupby instead of a driver merge).
+    Sources with out-degree > ``cap`` are skipped — the skew guard a
+    hub page needs (C(k,2) blowup) — and COUNTED via ``drop_counter``
+    (the "no silent caps" rule); the SQL oracle applies the identical
+    degree filter.
+
+    Returns (u, v, count) int64 arrays plus the dropped-source count.
+    """
+    import ray
+    P, n = g.P, g.n
+
+    @ray.remote
+    def pairs(block, p):
+        s = block["src_local"] * np.int64(P) + p
+        d = block["dst_local"] * np.int64(P) + block["dst_part"]
+        key = np.unique(s * np.int64(n) + d)   # DISTINCT (SQL parity)
+        s, d = key // n, key % n
+        if not len(s):
+            z = np.empty(0, np.int64)
+            return z, z, 0
+        cuts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.r_[cuts[1:], len(s)]
+        out, dropped = [], 0
+        for c0, c1 in zip(cuts, ends):
+            k = int(c1 - c0)
+            if k < 2:
+                continue
+            if k > cap:
+                dropped += 1
+                continue
+            nb = d[c0:c1]                      # already sorted (key order)
+            iu, ju = np.triu_indices(k, 1)
+            out.append(nb[iu] * np.int64(n) + nb[ju])
+        if out:
+            uk, uc = np.unique(np.concatenate(out), return_counts=True)
+        else:
+            uk = uc = np.empty(0, np.int64)
+        return uk, uc.astype(np.int64), dropped
+
+    res = ray.get([pairs.remote(g.blocks[p], p) for p in range(P)])
+    n_dropped = sum(r[2] for r in res)
+    if n_dropped and drop_counter is not None:
+        drop_counter.add.remote(n_dropped)
+    keys = np.concatenate([r[0] for r in res]) if res else np.empty(0, np.int64)
+    cnts = np.concatenate([r[1] for r in res]) if res else np.empty(0, np.int64)
+    uk, inv = np.unique(keys, return_inverse=True)
+    tot = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(tot, inv, cnts)
+    return uk // n, uk % n, tot, n_dropped
+
+
+def _top_pairs_table(u, v, c, topk):
+    """(count DESC, u ASC, v ASC) top-k — the same total order the
+    oracle's ORDER BY ... LIMIT uses, so ties at the cut are stable."""
+    order = np.lexsort((v, u, -c))[:topk]
+    return pa.table({"u": pa.array(u[order]), "v": pa.array(v[order]),
+                     "n_common": pa.array(c[order])})
+
+
+def q_cocitation_items(sf_dir):
+    """Cocitation counts (igraph ``Graph.cocitation`` parity, top
+    pairs): cocitation(u, v) = number of pages citing BOTH u and v =
+    common in-neighbours, emitted per citing source over its distinct
+    out-neighbour set from the cached forward item-sequence DistGraph
+    (reference workflows call igraph cocitation on the same graphs
+    leidenalg partitions). Sources above COCITE_DEG_CAP out-degree are
+    skipped with a drop count — the hub-page skew guard — and the SQL
+    oracle applies the same filter."""
+    g = _item_seq_distgraph(sf_dir)
+    u, v, c, _ = _neighbor_pair_counts(g, COCITE_DEG_CAP)
+    return _top_pairs_table(u, v, c, COCITE_TOPK)
+
+
+SQL_COCITATION_ITEMS = f"""
+WITH {_SQL_SEQ_E},
+dg AS (SELECT a, count(*) AS k FROM e GROUP BY 1),
+el AS (SELECT e.a, e.b FROM e JOIN dg ON dg.a = e.a
+       WHERE dg.k BETWEEN 2 AND {COCITE_DEG_CAP}),
+p AS (SELECT x.b AS u, y.b AS v FROM el x JOIN el y
+      ON x.a = y.a AND x.b < y.b),
+c AS (SELECT u, v, count(*) AS n_common FROM p GROUP BY 1, 2)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(n_common AS BIGINT) AS n_common
+FROM c ORDER BY n_common DESC, u, v LIMIT {COCITE_TOPK}
+"""
+
+
+def q_bibcoupling_items(sf_dir):
+    """Bibliographic coupling (igraph ``Graph.bibcoupling`` parity,
+    top pairs): coupling(u, v) = number of pages BOTH u and v cite =
+    common out-neighbours — the same pair kernel run on the cached
+    REVERSED item-sequence graph (out-neighbours of the reversal are
+    in-neighbours, so pairs per reversed source = pairs of citers per
+    cited page). Cap + oracle filter as in cocitation, applied to the
+    cited page's in-degree."""
+    g = _item_seq_rev_distgraph(sf_dir)
+    u, v, c, _ = _neighbor_pair_counts(g, COCITE_DEG_CAP)
+    return _top_pairs_table(u, v, c, COCITE_TOPK)
+
+
+SQL_BIBCOUPLING_ITEMS = f"""
+WITH {_SQL_SEQ_E},
+dg AS (SELECT b, count(*) AS k FROM e GROUP BY 1),
+el AS (SELECT e.a, e.b FROM e JOIN dg ON dg.b = e.b
+       WHERE dg.k BETWEEN 2 AND {COCITE_DEG_CAP}),
+p AS (SELECT x.a AS u, y.a AS v FROM el x JOIN el y
+      ON x.b = y.b AND x.a < y.a),
+c AS (SELECT u, v, count(*) AS n_common FROM p GROUP BY 1, 2)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(n_common AS BIGINT) AS n_common
+FROM c ORDER BY n_common DESC, u, v LIMIT {COCITE_TOPK}
+"""
+
+
+# ----------------------------------------------------------------------
+# per-source boilerplate detection (template n-grams shared across a
+# source's documents — the web-pipeline "same-site template" signal)
+# ----------------------------------------------------------------------
+BOILER_GRAM = 3
+
+
+def _trigram_explode(t: pa.Table) -> pa.Table:
+    """(doc_id, source, text) -> one row per DISTINCT sliding
+    BOILER_GRAM-token window per doc: (source, h). Same tokenizer as
+    the segment-dedup family."""
+    import hashlib
+    toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                  "[^a-z0-9]+")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    f, p = flat[keep], par[keep]
+    srcs = t["source"].to_pylist()
+    out_s, out_h = [], []
+    for row in (np.unique(p) if len(p) else []):
+        w = f[p == row]
+        # the SQL oracle enumerates windows with generate_series(0,
+        # 998): fail loudly past its bound (corpus docs are ~40 tokens)
+        assert len(w) <= 998 + BOILER_GRAM, \
+            f"doc with {len(w)} tokens exceeds the SQL oracle's " \
+            f"generate_series window bound"
+        seen = set()
+        for k in range(len(w) - BOILER_GRAM + 1):
+            hh = hashlib.md5(
+                " ".join(w[k:k + BOILER_GRAM]).encode()).hexdigest()
+            if hh not in seen:
+                seen.add(hh)
+                out_s.append(srcs[int(row)])
+                out_h.append(hh)
+    return pa.table({"source": pa.array(out_s, pa.string()),
+                     "h": pa.array(out_h, pa.string())})
+
+
+def q_doc_boilerplate(sf_dir):
+    """Per-source template (boilerplate) n-gram detection — the
+    same-site-template signal a web curation pipeline uses to strip
+    repeated navigation/footer text before training: a sliding 3-token
+    gram that appears in >= 2 distinct documents of the same source is
+    a template candidate. Plan: per-batch per-doc-distinct gram
+    explode (a doc is complete within its row, so per-doc dedup never
+    shuffles), ONE (source, h) groupby for doc counts, per-source
+    aggregate. Output: source, n_grams (distinct grams), n_shared
+    (grams in >= 2 docs), shared_ratio."""
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+    grams = docs.map_batches(_trigram_explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cnt = grams.groupby(["source", "h"]).aggregate(
+        Count(alias_name="nd"))
+
+    def per_source(t: pa.Table) -> pa.Table:
+        nd = t["nd"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(len(nd), dtype=np.int64)),
+            "shared": pa.array((nd >= 2).astype(np.int64)),
+        })
+
+    agg = cnt.map_batches(per_source, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("source").aggregate(
+            Sum("one", alias_name="n_grams"),
+            Sum("shared", alias_name="n_shared")).to_pandas()
+    n_grams = agg["n_grams"].to_numpy(np.int64)
+    n_shared = agg["n_shared"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"].astype(str), pa.string()),
+        "n_grams": pa.array(n_grams),
+        "n_shared": pa.array(n_shared),
+        "shared_ratio": pa.array(round6(n_shared / n_grams)),
+    })
+
+
+SQL_DOC_BOILERPLATE = f"""
+WITH t AS (SELECT doc_id, source, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+           FROM documents),
+g AS (SELECT DISTINCT source, doc_id,
+             md5(array_to_string(
+                 arr[(k + 1):(k + {BOILER_GRAM})], ' ')) AS h
+      FROM t, generate_series(0, 998) gs(k)
+      WHERE k <= len(arr) - {BOILER_GRAM}),
+c AS (SELECT source, h, count(*) AS nd FROM g GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+             / count(*), 6) AS shared_ratio
+FROM c GROUP BY source
+"""
+
+
+# ----------------------------------------------------------------------
+# unigram-LM cross-entropy quality score (perplexity proxy)
+# ----------------------------------------------------------------------
+def q_doc_lm_xent(sf_dir):
+    """Unigram-LM cross-entropy per document against the CORPUS
+    unigram distribution — the perplexity-proxy quality score LLM
+    curation pipelines threshold on (a doc of rare tokens scores
+    high, a doc of corpus-typical text scores low). p(w) = corpus
+    count / total; xent(d) = -(1/|d|) * sum_{tokens} ln p(w).
+
+    Determinism: per-distinct-word ln p(w) is quantised to 1e-9 fixed
+    point (floor(ln(p)*1e9 + 0.5), identical expression in the SQL
+    oracle) so per-doc sums are exact integers — order-independent —
+    with ONE IEEE division at the end. Plan: per-batch (term, n)
+    partials -> vocab-bounded groupby -> tiny (vocab-sized) broadcast
+    -> pure map scoring stage. No full-corpus materialisation."""
+    docs = _docs(sf_dir)
+
+    def wc(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"w": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = docs.map_batches(wc, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("w").aggregate(Sum("n", alias_name="n")).to_pandas()
+    words = counts["w"].to_numpy()
+    cnt = counts["n"].to_numpy(np.int64)
+    total = int(cnt.sum())
+    qv = np.floor(np.log(cnt / total) * 1e9 + 0.5).astype(np.int64)
+    order = np.argsort(words)
+    words_s, qv_s = words[order], qv[order]
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        f, p = flat[keep], par[keep]
+        s = np.zeros(len(t), dtype=np.int64)
+        ntok = np.zeros(len(t), dtype=np.int64)
+        if len(f):
+            idx = np.searchsorted(words_s, f)
+            np.add.at(s, p, qv_s[idx])
+            np.add.at(ntok, p, 1)
+        nz = ntok > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[nz]
+        sn, tn = s[nz], ntok[nz]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(tn),
+            "xent": pa.array(round6(-(sn / 1e9) / tn)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_DOC_LM_XENT = """
+WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+           FROM documents),
+tok AS (SELECT doc_id, unnest(arr) AS w FROM t),
+c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+n AS (SELECT sum(cnt) AS total FROM c),
+q AS (SELECT w, CAST(floor(ln(CAST(cnt AS DOUBLE) / total)
+                           * 1000000000 + 0.5) AS BIGINT) AS qv
+      FROM c, n),
+d AS (SELECT tok.doc_id, count(*) AS n_tokens, sum(q.qv) AS s
+      FROM tok JOIN q USING (w) GROUP BY 1)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(-(CAST(s AS DOUBLE) / 1000000000) / n_tokens, 6) AS xent
+FROM d
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -7950,6 +8268,10 @@ QUERIES = {
     "anchor_terms_cliques": q_anchor_terms_cliques,
     "url_canonical_planted": q_url_canonical_planted,
     "redirect_resolve_planted": q_redirect_resolve_planted,
+    "cocitation_items": q_cocitation_items,
+    "bibcoupling_items": q_bibcoupling_items,
+    "doc_boilerplate": q_doc_boilerplate,
+    "doc_lm_xent": q_doc_lm_xent,
 }
 
 ORACLE_SQL = {
@@ -8120,4 +8442,8 @@ ORACLE_SQL = {
     "brand_graph_co": SQL_BRAND_GRAPH_CO,
     "brand_pagerank": SQL_BRAND_PAGERANK,
     "partition_compare": SQL_PARTITION_COMPARE,
+    "cocitation_items": SQL_COCITATION_ITEMS,
+    "bibcoupling_items": SQL_BIBCOUPLING_ITEMS,
+    "doc_boilerplate": SQL_DOC_BOILERPLATE,
+    "doc_lm_xent": SQL_DOC_LM_XENT,
 }

@@ -71,3 +71,123 @@ def test_audience_overlap_bounds(ray_session):
     df = _df(Q.QUERIES["audience_overlap"](SF))
     assert (df["inter"] <= np.minimum(df["n_a"], df["n_b"])).all()
     assert ((df["jaccard"] > 0) & (df["jaccard"] <= 1)).all()
+
+
+# ----------------------------------------------------------------------
+# cocitation / bibliographic coupling
+# ----------------------------------------------------------------------
+def _brute_cocitation(edges, cap):
+    """Common-in-neighbour counts over distinct edges, sources with
+    out-degree > cap excluded — the oracle's definition, by hand."""
+    from collections import defaultdict
+    out = defaultdict(set)
+    for a, b in set(edges):
+        out[a].add(b)
+    want = defaultdict(int)
+    for a, nbrs in out.items():
+        if len(nbrs) > cap:
+            continue
+        nb = sorted(nbrs)
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                want[(nb[i], nb[j])] += 1
+    return dict(want)
+
+
+def test_neighbor_pair_counts_match_bruteforce(ray_session):
+    from leidenalg_ray.dist.blocks import DistGraph
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    g = DistGraph.from_edges(src, dst, n=40, P=4, directed=True)
+    u, v, c, dropped = Q._neighbor_pair_counts(g, cap=64)
+    got = {(int(a), int(b)): int(k) for a, b, k in zip(u, v, c)}
+    assert got == _brute_cocitation(list(zip(src, dst)), 64)
+    assert dropped == 0
+
+
+def test_neighbor_pair_counts_cap_drops_hub(ray_session):
+    """A hub source above the degree cap contributes no pairs and is
+    counted (no silent caps)."""
+    import ray
+
+    from leidenalg_ray.dist.blocks import DistGraph
+    from leidenalg_ray.stages.dedup import DropCounter
+
+    # hub 0 -> 1..10 (deg 10 > cap 4); source 20 -> 1,2,3 (under cap)
+    src = np.r_[np.zeros(10, np.int64), [20, 20, 20]]
+    dst = np.r_[np.arange(1, 11), [1, 2, 3]]
+    g = DistGraph.from_edges(src, dst, n=32, P=4, directed=True)
+    ctr = DropCounter.remote()
+    u, v, c, dropped = Q._neighbor_pair_counts(g, cap=4,
+                                               drop_counter=ctr)
+    assert dropped == 1
+    got = {(int(a), int(b)): int(k) for a, b, k in zip(u, v, c)}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+    deadline_snap = ray.get(ctr.snapshot.remote())
+    assert deadline_snap["dropped_buckets"] >= 1
+
+
+def test_cocitation_and_bibcoupling_orders(ray_session):
+    for name in ("cocitation_items", "bibcoupling_items"):
+        df = _df(Q.QUERIES[name](SF))
+        assert len(df) <= Q.COCITE_TOPK
+        assert (df["u"] < df["v"]).all()
+        assert (df["n_common"] >= 1).all()
+        # sorted by (count desc, u, v)
+        key = list(zip(-df["n_common"], df["u"], df["v"]))
+        assert key == sorted(key)
+
+
+# ----------------------------------------------------------------------
+# boilerplate trigrams
+# ----------------------------------------------------------------------
+def test_trigram_explode_dedups_within_doc():
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "source": pa.array(["s", "s"]),
+        # doc 1 repeats the same trigram twice -> one row; doc 2 has
+        # only 2 tokens -> no window
+        "text": pa.array(["a b c a b c a b c", "a b"]),
+    })
+    df = Q._trigram_explode(t).to_pandas()
+    # windows of doc 1: abc bca cab abc bca cab abc -> 3 distinct
+    assert len(df) == 3
+    assert (df["source"] == "s").all()
+
+
+def test_doc_boilerplate_bounds(ray_session):
+    df = _df(Q.QUERIES["doc_boilerplate"](SF))
+    assert (df["n_shared"] <= df["n_grams"]).all()
+    assert ((df["shared_ratio"] >= 0) & (df["shared_ratio"] <= 1)).all()
+    assert df["source"].is_unique
+
+
+# ----------------------------------------------------------------------
+# unigram-LM cross-entropy
+# ----------------------------------------------------------------------
+def test_doc_lm_xent_bounds(ray_session):
+    df = _df(Q.QUERIES["doc_lm_xent"](SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n_nonempty = int((docs["text"].str.strip() != "").sum())
+    assert len(df) == n_nonempty
+    # xent is a mixture of -ln p(w) terms: strictly positive, bounded
+    # by -ln(p_min) = ln(total / min count) <= ln(total)
+    total = df["n_tokens"].sum()
+    assert (df["xent"] > 0).all()
+    assert (df["xent"] <= np.log(total) + 1e-6).all()
+
+
+def test_doc_lm_xent_uniform_corpus(ray_session, tmp_path):
+    """On a corpus where every token is equally frequent, every doc's
+    cross-entropy is exactly ln(vocab)."""
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aa bb", "cc dd"]),
+    })
+    import pyarrow.parquet as pq
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    df = _df(Q.QUERIES["doc_lm_xent"](str(tmp_path)))
+    want = round(float(np.log(4.0)), 6)
+    assert np.allclose(df["xent"], want, atol=2e-6)
+    assert (df["n_tokens"] == 2).all()
