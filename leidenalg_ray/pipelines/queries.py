@@ -8091,6 +8091,207 @@ FROM d
 """
 
 
+# ----------------------------------------------------------------------
+# temperature-scaled source mixing weights (data-mixing stage)
+# ----------------------------------------------------------------------
+MIX_ALPHA = 0.5  # w ∝ n^alpha; 0.5 = the sqrt temperature GPT-3-style
+                 # mixing uses to upweight small sources
+
+
+def q_source_mix_weights(sf_dir):
+    """Per-source sampling weights for temperature-scaled data mixing
+    (the corpus-balancing stage an LLM pipeline runs before packing):
+    weight(source) ∝ n_docs^alpha with alpha=0.5 — small sources get
+    upweighted relative to proportional sampling. sqrt(n) is IEEE
+    correctly-rounded on both engines, then quantised to 1e-9 fixed
+    point so the normalising sum is an exact integer (order-free);
+    ONE final division per source. Per-batch count partials merge on
+    the driver (|sources|-bounded, CLAUDE.md hot-path rule)."""
+    from collections import defaultdict
+    docs = _docs(sf_dir, columns=("source",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["source"])
+        return pa.table({"source": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    tot = defaultdict(int)
+    for b in docs.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for s, n in zip(b["source"].to_pylist(),
+                        b["n"].to_pylist()):
+            tot[s] += n
+    srcs = sorted(tot)
+    n_docs = np.array([tot[s] for s in srcs], dtype=np.int64)
+    qv = np.floor(np.sqrt(n_docs.astype(np.float64))
+                  * 1e9 + 0.5).astype(np.int64)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array(n_docs),
+        "weight": pa.array(round6(qv / qv.sum())),
+    })
+
+
+SQL_SOURCE_MIX_WEIGHTS = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+q AS (SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS qv
+      FROM c),
+t AS (SELECT sum(qv) AS tq FROM q)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(qv AS DOUBLE) / tq, 6) AS weight
+FROM q, t
+"""
+
+
+# ----------------------------------------------------------------------
+# near-dup representative election by quality (the curation keep-list)
+# ----------------------------------------------------------------------
+def q_dedup_keep_best(sf_dir):
+    """Quality-based representative election over near-dup clusters —
+    the curation form of dedup where you KEEP the best copy, not the
+    first: per MinHash-LSH cluster (``dedup_cluster``'s components),
+    keep the member with the most characters (tie -> min doc_id).
+    Cluster members are a tiny fraction of the corpus, so the quality
+    join is a membership-filtered scan, never a full-corpus shuffle."""
+    clusters = q_dedup_cluster(sf_dir)          # (doc_id, rep_doc_id)
+    member = clusters["doc_id"].to_numpy()
+    cid = clusters["rep_doc_id"].to_numpy()
+    member_set = np.sort(member)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, member_set)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "n_chars": pa.array(
+                             t["n_chars"].to_numpy(
+                                 zero_copy_only=False)[keep])})
+
+    quality = _docs(sf_dir, columns=("doc_id", "n_chars")) \
+        .map_batches(pick, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()
+    nc = quality.set_index("doc_id")["n_chars"]
+    n_chars = nc.loc[member].to_numpy(np.int64)
+    # best per cluster: n_chars desc, doc_id asc
+    order = np.lexsort((member, -n_chars))
+    c_o, m_o, q_o = cid[order], member[order], n_chars[order]
+    first = np.unique(c_o, return_index=True)[1]
+    counts = np.bincount(np.searchsorted(np.unique(c_o), c_o))
+    return pa.table({
+        "cluster_id": pa.array(np.unique(c_o)),
+        "n_members": pa.array(counts.astype(np.int64)),
+        "keep_doc_id": pa.array(m_o[first]),
+        "keep_n_chars": pa.array(q_o[first]),
+    })
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH clusters AS ({SQL_DEDUP_CLUSTER}),
+m AS (SELECT c.rep_doc_id AS cluster_id, c.doc_id, d.n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+b AS (SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM m),
+n AS (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY 1)
+SELECT n.cluster_id, CAST(n.n_members AS BIGINT) AS n_members,
+       b.doc_id AS keep_doc_id,
+       CAST(b.n_chars AS BIGINT) AS keep_n_chars
+FROM n JOIN b USING (cluster_id) WHERE b.rn = 1
+"""
+
+
+# ----------------------------------------------------------------------
+# hard-negative mining (contrastive-training corpus prep)
+# ----------------------------------------------------------------------
+HARDNEG_NQ = 5
+
+
+def q_ann_hard_negatives(sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the single most-similar vector with a DIFFERENT label —
+    the negatives that actually move a contrastive loss. Same
+    per-batch partial-top-k envelope as ``ann_topk`` (driver sees one
+    winner per query per batch, never the corpus); the label-mismatch
+    mask replaces the top-k cut."""
+    import ray
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    qdf = emb.filter(expr=f"vec_id < {HARDNEG_NQ}").to_pandas() \
+        .sort_values("vec_id")
+    qv = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in qdf["embedding"]])
+    qn = np.linalg.norm(qv, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put(qv / qn[:, None])
+    qid = qdf["vec_id"].to_numpy(np.int64)
+    qlab = qdf["label"].to_numpy(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vec = annm._to_matrix(t["embedding"])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        norm = np.linalg.norm(vec, axis=1)
+        norm[norm == 0] = 1.0
+        sim = (vec / norm[:, None]) @ qm.T
+        out = {"qj": [], "vec_id": [], "cos": [], "neg_label": []}
+        for j in range(qm.shape[0]):
+            mask = lab != qlab[j]
+            if not mask.any():
+                continue
+            s, i, l2 = sim[mask, j], ids[mask], lab[mask]
+            w = np.lexsort((i, -s))[0]
+            out["qj"].append(j)
+            out["vec_id"].append(i[w])
+            out["cos"].append(s[w])
+            out["neg_label"].append(l2[w])
+        return pa.table({k: pa.array(np.asarray(v, dtype=np.int64)
+                                     if k != "cos"
+                                     else np.asarray(v, np.float64))
+                         for k, v in out.items()})
+
+    parts = emb.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    rows = {"query_id": [], "vec_id": [], "cos": [], "neg_label": []}
+    for j in range(len(qid)):
+        sub = parts[parts.qj == j]
+        if not len(sub):
+            continue
+        w = np.lexsort((sub.vec_id.to_numpy(),
+                        -sub.cos.to_numpy()))[0]
+        rows["query_id"].append(int(qid[j]))
+        rows["vec_id"].append(int(sub.vec_id.to_numpy()[w]))
+        rows["cos"].append(float(round6(sub.cos.to_numpy()[w])))
+        rows["neg_label"].append(int(sub.neg_label.to_numpy()[w]))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "cos": pa.array(rows["cos"], pa.float64()),
+        "neg_label": pa.array(rows["neg_label"], pa.int64()),
+    })
+
+
+SQL_ANN_HARD_NEGATIVES = f"""
+WITH ranked AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6)
+             AS cos,
+         CAST(e.label AS BIGINT) AS neg_label,
+         row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+  FROM embeddings q JOIN embeddings e ON q.label <> e.label
+  WHERE q.vec_id < {HARDNEG_NQ})
+SELECT query_id, vec_id, cos, neg_label FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -8272,6 +8473,9 @@ QUERIES = {
     "bibcoupling_items": q_bibcoupling_items,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
+    "source_mix_weights": q_source_mix_weights,
+    "dedup_keep_best": q_dedup_keep_best,
+    "ann_hard_negatives": q_ann_hard_negatives,
 }
 
 ORACLE_SQL = {
@@ -8446,4 +8650,7 @@ ORACLE_SQL = {
     "bibcoupling_items": SQL_BIBCOUPLING_ITEMS,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
+    "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,
 }

@@ -191,3 +191,71 @@ def test_doc_lm_xent_uniform_corpus(ray_session, tmp_path):
     want = round(float(np.log(4.0)), 6)
     assert np.allclose(df["xent"], want, atol=2e-6)
     assert (df["n_tokens"] == 2).all()
+
+
+# ----------------------------------------------------------------------
+# source mixing weights
+# ----------------------------------------------------------------------
+def test_source_mix_weights_sum_and_upweighting(ray_session):
+    df = _df(Q.QUERIES["source_mix_weights"](SF))
+    assert abs(df["weight"].sum() - 1.0) < 1e-4
+    # temperature < 1 upweights small sources: weight per doc decreases
+    # with source size
+    d = df.sort_values("n_docs")
+    per_doc = d["weight"].to_numpy() / d["n_docs"].to_numpy()
+    assert (np.diff(per_doc) <= 1e-12).all()
+
+
+def test_source_mix_weights_closed_form(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(5), pa.int64()),
+        "source": pa.array(["a", "b", "b", "b", "b"]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    df = _df(Q.QUERIES["source_mix_weights"](str(tmp_path))) \
+        .set_index("source")
+    # sqrt(1)=1, sqrt(4)=2 -> weights 1/3, 2/3
+    assert abs(df.loc["a", "weight"] - 1 / 3) < 2e-6
+    assert abs(df.loc["b", "weight"] - 2 / 3) < 2e-6
+
+
+# ----------------------------------------------------------------------
+# dedup keep-best
+# ----------------------------------------------------------------------
+def test_dedup_keep_best_is_max_quality_member(ray_session):
+    best = _df(Q.QUERIES["dedup_keep_best"](SF))
+    clusters = _df(Q.QUERIES["dedup_cluster"](SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars"]) \
+        .set_index("doc_id")["n_chars"]
+    for r in best.itertuples():
+        members = clusters.loc[clusters["rep_doc_id"] == r.cluster_id,
+                               "doc_id"].to_numpy()
+        assert r.n_members == len(members)
+        assert r.keep_doc_id in members
+        assert r.keep_n_chars == docs.loc[members].max()
+        # tie-break: min doc_id among max-quality members
+        top = members[docs.loc[members].to_numpy() == r.keep_n_chars]
+        assert r.keep_doc_id == top.min()
+
+
+# ----------------------------------------------------------------------
+# hard negatives
+# ----------------------------------------------------------------------
+def test_ann_hard_negatives_match_bruteforce(ray_session):
+    df = _df(Q.QUERIES["ann_hard_negatives"](SF)).set_index("query_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    lab = emb["label"].to_numpy(np.int64)
+    for qi in range(Q.HARDNEG_NQ):
+        qrow = np.flatnonzero(ids == qi)[0]
+        sim = mat @ mat[qrow]
+        mask = lab != lab[qrow]
+        w = np.lexsort((ids[mask], -sim[mask]))[0]
+        assert df.loc[qi, "vec_id"] == ids[mask][w]
+        assert df.loc[qi, "neg_label"] == lab[mask][w]
+        assert df.loc[qi, "neg_label"] != lab[qrow]
+        assert abs(df.loc[qi, "cos"] - sim[mask][w]) < 2e-6
