@@ -8292,6 +8292,137 @@ SELECT query_id, vec_id, cos, neg_label FROM ranked WHERE rn = 1
 """
 
 
+# ----------------------------------------------------------------------
+# global transitivity, Dice similarity, graph summary (igraph
+# transitivity_undirected / similarity_dice / summary parity)
+# ----------------------------------------------------------------------
+def q_transitivity_global_co(sf_dir):
+    """Global transitivity (igraph ``transitivity_undirected``):
+    3 * triangles / wedges on the simple co graph, wedges = sum over
+    vertices of C(deg, 2). Triangles from the partitioned
+    compact-forward plan; the wedge sum reduces SHARD-SIDE over the
+    CSR degree shards (one scalar per shard to the driver, no O(n)
+    assemble)."""
+    import ray
+    g = _co_distgraph(sf_dir)
+    n_tri = triangle_count(tg.co_edge_rows(sf_dir), num_partitions=8)
+
+    @ray.remote
+    def wedge_partial(deg):
+        d = deg.astype(np.float64)
+        return float((d * (d - 1.0) / 2.0).sum())
+
+    n_wedges = int(sum(ray.get([wedge_partial.remote(r)
+                                for r in g.out_deg])))
+    return pa.table({
+        "n_triangles": pa.array([int(n_tri)], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "transitivity": pa.array(round6([3.0 * n_tri / n_wedges])),
+    })
+
+
+SQL_TRANSITIVITY_GLOBAL_CO = """
+WITH e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2),
+tri AS (SELECT count(*) AS t
+        FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b JOIN e0 e3
+          ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        GROUP BY v),
+w AS (SELECT sum(d * (d - 1) // 2) AS wedges FROM deg)
+SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+       CAST(w.wedges AS BIGINT) AS n_wedges,
+       round(3.0 * tri.t / w.wedges, 6) AS transitivity
+FROM tri, w
+"""
+
+
+def q_edge_dice_co(sf_dir):
+    """Per-edge Dice similarity (igraph ``similarity_dice`` for
+    adjacent pairs): dice = 2*support / (deg_a + deg_b) — same
+    compact-forward support plan and degree bincounts as
+    ``edge_jaccard_co``, different normalisation."""
+    from ..dist.truss import edge_supports
+    t = pa.concat_tables(
+        [b for b in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(s.max(), d.max())) + 1
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    keys = np.unique(lo[lo != hi] * np.int64(n) + hi[lo != hi])
+    a, b = keys // n, keys % n
+    sup = edge_supports(a, b, n, P=8)
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    return pa.table({"a": pa.array(a), "b": pa.array(b),
+                     "support": pa.array(sup),
+                     "dice": pa.array(round6(
+                         2.0 * sup / (deg[a] + deg[b])))})
+
+
+SQL_EDGE_DICE_CO = f"""
+WITH {_SQL_CO_PAIRS},
+dd AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+sup AS (SELECT e.a, e.b, count(*) AS sp
+        FROM e0 e JOIN dd x ON x.a = e.a
+                  JOIN dd y ON y.a = e.b AND y.b = x.b
+        GROUP BY 1, 2),
+deg AS (SELECT a AS v, count(*) AS dg FROM dd GROUP BY 1)
+SELECT e.a, e.b,
+       CAST(COALESCE(sup.sp, 0) AS BIGINT) AS support,
+       round(2.0 * COALESCE(sup.sp, 0) / (da.dg + db.dg), 6) AS dice
+FROM e0 e
+LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
+JOIN deg da ON da.v = e.a
+JOIN deg db ON db.v = e.b
+"""
+
+
+def q_graph_summary_co(sf_dir):
+    """One-row graph summary (igraph ``summary()`` numbers) for the
+    simple co graph: vertices with >= 1 edge, distinct undirected
+    edges, density over active vertices, max and mean degree — all
+    from per-shard degree partials (scalars to the driver)."""
+    import ray
+    g = _co_distgraph(sf_dir)
+
+    @ray.remote
+    def part(deg):
+        act = deg > 0
+        return (int(act.sum()), int(deg.sum()), int(deg.max(initial=0)))
+
+    parts = ray.get([part.remote(r) for r in g.out_deg])
+    n_v = sum(p[0] for p in parts)
+    n_e = sum(p[1] for p in parts) // 2     # undirected: both dirs stored
+    max_d = max(p[2] for p in parts)
+    return pa.table({
+        "n_vertices": pa.array([n_v], pa.int64()),
+        "n_edges": pa.array([n_e], pa.int64()),
+        "density": pa.array(round6([2.0 * n_e / (n_v * (n_v - 1.0))])),
+        "max_degree": pa.array([max_d], pa.int64()),
+        "mean_degree": pa.array(round6([2.0 * n_e / n_v])),
+    })
+
+
+SQL_GRAPH_SUMMARY_CO = f"""
+WITH {_SQL_CO_PAIRS},
+dd AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+deg AS (SELECT a AS v, count(*) AS dg FROM dd GROUP BY 1),
+s AS (SELECT count(*) AS n_v, sum(dg) AS sd, max(dg) AS mx FROM deg)
+SELECT CAST(n_v AS BIGINT) AS n_vertices,
+       CAST(sd // 2 AS BIGINT) AS n_edges,
+       round(CAST(sd AS DOUBLE) / (n_v * (n_v - 1.0)), 6) AS density,
+       CAST(mx AS BIGINT) AS max_degree,
+       round(CAST(sd AS DOUBLE) / n_v, 6) AS mean_degree
+FROM s
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -8476,6 +8607,9 @@ QUERIES = {
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_hard_negatives": q_ann_hard_negatives,
+    "transitivity_global_co": q_transitivity_global_co,
+    "edge_dice_co": q_edge_dice_co,
+    "graph_summary_co": q_graph_summary_co,
 }
 
 ORACLE_SQL = {
@@ -8653,4 +8787,7 @@ ORACLE_SQL = {
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,
+    "transitivity_global_co": SQL_TRANSITIVITY_GLOBAL_CO,
+    "edge_dice_co": SQL_EDGE_DICE_CO,
+    "graph_summary_co": SQL_GRAPH_SUMMARY_CO,
 }

@@ -259,3 +259,38 @@ def test_ann_hard_negatives_match_bruteforce(ray_session):
         assert df.loc[qi, "neg_label"] == lab[mask][w]
         assert df.loc[qi, "neg_label"] != lab[qrow]
         assert abs(df.loc[qi, "cos"] - sim[mask][w]) < 2e-6
+
+
+# ----------------------------------------------------------------------
+# transitivity / dice / summary
+# ----------------------------------------------------------------------
+def test_transitivity_consistent_with_clustering(ray_session):
+    t = _df(Q.QUERIES["transitivity_global_co"](SF)).iloc[0]
+    tri = _df(Q.QUERIES["triangles_co"](SF)).iloc[0]
+    assert t["n_triangles"] == tri["n_triangles"]
+    assert 0 <= t["transitivity"] <= 1
+    assert abs(t["transitivity"]
+               - 3 * t["n_triangles"] / t["n_wedges"]) < 2e-6
+
+
+def test_dice_vs_jaccard_relation(ray_session):
+    dice = _df(Q.QUERIES["edge_dice_co"](SF)) \
+        .set_index(["a", "b"]).sort_index()
+    jac = _df(Q.QUERIES["edge_jaccard_co"](SF)) \
+        .set_index(["a", "b"]).sort_index()
+    assert (dice.index == jac.index).all()
+    # d = 2j/(1+j) edge-wise (both 6dp-rounded -> small slack)
+    j = jac["jaccard"].to_numpy()
+    assert np.allclose(dice["dice"], 2 * j / (1 + j), atol=5e-6)
+    assert (dice["support"].to_numpy()
+            == jac["support"].to_numpy()).all()
+
+
+def test_graph_summary_consistency(ray_session):
+    s = _df(Q.QUERIES["graph_summary_co"](SF)).iloc[0]
+    edges = _df(Q.QUERIES["edges_co"](SF))
+    assert s["n_edges"] == len(edges)
+    verts = pd.unique(pd.concat([edges["a"], edges["b"]]))
+    assert s["n_vertices"] == len(verts)
+    assert abs(s["mean_degree"] - 2 * s["n_edges"] / s["n_vertices"]) \
+        < 2e-6
