@@ -8423,6 +8423,85 @@ FROM s
 """
 
 
+# ----------------------------------------------------------------------
+# dyad census (igraph dyad_census parity) over the directed
+# precedence co graph — same graph as reciprocity_co
+# ----------------------------------------------------------------------
+def q_dyad_census_co(sf_dir):
+    """Dyad census (igraph ``dyad_census``) of the directed precedence
+    co graph: mutual / asymmetric / null unordered dyads over the
+    vertices with at least one directed edge. Same one-pair-key-
+    shuffle plan as ``reciprocity_co`` (per-batch direction-flag
+    partials, idempotent max combine); the null count is closed-form
+    C(n_active, 2) - mut - asym so no all-pairs stage exists."""
+    from ray.data.aggregate import Max
+    li = tg.read_lineitem(sf_dir,
+                          ["l_orderkey", "l_partkey", "l_linenumber"])
+    right = li.map_batches(
+        lambda t: t.rename_columns(
+            ["l_orderkey", "partkey_r", "linenumber_r"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = li.join(right, "inner", 16, on=("l_orderkey",))
+
+    def pre(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less(t["l_linenumber"], t["linenumber_r"]),
+                       pc.not_equal(t["l_partkey"], t["partkey_r"]))
+        tt = t.filter(keep)
+        a, b = tt["l_partkey"], tt["partkey_r"]
+        g = pa.table({
+            "lo": pc.min_element_wise(a, b),
+            "hi": pc.max_element_wise(a, b),
+            "f": pc.cast(pc.less(a, b), pa.int64()),
+            "r": pc.cast(pc.greater(a, b), pa.int64()),
+        }).group_by(["lo", "hi"]).aggregate([("f", "max"), ("r", "max")])
+        return g.rename_columns(["lo", "hi", "f", "r"])
+
+    agg = joined.map_batches(pre, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["lo", "hi"]).aggregate(Max("f", alias_name="f"),
+                                         Max("r", alias_name="r"))
+
+    mut = asym = 0
+    vids: set[int] = set()
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        f = t["f"].to_numpy(zero_copy_only=False)
+        r = t["r"].to_numpy(zero_copy_only=False)
+        mut += int(((f == 1) & (r == 1)).sum())
+        asym += int((f + r == 1).sum())
+        vids.update(t["lo"].to_pylist())
+        vids.update(t["hi"].to_pylist())
+    n = len(vids)
+    return pa.table({
+        "mut": pa.array([mut], pa.int64()),
+        "asym": pa.array([asym], pa.int64()),
+        "null_dyads": pa.array([n * (n - 1) // 2 - mut - asym],
+                               pa.int64()),
+    })
+
+
+SQL_DYAD_CENSUS_CO = """
+WITH d AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_linenumber < l2.l_linenumber
+            AND l1.l_partkey <> l2.l_partkey),
+p AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+             max(CASE WHEN a < b THEN 1 ELSE 0 END) AS f,
+             max(CASE WHEN a > b THEN 1 ELSE 0 END) AS r
+      FROM d GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT x) AS n FROM (
+        SELECT lo AS x FROM p UNION SELECT hi FROM p)),
+s AS (SELECT sum(CASE WHEN f = 1 AND r = 1 THEN 1 ELSE 0 END) AS mut,
+             sum(CASE WHEN f + r = 1 THEN 1 ELSE 0 END) AS asym
+      FROM p)
+SELECT CAST(s.mut AS BIGINT) AS mut,
+       CAST(s.asym AS BIGINT) AS asym,
+       CAST(v.n * (v.n - 1) // 2 - s.mut - s.asym AS BIGINT)
+           AS null_dyads
+FROM s, v
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -8610,6 +8689,7 @@ QUERIES = {
     "transitivity_global_co": q_transitivity_global_co,
     "edge_dice_co": q_edge_dice_co,
     "graph_summary_co": q_graph_summary_co,
+    "dyad_census_co": q_dyad_census_co,
 }
 
 ORACLE_SQL = {
@@ -8790,4 +8870,5 @@ ORACLE_SQL = {
     "transitivity_global_co": SQL_TRANSITIVITY_GLOBAL_CO,
     "edge_dice_co": SQL_EDGE_DICE_CO,
     "graph_summary_co": SQL_GRAPH_SUMMARY_CO,
+    "dyad_census_co": SQL_DYAD_CENSUS_CO,
 }

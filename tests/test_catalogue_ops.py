@@ -294,3 +294,11 @@ def test_graph_summary_consistency(ray_session):
     assert s["n_vertices"] == len(verts)
     assert abs(s["mean_degree"] - 2 * s["n_edges"] / s["n_vertices"]) \
         < 2e-6
+
+
+def test_dyad_census_consistent_with_reciprocity(ray_session):
+    d = _df(Q.QUERIES["dyad_census_co"](SF)).iloc[0]
+    r = _df(Q.QUERIES["reciprocity_co"](SF)).iloc[0]
+    assert r["n_edges"] == 2 * d["mut"] + d["asym"]
+    assert r["n_reciprocal"] == 2 * d["mut"]
+    assert d["null_dyads"] >= 0
