@@ -8502,6 +8502,52 @@ FROM s, v
 """
 
 
+# ----------------------------------------------------------------------
+# local community detection: ACL PPR push + conductance sweep
+# ----------------------------------------------------------------------
+def q_ppr_local_cliques(sf_dir):
+    """ACL local community (PPR push + sweep, Andersen-Chung-Lang
+    FOCS'06) on the planted nation cliques, seed = supplier 0: the
+    sweep-minimum-conductance set is EXACTLY supplier 0's nation
+    clique — its conductance is 0 (the clique is a whole component)
+    and every proper prefix has positive cut, so the oracle is closed
+    form and independent of float score ordering. Driver state is the
+    push support only (bounded by 1/(eps*alpha), o(n))."""
+    from ..dist.ppr import ppr_local_community
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    g = DistGraph.from_edges(s, d, weight=w, n=n, P=8,
+                             directed=False, both_directions=True)
+    members, phi, _, _ = ppr_local_community(g, seed=0, alpha=0.15,
+                                             eps=1e-7)
+    assert phi == 0.0, "planted clique component must sweep to phi=0"
+    return pa.table({"vid": pa.array(members)})
+
+
+SQL_PPR_LOCAL_CLIQUES = """
+SELECT CAST(s_suppkey AS BIGINT) AS vid
+FROM supplier
+WHERE s_nationkey = (SELECT s_nationkey FROM supplier
+                     WHERE s_suppkey = 0)
+"""
+
+
+def q_ppr_local_co(sf_dir):
+    """ACL local community around vertex 0 of the real co graph —
+    the seeded-expansion form of community detection (iterative +
+    sweep, not SQL-expressible; the planted twin ``ppr_local_cliques``
+    is the driver-green closed form). Output: members with their
+    (rounded) PPR mass."""
+    from ..dist.ppr import ppr_local_community
+    g = _co_distgraph(sf_dir)
+    members, phi, p_map, _ = ppr_local_community(g, seed=0,
+                                                 alpha=0.15, eps=1e-5)
+    return pa.table({
+        "vid": pa.array(members),
+        "ppr": pa.array(round6([p_map[int(v)] for v in members])),
+    })
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -8690,6 +8736,8 @@ QUERIES = {
     "edge_dice_co": q_edge_dice_co,
     "graph_summary_co": q_graph_summary_co,
     "dyad_census_co": q_dyad_census_co,
+    "ppr_local_cliques": q_ppr_local_cliques,
+    "ppr_local_co": q_ppr_local_co,
 }
 
 ORACLE_SQL = {
@@ -8871,4 +8919,5 @@ ORACLE_SQL = {
     "edge_dice_co": SQL_EDGE_DICE_CO,
     "graph_summary_co": SQL_GRAPH_SUMMARY_CO,
     "dyad_census_co": SQL_DYAD_CENSUS_CO,
+    "ppr_local_cliques": SQL_PPR_LOCAL_CLIQUES,
 }

@@ -302,3 +302,78 @@ def test_dyad_census_consistent_with_reciprocity(ray_session):
     assert r["n_edges"] == 2 * d["mut"] + d["asym"]
     assert r["n_reciprocal"] == 2 * d["mut"]
     assert d["null_dyads"] >= 0
+
+
+# ----------------------------------------------------------------------
+# ACL PPR push + sweep
+# ----------------------------------------------------------------------
+def _two_cliques_bridge():
+    """Two 6-cliques {0..5} and {6..11} joined by one bridge 5-6."""
+    from itertools import combinations
+    edges = [(a, b) for a, b in combinations(range(6), 2)]
+    edges += [(a + 6, b + 6) for a, b in combinations(range(6), 2)]
+    edges += [(5, 6)]
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    return src, dst
+
+
+def test_ppr_sweep_finds_seed_clique_across_bridge(ray_session):
+    from leidenalg_ray.dist.blocks import DistGraph
+    from leidenalg_ray.dist.ppr import ppr_local_community
+    src, dst = _two_cliques_bridge()
+    g = DistGraph.from_edges(src, dst, n=12, P=4, directed=False,
+                             both_directions=True)
+    members, phi, p_map, _ = ppr_local_community(g, seed=0,
+                                                 alpha=0.15, eps=1e-8)
+    assert members.tolist() == [0, 1, 2, 3, 4, 5]
+    # cut = 1 bridge edge; vol(S) = 2*15 + 1 = 31
+    assert abs(phi - 1.0 / 31.0) < 1e-9
+
+
+def test_ppr_push_mass_conservation_and_residual_bound(ray_session):
+    from leidenalg_ray.dist.blocks import DistGraph
+    from leidenalg_ray.dist.ppr import ppr_push
+    src, dst = _two_cliques_bridge()
+    g = DistGraph.from_edges(src, dst, n=12, P=4, directed=False,
+                             both_directions=True)
+    eps = 1e-6
+    p, r, rounds = ppr_push(g, seed=0, alpha=0.15, eps=eps)
+    assert rounds >= 1
+    # push conserves p + r mass exactly (up to float error)
+    assert abs(sum(p.values()) + sum(r.values()) - 1.0) < 1e-9
+    # termination contract: every residual under eps * strength
+    deg = np.zeros(12)
+    for a, b in zip(src, dst):
+        deg[a] += 1
+        deg[b] += 1
+    for v, rv in r.items():
+        assert rv <= eps * deg[v] + 1e-15
+
+
+def test_ppr_isolated_seed_is_own_community(ray_session):
+    from leidenalg_ray.dist.blocks import DistGraph
+    from leidenalg_ray.dist.ppr import ppr_local_community
+    # vertex 5 isolated; an edge elsewhere so the graph is non-empty
+    g = DistGraph.from_edges(np.array([0], np.int64),
+                             np.array([1], np.int64), n=8, P=4,
+                             directed=False, both_directions=True)
+    members, phi, _, _ = ppr_local_community(g, seed=5)
+    assert members.tolist() == [5]
+    assert phi == 0.0
+
+
+def test_ppr_support_stays_local(ray_session):
+    """Push support never leaves the seed's component, and driver
+    state is support-bounded (the o(n) contract)."""
+    from leidenalg_ray.dist.blocks import DistGraph
+    from leidenalg_ray.dist.ppr import ppr_push
+    src, dst = _two_cliques_bridge()
+    # add a far-away component the walk cannot reach
+    src = np.r_[src, [20, 21]]
+    dst = np.r_[dst, [21, 22]]
+    g = DistGraph.from_edges(src, dst, n=64, P=4, directed=False,
+                             both_directions=True)
+    p, r, _ = ppr_push(g, seed=0, alpha=0.15, eps=1e-8)
+    touched = set(p) | set(r)
+    assert touched <= set(range(12))
