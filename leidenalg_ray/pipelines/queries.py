@@ -8548,6 +8548,68 @@ def q_ppr_local_co(sf_dir):
     })
 
 
+# ----------------------------------------------------------------------
+# WARC ingestion under the gate: CC-layout shard -> extraction ->
+# edge table, against a closed-form oracle
+# ----------------------------------------------------------------------
+def q_edges_warc_cliques(sf_dir):
+    """End-to-end WARC ingestion: the planted six-10-clique corpus is
+    written as a per-record-gzip WARC shard (the Common Crawl layout),
+    read back through ``read_pages_warc``, link-extracted by the REAL
+    extractor, and deduped to the weighted edge table — which the
+    closed form pins to exactly the 540 in-clique ordered pairs at
+    weight 1. Exercises the whole crawl-archive -> graph path the
+    input_hint describes."""
+    import tempfile
+
+    from ..sources.pages import generate_pages_table
+    from ..sources.warc import read_pages_warc, write_warc
+    from ..stages.extract import extract_dataset, links_of
+
+    n = 60
+    ii, jj = np.meshgrid(np.arange(10), np.arange(10))
+    keep = ii.ravel() != jj.ravel()
+    bi, bj = ii.ravel()[keep], jj.ravel()[keep]
+    src = np.concatenate([bi + 10 * c for c in range(6)])
+    dst = np.concatenate([bj + 10 * c for c in range(6)])
+    pages_t = generate_pages_table(src, dst, n, seed=1, dup_prob=0.0)
+    with tempfile.TemporaryDirectory(prefix="lray_warc_") as d:
+        shard = f"{d}/planted.warc.gz"
+        write_warc(pages_t, shard, per_record_gzip=True)
+        pages = read_pages_warc([shard])
+        links = links_of(extract_dataset(pages, concurrency=4,
+                                         batch_size=16))
+
+        def pre(t: pa.Table) -> pa.Table:
+            tt = t.filter(pc.starts_with(t["dst_url"], "https://s"))
+            g = pa.table({"src_url": tt["src_url"],
+                          "dst_url": tt["dst_url"]}) \
+                .group_by(["src_url", "dst_url"]) \
+                .aggregate([([], "count_all")])
+            return g.rename_columns(["src_url", "dst_url", "weight"])
+
+        agg = links.map_batches(pre, batch_format="pyarrow") \
+            .to_pandas().groupby(["src_url", "dst_url"],
+                                 as_index=False)["weight"].sum()
+    return pa.table({
+        "src_url": pa.array(agg["src_url"], pa.string()),
+        "dst_url": pa.array(agg["dst_url"], pa.string()),
+        "weight": pa.array(agg["weight"].to_numpy(np.int64)),
+    })
+
+
+SQL_EDGES_WARC_CLIQUES = """
+WITH v AS (SELECT unnest(generate_series(0, 59)) AS v),
+u AS (SELECT v, 'https://s' || lpad(CAST(v % 16 AS VARCHAR), 2, '0')
+            || '.example/p' || lpad(CAST(v AS VARCHAR), 9, '0')
+            || '.html' AS url
+      FROM v)
+SELECT a.url AS src_url, b.url AS dst_url, CAST(1 AS BIGINT) AS weight
+FROM u a JOIN u b
+  ON a.v // 10 = b.v // 10 AND a.v <> b.v
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -8738,6 +8800,7 @@ QUERIES = {
     "dyad_census_co": q_dyad_census_co,
     "ppr_local_cliques": q_ppr_local_cliques,
     "ppr_local_co": q_ppr_local_co,
+    "edges_warc_cliques": q_edges_warc_cliques,
 }
 
 ORACLE_SQL = {
@@ -8920,4 +8983,5 @@ ORACLE_SQL = {
     "graph_summary_co": SQL_GRAPH_SUMMARY_CO,
     "dyad_census_co": SQL_DYAD_CENSUS_CO,
     "ppr_local_cliques": SQL_PPR_LOCAL_CLIQUES,
+    "edges_warc_cliques": SQL_EDGES_WARC_CLIQUES,
 }
