@@ -2006,3 +2006,123 @@ def mis_coloring(g: DistGraph, max_colors=256, result_out=None):
         uncolored = sum(ray.get([o[1] for o in outs]))
         color += 1
     return _finish(g, color_refs, color, result_out, "color")
+
+
+# ----------------------------------------------------------------------
+# Greedy maximal matching (locally-dominant edges)
+# ----------------------------------------------------------------------
+MATCH_KEY_STRIDE = 4_000_000_000_000
+MATCH_VID_BOUND = 2_000_000
+
+
+def match_key(a, b):
+    """Deterministic symmetric edge key, unique per unordered pair,
+    packed into one int64 (mirrored verbatim by the SQL oracle):
+    ``hash(min,max) * 4e12 + min * 2e6 + max``. Uniqueness (required
+    for the dominance test — a key tie at a shared endpoint could
+    confirm the wrong partner) needs ``n < 2e6``; past that, split
+    the comparison into a (hash, min, max) lexicographic tuple
+    carried as two message arrays."""
+    mn = np.minimum(a, b)
+    mx = np.maximum(a, b)
+    M = WALK_MOD
+    h = ((mn % M) * 7919 + (mx % M) * 104729) % M
+    return h * MATCH_KEY_STRIDE + mn * MATCH_VID_BOUND + mx
+
+
+def maximal_matching(g: DistGraph, max_rounds=256, result_out=None):
+    """Greedy maximal matching via locally-dominant edges: per round,
+    every active vertex points at its minimum-key active incident
+    edge; an edge whose key is the minimum at BOTH endpoints is
+    matched and its endpoints deactivate. Keys are fixed hash values,
+    so the result is exactly the sequential greedy matching in
+    ascending key order (greedy matching is confluent), which the
+    serial test oracle and the round-unrolled SQL twin replicate.
+    The global minimum active edge is always dominant, so every round
+    makes progress; hashed keys give O(log n) expected rounds.
+
+    Blocks must hold both directions, so a vertex's full incidence
+    list is resident in its own partition's block: the propose phase
+    is partition-local, and only per-destination candidate minima
+    (the dominance confirmations) shuffle.
+
+    Returns (partner, rounds): ``partner[v]`` = matched neighbour vid,
+    -1 when unmatched. ``result_out=<dir>``: per-shard ``(vid,
+    partner)`` parquet, driver sees ``{path, rows, column}``.
+    """
+    P, n, sizes = g.P, g.n, g.sizes
+    if n >= MATCH_VID_BOUND:
+        raise ValueError(
+            f"packed match_key needs n < {MATCH_VID_BOUND}; split the "
+            "key comparison into (hash, min, max) message tuples")
+    BIG = np.iinfo(np.int64).max
+
+    @ray.remote
+    def propose(p, block, state_p, *dst_states):
+        """Partition-local argmin edge per resident vertex + candidate
+        minima shipped to each destination partition."""
+        src = block["src_local"]
+        dst_part = block["dst_part"]
+        dst_local = block["dst_local"]
+        src_g = src * P + p
+        dst_g = dst_local * P + dst_part
+        off = block["dst_offsets"]
+        dstate = np.empty(len(src), dtype=np.int8)
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            dstate[sl] = dst_states[q][dst_local[sl]]
+        ok = (state_p[src] == 0) & (dstate == 0) & (src_g != dst_g)
+        ke = np.where(ok, match_key(src_g, dst_g), BIG)
+        kmin = np.full(sizes[p], BIG, dtype=np.int64)
+        np.minimum.at(kmin, src, ke)
+        win = ok & (ke == kmin[src])
+        partner = np.full(sizes[p], -1, dtype=np.int64)
+        partner[src[win]] = dst_g[win]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full(sizes[q], BIG, dtype=np.int64)
+            m = win[sl]
+            np.minimum.at(arr, dst_local[sl][m], ke[sl][m])
+            outs.append(arr)
+        return [kmin, partner] + outs
+
+    @ray.remote
+    def confirm(state_q, partner_prev_q, kmin_q, partner_q, *cands):
+        """v is matched iff its own minimum edge came back as a
+        candidate (the proposer's minimum too — mutual by key
+        uniqueness)."""
+        c = cands[0].copy()
+        for arr in cands[1:]:
+            np.minimum(c, arr, out=c)
+        matched = (state_q == 0) & (kmin_q < BIG) & (c == kmin_q)
+        ns = state_q.copy()
+        ns[matched] = 1
+        npart = partner_prev_q.copy()
+        npart[matched] = partner_q[matched]
+        return ns, npart, int(matched.sum())
+
+    act_refs, _ = g.active_masks()
+    state_refs, partner_refs = [], []
+    for p in range(P):
+        act = ray.get(act_refs[p])
+        state_refs.append(ray.put(
+            np.where(act, 0, 3).astype(np.int8)))
+        partner_refs.append(ray.put(
+            np.full(sizes[p], -1, dtype=np.int64)))
+
+    rounds = 0
+    for r in range(max_rounds):
+        msg = [propose.options(num_returns=2 + P).remote(
+            p, g.blocks[p], state_refs[p], *state_refs)
+            for p in range(P)]
+        outs = [confirm.options(num_returns=3).remote(
+            state_refs[q], partner_refs[q], msg[q][0], msg[q][1],
+            *[msg[p][2 + q] for p in range(P)]) for q in range(P)]
+        state_refs = [o[0] for o in outs]
+        partner_refs = [o[1] for o in outs]
+        matched = sum(ray.get([o[2] for o in outs]))
+        rounds = r + 1
+        if matched == 0:
+            break
+    return _finish(g, partner_refs, rounds, result_out, "partner")

@@ -8610,6 +8610,73 @@ FROM u a JOIN u b
 """
 
 
+MATCH_SQL_ROUNDS = 14
+
+
+def q_matching_co(sf_dir):
+    """Greedy maximal matching on the co graph via locally-dominant
+    edges (``superstep.maximal_matching``): per round every active
+    vertex points at its minimum-key incident edge and an edge that
+    is the minimum at BOTH endpoints matches — exactly the sequential
+    greedy matching in ascending ``match_key`` order (greedy matching
+    is confluent), which the round-unrolled SQL oracle replicates.
+    Output = one row per matched vertex (both directions present)."""
+    g = _co_distgraph(sf_dir)
+    partner, rounds = ss.maximal_matching(g)
+    assert rounds <= MATCH_SQL_ROUNDS, \
+        f"matching took {rounds} rounds; raise MATCH_SQL_ROUNDS"
+    vids = np.flatnonzero(partner >= 0).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "partner": pa.array(partner[vids])})
+
+
+def _matching_rounds_sql(max_r):
+    """Round-unrolled locally-dominant-edge oracle: ae = active
+    edges with the engine's packed key, vm = per-vertex minima, d =
+    edges minimal at both endpoints (both directions land in d since
+    e carries both). Extra rounds no-op once a is empty."""
+    key = ("((((least(e.a, e.b) % 1000003) * 7919 + "
+           "(greatest(e.a, e.b) % 1000003) * 104729) % 1000003) "
+           "* 4000000000000 + least(e.a, e.b) * 2000000 "
+           "+ greatest(e.a, e.b))")
+    parts = [
+        "a0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM e)",
+        "m0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS v, "
+        "CAST(NULL AS BIGINT) AS partner WHERE FALSE)",
+    ]
+    for r in range(max_r):
+        parts.append(
+            f"ae{r} AS MATERIALIZED (SELECT e.a, e.b, {key} AS k\n"
+            f"  FROM e JOIN a{r} x ON x.v = e.a\n"
+            f"         JOIN a{r} y ON y.v = e.b\n"
+            f"  WHERE e.a <> e.b)")
+        parts.append(
+            f"vm{r} AS MATERIALIZED (SELECT a AS v, min(k) AS km\n"
+            f"  FROM ae{r} GROUP BY a)")
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT ae.a AS v, ae.b AS partner\n"
+            f"  FROM ae{r} ae\n"
+            f"  JOIN vm{r} va ON va.v = ae.a AND va.km = ae.k\n"
+            f"  JOIN vm{r} vb ON vb.v = ae.b AND vb.km = ae.k)")
+        parts.append(
+            f"m{r + 1} AS MATERIALIZED (SELECT v, partner FROM m{r}\n"
+            f"  UNION ALL SELECT v, partner FROM d{r})")
+        parts.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT v FROM a{r}\n"
+            f"  WHERE v NOT IN (SELECT v FROM d{r}))")
+    return ",\n".join(parts), f"m{max_r}"
+
+
+_MATCH_CTES, _MATCH_FINAL = _matching_rounds_sql(MATCH_SQL_ROUNDS)
+
+SQL_MATCHING_CO = f"""
+WITH
+{_SQL_CO_EDGES_BOTH_MAT},
+{_MATCH_CTES}
+SELECT v AS vid, partner FROM {_MATCH_FINAL}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -8801,6 +8868,7 @@ QUERIES = {
     "ppr_local_cliques": q_ppr_local_cliques,
     "ppr_local_co": q_ppr_local_co,
     "edges_warc_cliques": q_edges_warc_cliques,
+    "matching_co": q_matching_co,
 }
 
 ORACLE_SQL = {
@@ -8984,4 +9052,5 @@ ORACLE_SQL = {
     "dyad_census_co": SQL_DYAD_CENSUS_CO,
     "ppr_local_cliques": SQL_PPR_LOCAL_CLIQUES,
     "edges_warc_cliques": SQL_EDGES_WARC_CLIQUES,
+    "matching_co": SQL_MATCHING_CO,
 }

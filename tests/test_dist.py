@@ -1723,3 +1723,80 @@ def test_redirect_pointer_doubling_matches_serial():
     v2, f2, h2 = resolve_redirects(s2, s2 + 1, P=4, rounds=13)
     assert len(v2) == 5000 and (f2 == 5000).all()
     assert h2[np.argsort(v2)][0] == 5000
+
+
+# ----------------------------------------------------------------------
+# Greedy maximal matching (locally-dominant edges)
+# ----------------------------------------------------------------------
+def _serial_greedy_matching(src, dst, n):
+    """Sequential greedy matching in ascending match_key order — the
+    confluent fixed point the parallel kernel must reproduce."""
+    pairs = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                    for a, b in zip(src, dst) if a != b},
+                   key=lambda e: int(ss.match_key(np.int64(e[0]),
+                                                  np.int64(e[1]))))
+    partner = np.full(n, -1, dtype=np.int64)
+    for a, b in pairs:
+        if partner[a] < 0 and partner[b] < 0:
+            partner[a] = b
+            partner[b] = a
+    return partner
+
+
+def test_maximal_matching_matches_serial(random_graph):
+    src, dst, n = random_graph
+    src, dst = _simple_undirected(src, dst, n)
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    partner, rounds = ss.maximal_matching(g)
+    assert np.array_equal(partner, _serial_greedy_matching(src, dst, n))
+    # properness: mutual partners along real edges
+    matched = np.flatnonzero(partner >= 0)
+    assert (partner[partner[matched]] == matched).all()
+    eset = {(min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in zip(src, dst)}
+    for v in matched:
+        u = int(partner[v])
+        assert (min(u, int(v)), max(u, int(v))) in eset
+    # maximality: no edge with both endpoints unmatched
+    assert ((partner[src] >= 0) | (partner[dst] >= 0)).all()
+
+
+def test_maximal_matching_parallelism_invariant(random_graph):
+    src, dst, n = random_graph
+    src, dst = _simple_undirected(src, dst, n)
+    base = None
+    for P in (2, 5, 8):
+        g = DistGraph.from_edges(src, dst, n=n, P=P,
+                                 both_directions=True)
+        partner, _ = ss.maximal_matching(g)
+        if base is None:
+            base = partner
+        else:
+            assert np.array_equal(base, partner)
+
+
+def test_maximal_matching_result_out(tmp_path, random_graph):
+    src, dst, n = random_graph
+    src, dst = _simple_undirected(src, dst, n)
+    g = DistGraph.from_edges(src, dst, n=n, P=4, both_directions=True)
+    partner, r1 = ss.maximal_matching(g)
+    res, r2 = ss.maximal_matching(
+        g, result_out=str(tmp_path / "match"))
+    assert r1 == r2
+    assert res == {"path": str(tmp_path / "match"), "rows": n,
+                   "column": "partner"}
+    vids, vals = _read_result(str(tmp_path / "match"), "partner")
+    assert np.array_equal(vids, np.arange(n))
+    assert np.array_equal(vals, partner)
+
+
+def test_maximal_matching_path_graph():
+    """Path 0-1-2-3-4: greedy in key order — closed-form check that
+    the kernel tolerates chains (only one dominant edge at a time in
+    the worst key order) and isolated leftovers stay -1."""
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4], dtype=np.int64)
+    g = DistGraph.from_edges(src, dst, n=6, P=3, both_directions=True)
+    partner, _ = ss.maximal_matching(g)
+    assert np.array_equal(partner, _serial_greedy_matching(src, dst, 6))
+    assert partner[5] == -1           # no-edge vertex never active
