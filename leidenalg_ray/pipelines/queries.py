@@ -8092,6 +8092,151 @@ FROM d
 
 
 # ----------------------------------------------------------------------
+# DSIR importance resampling (data selection for LM pretraining)
+# ----------------------------------------------------------------------
+DSIR_BUCKETS = 512      # divides 2^64, so uint64 wraparound mod B ==
+                        # plain mod B and the SQL twin needs no HUGEINT
+DSIR_TOP_K = 100
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_doc_buckets(t: pa.Table):
+    """Hashed-bigram feature stream for a batch: (doc_index, bucket)
+    per within-doc adjacent token pair. bucket = (h(w1) * 1000003 +
+    h(w2)) % B in uint64 wraparound arithmetic; because B divides
+    2^64 the SQL twin computes the identical value with small-int
+    mod algebra ((h1 % B) * 1000003 + h2 % B) % B."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                  "[^a-z0-9]+")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    f, p = flat[keep], par[keep]
+    if len(f) < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    h = tx.hash_tokens(f)
+    same = p[1:] == p[:-1]
+    bk = ((h[:-1] * np.uint64(1_000_003) + h[1:])
+          % np.uint64(DSIR_BUCKETS))[same]
+    return p[:-1][same].astype(np.int64), bk.astype(np.int64)
+
+
+def q_dsir_select(sf_dir):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every document by how much more likely its hashed
+    bigram features are under the TARGET distribution (here the
+    ``lang='en'`` slice) than under the raw corpus, then resample by
+    Gumbel-noised top-k — the standard recipe for selecting
+    pretraining data that "looks like" a high-quality target set.
+
+    log w(d) = sum_features c_f * (ln p_target(f) - ln p_corpus(f)),
+    Laplace-smoothed over B=512 hash buckets. Determinism: the two
+    per-bucket ln terms are quantised to 1e-9 fixed point (identical
+    expression in the oracle) so per-doc sums are exact integers; the
+    Gumbel key g = -ln(-ln(u)) draws u from the md5 of the doc id so
+    both engines rank the identical float key.
+
+    Plan: pass 1 = per-batch B-bucket bincount partials (driver
+    merges a 512-int array, O(B) state); pass 2 = broadcast the
+    512-int delta vector, per-batch scoring + partial top-k — the
+    driver sees K rows per batch, never the corpus."""
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    B = DSIR_BUCKETS
+
+    def bcounts(t: pa.Table) -> pa.Table:
+        di, bk = _dsir_doc_buckets(t)
+        is_t = pc.equal(t["lang"], DSIR_TARGET_LANG) \
+            .to_numpy(zero_copy_only=False)
+        nc = np.bincount(bk, minlength=B)
+        nt = np.bincount(bk[is_t[di]], minlength=B)
+        return pa.table({"bucket": pa.array(np.arange(B)),
+                         "nc": pa.array(nc.astype(np.int64)),
+                         "nt": pa.array(nt.astype(np.int64))})
+
+    nc = np.zeros(B, np.int64)
+    nt = np.zeros(B, np.int64)
+    for b in docs.map_batches(bcounts, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        np.add.at(nc, b["bucket"].to_numpy(zero_copy_only=False),
+                  b["nc"].to_numpy(zero_copy_only=False))
+        np.add.at(nt, b["bucket"].to_numpy(zero_copy_only=False),
+                  b["nt"].to_numpy(zero_copy_only=False))
+    ct, tt = int(nc.sum()), int(nt.sum())
+    delta = (np.floor(np.log((nt + 1.0) / (tt + B)) * 1e9 + 0.5)
+             - np.floor(np.log((nc + 1.0) / (ct + B)) * 1e9 + 0.5)
+             ).astype(np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        di, bk = _dsir_doc_buckets(t)
+        s = np.zeros(t.num_rows, np.int64)
+        np.add.at(s, di, delta[bk])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        u = (tx.hash_tokens(ids.astype(str)) % np.uint64(1_000_000)
+             + 0.5) / 1_000_000.0
+        g = -np.log(-np.log(u))
+        key = s / 1e9 + g
+        k = min(DSIR_TOP_K, t.num_rows)
+        top = np.argpartition(-key, k - 1)[:k] if t.num_rows else \
+            np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(ids[top]),
+                         "sq": pa.array(s[top]),
+                         "key": pa.array(key[top])})
+
+    parts = docs.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    order = np.lexsort((parts["doc_id"].to_numpy(),
+                        -parts["key"].to_numpy()))[:DSIR_TOP_K]
+    sel = parts.iloc[order]
+    return pa.table({
+        "doc_id": pa.array(sel["doc_id"].to_numpy(np.int64)),
+        "logw": pa.array(round6(sel["sq"].to_numpy(np.int64) / 1e9)),
+        "sample_key": pa.array(round6(sel["key"].to_numpy())),
+    })
+
+
+_DSIR_H = "('0x' || substr(md5({x}), 1, 16))::UBIGINT"
+
+SQL_DSIR_SELECT = f"""
+WITH t AS (SELECT doc_id, lang, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+           FROM documents),
+tok AS (SELECT doc_id, lang, unnest(arr) AS w,
+               generate_subscripts(arr, 1) AS i FROM t),
+seq AS (SELECT doc_id, lang, w AS a,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        FROM tok),
+bg AS (SELECT doc_id, lang,
+              (({_DSIR_H.format(x='a')} % {DSIR_BUCKETS}) * 1000003
+               + {_DSIR_H.format(x='b')} % {DSIR_BUCKETS})
+              % {DSIR_BUCKETS} AS bucket
+       FROM seq WHERE b IS NOT NULL),
+c AS (SELECT bucket, count(*) AS nc,
+             count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS nt
+      FROM bg GROUP BY 1),
+tot AS (SELECT sum(nc) AS ct, sum(nt) AS tt FROM c),
+d AS (SELECT bucket,
+             CAST(floor(ln((nt + 1.0) / (tt + {DSIR_BUCKETS}))
+                        * 1000000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln((nc + 1.0) / (ct + {DSIR_BUCKETS}))
+                        * 1000000000 + 0.5) AS BIGINT) AS delta
+      FROM c, tot),
+s AS (SELECT bg.doc_id, sum(d.delta) AS sq
+      FROM bg JOIN d USING (bucket) GROUP BY 1),
+k AS (SELECT doc_id, COALESCE(s.sq, 0) AS sq,
+             CAST(COALESCE(s.sq, 0) AS DOUBLE) / 1000000000
+             - ln(-ln(({_DSIR_H.format(x='CAST(doc_id AS VARCHAR)')}
+                       % 1000000 + 0.5) / 1000000.0)) AS key
+      FROM documents LEFT JOIN s USING (doc_id))
+SELECT doc_id,
+       round(CAST(sq AS DOUBLE) / 1000000000, 6) AS logw,
+       round(key, 6) AS sample_key
+FROM k ORDER BY key DESC, doc_id LIMIT {DSIR_TOP_K}
+"""
+
+
+# ----------------------------------------------------------------------
 # temperature-scaled source mixing weights (data-mixing stage)
 # ----------------------------------------------------------------------
 MIX_ALPHA = 0.5  # w ∝ n^alpha; 0.5 = the sqrt temperature GPT-3-style
@@ -8869,6 +9014,7 @@ QUERIES = {
     "ppr_local_co": q_ppr_local_co,
     "edges_warc_cliques": q_edges_warc_cliques,
     "matching_co": q_matching_co,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLE_SQL = {
@@ -9053,4 +9199,5 @@ ORACLE_SQL = {
     "ppr_local_cliques": SQL_PPR_LOCAL_CLIQUES,
     "edges_warc_cliques": SQL_EDGES_WARC_CLIQUES,
     "matching_co": SQL_MATCHING_CO,
+    "dsir_select": SQL_DSIR_SELECT,
 }

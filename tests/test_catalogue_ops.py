@@ -377,3 +377,56 @@ def test_ppr_support_stays_local(ray_session):
     p, r, _ = ppr_push(g, seed=0, alpha=0.15, eps=1e-8)
     touched = set(p) | set(r)
     assert touched <= set(range(12))
+
+
+# ----------------------------------------------------------------------
+# DSIR importance resampling
+# ----------------------------------------------------------------------
+def test_dsir_select_upweights_target_like_docs(ray_session, tmp_path,
+                                                monkeypatch):
+    """Planted corpus: target (en) docs repeat one bigram, off-target
+    docs another; a fresh doc written in the target's bigram must get
+    a strictly higher importance weight than one written in the
+    off-target bigram."""
+    import pyarrow.parquet as pq
+    # dense enough that the +1-per-512-bucket Laplace smoothing does
+    # not flatten the 2-bucket planted distributions
+    texts = (["alpha beta"] * 200           # en: bigram 'alpha beta'
+             + ["gamma delta"] * 200        # de: bigram 'gamma delta'
+             + ["alpha beta",               # probes (de so they don't
+                "gamma delta"])             # move the target dist)
+    langs = ["en"] * 200 + ["de"] * 202
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    monkeypatch.setattr(Q, "DSIR_TOP_K", 500)   # keep every doc
+    df = _df(Q.QUERIES["dsir_select"](str(tmp_path))) \
+        .set_index("doc_id")
+    assert len(df) == len(texts)
+    assert df.loc[400, "logw"] > 0 > df.loc[401, "logw"]
+    # sample_key = logw + Gumbel(md5(doc_id)) exactly
+    h = int.from_bytes(
+        __import__("hashlib").md5(b"400").digest()[:8], "big")
+    g = -np.log(-np.log((h % 1_000_000 + 0.5) / 1_000_000))
+    assert abs(df.loc[400, "sample_key"]
+               - round(df.loc[400, "logw"] + g, 6)) < 2e-6
+
+
+def test_dsir_bucket_stream_matches_naive(ray_session):
+    """_dsir_doc_buckets == per-doc adjacent-pair bigrams hashed with
+    the documented mod algebra."""
+    import re
+    t = pa.table({"text": pa.array(["The quick brown fox", "",
+                                    "one", "a b a"])})
+    di, bk = Q._dsir_doc_buckets(t)
+    want = []
+    for i, s in enumerate(["The quick brown fox", "", "one", "a b a"]):
+        toks = [w for w in re.split("[^a-z0-9]+", s.lower()) if w]
+        for a, b in zip(toks, toks[1:]):
+            ha = Q.tx.hash_token(a)
+            hb = Q.tx.hash_token(b)
+            want.append((i, ((ha % 512) * 1000003 + hb % 512) % 512))
+    assert list(zip(di.tolist(), bk.tolist())) == want
