@@ -8092,6 +8092,68 @@ FROM d
 
 
 # ----------------------------------------------------------------------
+# Gopher quality rules (composite document-quality gate)
+# ----------------------------------------------------------------------
+def q_doc_gopher_rules(sf_dir):
+    """Gopher quality gate (Rae et al. 2021 §A1.1) over documents:
+    per-doc signals (word count, mean word length, symbol/bullet/
+    ellipsis ratios, alphabetic-word fraction, stop-word hits) plus
+    the composite ``keep`` flag — the standard pre-filter an LLM
+    corpus pipeline runs before dedup. Pure map stage (actor pool),
+    no shuffle; thresholds are applied to the UNROUNDED signals on
+    both engines."""
+    return tx.gopher_rules(_docs(sf_dir))
+
+
+SQL_DOC_GOPHER_RULES = f"""
+WITH t AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '') AS toks,
+             string_split(text, chr(10)) AS lines
+           FROM documents),
+m AS (SELECT doc_id, len(toks) AS n_words,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(list_sum(list_transform(toks, w -> length(w)))
+               AS DOUBLE) / len(toks) ELSE 0 END AS mean_word_len,
+        CASE WHEN len(toks) > 0 THEN
+          CAST((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               AS DOUBLE) / len(toks) ELSE 0 END AS symbol_ratio,
+        CAST(len(list_filter(lines,
+               l -> ltrim(l, ' ') LIKE '-%' OR ltrim(l, ' ') LIKE '*%'))
+             AS DOUBLE) / len(lines) AS bullet_ratio,
+        CAST(len(list_filter(lines, l -> rtrim(l, ' ') LIKE '%...'))
+             AS DOUBLE) / len(lines) AS ellipsis_ratio,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+               AS DOUBLE) / len(toks) ELSE 0 END AS alpha_word_ratio,
+        len(list_filter(['the','be','to','of','and','that','have',
+                         'with'],
+                        s -> list_contains(toks, s))) AS stop_hits
+      FROM t)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_ratio, 6) AS bullet_ratio,
+       round(ellipsis_ratio, 6) AS ellipsis_ratio,
+       round(alpha_word_ratio, 6) AS alpha_word_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN n_words >= {tx.GOPHER_MIN_WORDS}
+                  AND n_words <= {tx.GOPHER_MAX_WORDS}
+                  AND mean_word_len >= {tx.GOPHER_MIN_MEAN_LEN}
+                  AND mean_word_len <= {tx.GOPHER_MAX_MEAN_LEN}
+                  AND symbol_ratio <= {tx.GOPHER_MAX_SYMBOL_RATIO}
+                  AND bullet_ratio <= {tx.GOPHER_MAX_BULLET_RATIO}
+                  AND ellipsis_ratio <= {tx.GOPHER_MAX_ELLIPSIS_RATIO}
+                  AND alpha_word_ratio >= {tx.GOPHER_MIN_ALPHA_RATIO}
+                  AND stop_hits >= {tx.GOPHER_MIN_STOP_HITS}
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""
+
+
+# ----------------------------------------------------------------------
 # DSIR importance resampling (data selection for LM pretraining)
 # ----------------------------------------------------------------------
 DSIR_BUCKETS = 512      # divides 2^64, so uint64 wraparound mod B ==
@@ -9015,6 +9077,7 @@ QUERIES = {
     "edges_warc_cliques": q_edges_warc_cliques,
     "matching_co": q_matching_co,
     "dsir_select": q_dsir_select,
+    "doc_gopher_rules": q_doc_gopher_rules,
 }
 
 ORACLE_SQL = {
@@ -9200,4 +9263,5 @@ ORACLE_SQL = {
     "edges_warc_cliques": SQL_EDGES_WARC_CLIQUES,
     "matching_co": SQL_MATCHING_CO,
     "dsir_select": SQL_DSIR_SELECT,
+    "doc_gopher_rules": SQL_DOC_GOPHER_RULES,
 }

@@ -617,3 +617,90 @@ def pii_scrub(docs_ds):
 
     return docs_ds.map_batches(scrub, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+# ----------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1)
+# ----------------------------------------------------------------------
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+class GopherRules:
+    """Gopher document-quality gate (Rae et al. 2021 §A1.1): word
+    count bounds, mean word length bounds, symbol-to-word ratio
+    ('#' + non-overlapping '...'), bullet-start / ellipsis-end line
+    fractions, alphabetic-word fraction, and >=2 distinct stop words.
+    Emits every signal plus the composite ``keep`` flag; ratios are
+    rounded to 6 decimals on both engines. Words use the repo token
+    convention (lowered text split on ``[^a-z0-9]+``) so the SQL
+    oracle shares the tokenizer with every other text operator."""
+
+    def __init__(self):
+        self.token_re = TOKEN_RE
+        self.stop = set(GOPHER_STOPS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        k = len(texts)
+        n_words = np.zeros(k, dtype=np.int64)
+        mean_len = np.zeros(k)
+        sym_ratio = np.zeros(k)
+        bullet_ratio = np.zeros(k)
+        ellipsis_ratio = np.zeros(k)
+        alpha_ratio = np.zeros(k)
+        stop_hits = np.zeros(k, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = self.token_re.findall(t.lower())
+            nw = len(toks)
+            n_words[i] = nw
+            if nw:
+                mean_len[i] = sum(len(w) for w in toks) / nw
+                sym_ratio[i] = (t.count("#") + t.count("...")) / nw
+                alpha_ratio[i] = sum(
+                    1 for w in toks
+                    if any("a" <= ch <= "z" for ch in w)) / nw
+                stop_hits[i] = len(self.stop.intersection(toks))
+            lines = t.split("\n")
+            nl = len(lines)
+            bullet_ratio[i] = sum(
+                1 for ln in lines
+                if ln.lstrip(" ").startswith(("-", "*"))) / nl
+            ellipsis_ratio[i] = sum(
+                1 for ln in lines
+                if ln.rstrip(" ").endswith("...")) / nl
+        keep = ((n_words >= GOPHER_MIN_WORDS)
+                & (n_words <= GOPHER_MAX_WORDS)
+                & (mean_len >= GOPHER_MIN_MEAN_LEN)
+                & (mean_len <= GOPHER_MAX_MEAN_LEN)
+                & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+                & (bullet_ratio <= GOPHER_MAX_BULLET_RATIO)
+                & (ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO)
+                & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+                & (stop_hits >= GOPHER_MIN_STOP_HITS))
+        from ..util import round6
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(round6(mean_len)),
+            "symbol_ratio": pa.array(round6(sym_ratio)),
+            "bullet_ratio": pa.array(round6(bullet_ratio)),
+            "ellipsis_ratio": pa.array(round6(ellipsis_ratio)),
+            "alpha_word_ratio": pa.array(round6(alpha_ratio)),
+            "stop_hits": pa.array(stop_hits),
+            "keep": pa.array(keep.astype(np.int64)),
+        })
+
+
+def gopher_rules(docs_ds, concurrency=4):
+    return docs_ds.map_batches(GopherRules, batch_format="pyarrow",
+                               batch_size=2048, zero_copy_batch=True,
+                               concurrency=(1, concurrency))

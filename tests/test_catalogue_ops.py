@@ -430,3 +430,33 @@ def test_dsir_bucket_stream_matches_naive(ray_session):
             hb = Q.tx.hash_token(b)
             want.append((i, ((ha % 512) * 1000003 + hb % 512) % 512))
     assert list(zip(di.tolist(), bk.tolist())) == want
+
+
+# ----------------------------------------------------------------------
+# Gopher quality rules
+# ----------------------------------------------------------------------
+def test_gopher_rules_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    good = ("the data be good and that have with of to " * 6).strip()
+    texts = [
+        good,                                   # passes every rule
+        "short text the be",                    # < 50 words
+        good + "\n" + "\n".join(["- bullet"] * 60),  # bullet lines
+        good.replace(" ", " # ")[:],            # symbol-heavy
+        ("12345 67890 " * 30).strip() + " the be",  # non-alpha words
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    df = _df(Q.QUERIES["doc_gopher_rules"](str(tmp_path))) \
+        .set_index("doc_id").sort_index()
+    assert df.loc[0, "keep"] == 1
+    assert df.loc[0, "n_words"] == 60
+    assert df.loc[0, "stop_hits"] == 8
+    assert (df.loc[1:, "keep"] == 0).all()
+    assert df.loc[1, "n_words"] < 50
+    assert df.loc[2, "bullet_ratio"] > 0.9
+    assert df.loc[3, "symbol_ratio"] > 0.1
+    assert df.loc[4, "alpha_word_ratio"] < 0.8
