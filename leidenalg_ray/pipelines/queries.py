@@ -3049,6 +3049,141 @@ QUALIFY rank <= 10
 """
 
 
+PQ_M = 8          # subspaces (64 dims -> 8 x 8)
+PQ_SUBDIM = 8
+PQ_K = 16         # codewords per subspace (anchors: vec_id < 16)
+PQ_TOPK = 10
+PQ_NQ = 5
+
+
+def q_ann_pq(sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011) with asymmetric
+    distance computation: 64-dim embeddings split into M=8 subspaces,
+    each encoded as the nearest of K=16 codewords (deterministic
+    codebooks — the subvectors of the first 16 vectors by vec_id — so
+    the DuckDB oracle reproduces the whole pipeline exactly, mirroring
+    ``ann_ivf_fixed``). A query precomputes its M x K subspace
+    distance table; the scan then reads ONE BYTE per (vector,
+    subspace) instead of the raw floats — at 100 TB the code table is
+    32x smaller than the embedding column, which is the point of PQ.
+
+    Determinism: per-subspace query-to-codeword L2^2 distances are
+    quantised to 1e-9 fixed point before the per-vector sum, so ADC
+    totals are exact integers (order-free) and ranking ties break on
+    vec_id. Encode + ADC + partial top-k run in one shuffle-free
+    ``map_batches`` pass with the tiny codebook broadcast; the driver
+    sees K_top rows per (query, batch)."""
+    emb = _emb(sf_dir)
+    head = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .filter(expr=f"vec_id < {PQ_K}").to_pandas() \
+        .sort_values("vec_id")
+    anchors = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in head["embedding"]])        # (K, 64)
+    # cb[m]: (K, SUBDIM) codebook of subspace m
+    cb = [anchors[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+          for m in range(PQ_M)]
+    qdf = head[head.vec_id < PQ_NQ]
+    qv = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in qdf["embedding"]])              # (Q, 64)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    # quantised query distance tables: (Q, M, K) int64
+    qt = np.empty((len(qids), PQ_M, PQ_K), dtype=np.int64)
+    for m in range(PQ_M):
+        sub = qv[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+        d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+        qt[:, m, :] = np.floor(d2 * 1e9 + 0.5).astype(np.int64)
+    import ray as _ray
+    cb_ref = _ray.put(cb)
+    qt_ref = _ray.put(qt)
+
+    def scan(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        cbl = _ray.get(cb_ref)
+        qtl = _ray.get(qt_ref)
+        vec = annm._to_matrix(t["embedding"])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        adist = np.zeros((len(qtl), n), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = vec[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            d2 = ((sub[:, None, :] - cbl[m][None, :, :]) ** 2).sum(-1)
+            codes = np.argmin(d2, axis=1)      # ties -> lowest k
+            adist += qtl[:, m, codes]
+        kk = min(PQ_TOPK, n)
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qtl)):
+            order = np.lexsort((ids, adist[j]))[:kk]
+            out_q.append(np.full(kk, j, dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(adist[j][order])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "s": pa.array(np.concatenate(out_s))})
+
+    parts = emb.map_batches(scan, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    frames = []
+    for j in range(len(qids)):
+        g = parts[parts["query_id"] == j]
+        order = np.lexsort((g["vec_id"].to_numpy(),
+                            g["s"].to_numpy()))[:PQ_TOPK]
+        sel = g.iloc[order]
+        frames.append(pa.table({
+            "query_id": pa.array(np.full(len(sel), qids[j])),
+            "vec_id": pa.array(sel["vec_id"].to_numpy(np.int64)),
+            "adist": pa.array(round6(
+                sel["s"].to_numpy(np.int64) / 1e9)),
+            "rank": pa.array(np.arange(1, len(sel) + 1,
+                                       dtype=np.int64)),
+        }))
+    return pa.concat_tables(frames)
+
+
+_PQ_D2 = ("list_sum(list_transform(generate_series(1, {sd}), "
+          "i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))")
+
+SQL_ANN_PQ = f"""
+WITH ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+anch AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS av
+         FROM embeddings WHERE vec_id < {PQ_K}),
+cbook AS (SELECT k, m,
+                 list_slice(av, m * {PQ_SUBDIM} + 1,
+                            m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cv
+          FROM anch, ms),
+vsub AS (SELECT vec_id, m,
+                list_slice(CAST(embedding AS DOUBLE[]),
+                           m * {PQ_SUBDIM} + 1,
+                           m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+         FROM embeddings, ms),
+cand AS (SELECT v.vec_id, v.m, c.k,
+                {_PQ_D2.format(sd=PQ_SUBDIM).replace('sv', 'v.sv')
+                 .replace('cv', 'c.cv')} AS d2
+         FROM vsub v JOIN cbook c USING (m)),
+codes AS (SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, k) AS rn
+            FROM cand) WHERE rn = 1),
+qtab AS (SELECT vec_id AS query_id, m, k,
+                CAST(floor(d2 * 1000000000 + 0.5) AS BIGINT) AS dq
+         FROM cand WHERE vec_id < {PQ_NQ}),
+adc AS (SELECT q.query_id, c.vec_id, sum(q.dq) AS s
+        FROM codes c JOIN qtab q ON q.m = c.m AND q.k = c.code
+        GROUP BY 1, 2)
+SELECT query_id, vec_id,
+       round(CAST(s AS DOUBLE) / 1000000000, 6) AS adist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY s, vec_id) AS BIGINT) AS rank
+FROM adc QUALIFY rank <= {PQ_TOPK}
+"""
+
+
 # ======================================================================
 # Events: windowed aggregation + sessionisation
 # ======================================================================
@@ -9078,6 +9213,7 @@ QUERIES = {
     "matching_co": q_matching_co,
     "dsir_select": q_dsir_select,
     "doc_gopher_rules": q_doc_gopher_rules,
+    "ann_pq": q_ann_pq,
 }
 
 ORACLE_SQL = {
@@ -9264,4 +9400,5 @@ ORACLE_SQL = {
     "matching_co": SQL_MATCHING_CO,
     "dsir_select": SQL_DSIR_SELECT,
     "doc_gopher_rules": SQL_DOC_GOPHER_RULES,
+    "ann_pq": SQL_ANN_PQ,
 }

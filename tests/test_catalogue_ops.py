@@ -460,3 +460,58 @@ def test_gopher_rules_planted(ray_session, tmp_path):
     assert df.loc[2, "bullet_ratio"] > 0.9
     assert df.loc[3, "symbol_ratio"] > 0.1
     assert df.loc[4, "alpha_word_ratio"] < 0.8
+
+
+# ----------------------------------------------------------------------
+# Product-quantization ANN
+# ----------------------------------------------------------------------
+def test_ann_pq_matches_naive_replica(ray_session):
+    """Engine output == a straight-line numpy PQ replica (codebooks
+    from the first 16 vectors, argmin codes, integer-quantised ADC)."""
+    df = _df(Q.QUERIES["ann_pq"](SF)).sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vec = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    vec, ids = vec[order], ids[order]
+    anchors = vec[ids < Q.PQ_K]
+    M, SD, K = Q.PQ_M, Q.PQ_SUBDIM, Q.PQ_K
+    codes = np.empty((len(ids), M), dtype=np.int64)
+    for m in range(M):
+        cb = anchors[:, m * SD:(m + 1) * SD]
+        d2 = ((vec[:, None, m * SD:(m + 1) * SD]
+               - cb[None]) ** 2).sum(-1)
+        codes[:, m] = np.argmin(d2, axis=1)
+    rows = []
+    for qi in np.flatnonzero(ids < Q.PQ_NQ):
+        s = np.zeros(len(ids), dtype=np.int64)
+        for m in range(M):
+            cb = anchors[:, m * SD:(m + 1) * SD]
+            d2 = ((vec[qi, m * SD:(m + 1) * SD][None] - cb) ** 2) \
+                .sum(-1)
+            dq = np.floor(d2 * 1e9 + 0.5).astype(np.int64)
+            s += dq[codes[:, m]]
+        top = np.lexsort((ids, s))[:Q.PQ_TOPK]
+        for r, t in enumerate(top, 1):
+            rows.append((ids[qi], ids[t],
+                         round(float(s[t] / 1e9), 6), r))
+    want = pd.DataFrame(rows, columns=["query_id", "vec_id",
+                                       "adist", "rank"]) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(df) == len(want)
+    for c in want.columns:
+        assert (df[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_ann_pq_self_distance_is_reconstruction_error(ray_session):
+    """A query's ADC distance to ITSELF equals its total quantisation
+    error — and every anchor vector (vec_id < 16) has adist 0 to the
+    query whose codes it defines, when the query IS that anchor."""
+    df = _df(Q.QUERIES["ann_pq"](SF))
+    # queries are vec_id < 5, all anchors: self distance must be 0
+    # (each subvector's nearest codeword is itself), hence rank 1
+    self_rows = df[df["query_id"] == df["vec_id"]]
+    assert len(self_rows) == Q.PQ_NQ
+    assert (self_rows["adist"] == 0).all()
+    assert (self_rows["rank"] == 1).all()
