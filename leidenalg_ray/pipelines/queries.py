@@ -8844,6 +8844,243 @@ FROM s, v
 """
 
 
+TRIAD_LABELS = ("003", "012", "102", "021D", "021U", "021C", "111D",
+                "111U", "030T", "030C", "201", "120D", "120U", "120C",
+                "210", "300")
+
+
+def q_triad_census_co(sf_dir):
+    """Full directed triad census (igraph ``triad_census``, all 16
+    MAN classes) of the precedence co graph, over the active vertex
+    set (vertices with at least one directed edge — the same
+    convention as ``dyad_census_co``).
+
+    Decomposition (no all-triples stage anywhere):
+    - 3-linked classes (030T/030C/120*/210/300) from the
+      compact-forward triangle enumeration with dyad codes broadcast
+      (``triangles.triad_triangle_census``), which also returns how
+      many wedges of each 2-dyad class its triangles contain;
+    - 2-linked classes (021*/111*/201) = closed-form per-vertex
+      (mutual, asym-in, asym-out) wedge formulas minus those
+      triangle-interior wedges;
+    - 1-linked classes (012/102) per dyad from linked degrees and the
+      per-edge common-neighbour supports (``truss.edge_supports`` —
+      the edge_jaccard plan);
+    - 003 = C(n,3) minus everything else.
+    Verified against an independent per-triple brute-force classifier
+    in ``tests/test_dist.py::test_triad_census_matches_bruteforce``."""
+    from ray.data.aggregate import Max
+    from ..dist.triangles import (triad_triangle_census,
+                                  TRIAD_L3_LABELS, TRIAD_WEDGE_LABELS)
+    from ..dist.truss import edge_supports
+    li = tg.read_lineitem(sf_dir,
+                          ["l_orderkey", "l_partkey", "l_linenumber"])
+    right = li.map_batches(
+        lambda t: t.rename_columns(
+            ["l_orderkey", "partkey_r", "linenumber_r"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = li.join(right, "inner", 16, on=("l_orderkey",))
+
+    def pre(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less(t["l_linenumber"], t["linenumber_r"]),
+                       pc.not_equal(t["l_partkey"], t["partkey_r"]))
+        tt = t.filter(keep)
+        a, b = tt["l_partkey"], tt["partkey_r"]
+        g = pa.table({
+            "lo": pc.min_element_wise(a, b),
+            "hi": pc.max_element_wise(a, b),
+            "f": pc.cast(pc.less(a, b), pa.int64()),
+            "r": pc.cast(pc.greater(a, b), pa.int64()),
+        }).group_by(["lo", "hi"]).aggregate([("f", "max"), ("r", "max")])
+        return g.rename_columns(["lo", "hi", "f", "r"])
+
+    agg = joined.map_batches(pre, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["lo", "hi"]).aggregate(Max("f", alias_name="f"),
+                                         Max("r", alias_name="r")) \
+        .to_pandas()
+    lo = agg["lo"].to_numpy(np.int64)
+    hi = agg["hi"].to_numpy(np.int64)
+    f = agg["f"].to_numpy(np.int64)
+    r = agg["r"].to_numpy(np.int64)
+    code = np.where((f == 1) & (r == 1), 3, np.where(f == 1, 1, 2)) \
+        .astype(np.int64)
+    n_raw = int(hi.max()) + 1 if len(hi) else 0
+    verts = np.unique(np.concatenate([lo, hi]))
+    N = len(verts)
+    cl = np.searchsorted(verts, lo)
+    ch = np.searchsorted(verts, hi)
+    m_v = np.bincount(cl[code == 3], minlength=N) \
+        + np.bincount(ch[code == 3], minlength=N)
+    i_v = np.bincount(cl[code == 2], minlength=N) \
+        + np.bincount(ch[code == 1], minlength=N)
+    o_v = np.bincount(cl[code == 1], minlength=N) \
+        + np.bincount(ch[code == 2], minlength=N)
+    W = {"021D": int((o_v * (o_v - 1) // 2).sum()),
+         "021U": int((i_v * (i_v - 1) // 2).sum()),
+         "021C": int((i_v * o_v).sum()),
+         "111D": int((m_v * i_v).sum()),
+         "111U": int((m_v * o_v).sum()),
+         "201": int((m_v * (m_v - 1) // 2).sum())}
+    l3, wd = triad_triangle_census(lo, hi, code, n=n_raw, P=16)
+    sup = edge_supports(cl, ch, N, P=8)
+    dL = m_v + i_v + o_v
+    nulls = (N - 2) - (dL[cl] - 1) - (dL[ch] - 1) + sup
+    out = {lab: int(l3[k]) for k, lab in enumerate(TRIAD_L3_LABELS)}
+    for k, lab in enumerate(TRIAD_WEDGE_LABELS):
+        out[lab] = W[lab] - int(wd[k])
+    out["012"] = int(nulls[code != 3].sum())
+    out["102"] = int(nulls[code == 3].sum())
+    out["003"] = N * (N - 1) * (N - 2) // 6 - sum(out.values())
+    return pa.table({
+        "clazz": pa.array(list(TRIAD_LABELS)),
+        "cnt": pa.array([out[c] for c in TRIAD_LABELS], pa.int64()),
+    })
+
+
+_TRIAD_CORNER_CLS = """CASE WHEN m{k} = 2 THEN '201'
+         WHEN m{k} = 1 AND i{k} = 1 THEN '111D'
+         WHEN m{k} = 1 THEN '111U'
+         WHEN i{k} = 2 THEN '021U'
+         WHEN o{k} = 2 THEN '021D'
+         ELSE '021C' END"""
+
+SQL_TRIAD_CENSUS_CO = f"""
+WITH d AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_linenumber < l2.l_linenumber
+            AND l1.l_partkey <> l2.l_partkey),
+p AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+             max(CASE WHEN a < b THEN 1 ELSE 0 END) AS fw,
+             max(CASE WHEN a > b THEN 1 ELSE 0 END) AS rv
+      FROM d GROUP BY 1, 2),
+c AS MATERIALIZED (SELECT lo, hi,
+       CASE WHEN fw = 1 AND rv = 1 THEN 3
+            WHEN fw = 1 THEN 1 ELSE 2 END AS code FROM p),
+nv AS (SELECT count(DISTINCT x) AS n FROM (
+         SELECT lo AS x FROM c UNION SELECT hi FROM c)),
+inc AS (SELECT lo AS v,
+               CASE WHEN code = 3 THEN 1 ELSE 0 END AS m,
+               CASE WHEN code = 2 THEN 1 ELSE 0 END AS i,
+               CASE WHEN code = 1 THEN 1 ELSE 0 END AS o
+        FROM c
+        UNION ALL
+        SELECT hi AS v,
+               CASE WHEN code = 3 THEN 1 ELSE 0 END,
+               CASE WHEN code = 1 THEN 1 ELSE 0 END,
+               CASE WHEN code = 2 THEN 1 ELSE 0 END
+        FROM c),
+vio AS MATERIALIZED (SELECT v, sum(m) AS m, sum(i) AS i, sum(o) AS o
+                     FROM inc GROUP BY 1),
+w AS (SELECT sum(o * (o - 1) // 2) AS w021d,
+             sum(i * (i - 1) // 2) AS w021u,
+             sum(i * o) AS w021c, sum(m * i) AS w111d,
+             sum(m * o) AS w111u,
+             sum(m * (m - 1) // 2) AS w201 FROM vio),
+dd AS (SELECT lo AS x, hi AS y FROM c
+       UNION ALL SELECT hi, lo FROM c),
+sup AS (SELECT e.lo, e.hi, count(*) AS cn
+        FROM c e JOIN dd s1 ON s1.x = e.lo
+                 JOIN dd s2 ON s2.x = e.hi AND s2.y = s1.y
+        GROUP BY 1, 2),
+l1 AS (SELECT
+         sum(CASE WHEN c.code <> 3 THEN
+               (nv.n - 2) - (du.m + du.i + du.o - 1)
+               - (dv.m + dv.i + dv.o - 1) + COALESCE(sup.cn, 0)
+             ELSE 0 END) AS n012,
+         sum(CASE WHEN c.code = 3 THEN
+               (nv.n - 2) - (du.m + du.i + du.o - 1)
+               - (dv.m + dv.i + dv.o - 1) + COALESCE(sup.cn, 0)
+             ELSE 0 END) AS n102
+       FROM c
+       JOIN vio du ON du.v = c.lo
+       JOIN vio dv ON dv.v = c.hi
+       LEFT JOIN sup ON sup.lo = c.lo AND sup.hi = c.hi, nv),
+tri AS (SELECT e1.code AS c12, e2.code AS c13, e3.code AS c23
+        FROM c e1 JOIN c e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                  JOIN c e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+tstat AS MATERIALIZED (SELECT
+    (CASE WHEN c12 = 3 THEN 1 ELSE 0 END
+     + CASE WHEN c13 = 3 THEN 1 ELSE 0 END) AS m1,
+    (CASE WHEN c12 = 2 THEN 1 ELSE 0 END
+     + CASE WHEN c13 = 2 THEN 1 ELSE 0 END) AS i1,
+    (CASE WHEN c12 = 1 THEN 1 ELSE 0 END
+     + CASE WHEN c13 = 1 THEN 1 ELSE 0 END) AS o1,
+    (CASE WHEN c12 = 3 THEN 1 ELSE 0 END
+     + CASE WHEN c23 = 3 THEN 1 ELSE 0 END) AS m2,
+    (CASE WHEN c12 = 1 THEN 1 ELSE 0 END
+     + CASE WHEN c23 = 2 THEN 1 ELSE 0 END) AS i2,
+    (CASE WHEN c12 = 2 THEN 1 ELSE 0 END
+     + CASE WHEN c23 = 1 THEN 1 ELSE 0 END) AS o2,
+    (CASE WHEN c13 = 3 THEN 1 ELSE 0 END
+     + CASE WHEN c23 = 3 THEN 1 ELSE 0 END) AS m3,
+    (CASE WHEN c13 = 1 THEN 1 ELSE 0 END
+     + CASE WHEN c23 = 1 THEN 1 ELSE 0 END) AS i3,
+    (CASE WHEN c13 = 2 THEN 1 ELSE 0 END
+     + CASE WHEN c23 = 2 THEN 1 ELSE 0 END) AS o3,
+    (CASE WHEN c12 = 3 THEN 1 ELSE 0 END
+     + CASE WHEN c13 = 3 THEN 1 ELSE 0 END
+     + CASE WHEN c23 = 3 THEN 1 ELSE 0 END) AS mm
+  FROM tri),
+tcls AS (SELECT CASE
+           WHEN mm = 3 THEN '300'
+           WHEN mm = 2 THEN '210'
+           WHEN mm = 1 THEN
+             CASE WHEN (CASE WHEN m1 = 0 THEN o1
+                             WHEN m2 = 0 THEN o2 ELSE o3 END) = 2
+                    THEN '120D'
+                  WHEN (CASE WHEN m1 = 0 THEN i1
+                             WHEN m2 = 0 THEN i2 ELSE i3 END) = 2
+                    THEN '120U'
+                  ELSE '120C' END
+           ELSE CASE WHEN i1 = 1 AND o1 = 1 AND i2 = 1 AND o2 = 1
+                     THEN '030C' ELSE '030T' END
+         END AS cls FROM tstat),
+l3 AS (SELECT cls, count(*) AS n FROM tcls GROUP BY 1),
+wdec AS (SELECT cls, count(*) AS n FROM (
+           SELECT {_TRIAD_CORNER_CLS.format(k=1)} AS cls FROM tstat
+           UNION ALL
+           SELECT {_TRIAD_CORNER_CLS.format(k=2)} FROM tstat
+           UNION ALL
+           SELECT {_TRIAD_CORNER_CLS.format(k=3)} FROM tstat)
+         GROUP BY 1),
+base AS (
+  SELECT '012' AS clazz, (SELECT n012 FROM l1) AS cnt
+  UNION ALL SELECT '102', (SELECT n102 FROM l1)
+  UNION ALL SELECT '021D', (SELECT w021d FROM w)
+    - COALESCE((SELECT n FROM wdec WHERE cls = '021D'), 0)
+  UNION ALL SELECT '021U', (SELECT w021u FROM w)
+    - COALESCE((SELECT n FROM wdec WHERE cls = '021U'), 0)
+  UNION ALL SELECT '021C', (SELECT w021c FROM w)
+    - COALESCE((SELECT n FROM wdec WHERE cls = '021C'), 0)
+  UNION ALL SELECT '111D', (SELECT w111d FROM w)
+    - COALESCE((SELECT n FROM wdec WHERE cls = '111D'), 0)
+  UNION ALL SELECT '111U', (SELECT w111u FROM w)
+    - COALESCE((SELECT n FROM wdec WHERE cls = '111U'), 0)
+  UNION ALL SELECT '201', (SELECT w201 FROM w)
+    - COALESCE((SELECT n FROM wdec WHERE cls = '201'), 0)
+  UNION ALL SELECT '030T',
+    COALESCE((SELECT n FROM l3 WHERE cls = '030T'), 0)
+  UNION ALL SELECT '030C',
+    COALESCE((SELECT n FROM l3 WHERE cls = '030C'), 0)
+  UNION ALL SELECT '120D',
+    COALESCE((SELECT n FROM l3 WHERE cls = '120D'), 0)
+  UNION ALL SELECT '120U',
+    COALESCE((SELECT n FROM l3 WHERE cls = '120U'), 0)
+  UNION ALL SELECT '120C',
+    COALESCE((SELECT n FROM l3 WHERE cls = '120C'), 0)
+  UNION ALL SELECT '210',
+    COALESCE((SELECT n FROM l3 WHERE cls = '210'), 0)
+  UNION ALL SELECT '300',
+    COALESCE((SELECT n FROM l3 WHERE cls = '300'), 0))
+SELECT clazz, CAST(cnt AS BIGINT) AS cnt FROM base
+UNION ALL
+SELECT '003', CAST((SELECT n * (n - 1) * (n - 2) // 6 FROM nv)
+                   - (SELECT sum(cnt) FROM base) AS BIGINT)
+"""
+
+
 # ----------------------------------------------------------------------
 # local community detection: ACL PPR push + conductance sweep
 # ----------------------------------------------------------------------
@@ -9214,6 +9451,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "doc_gopher_rules": q_doc_gopher_rules,
     "ann_pq": q_ann_pq,
+    "triad_census_co": q_triad_census_co,
 }
 
 ORACLE_SQL = {
@@ -9401,4 +9639,5 @@ ORACLE_SQL = {
     "dsir_select": SQL_DSIR_SELECT,
     "doc_gopher_rules": SQL_DOC_GOPHER_RULES,
     "ann_pq": SQL_ANN_PQ,
+    "triad_census_co": SQL_TRIAD_CENSUS_CO,
 }

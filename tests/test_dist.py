@@ -1800,3 +1800,128 @@ def test_maximal_matching_path_graph():
     partner, _ = ss.maximal_matching(g)
     assert np.array_equal(partner, _serial_greedy_matching(src, dst, 6))
     assert partner[5] == -1           # no-edge vertex never active
+
+
+# ----------------------------------------------------------------------
+# Directed triad census
+# ----------------------------------------------------------------------
+TRIAD_LABELS = ("003", "012", "102", "021D", "021U", "021C", "111D",
+                "111U", "030T", "030C", "201", "120D", "120U", "120C",
+                "210", "300")
+
+
+def _brute_triads(arcs, verts):
+    """Independent per-triple classifier (no shared code with the
+    engine's wedge/triangle decomposition)."""
+    from itertools import combinations
+    aset = set(arcs)
+    cnt = {lab: 0 for lab in TRIAD_LABELS}
+    for t in combinations(sorted(verts), 3):
+        code = {}
+        for a, b in combinations(t, 2):
+            fw, rv = (a, b) in aset, (b, a) in aset
+            code[(a, b)] = 3 if fw and rv else (1 if fw else
+                                                (2 if rv else 0))
+        vals = list(code.values())
+        nm, na = vals.count(3), vals.count(1) + vals.count(2)
+        if nm + na == 0:
+            cls = "003"
+        elif nm + na == 1:
+            cls = "102" if nm else "012"
+        elif nm + na == 2:
+            p1, p2 = [p for p, c in code.items() if c]
+            center = (set(p1) & set(p2)).pop()
+
+            def kind(p):
+                c = code[p]
+                if c == 3:
+                    return "m"
+                head = p[1] if c == 1 else p[0]
+                return "i" if head == center else "o"
+            key = "".join(sorted(kind(p1) + kind(p2)))
+            cls = {"oo": "021D", "ii": "021U", "io": "021C",
+                   "im": "111D", "mo": "111U", "mm": "201"}[key]
+        elif nm == 3:
+            cls = "300"
+        elif nm == 2:
+            cls = "210"
+        elif nm == 1:
+            mp = [p for p, c in code.items() if c == 3][0]
+            w = (set(t) - set(mp)).pop()
+            outs = sum(1 for p, c in code.items() if c in (1, 2)
+                       and (p[1] if c == 1 else p[0]) != w)
+            cls = ("120D" if outs == 2 else
+                   "120U" if outs == 0 else "120C")
+        else:
+            indeg = {v: 0 for v in t}
+            for p, c in code.items():
+                if c in (1, 2):
+                    indeg[p[1] if c == 1 else p[0]] += 1
+            cls = "030C" if all(v == 1 for v in indeg.values()) \
+                else "030T"
+        cnt[cls] += 1
+    return cnt
+
+
+def _engine_triads(arcs, n):
+    """The query's decomposition, run on raw arc lists."""
+    from leidenalg_ray.dist.triangles import (
+        triad_triangle_census, TRIAD_L3_LABELS, TRIAD_WEDGE_LABELS)
+    from leidenalg_ray.dist.truss import edge_supports
+    s = np.array([a for a, _ in arcs], dtype=np.int64)
+    d = np.array([b for _, b in arcs], dtype=np.int64)
+    keys = np.unique(np.minimum(s, d) * n + np.maximum(s, d))
+    lo, hi = keys // n, keys % n
+    kf = set(a * n + b for a, b in arcs)
+    fw = np.array([int(a) * n + int(b) in kf for a, b in zip(lo, hi)])
+    rv = np.array([int(b) * n + int(a) in kf for a, b in zip(lo, hi)])
+    code = np.where(fw & rv, 3, np.where(fw, 1, 2)).astype(np.int64)
+    verts = np.unique(np.concatenate([lo, hi]))
+    N = len(verts)
+    cl, ch = np.searchsorted(verts, lo), np.searchsorted(verts, hi)
+    m_v = np.bincount(cl[code == 3], minlength=N) \
+        + np.bincount(ch[code == 3], minlength=N)
+    i_v = np.bincount(cl[code == 2], minlength=N) \
+        + np.bincount(ch[code == 1], minlength=N)
+    o_v = np.bincount(cl[code == 1], minlength=N) \
+        + np.bincount(ch[code == 2], minlength=N)
+    W = {"021D": int((o_v * (o_v - 1) // 2).sum()),
+         "021U": int((i_v * (i_v - 1) // 2).sum()),
+         "021C": int((i_v * o_v).sum()),
+         "111D": int((m_v * i_v).sum()),
+         "111U": int((m_v * o_v).sum()),
+         "201": int((m_v * (m_v - 1) // 2).sum())}
+    l3, wd = triad_triangle_census(lo, hi, code, n=n, P=4)
+    sup = edge_supports(cl, ch, N, P=4)
+    dL = m_v + i_v + o_v
+    nulls = (N - 2) - (dL[cl] - 1) - (dL[ch] - 1) + sup
+    out = {lab: int(l3[k]) for k, lab in enumerate(TRIAD_L3_LABELS)}
+    for k, lab in enumerate(TRIAD_WEDGE_LABELS):
+        out[lab] = W[lab] - int(wd[k])
+    out["012"] = int(nulls[code != 3].sum())
+    out["102"] = int(nulls[code == 3].sum())
+    out["003"] = N * (N - 1) * (N - 2) // 6 - sum(out.values())
+    return out
+
+
+def test_triad_census_matches_bruteforce():
+    rng = np.random.default_rng(23)
+    for m in (25, 80, 160):
+        n = 28
+        arcs = sorted({(int(a), int(b)) for a, b in
+                       zip(rng.integers(0, n, m),
+                           rng.integers(0, n, m)) if a != b})
+        verts = sorted({v for e in arcs for v in e})
+        want = _brute_triads(arcs, verts)
+        got = _engine_triads(arcs, n)
+        assert got == want
+
+
+def test_triad_census_closed_forms():
+    # directed 3-cycle -> one 030C; transitive triple -> one 030T;
+    # full mutual triangle -> one 300
+    assert _engine_triads([(0, 1), (1, 2), (2, 0)], 3)["030C"] == 1
+    assert _engine_triads([(0, 1), (1, 2), (0, 2)], 3)["030T"] == 1
+    full = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    got = _engine_triads(full, 3)
+    assert got["300"] == 1 and sum(got.values()) == 1
