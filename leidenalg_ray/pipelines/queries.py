@@ -8844,6 +8844,165 @@ FROM s, v
 """
 
 
+def _co_brand_pair_counts(sf_dir):
+    """(B, B) int64 brand-pair endpoint counts over the deduped
+    DIRECTED co edge set (blocks hold both directions, so each
+    undirected edge contributes one count per orientation — exactly
+    the doubled mixing-matrix convention nominal assortativity uses).
+    One per-block bincount task per partition, B*B integers to the
+    driver, brand LUT broadcast once."""
+    import ray as _ray
+    g = _co_distgraph(sf_dir)
+    brands, lut = _brand_codes(sf_dir)
+    B = len(brands)
+    P = g.P
+    lut_ref = _ray.put(lut)
+
+    @_ray.remote
+    def counts(block, lut_, p):
+        src_g = block["src_local"] * P + p
+        dst_g = block["dst_local"] * P + block["dst_part"]
+        key = lut_[src_g] * B + lut_[dst_g]
+        return np.bincount(key, minlength=B * B).astype(np.int64)
+
+    parts = _ray.get([counts.remote(g.blocks[p], lut_ref, p)
+                      for p in range(P)])
+    return brands, sum(parts).reshape(B, B)
+
+
+def q_assortativity_nominal_co(sf_dir):
+    """Nominal (categorical) assortativity of the co graph by part
+    brand — igraph ``assortativity_nominal`` parity: r = (sum_i e_ii
+    - sum_i a_i^2) / (1 - sum_i a_i^2) over the edge-endpoint mixing
+    matrix. Computed from all-integer brand-pair counts (per-block
+    bincounts, B^2 driver state) with ONE final float division:
+    r = (T*same - sum_A^2) / (T^2 - sum_A^2)."""
+    _, E = _co_brand_pair_counts(sf_dir)
+    T = int(E.sum())
+    same = int(np.trace(E))
+    a = E.sum(axis=1)
+    sa2 = int((a.astype(object) ** 2).sum())
+    r = (T * same - sa2) / (T * T - sa2)
+    return pa.table({
+        "r_nominal": pa.array(round6(np.array([r]))),
+        "n_endpoints": pa.array([T], pa.int64()),
+        "same_brand": pa.array([same], pa.int64()),
+    })
+
+
+SQL_ASSORT_NOMINAL_CO = f"""
+WITH {_SQL_CO_PAIRS},
+dd AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+m AS (SELECT pa.p_brand AS ba, pb.p_brand AS bb, count(*) AS c
+      FROM dd JOIN part pa ON pa.p_partkey = dd.a
+              JOIN part pb ON pb.p_partkey = dd.b
+      GROUP BY 1, 2),
+t AS (SELECT sum(c) AS T,
+             sum(CASE WHEN ba = bb THEN c ELSE 0 END) AS same FROM m),
+arow AS (SELECT ba, sum(c) AS av FROM m GROUP BY 1),
+s AS (SELECT sum(av * av) AS sa2 FROM arow)
+SELECT round((t.T * t.same - s.sa2) * 1.0
+             / (t.T * t.T - s.sa2), 6) AS r_nominal,
+       CAST(t.T AS BIGINT) AS n_endpoints,
+       CAST(t.same AS BIGINT) AS same_brand
+FROM t, s
+"""
+
+
+def q_crossing_brand_co(sf_dir):
+    """Per-edge community-crossing flags (igraph
+    ``VertexClustering.crossing`` parity) for the co graph under the
+    brand partition: one row per undirected co edge with crossing = 1
+    iff its endpoints carry different brands. Per-block vectorised
+    relabel against the broadcast LUT; each block emits only its
+    src<dst orientation so every edge appears exactly once."""
+    import ray as _ray
+    g = _co_distgraph(sf_dir)
+    _, lut = _brand_codes(sf_dir)
+    P = g.P
+    lut_ref = _ray.put(lut)
+
+    @_ray.remote
+    def edges(block, lut_, p):
+        src_g = block["src_local"] * P + p
+        dst_g = block["dst_local"] * P + block["dst_part"]
+        m = src_g < dst_g
+        s, d = src_g[m], dst_g[m]
+        return s, d, (lut_[s] != lut_[d]).astype(np.int64)
+
+    parts = _ray.get([edges.remote(g.blocks[p], lut_ref, p)
+                      for p in range(P)])
+    return pa.table({
+        "a": pa.array(np.concatenate([p[0] for p in parts])),
+        "b": pa.array(np.concatenate([p[1] for p in parts])),
+        "crossing": pa.array(np.concatenate([p[2] for p in parts])),
+    })
+
+
+SQL_CROSSING_BRAND_CO = f"""
+WITH {_SQL_CO_PAIRS}
+SELECT e0.a, e0.b,
+       CAST(CASE WHEN pa.p_brand <> pb.p_brand THEN 1 ELSE 0 END
+            AS BIGINT) AS crossing
+FROM e0 JOIN part pa ON pa.p_partkey = e0.a
+        JOIN part pb ON pb.p_partkey = e0.b
+"""
+
+
+SAMPLE_PER_USER_K = 3
+
+
+def q_events_sample_per_user(sf_dir):
+    """Deterministic per-group reservoir sample: for every user keep
+    the K=3 events with the smallest md5(event_id) — the
+    hash-as-priority form of uniform-without-replacement group
+    sampling that needs no RNG state and is reproducible across
+    engines and reruns. Per-batch pre-prune (<= K rows per user leave
+    each batch) then ONE user shuffle and a vectorised per-group
+    selection."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        h = tx.hash_tokens(eid.astype(str)).astype(np.uint64)
+        order = np.lexsort((h, uid))
+        uid_s, eid_s, h_s = uid[order], eid[order], h[order]
+        starts = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        grp = np.cumsum(starts) - 1
+        first = np.flatnonzero(starts)
+        rank = np.arange(len(uid_s)) - first[grp]
+        keep = rank < SAMPLE_PER_USER_K
+        return pa.table({"user_id": pa.array(uid_s[keep]),
+                         "event_id": pa.array(eid_s[keep])})
+
+    pruned = ev.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy()
+        h = tx.hash_tokens(eid.astype(str)).astype(np.uint64)
+        top = np.argsort(h)[:SAMPLE_PER_USER_K]
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy()[top],
+                             "event_id": eid[top]})
+
+    return pruned.groupby("user_id").map_groups(
+        select, batch_format="pandas")
+
+
+SQL_EVENTS_SAMPLE_PER_USER = f"""
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                    1, 16))::UBIGINT) AS rn
+  FROM events)
+WHERE rn <= {SAMPLE_PER_USER_K}
+"""
+
+
 TRIAD_LABELS = ("003", "012", "102", "021D", "021U", "021C", "111D",
                 "111U", "030T", "030C", "201", "120D", "120U", "120C",
                 "210", "300")
@@ -9452,6 +9611,9 @@ QUERIES = {
     "doc_gopher_rules": q_doc_gopher_rules,
     "ann_pq": q_ann_pq,
     "triad_census_co": q_triad_census_co,
+    "assortativity_nominal_co": q_assortativity_nominal_co,
+    "crossing_brand_co": q_crossing_brand_co,
+    "events_sample_per_user": q_events_sample_per_user,
 }
 
 ORACLE_SQL = {
@@ -9640,4 +9802,7 @@ ORACLE_SQL = {
     "doc_gopher_rules": SQL_DOC_GOPHER_RULES,
     "ann_pq": SQL_ANN_PQ,
     "triad_census_co": SQL_TRIAD_CENSUS_CO,
+    "assortativity_nominal_co": SQL_ASSORT_NOMINAL_CO,
+    "crossing_brand_co": SQL_CROSSING_BRAND_CO,
+    "events_sample_per_user": SQL_EVENTS_SAMPLE_PER_USER,
 }

@@ -515,3 +515,37 @@ def test_ann_pq_self_distance_is_reconstruction_error(ray_session):
     assert len(self_rows) == Q.PQ_NQ
     assert (self_rows["adist"] == 0).all()
     assert (self_rows["rank"] == 1).all()
+
+
+# ----------------------------------------------------------------------
+# nominal assortativity / crossing / per-group reservoir sample
+# ----------------------------------------------------------------------
+def test_assortativity_nominal_bounds_and_consistency(ray_session):
+    df = _df(Q.QUERIES["assortativity_nominal_co"](SF))
+    assert -1.0 <= df["r_nominal"].iloc[0] <= 1.0
+    cross = _df(Q.QUERIES["crossing_brand_co"](SF))
+    # endpoint count = 2x undirected edges; same-brand endpoints =
+    # 2x non-crossing edges
+    assert df["n_endpoints"].iloc[0] == 2 * len(cross)
+    assert df["same_brand"].iloc[0] == 2 * int(
+        (cross["crossing"] == 0).sum())
+
+
+def test_events_sample_per_user_is_deterministic_subset(ray_session):
+    df = _df(Q.QUERIES["events_sample_per_user"](SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_id"])
+    assert (df.groupby("user_id").size() <= Q.SAMPLE_PER_USER_K).all()
+    # every (user, event) pair exists in the source, and users with
+    # <= K events keep all of them
+    src = set(map(tuple, ev.to_numpy()))
+    assert all((u, e) in src for u, e in df.to_numpy())
+    sizes = ev.groupby("user_id").size()
+    got = df.groupby("user_id").size()
+    small = sizes[sizes <= Q.SAMPLE_PER_USER_K]
+    assert (got.reindex(small.index).fillna(0) == small).all()
+    # rerun is bit-identical (hash priorities, no RNG)
+    df2 = _df(Q.QUERIES["events_sample_per_user"](SF))
+    a = df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    b = df2.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert a.equals(b)
