@@ -8047,6 +8047,73 @@ FROM c ORDER BY n_common DESC, u, v LIMIT {COCITE_TOPK}
 
 
 # ----------------------------------------------------------------------
+# bipartite butterfly (4-cycle) census over the part->supplier graph
+# ----------------------------------------------------------------------
+BUTTERFLY_DEG_CAP = 64
+
+
+def q_butterflies_ps(sf_dir):
+    """Bipartite butterfly census (Sanei-Mehri et al., KDD 2018 — the
+    bipartite analogue of triangle counting; igraph users get it via
+    ``motifs``): butterflies = #4-cycles = sum over supplier pairs of
+    C(common_parts, 2), caterpillars = #length-3 paths = sum over
+    distinct edges of (deg_part-1)*(deg_supp-1), and the
+    Robins–Alexander bipartite clustering coefficient 4*B/C.
+
+    Butterfly pairs ride the same block-resident per-source pair
+    kernel as cocitation (a part's supplier set lives in ONE CSR
+    block, so pair-count partials need no shuffle; sources above
+    BUTTERFLY_DEG_CAP are skipped, identically filtered in the
+    oracle). Caterpillars reduce shard-side: one scalar per block from
+    the resident out-degrees plus the cached in-degree shards."""
+    import ray
+    g = _ps_distgraph(sf_dir, symmetric=False)
+    _, _, c, _ = _neighbor_pair_counts(g, BUTTERFLY_DEG_CAP)
+    n_butterflies = int((c * (c - 1) // 2).sum())
+    ind = g.in_degree_shards()
+
+    @ray.remote
+    def cat_partial(block, outd, *ind_shards):
+        ds = outd[block["src_local"]]          # edges sorted by dst_part
+        off = block["dst_offsets"]
+        tot = 0
+        for q, shard in enumerate(ind_shards):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            dd = shard[block["dst_local"][sl]]
+            tot += int(((ds[sl] - 1) * (dd - 1)).sum())
+        return tot
+
+    n_cat = int(sum(ray.get(
+        [cat_partial.remote(g.blocks[p], g.out_deg[p], *ind)
+         for p in range(g.P)])))
+    bcc = 4.0 * n_butterflies / n_cat if n_cat else 0.0
+    return pa.table({
+        "n_butterflies": pa.array([n_butterflies], pa.int64()),
+        "n_caterpillars": pa.array([n_cat], pa.int64()),
+        "bipartite_cc": pa.array(round6([bcc])),
+    })
+
+
+SQL_BUTTERFLIES_PS = f"""
+WITH e AS (SELECT DISTINCT l_partkey AS a, l_suppkey AS b FROM lineitem),
+dga AS (SELECT a, count(*) AS k FROM e GROUP BY 1),
+dgb AS (SELECT b, count(*) AS k FROM e GROUP BY 1),
+el AS (SELECT e.a, e.b FROM e JOIN dga ON dga.a = e.a
+       WHERE dga.k BETWEEN 2 AND {BUTTERFLY_DEG_CAP}),
+p AS (SELECT x.b AS u, y.b AS v, count(*) AS m FROM el x JOIN el y
+      ON x.a = y.a AND x.b < y.b GROUP BY 1, 2),
+bf AS (SELECT COALESCE(sum(m * (m - 1) // 2), 0) AS nb FROM p),
+cat AS (SELECT COALESCE(sum((dga.k - 1) * (dgb.k - 1)), 0) AS nc
+        FROM e JOIN dga ON dga.a = e.a JOIN dgb ON dgb.b = e.b)
+SELECT CAST(bf.nb AS BIGINT) AS n_butterflies,
+       CAST(cat.nc AS BIGINT) AS n_caterpillars,
+       round(CASE WHEN cat.nc = 0 THEN 0.0
+                  ELSE 4.0 * bf.nb / cat.nc END, 6) AS bipartite_cc
+FROM bf, cat
+"""
+
+
+# ----------------------------------------------------------------------
 # per-source boilerplate detection (template n-grams shared across a
 # source's documents — the web-pipeline "same-site template" signal)
 # ----------------------------------------------------------------------
@@ -9594,6 +9661,7 @@ QUERIES = {
     "redirect_resolve_planted": q_redirect_resolve_planted,
     "cocitation_items": q_cocitation_items,
     "bibcoupling_items": q_bibcoupling_items,
+    "butterflies_ps": q_butterflies_ps,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
     "source_mix_weights": q_source_mix_weights,
@@ -9786,6 +9854,7 @@ ORACLE_SQL = {
     "partition_compare": SQL_PARTITION_COMPARE,
     "cocitation_items": SQL_COCITATION_ITEMS,
     "bibcoupling_items": SQL_BIBCOUPLING_ITEMS,
+    "butterflies_ps": SQL_BUTTERFLIES_PS,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,

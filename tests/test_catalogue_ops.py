@@ -549,3 +549,42 @@ def test_events_sample_per_user_is_deterministic_subset(ray_session):
     a = df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
     b = df2.sort_values(["user_id", "event_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+# ----------------------------------------------------------------------
+# bipartite butterflies
+# ----------------------------------------------------------------------
+def test_butterflies_side_symmetry_and_bruteforce(ray_session):
+    """4-cycles counted from the part side must equal the supplier
+    side (an independent route to the same total), and both must match
+    the distributed kernel's output."""
+    from collections import defaultdict
+
+    df = _df(Q.QUERIES["butterflies_ps"](SF))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    edges = set(map(tuple, li.to_numpy()))
+    by_part, by_supp = defaultdict(set), defaultdict(set)
+    for p, s in edges:
+        by_part[p].add(s)
+        by_supp[s].add(p)
+
+    def butterflies(nbr):
+        pair = defaultdict(int)
+        for _, ns in nbr.items():
+            nb = sorted(ns)
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    pair[(nb[i], nb[j])] += 1
+        return sum(c * (c - 1) // 2 for c in pair.values())
+
+    b_from_parts = butterflies(by_part)     # pairs of suppliers
+    b_from_supps = butterflies(by_supp)     # pairs of parts
+    assert b_from_parts == b_from_supps
+    assert int(df["n_butterflies"].iloc[0]) == b_from_parts
+    cat = sum((len(by_part[p]) - 1) * (len(by_supp[s]) - 1)
+              for p, s in edges)
+    assert int(df["n_caterpillars"].iloc[0]) == cat
+    if cat:
+        assert abs(df["bipartite_cc"].iloc[0]
+                   - round(4.0 * b_from_parts / cat, 6)) < 1e-12
