@@ -2943,6 +2943,63 @@ WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
 """
 
 
+SEMDEDUP_K = 16
+SEMDEDUP_TAU = 0.4
+
+
+def q_semdedup(sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup bucketed by
+    nearest-centroid cluster — the pairwise pass is bounded by the
+    cluster, never the corpus. Deterministic centroids (the first
+    SEMDEDUP_K vectors by vec_id, the ``ann_ivf_fixed`` convention) so
+    the DuckDB oracle replicates assignment, the per-cluster similar
+    pairs and the keep-lowest-centroid-cosine election exactly."""
+    emb = _emb(sf_dir)
+    head = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .filter(expr=f"vec_id < {SEMDEDUP_K}").to_pandas() \
+        .sort_values("vec_id")
+    cent = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in head["embedding"]])
+    return dd.semdedup(emb, cent, tau=SEMDEDUP_TAU)
+
+
+SQL_SEMDEDUP = f"""
+WITH cent AS (
+  SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+),
+a AS (  -- every vector -> nearest centroid (ties: lowest c)
+  SELECT vec_id, c AS bucket, ccos FROM (
+    SELECT e.vec_id, cent.c,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  cent.cv) AS ccos,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), cent.cv) DESC, cent.c)
+             AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+rm AS (  -- removed: a same-cluster member >= tau wins the keep rule
+  SELECT DISTINCT x.vec_id
+  FROM a x JOIN a y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                               CAST(ey.embedding AS DOUBLE[]))
+          >= {SEMDEDUP_TAU}
+    AND (y.ccos < x.ccos
+         OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id, a.bucket, round(a.ccos, 6) AS ccos,
+       CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM a LEFT JOIN rm ON rm.vec_id = a.vec_id
+"""
+
+
 def q_ann_topk(sf_dir):
     """Brute-force cosine top-10 for the first 5 vectors as queries."""
     emb = _emb(sf_dir)
@@ -9662,6 +9719,7 @@ QUERIES = {
     "cocitation_items": q_cocitation_items,
     "bibcoupling_items": q_bibcoupling_items,
     "butterflies_ps": q_butterflies_ps,
+    "semdedup": q_semdedup,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
     "source_mix_weights": q_source_mix_weights,
@@ -9855,6 +9913,7 @@ ORACLE_SQL = {
     "cocitation_items": SQL_COCITATION_ITEMS,
     "bibcoupling_items": SQL_BIBCOUPLING_ITEMS,
     "butterflies_ps": SQL_BUTTERFLIES_PS,
+    "semdedup": SQL_SEMDEDUP,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,

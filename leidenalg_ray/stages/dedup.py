@@ -581,3 +581,71 @@ def dedup_cluster(docs_ds, threshold=0.8, n=None, P=4, **kwargs):
     vids = np.flatnonzero(g.active_global()).astype(np.int64)
     return pa.table({"doc_id": pa.array(vids),
                      "rep_doc_id": pa.array(comp[vids].astype(np.int64))})
+
+
+# ----------------------------------------------------------------------
+# SemDeDup — cluster-bucketed semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540)
+# ----------------------------------------------------------------------
+def semdedup(emb_ds, centroids, tau=0.4):
+    """SemDeDup: assign every vector to its nearest centroid (cosine,
+    ties -> lowest centroid index), then WITHIN each cluster mark a
+    vector as a semantic duplicate if some other member has cosine >=
+    ``tau`` to it and wins the keep rule. Keep rule is the paper's:
+    among mutually-similar members keep the one with the LOWEST
+    cosine to the cluster centroid (ties -> lowest vec_id) — the
+    farthest-from-centroid member carries the most marginal
+    information (arXiv:2303.09540 §3).
+
+    Scale shape: the pairwise pass is bounded by the CLUSTER, never
+    the corpus — assignment is a shuffle-free map_batches against the
+    broadcast centroid matrix, and the per-cluster verify is one
+    groupby over the cluster key (exactly the LSH-bucket plan of
+    ``embedding_cosine_pairs``, with learned buckets instead of random
+    hyperplanes).
+
+    Returns (vec_id, bucket, ccos, keep) for every vector.
+    """
+    cm = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0] = 1.0
+    cm = cm / cn[:, None]
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        vec = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in t["embedding"].to_pylist()])
+        norm = np.linalg.norm(vec, axis=1)
+        norm[norm == 0] = 1.0
+        unit = vec / norm[:, None]
+        sim = unit @ cm.T
+        b = np.argmax(sim, axis=1)         # first max == lowest index
+        ccos = sim[np.arange(len(ids)), b]
+        return pa.table({
+            "bucket": pa.array(b.astype(np.int64)),
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "ccos": pa.array(ccos),
+            "unit": pa.array(list(unit)),
+        })
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        ccos = t["ccos"].to_numpy(zero_copy_only=False)
+        unit = np.stack([np.asarray(u, dtype=np.float64)
+                         for u in t["unit"].to_pylist()])
+        sim = unit @ unit.T
+        np.fill_diagonal(sim, -np.inf)
+        wins = (ccos[None, :] < ccos[:, None]) | (
+            (ccos[None, :] == ccos[:, None]) & (ids[None, :] < ids[:, None]))
+        removed = ((sim >= tau) & wins).any(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "bucket": pc.cast(t["bucket"], pa.int64()),
+            "ccos": pa.array(round6(ccos)),
+            "keep": pa.array((~removed).astype(np.int64)),
+        })
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return assigned.groupby("bucket").map_groups(verify,
+                                                 batch_format="pyarrow")

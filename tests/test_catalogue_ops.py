@@ -588,3 +588,35 @@ def test_butterflies_side_symmetry_and_bruteforce(ray_session):
     if cat:
         assert abs(df["bipartite_cc"].iloc[0]
                    - round(4.0 * b_from_parts / cat, 6)) < 1e-12
+
+
+# ----------------------------------------------------------------------
+# SemDeDup
+# ----------------------------------------------------------------------
+def test_semdedup_matches_bruteforce(ray_session):
+    df = _df(Q.QUERIES["semdedup"](SF)).sort_values("vec_id") \
+        .reset_index(drop=True)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .sort_values("vec_id").reset_index(drop=True)
+    X = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = U[emb["vec_id"].to_numpy() < Q.SEMDEDUP_K]
+    sim_c = U @ C.T
+    b = np.argmax(sim_c, axis=1)
+    ccos = sim_c[np.arange(len(U)), b]
+    ids = emb["vec_id"].to_numpy()
+    keep = np.ones(len(ids), dtype=np.int64)
+    for i in range(len(ids)):
+        same = np.flatnonzero((b == b[i]) & (ids != ids[i]))
+        s = U[same] @ U[i]
+        wins = (ccos[same] < ccos[i]) | ((ccos[same] == ccos[i])
+                                         & (ids[same] < ids[i]))
+        if ((s >= Q.SEMDEDUP_TAU) & wins).any():
+            keep[i] = 0
+    assert (df["vec_id"].to_numpy() == ids).all()
+    assert (df["bucket"].to_numpy() == b).all()
+    assert (df["keep"].to_numpy() == keep).all()
+    # the per-cluster lowest-centroid-cosine member is always kept
+    low = df.sort_values(["ccos", "vec_id"]).groupby("bucket").head(1)
+    assert (low["keep"] == 1).all()
