@@ -2943,6 +2943,132 @@ WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
 """
 
 
+CENTROID_DIMS = 4
+CENTROID_Q = 1 << 20
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DIM = 64
+
+
+def q_kmeans_fixed(sf_dir):
+    """Distributed Lloyd k-means, fixed KMEANS_ITERS=2 rounds — the
+    SQL-verifiable twin of the iterative k-means behind ``ann_ivf``
+    (same convention as ``ann_ivf_fixed``: deterministic anchors =
+    first KMEANS_K vectors, cosine assignment with ties to the lowest
+    centroid id). Each round is ONE shuffle-free map_batches pass:
+    per-batch assignment against the broadcast centroid matrix plus
+    fixed-point-quantised per-(cluster, dim) integer partials
+    (round(x * 2^20), the ``embed_centroids`` trick) so the
+    distributed mean is order-independent; the driver merges only
+    K x (D+1) scalars per batch. Mean update mu_j = (sum_q / 2^20) / n
+    is written identically in the oracle, so the round-2 assignment
+    sees bit-identical centroids on both engines."""
+    head = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .filter(expr=f"vec_id < {KMEANS_K}").to_pandas() \
+        .sort_values("vec_id")
+    cm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in head["embedding"]])
+    labels = head["vec_id"].to_numpy().astype(np.int64)
+
+    def one_round(cm, labels):
+        cn = np.linalg.norm(cm, axis=1)
+        cn[cn == 0] = 1.0
+        cmn = cm / cn[:, None]
+
+        def partial(t: pa.Table) -> pa.Table:
+            vec = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in t["embedding"].to_pylist()])
+            norm = np.linalg.norm(vec, axis=1)
+            norm[norm == 0] = 1.0
+            b = np.argmax((vec / norm[:, None]) @ cmn.T, axis=1)
+            qz = np.floor(vec * CENTROID_Q + 0.5).astype(np.int64)
+            ub, inv = np.unique(b, return_inverse=True)
+            n = np.zeros(len(ub), np.int64)
+            np.add.at(n, inv, 1)
+            s = np.zeros((len(ub), vec.shape[1]), np.int64)
+            np.add.at(s, inv, qz)
+            cols = {"bucket": pa.array(labels[ub]), "n": pa.array(n)}
+            for j in range(vec.shape[1]):
+                cols[f"s{j}"] = pa.array(s[:, j])
+            return pa.table(cols)
+
+        parts = _emb(sf_dir).map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).to_pandas()
+        agg = parts.groupby("bucket", sort=True).sum()
+        n = agg["n"].to_numpy().astype(np.float64)
+        s = agg[[f"s{j}" for j in range(KMEANS_DIM)]].to_numpy() \
+            .astype(np.float64)
+        new_cm = (s / CENTROID_Q) / n[:, None]
+        return new_cm, agg.index.to_numpy().astype(np.int64), \
+            agg["n"].to_numpy().astype(np.int64)
+
+    for _ in range(KMEANS_ITERS):
+        cm, labels, sizes = one_round(cm, labels)
+
+    out = {"bucket": pa.array(labels), "n": pa.array(sizes)}
+    for j in range(CENTROID_DIMS):
+        out[f"c{j}"] = pa.array(round6(cm[:, j]))
+    return pa.table(out)
+
+
+SQL_KMEANS_FIXED = f"""
+WITH dims AS (SELECT j FROM range({KMEANS_DIM}) t(j)),
+cent0 AS (
+  SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+a1 AS (
+  SELECT vec_id, c AS bucket FROM (
+    SELECT e.vec_id, cent0.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), cent0.cv) DESC, cent0.c)
+             AS rn
+    FROM embeddings e CROSS JOIN cent0
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT a1.bucket, dims.j,
+         (sum(CAST(floor(e.embedding[dims.j + 1] * {CENTROID_Q} + 0.5)
+                   AS BIGINT)) / {CENTROID_Q}.0) / count(*) AS mu
+  FROM a1 JOIN embeddings e USING (vec_id) CROSS JOIN dims
+  GROUP BY 1, 2
+),
+cent1 AS (
+  SELECT bucket AS c, list(mu ORDER BY j) AS cv FROM m1 GROUP BY 1
+),
+a2 AS (
+  SELECT vec_id, c AS bucket FROM (
+    SELECT e.vec_id, cent1.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), cent1.cv) DESC, cent1.c)
+             AS rn
+    FROM embeddings e CROSS JOIN cent1
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT a2.bucket, dims.j,
+         (sum(CAST(floor(e.embedding[dims.j + 1] * {CENTROID_Q} + 0.5)
+                   AS BIGINT)) / {CENTROID_Q}.0) / count(*) AS mu,
+         count(*) AS n
+  FROM a2 JOIN embeddings e USING (vec_id) CROSS JOIN dims
+  WHERE dims.j < {CENTROID_DIMS}
+  GROUP BY 1, 2
+)
+SELECT bucket, CAST(max(n) AS BIGINT) AS n,
+""" + ",\n".join(
+    f"       round(max(CASE WHEN j = {j} THEN mu END), 6) AS c{j}"
+    for j in range(4)) + """
+FROM m2 GROUP BY bucket
+"""
+
+
 SEMDEDUP_K = 16
 SEMDEDUP_TAU = 0.4
 
@@ -4915,8 +5041,6 @@ FROM events
 """
 
 
-CENTROID_DIMS = 4
-CENTROID_Q = 1 << 20
 
 
 def q_embed_centroids(sf_dir):
@@ -9720,6 +9844,7 @@ QUERIES = {
     "bibcoupling_items": q_bibcoupling_items,
     "butterflies_ps": q_butterflies_ps,
     "semdedup": q_semdedup,
+    "kmeans_fixed": q_kmeans_fixed,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
     "source_mix_weights": q_source_mix_weights,
@@ -9914,6 +10039,7 @@ ORACLE_SQL = {
     "bibcoupling_items": SQL_BIBCOUPLING_ITEMS,
     "butterflies_ps": SQL_BUTTERFLIES_PS,
     "semdedup": SQL_SEMDEDUP,
+    "kmeans_fixed": SQL_KMEANS_FIXED,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,

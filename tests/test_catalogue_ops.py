@@ -620,3 +620,33 @@ def test_semdedup_matches_bruteforce(ray_session):
     # the per-cluster lowest-centroid-cosine member is always kept
     low = df.sort_values(["ccos", "vec_id"]).groupby("bucket").head(1)
     assert (low["keep"] == 1).all()
+
+
+def test_kmeans_fixed_matches_serial_lloyd(ray_session):
+    """The distributed 2-round Lloyd must equal a serial numpy
+    replica (same quantised-mean update, same tie rule)."""
+    df = _df(Q.QUERIES["kmeans_fixed"](SF)).sort_values("bucket") \
+        .reset_index(drop=True)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .sort_values("vec_id").reset_index(drop=True)
+    X = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cm = X[emb["vec_id"].to_numpy() < Q.KMEANS_K]
+    labels = np.arange(Q.KMEANS_K, dtype=np.int64)
+    for _ in range(Q.KMEANS_ITERS):
+        cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        b = np.argmax(U @ cmn.T, axis=1)
+        qz = np.floor(X * Q.CENTROID_Q + 0.5).astype(np.int64)
+        ub = np.unique(b)
+        cm = np.stack([
+            (qz[b == i].sum(axis=0) / Q.CENTROID_Q) / (b == i).sum()
+            for i in ub])
+        sizes = np.array([(b == i).sum() for i in ub], np.int64)
+        labels = labels[ub]
+    assert (df["bucket"].to_numpy() == labels).all()
+    assert (df["n"].to_numpy() == sizes).all()
+    assert int(df["n"].sum()) == len(emb)
+    for j in range(Q.CENTROID_DIMS):
+        assert np.allclose(df[f"c{j}"].to_numpy(),
+                           np.round(cm[:, j], 6), atol=1e-12)
