@@ -2883,6 +2883,44 @@ WHERE CASE WHEN len(s1.shingles) = 0 AND len(s2.shingles) = 0 THEN 1.0
 """
 
 
+CONTAIN_TAU = 0.5
+
+
+def q_dedup_containment(sf_dir):
+    """Directed shingle containment |S_a ∩ S_b| / |S_a| >= tau
+    (Broder 1997's asymmetric resemblance): catches quotes and subset
+    documents that symmetric Jaccard dilutes away. All-pairs
+    oracle-verifiable form of the shared double-hash-join verify; at
+    scale the candidate side comes from ``minhash_candidates``."""
+    return dd.containment_all_pairs(_docs(sf_dir),
+                                    threshold=CONTAIN_TAU)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3 THEN
+              CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE [array_to_string(tk, ' ')] END
+         ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+                             for i in range(1, len(tk) - 1)])
+         END AS shingles
+  FROM toks
+)
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       round(CAST(len(list_intersect(s1.shingles, s2.shingles))
+                  AS DOUBLE) / len(s1.shingles), 6) AS containment
+FROM sh s1 JOIN sh s2 ON s1.doc_id <> s2.doc_id
+WHERE len(s1.shingles) > 0
+  AND CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+      / len(s1.shingles) >= {CONTAIN_TAU}
+"""
+
+
 def q_dedup_simhash(sf_dir):
     return dd.simhash_dedup(_docs(sf_dir), max_hamming=3)
 
@@ -9845,6 +9883,7 @@ QUERIES = {
     "butterflies_ps": q_butterflies_ps,
     "semdedup": q_semdedup,
     "kmeans_fixed": q_kmeans_fixed,
+    "dedup_containment": q_dedup_containment,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
     "source_mix_weights": q_source_mix_weights,
@@ -10040,6 +10079,7 @@ ORACLE_SQL = {
     "butterflies_ps": SQL_BUTTERFLIES_PS,
     "semdedup": SQL_SEMDEDUP,
     "kmeans_fixed": SQL_KMEANS_FIXED,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,

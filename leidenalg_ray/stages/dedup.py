@@ -649,3 +649,61 @@ def semdedup(emb_ds, centroids, tau=0.4):
                                   zero_copy_batch=True)
     return assigned.groupby("bucket").map_groups(verify,
                                                  batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# shingle containment (asymmetric near-dup: quote / subset detection)
+# ----------------------------------------------------------------------
+def containment_all_pairs(docs_ds, threshold=0.5, shingle_k=3,
+                          num_partitions=8):
+    """Directed containment pairs: containment(a -> b) =
+    |S_a ∩ S_b| / |S_a| — the fraction of a's shingles found in b
+    (Broder 1997's other resemblance measure; catches quotes and
+    subset documents that symmetric Jaccard misses because the union
+    denominator dilutes them). Docs with no shingles emit nothing.
+
+    Same distribution plan as ``jaccard_verify``: per-doc shingle
+    signatures computed exactly once, double hash-join onto the
+    unordered candidate pairs, each surviving direction emitted from
+    the verify kernel. This is the all-pairs oracle-verifiable form
+    (like ``jaccard_all_pairs``); at scale feed LSH candidates from
+    ``minhash_candidates`` through the same verify."""
+    import ray.data as rd
+    ids = np.sort(docs_ds.select_columns(["doc_id"]).to_pandas()
+                  ["doc_id"].to_numpy(np.int64))
+    ii, jj = np.triu_indices(len(ids), k=1)
+    pairs = rd.from_arrow(pa.table({"a": pa.array(ids[ii]),
+                                    "b": pa.array(ids[jj])}))
+    sigs = shingle_signatures(docs_ds, shingle_k)
+    left = sigs.map_batches(
+        lambda t: t.rename_columns(["a", "sh_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = sigs.map_batches(
+        lambda t: t.rename_columns(["b", "sh_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1 = pairs.join(left, "inner", num_partitions, on=("a",))
+    j2 = j1.join(right, "inner", num_partitions, on=("b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        from leidenalg_ray.util import round_half_away
+        src, dst, cont = [], [], []
+        sha = t["sh_a"].to_pylist()
+        shb = t["sh_b"].to_pylist()
+        for i, (x, y) in enumerate(zip(t["a"].to_pylist(),
+                                       t["b"].to_pylist())):
+            sx = np.frombuffer(sha[i], dtype=np.uint64)
+            sy = np.frombuffer(shb[i], dtype=np.uint64)
+            inter = len(np.intersect1d(sx, sy, assume_unique=True)) \
+                if len(sx) and len(sy) else 0
+            for (u, v, su) in ((x, y, sx), (y, x, sy)):
+                if len(su) == 0:
+                    continue
+                c = inter / len(su)
+                if c >= threshold:
+                    src.append(u)
+                    dst.append(v)
+                    cont.append(float(round_half_away(c, 6)))
+        return pa.table({"a": pa.array(src, pa.int64()),
+                         "b": pa.array(dst, pa.int64()),
+                         "containment": pa.array(cont, pa.float64())})
+    return j2.map_batches(verify, batch_format="pyarrow")

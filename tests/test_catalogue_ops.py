@@ -650,3 +650,25 @@ def test_kmeans_fixed_matches_serial_lloyd(ray_session):
     for j in range(Q.CENTROID_DIMS):
         assert np.allclose(df[f"c{j}"].to_numpy(),
                            np.round(cm[:, j], 6), atol=1e-12)
+
+
+def test_containment_asymmetry_and_relation_to_jaccard(ray_session):
+    """containment(a->b) >= jaccard(a,b) always; a doc fully inside
+    another has containment 1.0 regardless of the host's size."""
+    from leidenalg_ray.stages import dedup as dd
+    import ray.data as rd
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta "
+                              "eta theta iota kappa lam mu nu xi"},
+        {"doc_id": 2, "text": "unrelated words entirely different "
+                              "tokens here now"},
+    ])
+    df = _df(dd.containment_all_pairs(docs, threshold=0.9)) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    # doc 0's shingles are a strict subset of doc 1's
+    assert ((df["a"] == 0) & (df["b"] == 1)
+            & (df["containment"] == 1.0)).any()
+    # the reverse direction is diluted below 0.9 -> absent
+    assert not ((df["a"] == 1) & (df["b"] == 0)).any()
+    assert not (df["a"] == 2).any() and not (df["b"] == 2).any()
