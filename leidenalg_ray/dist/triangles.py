@@ -291,6 +291,72 @@ def triangle_count_fast(src, dst, n, P=16, per_vertex=False):
     return total, pv
 
 
+def k4_count_fast(src, dst, n, P=16):
+    """4-clique (K4) counting on the compact-forward DAG: orient by
+    (degree, vid) rank as in ``triangle_count_fast``; each K4 has a
+    unique minimum vertex u, and its other three members form a
+    TRIANGLE inside u's forward neighbourhood — so K4 = sum over u of
+    triangles in the induced subgraph G[N+(u)]. Per vertex that
+    subgraph's edges are exactly the closed wedge pairs the triangle
+    kernel already finds; its triangles come from one small dense
+    matmul (|N+(u)| = O(sqrt(2m)) by the orientation, the same bound
+    that kills hub blowup for triangles). Same broadcast envelope as
+    ``triangle_count_fast`` (sorted edge keys via ``ray.put``).
+
+    Returns (n_triangles, n_k4)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    nl = src != dst
+    a = np.minimum(src[nl], dst[nl])
+    b = np.maximum(src[nl], dst[nl])
+    keys = np.unique(a * np.int64(n) + b)
+    a = (keys // n).astype(np.int64)
+    b = (keys % n).astype(np.int64)
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    rank = np.lexsort((np.arange(n), deg))
+    pos = np.empty(n, dtype=np.int64)
+    pos[rank] = np.arange(n)
+    fsrc = np.where(pos[a] < pos[b], a, b)
+    fdst = np.where(pos[a] < pos[b], b, a)
+    order = np.argsort(fsrc, kind="stable")
+    fsrc, fdst = fsrc[order], fdst[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, fsrc + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    key_ref = ray.put(keys)
+    adj_ref = ray.put((indptr, fdst))
+
+    @ray.remote
+    def count_part(p):
+        indptr_, fdst_ = ray.get(adj_ref)
+        keys_ = ray.get(key_ref)
+        tri = 0
+        k4 = 0
+        for u in range(p, n, P):
+            nb = np.sort(fdst_[indptr_[u]:indptr_[u + 1]])
+            k = len(nb)
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            kk = nb[ii] * np.int64(n) + nb[jj]    # nb sorted: lo*n+hi
+            idx = np.searchsorted(keys_, kk).clip(0, len(keys_) - 1)
+            hit = keys_[idx] == kk
+            cnt = int(hit.sum())
+            tri += cnt
+            if cnt < 3 or k < 3:
+                continue
+            # triangles inside G[N+(u)]: one dense k x k matmul
+            A = np.zeros((k, k), dtype=np.int64)
+            A[ii[hit], jj[hit]] = 1
+            A |= A.T
+            M = A @ A
+            k4 += int(M[ii[hit], jj[hit]].sum()) // 3
+        return tri, k4
+
+    results = ray.get([count_part.remote(p) for p in range(P)])
+    return (sum(r[0] for r in results), sum(r[1] for r in results))
+
+
 # ----------------------------------------------------------------------
 # Directed triad census (igraph ``triad_census`` parity)
 # ----------------------------------------------------------------------

@@ -8924,6 +8924,41 @@ SELECT query_id, vec_id, cos, neg_label FROM ranked WHERE rn = 1
 # global transitivity, Dice similarity, graph summary (igraph
 # transitivity_undirected / similarity_dice / summary parity)
 # ----------------------------------------------------------------------
+
+def q_k4_cliques_co(sf_dir):
+    """4-clique (K4) census on the simple co graph — the next motif up
+    from triangles (graphlet counting / community-density diagnostic).
+    Compact-forward DAG: each K4's minimum-rank vertex sees the other
+    three as a triangle inside its forward neighbourhood, so the count
+    is one small dense matmul per vertex with |N+| = O(sqrt(2m))
+    (``dist/triangles.k4_count_fast``); same broadcast envelope as
+    ``triangle_count_fast``, partitioned variant swaps the closing
+    lookup exactly as triangles does."""
+    from ..dist.triangles import k4_count_fast
+    aa, bb, _ = tg.co_edge_arrays(sf_dir)
+    n = int(max(aa.max(), bb.max())) + 1
+    n_tri, n_k4 = k4_count_fast(aa, bb, n, P=16)
+    return pa.table({"n_triangles": pa.array([n_tri], pa.int64()),
+                     "n_k4": pa.array([n_k4], pa.int64())})
+
+
+SQL_K4_CLIQUES_CO = """
+WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey
+           GROUP BY 1, 2),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+          ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT count(*) FROM tri) AS n_triangles,
+       (SELECT count(*) FROM tri t
+          JOIN e x ON x.a = t.c
+          JOIN e y ON y.a = t.b AND y.b = x.b
+          JOIN e z ON z.a = t.a AND z.b = x.b) AS n_k4
+"""
+
+
 def q_transitivity_global_co(sf_dir):
     """Global transitivity (igraph ``transitivity_undirected``):
     3 * triangles / wedges on the simple co graph, wedges = sum over
@@ -9884,6 +9919,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "kmeans_fixed": q_kmeans_fixed,
     "dedup_containment": q_dedup_containment,
+    "k4_cliques_co": q_k4_cliques_co,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
     "source_mix_weights": q_source_mix_weights,
@@ -10080,6 +10116,7 @@ ORACLE_SQL = {
     "semdedup": SQL_SEMDEDUP,
     "kmeans_fixed": SQL_KMEANS_FIXED,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "k4_cliques_co": SQL_K4_CLIQUES_CO,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,

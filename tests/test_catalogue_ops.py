@@ -672,3 +672,28 @@ def test_containment_asymmetry_and_relation_to_jaccard(ray_session):
     # the reverse direction is diluted below 0.9 -> absent
     assert not ((df["a"] == 1) & (df["b"] == 0)).any()
     assert not (df["a"] == 2).any() and not (df["b"] == 2).any()
+
+
+def test_k4_count_closed_form_and_bruteforce(ray_session):
+    from itertools import combinations
+
+    from leidenalg_ray.dist.triangles import k4_count_fast
+
+    # two disjoint cliques: K6 (15 tri, 15 K4) + K4 (4 tri, 1 K4)
+    edges = [(u, v) for u, v in combinations(range(6), 2)]
+    edges += [(u + 6, v + 6) for u, v in combinations(range(4), 2)]
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    tri, k4 = k4_count_fast(src, dst, 10, P=4)
+    assert (tri, k4) == (20 + 4, 15 + 1)
+
+    # random graph vs brute force over all 4-subsets
+    rng = np.random.default_rng(3)
+    rs = rng.integers(0, 18, 160)
+    rdst = rng.integers(0, 18, 160)
+    es = {(min(a, b), max(a, b)) for a, b in zip(rs, rdst) if a != b}
+    brute = sum(1 for q in combinations(range(18), 4)
+                if all((min(x, y), max(x, y)) in es
+                       for x, y in combinations(q, 2)))
+    _, k4r = k4_count_fast(rs, rdst, 18, P=4)
+    assert k4r == brute
