@@ -6943,6 +6943,7 @@ FROM pairs p JOIN sz sa ON sa.event_type = p.ta
 SEG_LEN = 10
 
 
+
 def q_doc_segment_dedup(sf_dir):
     """Segment-level exact dedup ratio (the MassiveText/'Deduplicating
     Training Data' line-dedup op adapted to fixed 10-token chunks):
@@ -8433,6 +8434,91 @@ FROM c GROUP BY source
 # ----------------------------------------------------------------------
 # unigram-LM cross-entropy quality score (perplexity proxy)
 # ----------------------------------------------------------------------
+def q_doc_novelty(sf_dir):
+    """Per-document n-gram novelty (arrival order = doc_id): the
+    fraction of a doc's DISTINCT sliding trigrams whose corpus-wide
+    FIRST occurrence (min doc_id) is this doc — the freshness /
+    curriculum-ordering signal (a recrawl or boilerplate-heavy doc
+    scores near 0, genuinely new text near 1). Plan: per-doc-distinct
+    trigram explode, ONE gram groupby for min doc_id, one hash-join
+    back, per-doc count aggregates — no driver-side gram state."""
+    from ray.data.aggregate import Min as _Min
+    docs = _docs(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        import hashlib
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        f, p = flat[keep], par[keep]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_h = [], []
+        for row in (np.unique(p) if len(p) else []):
+            w = f[p == row]
+            assert len(w) <= 998 + BOILER_GRAM, \
+                "doc exceeds the SQL oracle's generate_series bound"
+            seen = set()
+            for k in range(len(w) - BOILER_GRAM + 1):
+                hh = hashlib.md5(
+                    " ".join(w[k:k + BOILER_GRAM]).encode()).hexdigest()
+                if hh not in seen:
+                    seen.add(hh)
+                    out_id.append(int(ids[int(row)]))
+                    out_h.append(hh)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "h": pa.array(out_h, pa.string())})
+
+    grams = docs.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    firsts = grams.groupby("h").aggregate(
+        _Min("doc_id", alias_name="first_doc"))
+    joined = grams.join(firsts, "inner", 8, on=("h",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        nov = pc.equal(t["doc_id"], t["first_doc"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "novel": pc.cast(nov, pa.int64()),
+        })
+
+    agg = joined.map_batches(flag, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("doc_id").aggregate(
+            Sum("one", alias_name="n_grams"),
+            Sum("novel", alias_name="n_novel")).to_pandas()
+    n_grams = agg["n_grams"].to_numpy(np.int64)
+    n_novel = agg["n_novel"].to_numpy(np.int64)
+    return pa.table({
+        "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+        "n_grams": pa.array(n_grams),
+        "n_novel": pa.array(n_novel),
+        "novelty": pa.array(round6(n_novel / n_grams)),
+    })
+
+
+SQL_DOC_NOVELTY = f"""
+WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(
+                 arr[(k + 1):(k + {BOILER_GRAM})], ' ')) AS h
+      FROM t, generate_series(0, 998) gs(k)
+      WHERE k <= len(arr) - {BOILER_GRAM}),
+f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / count(*), 6) AS novelty
+FROM g JOIN f USING (h) GROUP BY g.doc_id
+"""
+
+
 def q_doc_lm_xent(sf_dir):
     """Unigram-LM cross-entropy per document against the CORPUS
     unigram distribution — the perplexity-proxy quality score LLM
@@ -9920,6 +10006,7 @@ QUERIES = {
     "kmeans_fixed": q_kmeans_fixed,
     "dedup_containment": q_dedup_containment,
     "k4_cliques_co": q_k4_cliques_co,
+    "doc_novelty": q_doc_novelty,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
     "source_mix_weights": q_source_mix_weights,
@@ -10117,6 +10204,7 @@ ORACLE_SQL = {
     "kmeans_fixed": SQL_KMEANS_FIXED,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "k4_cliques_co": SQL_K4_CLIQUES_CO,
+    "doc_novelty": SQL_DOC_NOVELTY,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,

@@ -697,3 +697,20 @@ def test_k4_count_closed_form_and_bruteforce(ray_session):
                        for x, y in combinations(q, 2)))
     _, k4r = k4_count_fast(rs, rdst, 18, P=4)
     assert k4r == brute
+
+
+def test_doc_novelty_first_doc_and_duplicate(ray_session):
+    df = _df(Q.QUERIES["doc_novelty"](SF)).set_index("doc_id")
+    # the earliest doc's grams are all first occurrences by definition
+    assert df.loc[df.index.min(), "novelty"] == 1.0
+    assert (df["n_novel"] <= df["n_grams"]).all()
+    assert ((df["novelty"] >= 0) & (df["novelty"] <= 1)).all()
+    # novelty sums: every distinct gram is novel in exactly one doc
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import re
+    grams = set()
+    for t in docs["text"]:
+        w = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        grams |= {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    assert int(df["n_novel"].sum()) == len(grams)
