@@ -8519,6 +8519,123 @@ FROM g JOIN f USING (h) GROUP BY g.doc_id
 """
 
 
+
+def q_doc_strip_boilerplate(sf_dir):
+    """Boilerplate-segment REMOVAL with a verifiable rewrite (the
+    curation op that actually edits the corpus, not just flags it):
+    a non-overlapping SEG_LEN-token segment is template iff it occurs
+    in >= 2 distinct documents of the SAME source; the cleaned doc is
+    the k-ordered join of its kept segments (partial tail segments
+    are dropped by the segmenter on both engines). Output per doc:
+    n_segs, n_kept, md5 of the cleaned token stream — the rewrite is
+    pinned byte-for-byte, no floats anywhere. Plan: segment explode
+    (doc complete within its row), per-doc-distinct (source, seg)
+    groupby for doc counts, one hash-join back, per-doc ordered
+    reconstruct in a bounded map_groups."""
+    import hashlib
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        f, p = flat[keep], par[keep]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = t["source"].to_pylist()
+        out_id, out_src, out_k, out_seg = [], [], [], []
+        for row in (np.unique(p) if len(p) else []):
+            w = f[p == row]
+            assert len(w) // SEG_LEN <= 998, \
+                "doc exceeds the SQL oracle's generate_series bound"
+            for k in range(len(w) // SEG_LEN):
+                out_id.append(int(ids[int(row)]))
+                out_src.append(srcs[int(row)])
+                out_k.append(k)
+                out_seg.append(
+                    " ".join(w[k * SEG_LEN:(k + 1) * SEG_LEN]))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "source": pa.array(out_src, pa.string()),
+                         "k": pa.array(out_k, pa.int64()),
+                         "seg": pa.array(out_seg, pa.string())})
+
+    segs = docs.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def dedup_doc(t: pa.Table) -> pa.Table:
+        # per-doc-distinct rows for the doc-count groupby (a doc is
+        # complete within its batch row)
+        tt = pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                       "seg": t["seg"]})
+        return tt.group_by(["doc_id", "source", "seg"]).aggregate([])
+
+    nd = segs.map_batches(dedup_doc, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["source", "seg"]).aggregate(Count(alias_name="nd"))
+
+    # groupby aggregates emit ZERO-COLUMN empty blocks for dataless
+    # shuffle partitions; the hash join then crashes layout-dependently
+    # (CLAUDE.md gotcha) — rebuild the declared schema at the producer
+    def norm_nd(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "seg": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64())})
+        return t
+
+    nd = nd.map_batches(norm_nd, batch_format="pyarrow")
+    # map_batches passes schema-less empties through WITHOUT calling
+    # fn — repartition coalesces blocks so they vanish before the join
+    nd = nd.repartition(8)
+    joined = segs.join(nd, "inner", 8, on=("source", "seg"))
+    # the join itself emits schema-less empties too; repartition
+    # coalesces them away before the map_groups shuffle
+    joined = joined.repartition(8)
+
+    def reconstruct(t: pa.Table) -> pa.Table:
+        order = np.argsort(t["k"].to_numpy(zero_copy_only=False))
+        segs_ = np.asarray(t["seg"].to_pylist(), dtype=object)[order]
+        keep_ = (t["nd"].to_numpy(zero_copy_only=False) < 2)[order]
+        cleaned = " ".join(segs_[keep_])
+        return pa.table({
+            "doc_id": pa.array([int(t["doc_id"][0].as_py())],
+                               pa.int64()),
+            "n_segs": pa.array([t.num_rows], pa.int64()),
+            "n_kept": pa.array([int(keep_.sum())], pa.int64()),
+            "cleaned_md5": pa.array(
+                [hashlib.md5(cleaned.encode()).hexdigest()],
+                pa.string()),
+        })
+
+    return joined.groupby("doc_id").map_groups(
+        reconstruct, batch_format="pyarrow")
+
+
+SQL_DOC_STRIP_BOILERPLATE = f"""
+WITH t AS (SELECT doc_id, source, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+           FROM documents),
+s AS (SELECT doc_id, source, k,
+             array_to_string(
+                 arr[(k * {SEG_LEN} + 1):(k * {SEG_LEN} + {SEG_LEN})],
+                 ' ') AS seg
+      FROM t, generate_series(0, 998) gs(k)
+      WHERE k < len(arr) // {SEG_LEN}),
+c AS (SELECT source, seg, count(DISTINCT doc_id) AS nd
+      FROM s GROUP BY 1, 2)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN c.nd < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN c.nd < 2 THEN s.seg END,
+                               ' ' ORDER BY s.k), '')) AS cleaned_md5
+FROM s JOIN c USING (source, seg)
+GROUP BY s.doc_id
+"""
+
+
 def q_doc_lm_xent(sf_dir):
     """Unigram-LM cross-entropy per document against the CORPUS
     unigram distribution — the perplexity-proxy quality score LLM
@@ -10007,6 +10124,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "k4_cliques_co": q_k4_cliques_co,
     "doc_novelty": q_doc_novelty,
+    "doc_strip_boilerplate": q_doc_strip_boilerplate,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
     "source_mix_weights": q_source_mix_weights,
@@ -10205,6 +10323,7 @@ ORACLE_SQL = {
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "k4_cliques_co": SQL_K4_CLIQUES_CO,
     "doc_novelty": SQL_DOC_NOVELTY,
+    "doc_strip_boilerplate": SQL_DOC_STRIP_BOILERPLATE,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,

@@ -714,3 +714,37 @@ def test_doc_novelty_first_doc_and_duplicate(ray_session):
         w = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
         grams |= {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
     assert int(df["n_novel"].sum()) == len(grams)
+
+
+def test_strip_boilerplate_rewrite(ray_session, tmp_path):
+    """Planted template: two docs of one source share a 10-token
+    header segment; the cleaned stream drops it from both, and a
+    unique doc passes through byte-identically."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    hdr = " ".join(f"tpl{i}" for i in range(10))
+    body_a = " ".join(f"worda{i}" for i in range(10))
+    body_b = " ".join(f"wordb{i}" for i in range(10))
+    uniq = " ".join(f"solo{i}" for i in range(10))
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([f"{hdr} {body_a}", f"{hdr} {body_b}", uniq]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s0", "s0", "s0"]),
+        "n_chars": pa.array([1, 1, 1], pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    df = _df(Q.QUERIES["doc_strip_boilerplate"](str(d))) \
+        .set_index("doc_id")
+    assert df.loc[0, "n_segs"] == 2 and df.loc[0, "n_kept"] == 1
+    assert df.loc[0, "cleaned_md5"] == hashlib.md5(
+        body_a.encode()).hexdigest()
+    assert df.loc[1, "cleaned_md5"] == hashlib.md5(
+        body_b.encode()).hexdigest()
+    assert df.loc[2, "n_kept"] == 1
+    assert df.loc[2, "cleaned_md5"] == hashlib.md5(
+        uniq.encode()).hexdigest()
