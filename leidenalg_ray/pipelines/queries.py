@@ -9162,6 +9162,112 @@ SELECT (SELECT count(*) FROM tri) AS n_triangles,
 """
 
 
+
+CONSTRAINT_PQ = 1_000_000            # p_ij fixed point (1e-6)
+CONSTRAINT_TQ = 1_000_000_000        # term^2 fixed point (1e-9)
+
+
+def q_constraint_co(sf_dir):
+    """Burt's constraint (igraph ``constraint()`` parity, weighted):
+    c_i = sum_{j in N(i)} (p_ij + sum_{q in N(i), q != i,j} p_iq
+    p_qj)^2 with p_ij = w_ij / strength_i. Proportions are quantised
+    to 1e-6 fixed point so every two-hop product and sum is an exact
+    integer (order-independent across partitions); the squared term is
+    re-quantised to 1e-9 before the per-vertex sum, so both engines
+    evaluate the identical IEEE expressions (the ``doc_lm_xent``
+    fixed-point pattern). Two-hop partials run as P vid-stripe tasks
+    against the broadcast quantised CSR — the gate-scale form of the
+    worker-to-worker wedge shipping the partitioned triangle kernel
+    uses past node memory (quantisation keeps that exchange exact at
+    any P)."""
+    aa, bb, ww = tg.co_edge_arrays(sf_dir)
+    n = int(max(aa.max(), bb.max())) + 1
+    return _constraint_scores(aa, bb, ww, n)
+
+
+def _constraint_scores(aa, bb, ww, n, P=8):
+    """Quantised Burt-constraint kernel over undirected weighted
+    (a, b, w) edge arrays — see ``q_constraint_co``."""
+    import ray
+    i = np.concatenate([aa, bb])
+    j = np.concatenate([bb, aa])
+    w = np.concatenate([ww, ww]).astype(np.float64)
+    st = np.zeros(n)
+    np.add.at(st, i, w)
+    pq = np.floor(w / st[i] * CONSTRAINT_PQ + 0.5).astype(np.int64)
+    order = np.argsort(i, kind="stable")
+    i, j, pq = i[order], j[order], pq[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, i + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    csr_ref = ray.put((indptr, j, pq))
+
+    @ray.remote
+    def stripe(p, P):
+        indptr_, j_, pq_ = ray.get(csr_ref)
+        vids, cons = [], []
+        acc = np.zeros(n, dtype=np.int64)
+        for u in range(p, n, P):
+            lo, hi = int(indptr_[u]), int(indptr_[u + 1])
+            if lo == hi:
+                continue
+            nb, pu = j_[lo:hi], pq_[lo:hi]
+            # inner[j] = sum_q p_uq * p_qj over 2-paths u -> q -> j
+            segs = [(int(indptr_[q]), int(indptr_[q + 1]))
+                    for q in nb]
+            qj = np.concatenate([j_[a:b] for a, b in segs])
+            qv = np.concatenate(
+                [pq_[a:b] * pu[k] for k, (a, b) in enumerate(segs)])
+            np.add.at(acc, qj, qv)
+            t = pu * np.int64(CONSTRAINT_PQ) + acc[nb]
+            tf = t / 1e12
+            tq = np.floor(tf * tf * CONSTRAINT_TQ + 0.5) \
+                .astype(np.int64)
+            vids.append(u)
+            cons.append(int(tq.sum()))
+            acc[qj] = 0                     # sparse reset
+        return (np.asarray(vids, np.int64),
+                np.asarray(cons, np.int64))
+
+    res = ray.get([stripe.remote(p, P) for p in range(P)])
+    vid = np.concatenate([r[0] for r in res])
+    cs = np.concatenate([r[1] for r in res])
+    o = np.argsort(vid)
+    return pa.table({
+        "vid": pa.array(vid[o]),
+        "constraint_score": pa.array(round6(cs[o] / CONSTRAINT_TQ)),
+    })
+
+
+SQL_CONSTRAINT_CO = f"""
+WITH e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+                   count(*) AS weight
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2),
+ed AS (SELECT a AS i, b AS j, weight FROM e0
+       UNION ALL SELECT b, a, weight FROM e0),
+s AS (SELECT i, sum(weight) AS st FROM ed GROUP BY 1),
+p AS (SELECT ed.i, ed.j,
+             CAST(floor(ed.weight / s.st * {CONSTRAINT_PQ} + 0.5)
+                  AS BIGINT) AS pq
+      FROM ed JOIN s USING (i)),
+inn AS (SELECT p1.i, p2.j, sum(p1.pq * p2.pq) AS v
+        FROM p p1 JOIN p p2 ON p2.i = p1.j AND p2.j <> p1.i
+        GROUP BY 1, 2),
+t AS (SELECT p.i,
+             (p.pq * {CONSTRAINT_PQ} + COALESCE(inn.v, 0))
+               / 1000000000000.0 AS tf
+      FROM p LEFT JOIN inn ON inn.i = p.i AND inn.j = p.j)
+SELECT CAST(i AS BIGINT) AS vid,
+       round(sum(CAST(floor(tf * tf * {CONSTRAINT_TQ} + 0.5)
+                      AS BIGINT)) / {CONSTRAINT_TQ}.0, 6)
+         AS constraint_score
+FROM t GROUP BY i
+"""
+
+
 def q_transitivity_global_co(sf_dir):
     """Global transitivity (igraph ``transitivity_undirected``):
     3 * triangles / wedges on the simple co graph, wedges = sum over
@@ -10125,6 +10231,7 @@ QUERIES = {
     "k4_cliques_co": q_k4_cliques_co,
     "doc_novelty": q_doc_novelty,
     "doc_strip_boilerplate": q_doc_strip_boilerplate,
+    "constraint_co": q_constraint_co,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
     "source_mix_weights": q_source_mix_weights,
@@ -10324,6 +10431,7 @@ ORACLE_SQL = {
     "k4_cliques_co": SQL_K4_CLIQUES_CO,
     "doc_novelty": SQL_DOC_NOVELTY,
     "doc_strip_boilerplate": SQL_DOC_STRIP_BOILERPLATE,
+    "constraint_co": SQL_CONSTRAINT_CO,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,

@@ -748,3 +748,59 @@ def test_strip_boilerplate_rewrite(ray_session, tmp_path):
     assert df.loc[2, "n_kept"] == 1
     assert df.loc[2, "cleaned_md5"] == hashlib.md5(
         uniq.encode()).hexdigest()
+
+
+def test_constraint_closed_forms(ray_session):
+    """igraph constraint() parity: star center = 1/k, leaves = 1.0,
+    triangle vertices = 1.125 — the textbook closed forms."""
+    from leidenalg_ray.pipelines.queries import _constraint_scores
+
+    aa = np.zeros(4, np.int64)
+    bb = np.arange(1, 5, dtype=np.int64)
+    df = _df(_constraint_scores(aa, bb, np.ones(4), 5)) \
+        .set_index("vid")
+    assert df.loc[0, "constraint_score"] == 0.25
+    assert (df.loc[1:, "constraint_score"] == 1.0).all()
+
+    aa = np.array([0, 0, 1], np.int64)
+    bb = np.array([1, 2, 2], np.int64)
+    df = _df(_constraint_scores(aa, bb, np.ones(3), 3))
+    assert (df["constraint_score"] == 1.125).all()
+
+
+def test_constraint_matches_unquantised_reference(ray_session):
+    """Quantisation error stays under 1e-4 of the exact float formula
+    on a random weighted graph, at any partition count."""
+    from collections import defaultdict
+
+    from leidenalg_ray.pipelines.queries import _constraint_scores
+
+    rng = np.random.default_rng(11)
+    aa = rng.integers(0, 25, 80).astype(np.int64)
+    bb = rng.integers(0, 25, 80).astype(np.int64)
+    keep = aa != bb
+    aa, bb = np.minimum(aa, bb)[keep], np.maximum(aa, bb)[keep]
+    k = np.unique(aa * 25 + bb)
+    aa, bb = k // 25, k % 25
+    ww = rng.integers(1, 5, len(aa)).astype(np.float64)
+    adj = defaultdict(dict)
+    for x, y, w in zip(aa, bb, ww):
+        adj[x][y] = w
+        adj[y][x] = w
+    exact = {}
+    for u in adj:
+        s = sum(adj[u].values())
+        c = 0.0
+        for j in adj[u]:
+            t = adj[u][j] / s
+            for q in adj[u]:
+                if q != j and j in adj[q]:
+                    sq = sum(adj[q].values())
+                    t += (adj[u][q] / s) * (adj[q][j] / sq)
+            c += t * t
+        exact[u] = c
+    for P in (2, 8):
+        df = _df(_constraint_scores(aa, bb, ww, 25, P=P)) \
+            .set_index("vid")
+        for u, c in exact.items():
+            assert abs(df.loc[u, "constraint_score"] - c) < 1e-4
