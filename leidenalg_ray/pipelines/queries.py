@@ -1293,6 +1293,126 @@ SELECT CAST(v AS BIGINT) AS vid, lab AS wl FROM l2
 """
 
 
+WL_DRIFT_YEARS = (1995, 1996)
+
+
+def _co_edges_year(sf_dir, yr, num_partitions=16):
+    """Distinct co-occurrence pairs restricted to orders of one
+    calendar year (the crawl-slice analogue): one l_orderkey
+    hash-join attaches the year filter, then the same self-join +
+    per-batch pre-aggregation as ``co_edge_rows``."""
+    li = tg.read_lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    oy = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderdate"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.year(t["o_orderdate"]), yr)
+        return pa.table({"l_orderkey": t["o_orderkey"]}).filter(keep)
+
+    dated = li.join(oy.map_batches(pick, batch_format="pyarrow"),
+                    "inner", num_partitions, on=("l_orderkey",))
+    right = li.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "partkey_r"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = dated.join(right, "inner", num_partitions,
+                        on=("l_orderkey",))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["l_partkey"], t["partkey_r"])
+        tt = pa.table({"src": t["l_partkey"],
+                       "dst": t["partkey_r"]}).filter(keep)
+        out = tt.group_by(["src", "dst"]).aggregate([])
+        return pa.table({
+            "src": pc.cast(out["src"], pa.int64()),
+            "dst": pc.cast(out["dst"], pa.int64()),
+            "weight": pa.array(np.ones(out.num_rows)),
+        })
+
+    return joined.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_wl_drift_co(sf_dir, years=WL_DRIFT_YEARS, num_partitions=16):
+    """Structural drift between two temporal graph slices (the
+    monitoring op a long-running crawl pipeline needs: did this
+    week's link graph change SHAPE, not just size): run the same
+    1-WL refinement on the co graph of each slice year, histogram the
+    color fingerprints, and report the weighted Jaccard
+    sum(min)/sum(max) of the two histograms — 1.0 means structurally
+    indistinguishable slices. All-integer until the final ratio; the
+    color histogram is the only driver state (bounded by distinct
+    structural roles)."""
+    from ..dist.blocks import symmetrize_edges
+    n = int(rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"]).max("p_partkey")) + 1
+    hists = []
+    for yr in years:
+        g = DistGraph.from_dataset(
+            symmetrize_edges(_co_edges_year(sf_dir, yr,
+                                            num_partitions)), n=n, P=8,
+            directed=False, dedup=True)
+        lab, act = ss.wl_refinement(g, iters=WL_ITERS)
+        vals, cnts = np.unique(np.asarray(lab)[np.asarray(act)],
+                               return_counts=True)
+        hists.append(dict(zip(vals.tolist(), cnts.tolist())))
+    ha, hb = hists
+    allc = set(ha) | set(hb)
+    smin = sum(min(ha.get(c, 0), hb.get(c, 0)) for c in allc)
+    smax = sum(max(ha.get(c, 0), hb.get(c, 0)) for c in allc)
+    n_common = sum(1 for c in allc if c in ha and c in hb)
+    return pa.table({
+        "n_colors_a": pa.array([len(ha)], pa.int64()),
+        "n_colors_b": pa.array([len(hb)], pa.int64()),
+        "n_common": pa.array([n_common], pa.int64()),
+        "wl_jaccard": pa.array(round6([smin / smax if smax else 1.0])),
+    })
+
+
+def _wl_year_chain(tag, yr):
+    return f"""
+e0{tag} AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        AND year(o.o_orderdate) = {yr}
+       GROUP BY 1, 2),
+e{tag} AS (SELECT a, b FROM e0{tag}
+           UNION ALL SELECT b AS a, a AS b FROM e0{tag}),
+deg{tag} AS (SELECT a AS v, CAST(count(*) AS VARCHAR) AS lab
+             FROM e{tag} GROUP BY a),
+l1{tag} AS (SELECT e.b AS v,
+              md5(any_value(d2.lab) || '|' ||
+                  string_agg(d1.lab, ',' ORDER BY d1.lab)) AS lab
+       FROM e{tag} e JOIN deg{tag} d1 ON d1.v = e.a
+       JOIN deg{tag} d2 ON d2.v = e.b
+       GROUP BY e.b),
+l2{tag} AS (SELECT e.b AS v,
+              md5(any_value(x2.lab) || '|' ||
+                  string_agg(x1.lab, ',' ORDER BY x1.lab)) AS lab
+       FROM e{tag} e JOIN l1{tag} x1 ON x1.v = e.a
+       JOIN l1{tag} x2 ON x2.v = e.b
+       GROUP BY e.b),
+h{tag} AS (SELECT lab, count(*) AS c FROM l2{tag} GROUP BY lab)"""
+
+
+SQL_WL_DRIFT_CO = f"""
+WITH
+{_wl_year_chain('a', WL_DRIFT_YEARS[0])},
+{_wl_year_chain('b', WL_DRIFT_YEARS[1])},
+m AS (SELECT COALESCE(ha.c, 0) AS ca, COALESCE(hb.c, 0) AS cb,
+             CASE WHEN ha.lab IS NOT NULL AND hb.lab IS NOT NULL
+                  THEN 1 ELSE 0 END AS in_both
+      FROM ha FULL OUTER JOIN hb ON ha.lab = hb.lab)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ha) AS n_colors_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM hb) AS n_colors_b,
+       CAST(sum(in_both) AS BIGINT) AS n_common,
+       round(sum(least(ca, cb)) * 1.0 / sum(greatest(ca, cb)), 6)
+         AS wl_jaccard
+FROM m
+"""
+
+
 def q_reciprocity_co(sf_dir):
     """Edge reciprocity of the DIRECTED co-occurrence graph (a -> b
     when a's lineitem precedes b's within an order): the fraction of
@@ -7394,6 +7514,70 @@ WHERE e.a IS NULL
 PPS_MOD = 1_000_000
 
 
+AES_TOPK = 50
+AES_LN_Q = 1_000_000_000
+
+
+def q_orders_aes_sample(sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES, Inf. Process. Lett. 2006): keep the top-k orders by priority
+    ln(u)/w where u is a deterministic md5-uniform in (0,1] and
+    w = integer cents of o_totalprice — one pass, per-batch partial
+    top-k (the ``ann_topk`` winner envelope: the driver sees k rows
+    per batch, never the corpus). u uses the hash's top 52 bits so
+    (h52 + 1) / 2^52 is one exact IEEE conversion on both engines;
+    ln is quantised to 1e-9 fixed point (the ``partition_compare``
+    trick) and the final key q/w is a single integer-over-integer
+    IEEE division — bit-identical in DuckDB."""
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import hashlib
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        w = np.floor(p * 100 + 0.5).astype(np.int64)
+        h = np.array([int.from_bytes(
+            hashlib.md5(str(int(x)).encode()).digest()[:8], "big")
+            for x in k], dtype=np.uint64)
+        u = ((h >> np.uint64(12)).astype(np.float64) + 1.0) / (2.0 ** 52)
+        q = np.floor(np.log(u) * AES_LN_Q + 0.5).astype(np.int64)
+        key = q.astype(np.float64) / w
+        order = np.lexsort((k, -key))[:AES_TOPK]
+        return pa.table({
+            "o_orderkey": pa.array(k[order].astype(np.int64)),
+            "priority": pa.array(key[order]),
+        })
+
+    parts = od.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    parts = parts.sort_values(["priority", "o_orderkey"],
+                              ascending=[False, True]).head(AES_TOPK)
+    return pa.table({
+        "o_orderkey": pa.array(parts["o_orderkey"].to_numpy(np.int64)),
+        "priority": pa.array(round6(parts["priority"].to_numpy())),
+    })
+
+
+SQL_ORDERS_AES_SAMPLE = f"""
+WITH x AS (
+  SELECT o_orderkey AS id,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16))
+           ::UBIGINT AS h
+  FROM orders),
+k AS (
+  SELECT id, w,
+         CAST(floor(ln((CAST(h >> 12 AS DOUBLE) + 1.0)
+                        / 4503599627370496.0)
+                    * {AES_LN_Q} + 0.5) AS BIGINT) AS q
+  FROM x)
+SELECT CAST(id AS BIGINT) AS o_orderkey,
+       round(CAST(q AS DOUBLE) / w, 6) AS priority
+FROM k ORDER BY CAST(q AS DOUBLE) / w DESC, id LIMIT {AES_TOPK}
+"""
+
+
 def q_orders_pps_sample(sf_dir):
     """Deterministic probability-proportional-to-size sampling:
     order o is kept iff md5-hash(o_orderkey) % 1e6 <
@@ -10211,6 +10395,8 @@ QUERIES = {
     "events_drift": q_events_drift,
     "link_negatives": q_link_negatives,
     "orders_pps_sample": q_orders_pps_sample,
+    "orders_aes_sample": q_orders_aes_sample,
+    "wl_drift_co": q_wl_drift_co,
     "price_equidepth": q_price_equidepth,
     "embed_components": q_embed_components,
     "revenue_by_nation": q_revenue_by_nation,
@@ -10416,6 +10602,8 @@ ORACLE_SQL = {
     "events_drift": SQL_EVENTS_DRIFT,
     "link_negatives": SQL_LINK_NEGATIVES,
     "orders_pps_sample": SQL_ORDERS_PPS_SAMPLE,
+    "orders_aes_sample": SQL_ORDERS_AES_SAMPLE,
+    "wl_drift_co": SQL_WL_DRIFT_CO,
     "price_equidepth": SQL_PRICE_EQUIDEPTH,
     "embed_components": SQL_EMBED_COMPONENTS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -804,3 +804,43 @@ def test_constraint_matches_unquantised_reference(ray_session):
             .set_index("vid")
         for u, c in exact.items():
             assert abs(df.loc[u, "constraint_score"] - c) < 1e-4
+
+
+# ----------------------------------------------------------------------
+# A-ES weighted sampling / WL drift
+# ----------------------------------------------------------------------
+def test_aes_sample_matches_serial_replica(ray_session):
+    import hashlib
+
+    df = _df(Q.QUERIES["orders_aes_sample"](SF))
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    k = od["o_orderkey"].to_numpy()
+    w = np.floor(od["o_totalprice"].to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    h = np.array([int.from_bytes(
+        hashlib.md5(str(int(x)).encode()).digest()[:8], "big")
+        for x in k], dtype=np.uint64)
+    u = ((h >> np.uint64(12)).astype(np.float64) + 1.0) / (2.0 ** 52)
+    q = np.floor(np.log(u) * Q.AES_LN_Q + 0.5).astype(np.int64)
+    key = q.astype(np.float64) / w
+    order = np.lexsort((k, -key))[:Q.AES_TOPK]
+    assert (df["o_orderkey"].to_numpy() == k[order]).all()
+    assert df["o_orderkey"].is_unique          # without replacement
+    assert len(df) == min(Q.AES_TOPK, len(od))
+    # weighted sampling upweights: mean weight of the sample exceeds
+    # the corpus mean (deterministic on this corpus)
+    assert od.set_index("o_orderkey").loc[
+        df["o_orderkey"], "o_totalprice"].mean() \
+        > od["o_totalprice"].mean()
+
+
+def test_wl_drift_identical_slices_is_one(ray_session):
+    df = _df(Q.q_wl_drift_co(SF, num_partitions=4))
+    assert 0.0 <= df["wl_jaccard"].iloc[0] <= 1.0
+    assert int(df["n_common"].iloc[0]) <= min(df["n_colors_a"].iloc[0],
+                                              df["n_colors_b"].iloc[0])
+    ident = _df(Q.q_wl_drift_co(SF, years=(1995, 1995),
+                                num_partitions=4))
+    assert ident["wl_jaccard"].iloc[0] == 1.0
+    assert ident["n_colors_a"].iloc[0] == ident["n_common"].iloc[0]
