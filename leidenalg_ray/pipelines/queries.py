@@ -9539,6 +9539,136 @@ JOIN deg db ON db.v = e.b
 """
 
 
+RRF_K = 60
+RRF_TOPN = 20
+
+
+def q_rrf_centrality_co(sf_dir):
+    """Reciprocal-rank fusion of two centrality rankings (Cormack et
+    al. 2009 — the standard way a ranking pipeline combines link
+    signals): rrf(v) = 1/(60 + rank_pagerank) + 1/(60 + rank_katz),
+    ranks on the two SQL-green per-vertex outputs with (score desc,
+    vid) tie order, top-RRF_TOPN reported. Fusion runs on the rounded
+    per-vertex outputs (the driver-hashed contract values, identical
+    on both engines by the pagerank_co / katz_co gates), so the rank
+    comparison is exact; the fusion itself is a fixed two-term IEEE
+    expression. Driver state is the two per-vertex outputs — the size
+    of the query RESULT, not the edge set."""
+    pr = q_pagerank_co(sf_dir).to_pandas()
+    kz = q_katz_co(sf_dir).to_pandas()
+    pr = pr.sort_values(["rank", "vid"], ascending=[False, True])         .reset_index(drop=True)
+    pr["r1"] = np.arange(1, len(pr) + 1)
+    kz = kz.sort_values(["katz", "vid"], ascending=[False, True])         .reset_index(drop=True)
+    kz["r2"] = np.arange(1, len(kz) + 1)
+    m = pr[["vid", "r1"]].merge(kz[["vid", "r2"]], on="vid")
+    rrf = 1.0 / (RRF_K + m["r1"].to_numpy())         + 1.0 / (RRF_K + m["r2"].to_numpy())
+    m["rrf"] = rrf
+    m = m.sort_values(["rrf", "vid"], ascending=[False, True])         .head(RRF_TOPN)
+    return pa.table({
+        "vid": pa.array(m["vid"].to_numpy(np.int64)),
+        "r_pagerank": pa.array(m["r1"].to_numpy(np.int64)),
+        "r_katz": pa.array(m["r2"].to_numpy(np.int64)),
+        "rrf": pa.array(round6(m["rrf"].to_numpy())),
+    })
+
+
+def _sql_rrf():
+    from textwrap import indent
+    pr = SQL_PAGERANK_CO
+    kz = SQL_KATZ_CO
+    return f"""
+WITH pr AS (SELECT vid, row_number() OVER (ORDER BY rank DESC, vid)
+                     AS r1
+            FROM ({pr})),
+kz AS (SELECT vid, row_number() OVER (ORDER BY katz DESC, vid) AS r2
+       FROM ({kz}))
+SELECT pr.vid, CAST(r1 AS BIGINT) AS r_pagerank,
+       CAST(r2 AS BIGINT) AS r_katz,
+       round(1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2), 6) AS rrf
+FROM pr JOIN kz USING (vid)
+ORDER BY 1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2) DESC, vid
+LIMIT {RRF_TOPN}
+"""
+
+
+SPARSIFY_K = 8
+
+
+def q_graph_sparsify_co(sf_dir):
+    """Top-k edge sparsification (the pre-Leiden pruning step a dense
+    co-occurrence graph needs at scale): keep an undirected edge iff
+    it ranks in EITHER endpoint's top-SPARSIFY_K by (weight desc,
+    neighbour asc). Each vertex's full out-list is resident in its one
+    CSR block (src-partitioned), so ranking is shuffle-free; blocks
+    emit their kept (lo, hi, w) partials and the union dedup is one
+    pair-key pass (bounded by K*V — at scale a pair-key shuffle).
+    Output: edge/weight retention summary (integer weights, exact)."""
+    import ray
+    g = _co_distgraph(sf_dir)
+    P, n = g.P, g.n
+
+    @ray.remote
+    def kept_partial(block, p):
+        s = block["src_local"] * np.int64(P) + p
+        d = block["dst_local"] * np.int64(P) + block["dst_part"]
+        w = block["weight"].astype(np.int64)
+        order = np.lexsort((d, -w, s))
+        s, d, w = s[order], d[order], w[order]
+        cuts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.r_[cuts[1:], len(s)]
+        rank = np.arange(len(s)) - np.repeat(cuts, ends - cuts)
+        m = rank < SPARSIFY_K
+        lo = np.minimum(s[m], d[m])
+        hi = np.maximum(s[m], d[m])
+        tot_w = int(w.sum())          # directed rows; halves global
+        return lo * np.int64(n) + hi, w[m], len(s), tot_w
+
+    res = ray.get([kept_partial.remote(g.blocks[p], p)
+                   for p in range(P)])
+    keys = np.concatenate([r[0] for r in res])
+    ws = np.concatenate([r[1] for r in res])
+    n_dir_edges = sum(r[2] for r in res)
+    w_dir_total = sum(r[3] for r in res)
+    uk, idx = np.unique(keys, return_index=True)
+    n_edges = n_dir_edges // 2
+    w_total = w_dir_total // 2
+    w_kept = int(ws[idx].sum())
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_kept": pa.array([len(uk)], pa.int64()),
+        "w_total": pa.array([w_total], pa.int64()),
+        "w_kept": pa.array([w_kept], pa.int64()),
+        "edge_retention": pa.array(round6([len(uk) / n_edges])),
+        "weight_retention": pa.array(round6([w_kept / w_total])),
+    })
+
+
+SQL_GRAPH_SPARSIFY_CO = f"""
+WITH e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+                   count(*) AS w
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2),
+ed AS (SELECT a AS i, b AS j, w FROM e0
+       UNION ALL SELECT b, a, w FROM e0),
+r AS (SELECT i, j, w,
+             row_number() OVER (PARTITION BY i
+                                ORDER BY w DESC, j) AS rn
+      FROM ed),
+kept AS (SELECT DISTINCT least(i, j) AS lo, greatest(i, j) AS hi, w
+         FROM r WHERE rn <= {SPARSIFY_K})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+       (SELECT CAST(sum(w) AS BIGINT) FROM e0) AS w_total,
+       (SELECT CAST(sum(w) AS BIGINT) FROM kept) AS w_kept,
+       round((SELECT count(*) FROM kept) * 1.0
+             / (SELECT count(*) FROM e0), 6) AS edge_retention,
+       round((SELECT sum(w) FROM kept) * 1.0
+             / (SELECT sum(w) FROM e0), 6) AS weight_retention
+"""
+
+
 def q_graph_summary_co(sf_dir):
     """One-row graph summary (igraph ``summary()`` numbers) for the
     simple co graph: vertices with >= 1 edge, distinct undirected
@@ -10397,6 +10527,8 @@ QUERIES = {
     "orders_pps_sample": q_orders_pps_sample,
     "orders_aes_sample": q_orders_aes_sample,
     "wl_drift_co": q_wl_drift_co,
+    "graph_sparsify_co": q_graph_sparsify_co,
+    "rrf_centrality_co": q_rrf_centrality_co,
     "price_equidepth": q_price_equidepth,
     "embed_components": q_embed_components,
     "revenue_by_nation": q_revenue_by_nation,
@@ -10604,6 +10736,8 @@ ORACLE_SQL = {
     "orders_pps_sample": SQL_ORDERS_PPS_SAMPLE,
     "orders_aes_sample": SQL_ORDERS_AES_SAMPLE,
     "wl_drift_co": SQL_WL_DRIFT_CO,
+    "graph_sparsify_co": SQL_GRAPH_SPARSIFY_CO,
+    "rrf_centrality_co": _sql_rrf(),
     "price_equidepth": SQL_PRICE_EQUIDEPTH,
     "embed_components": SQL_EMBED_COMPONENTS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

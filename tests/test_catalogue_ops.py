@@ -844,3 +844,21 @@ def test_wl_drift_identical_slices_is_one(ray_session):
                                 num_partitions=4))
     assert ident["wl_jaccard"].iloc[0] == 1.0
     assert ident["n_colors_a"].iloc[0] == ident["n_common"].iloc[0]
+
+
+def test_sparsify_bounds_and_rrf_sanity(ray_session):
+    df = _df(Q.QUERIES["graph_sparsify_co"](SF))
+    r = df.iloc[0]
+    assert 0 < r["n_kept"] <= r["n_edges"]
+    assert 0 < r["w_kept"] <= r["w_total"]
+    # keeping each vertex's top-k favours heavy edges: weight
+    # retention must beat edge retention
+    assert r["weight_retention"] >= r["edge_retention"]
+
+    rrf = _df(Q.QUERIES["rrf_centrality_co"](SF))
+    assert len(rrf) == Q.RRF_TOPN
+    assert rrf["vid"].is_unique
+    assert (rrf["rrf"] <= round(2.0 / (Q.RRF_K + 1), 6)).all()
+    # sorted by fused score desc
+    v = rrf["rrf"].to_numpy()
+    assert (v[:-1] >= v[1:]).all()
