@@ -3525,6 +3525,164 @@ FROM adc QUALIFY rank <= {PQ_TOPK}
 """
 
 
+IVFPQ_NPROBE = 4
+
+
+def q_ann_ivfpq(sf_dir):
+    """IVF-PQ composite ANN — the FAISS-style at-scale architecture:
+    a coarse inverted index prunes the corpus to nprobe buckets (the
+    ``ann_ivf_fixed`` quantiser: deterministic centroids = first 16
+    vectors, cosine assignment, ties to the lowest id), then the PQ
+    asymmetric-distance scan of ``ann_pq`` scores ONLY the surviving
+    candidates from 1-byte-per-subspace codes. At 100 TB the probe
+    filter cuts the scan ~K/nprobe-fold on top of PQ's 32x byte
+    shrink. Same determinism contract: quantised integer ADC,
+    (distance, vec_id) tie order; one shuffle-free map_batches pass
+    with the codebooks + probe table broadcast."""
+    emb = _emb(sf_dir)
+    head = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])         .filter(expr=f"vec_id < {PQ_K}").to_pandas()         .sort_values("vec_id")
+    anchors = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in head["embedding"]])
+    cn = np.linalg.norm(anchors, axis=1)
+    cn[cn == 0] = 1.0
+    cmn = anchors / cn[:, None]
+    cb = [anchors[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+          for m in range(PQ_M)]
+    qdf = head[head.vec_id < PQ_NQ]
+    qv = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qt = np.empty((len(qids), PQ_M, PQ_K), dtype=np.int64)
+    for m in range(PQ_M):
+        sub = qv[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+        d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+        qt[:, m, :] = np.floor(d2 * 1e9 + 0.5).astype(np.int64)
+    # probe sets: nprobe nearest centroids per query (cosine desc, c)
+    qn = np.linalg.norm(qv, axis=1)
+    qn[qn == 0] = 1.0
+    sim = (qv / qn[:, None]) @ cmn.T
+    probes = np.argsort(-sim, kind="stable")[:, :IVFPQ_NPROBE]
+    import ray as _ray
+    cb_ref = _ray.put((cb, cmn))
+    qt_ref = _ray.put((qt, probes))
+
+    def scan(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        cbl, cmnl = _ray.get(cb_ref)
+        qtl, probesl = _ray.get(qt_ref)
+        vec = annm._to_matrix(t["embedding"])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)             .astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        norm = np.linalg.norm(vec, axis=1)
+        norm[norm == 0] = 1.0
+        bucket = np.argmax((vec / norm[:, None]) @ cmnl.T, axis=1)
+        adist = np.zeros((len(qtl), n), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = vec[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            d2 = ((sub[:, None, :] - cbl[m][None, :, :]) ** 2).sum(-1)
+            codes = np.argmin(d2, axis=1)
+            adist += qtl[:, m, codes]
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qtl)):
+            cand = np.flatnonzero(np.isin(bucket, probesl[j]))
+            if not len(cand):
+                continue
+            kk = min(PQ_TOPK, len(cand))
+            order = cand[np.lexsort((ids[cand], adist[j][cand]))[:kk]]
+            out_q.append(np.full(kk, j, dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(adist[j][order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "s": pa.array(np.concatenate(out_s))})
+
+    parts = emb.map_batches(scan, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    frames = []
+    for j in range(len(qids)):
+        g = parts[parts["query_id"] == j]
+        order = np.lexsort((g["vec_id"].to_numpy(),
+                            g["s"].to_numpy()))[:PQ_TOPK]
+        sel = g.iloc[order]
+        frames.append(pa.table({
+            "query_id": pa.array(np.full(len(sel), qids[j])),
+            "vec_id": pa.array(sel["vec_id"].to_numpy(np.int64)),
+            "adist": pa.array(round6(
+                sel["s"].to_numpy(np.int64) / 1e9)),
+            "rank": pa.array(np.arange(1, len(sel) + 1,
+                                       dtype=np.int64)),
+        }))
+    return pa.concat_tables(frames)
+
+
+SQL_ANN_IVFPQ = f"""
+WITH ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+anch AS (SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS av
+         FROM embeddings WHERE vec_id < {PQ_K}),
+assign AS (SELECT vec_id, k AS bucket FROM (
+    SELECT e.vec_id, anch.k,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), anch.av) DESC, anch.k)
+             AS rn
+    FROM embeddings e CROSS JOIN anch
+  ) WHERE rn = 1),
+probes AS (SELECT query_id, k FROM (
+    SELECT q.vec_id AS query_id, anch.k,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), anch.av) DESC, anch.k)
+             AS rn
+    FROM embeddings q CROSS JOIN anch WHERE q.vec_id < {PQ_NQ}
+  ) WHERE rn <= {IVFPQ_NPROBE}),
+cbook AS (SELECT k, m,
+                 list_slice(av, m * {PQ_SUBDIM} + 1,
+                            m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cv
+          FROM anch, ms),
+vsub AS (SELECT vec_id, m,
+                list_slice(CAST(embedding AS DOUBLE[]),
+                           m * {PQ_SUBDIM} + 1,
+                           m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+         FROM embeddings, ms),
+cand AS (SELECT v.vec_id, v.m, c.k,
+                {_PQ_D2.format(sd=PQ_SUBDIM).replace('sv', 'v.sv')
+                 .replace('cv', 'c.cv')} AS d2
+         FROM vsub v JOIN cbook c USING (m)),
+codes AS (SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, k) AS rn
+            FROM cand) WHERE rn = 1),
+qtab AS (SELECT vec_id AS query_id, m, k,
+                CAST(floor(d2 * 1000000000 + 0.5) AS BIGINT) AS dq
+         FROM cand WHERE vec_id < {PQ_NQ}),
+adc AS (SELECT q.query_id, c.vec_id, sum(q.dq) AS s
+        FROM codes c
+        JOIN assign a ON a.vec_id = c.vec_id
+        JOIN qtab q ON q.m = c.m AND q.k = c.code
+        JOIN probes p ON p.query_id = q.query_id
+                     AND p.k = a.bucket
+        GROUP BY 1, 2)
+SELECT query_id, vec_id,
+       round(CAST(s AS DOUBLE) / 1000000000, 6) AS adist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY s, vec_id) AS BIGINT) AS rank
+FROM adc QUALIFY rank <= {PQ_TOPK}
+"""
+
+
+
 # ======================================================================
 # Events: windowed aggregation + sessionisation
 # ======================================================================
@@ -10529,6 +10687,7 @@ QUERIES = {
     "wl_drift_co": q_wl_drift_co,
     "graph_sparsify_co": q_graph_sparsify_co,
     "rrf_centrality_co": q_rrf_centrality_co,
+    "ann_ivfpq": q_ann_ivfpq,
     "price_equidepth": q_price_equidepth,
     "embed_components": q_embed_components,
     "revenue_by_nation": q_revenue_by_nation,
@@ -10738,6 +10897,7 @@ ORACLE_SQL = {
     "wl_drift_co": SQL_WL_DRIFT_CO,
     "graph_sparsify_co": SQL_GRAPH_SPARSIFY_CO,
     "rrf_centrality_co": _sql_rrf(),
+    "ann_ivfpq": SQL_ANN_IVFPQ,
     "price_equidepth": SQL_PRICE_EQUIDEPTH,
     "embed_components": SQL_EMBED_COMPONENTS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -862,3 +862,22 @@ def test_sparsify_bounds_and_rrf_sanity(ray_session):
     # sorted by fused score desc
     v = rrf["rrf"].to_numpy()
     assert (v[:-1] >= v[1:]).all()
+
+
+def test_ann_ivfpq_is_probe_filtered_pq(ray_session):
+    """IVF-PQ results are exactly the PQ results restricted to each
+    query's probed buckets — the composite adds pruning, not new
+    distances — and self-retrieval still ranks first."""
+    pq = _df(Q.QUERIES["ann_pq"](SF))
+    ivfpq = _df(Q.QUERIES["ann_ivfpq"](SF))
+    assert set(ivfpq["query_id"]) <= set(pq["query_id"])
+    m = ivfpq.merge(pq, on=["query_id", "vec_id"], how="left",
+                    suffixes=("", "_pq"))
+    # any candidate both pipelines scored carries the same distance
+    both = m.dropna(subset=["adist_pq"])
+    assert (both["adist"] == both["adist_pq"]).all()
+    # a query is its own nearest code (zero reconstruction ADC when
+    # the query is an anchor): rank 1 is the query itself
+    for q in ivfpq["query_id"].unique():
+        top = ivfpq[ivfpq["query_id"] == q].sort_values("rank").iloc[0]
+        assert top["vec_id"] == q
