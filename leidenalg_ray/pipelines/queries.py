@@ -3003,6 +3003,49 @@ WHERE CASE WHEN len(s1.shingles) = 0 AND len(s2.shingles) = 0 THEN 1.0
 """
 
 
+PPJOIN_TAU = 0.4
+
+
+def q_dedup_ppjoin(sf_dir):
+    """PPJoin-style prefix-filtered similarity self-join (bigram
+    shingles, Jaccard >= PPJOIN_TAU): the oracle is deliberately the
+    NAIVE all-pairs form — prefix filtering is provably lossless, so
+    hash-equality against the brute-force SQL is the strongest
+    possible check that the pruning never drops a qualifying pair."""
+    return dd.ppjoin_pairs(_docs(sf_dir), threshold=PPJOIN_TAU,
+                           shingle_k=2)
+
+
+SQL_DEDUP_PPJOIN = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 2 THEN
+              CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE [array_to_string(tk, ' ')] END
+         ELSE list_distinct([array_to_string(tk[i:i+1], ' ')
+                             for i in range(1, len(tk))])
+         END AS shingles
+  FROM toks
+),
+nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       round(CAST(len(list_intersect(s1.shingles, s2.shingles))
+                  AS DOUBLE)
+             / (len(s1.shingles) + len(s2.shingles)
+                - len(list_intersect(s1.shingles, s2.shingles))), 6)
+         AS jaccard
+FROM nz s1 JOIN nz s2 ON s1.doc_id < s2.doc_id
+WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+      / (len(s1.shingles) + len(s2.shingles)
+         - len(list_intersect(s1.shingles, s2.shingles)))
+      >= {PPJOIN_TAU}
+"""
+
+
 CONTAIN_TAU = 0.5
 
 
@@ -10688,6 +10731,7 @@ QUERIES = {
     "graph_sparsify_co": q_graph_sparsify_co,
     "rrf_centrality_co": q_rrf_centrality_co,
     "ann_ivfpq": q_ann_ivfpq,
+    "dedup_ppjoin": q_dedup_ppjoin,
     "price_equidepth": q_price_equidepth,
     "embed_components": q_embed_components,
     "revenue_by_nation": q_revenue_by_nation,
@@ -10898,6 +10942,7 @@ ORACLE_SQL = {
     "graph_sparsify_co": SQL_GRAPH_SPARSIFY_CO,
     "rrf_centrality_co": _sql_rrf(),
     "ann_ivfpq": SQL_ANN_IVFPQ,
+    "dedup_ppjoin": SQL_DEDUP_PPJOIN,
     "price_equidepth": SQL_PRICE_EQUIDEPTH,
     "embed_components": SQL_EMBED_COMPONENTS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -707,3 +707,70 @@ def containment_all_pairs(docs_ds, threshold=0.5, shingle_k=3,
                          "b": pa.array(dst, pa.int64()),
                          "containment": pa.array(cont, pa.float64())})
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# prefix-filtered set-similarity join (PPJoin-style, Xiao et al. 2008)
+# ----------------------------------------------------------------------
+def ppjoin_pairs(docs_ds, threshold=0.4, shingle_k=2,
+                 num_partitions=8):
+    """Shingle-set Jaccard self-join >= ``threshold`` via PREFIX
+    filtering (the candidate-pruning idea of PPJoin, Xiao et al.
+    2008): order every doc's distinct shingles by (corpus df, hash) —
+    rarest first — and emit only its first |d| - ceil(t*|d|) + 1 as
+    candidate keys. Two docs can reach the threshold ONLY if their
+    prefixes share a shingle (pigeonhole on the Jaccard overlap
+    bound), so the candidate set is provably lossless while buckets
+    form on RARE shingles instead of an all-pairs product — the
+    selectivity LSH gets probabilistically, prefix filtering gets
+    exactly.
+
+    Fully distributed: document frequencies attach via one hash-join
+    (no driver vocabulary), the per-doc prefix pick is a bounded
+    map_groups, and verification is the shared double-hash-join exact
+    Jaccard. Returns (a, b, jaccard) with a < b; docs with no
+    shingles emit nothing."""
+    import math
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        shs = _shingles_batch(t["text"].to_pylist(), shingle_k)
+        out_id, out_h = [], []
+        for i, sh in enumerate(shs):
+            out_id.extend([int(ids[i])] * len(sh))
+            out_h.extend(sh.view(np.int64).tolist())
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "h": pa.array(out_h, pa.int64())})
+
+    exp = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        rows, batch_format="pyarrow", zero_copy_batch=True)
+    dfq = exp.groupby("h").aggregate(Count(alias_name="df"))         .repartition(num_partitions)   # drop schema-less empties
+    joined = exp.join(dfq, "inner", num_partitions, on=("h",))         .repartition(num_partitions)
+
+    def prefix(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        df = t["df"].to_numpy(zero_copy_only=False)
+        did = int(t["doc_id"][0].as_py())
+        order = np.lexsort((h, df))
+        plen = len(h) - math.ceil(threshold * len(h)) + 1
+        return pa.table({
+            "h": pa.array(h[order][:plen]),
+            "doc_id": pa.array(np.full(plen, did, np.int64)),
+        })
+
+    pref = joined.groupby("doc_id").map_groups(
+        prefix, batch_format="pyarrow")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ii]),
+                         "b": pa.array(ids[jj])})
+
+    cand = pref.groupby("h").map_groups(pairs, batch_format="pyarrow")         .groupby(["a", "b"]).count().select_columns(["a", "b"])         .repartition(num_partitions)
+    return jaccard_verify(cand, docs_ds, threshold=threshold,
+                          shingle_k=shingle_k,
+                          num_partitions=num_partitions)

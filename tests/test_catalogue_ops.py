@@ -881,3 +881,19 @@ def test_ann_ivfpq_is_probe_filtered_pq(ray_session):
     for q in ivfpq["query_id"].unique():
         top = ivfpq[ivfpq["query_id"] == q].sort_values("rank").iloc[0]
         assert top["vec_id"] == q
+
+
+def test_ppjoin_equals_all_pairs(ray_session):
+    """Prefix filtering is lossless: the PPJoin result must equal the
+    brute-force all-pairs verify at the same threshold/shingles."""
+    from leidenalg_ray.stages import dedup as dd
+    docs = Q._docs(SF)
+    pp = _df(dd.ppjoin_pairs(docs, threshold=Q.PPJOIN_TAU,
+                             shingle_k=2, num_partitions=4)) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    ap = _df(dd.jaccard_all_pairs(Q._docs(SF),
+                                  threshold=Q.PPJOIN_TAU,
+                                  shingle_k=2)) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert pp.equals(ap)
+    assert (pp["jaccard"] >= Q.PPJOIN_TAU).all()
