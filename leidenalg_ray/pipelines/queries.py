@@ -3003,6 +3003,124 @@ WHERE CASE WHEN len(s1.shingles) = 0 AND len(s2.shingles) = 0 THEN 1.0
 """
 
 
+def q_knn_eval(sf_dir):
+    """Classifier-quality evaluation of the kNN label propagation
+    (the model-eval op a labeling pipeline needs): per-class TP / FP /
+    FN and F1 against the vectors' own labels, over exactly the
+    ``knn_label_predict`` output. F1 = 2TP/(2TP+FP+FN) is one
+    integer-ratio IEEE division per class; classes with no
+    predictions and no truth among the PREDICTED vectors are absent
+    on both engines. Fusion runs on the gate-identical predict
+    output, driver state = the per-class table (the query RESULT)."""
+    pred = q_knn_label_predict(sf_dir).to_pandas()
+    truth = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label"]).to_pandas()
+    m = pred.merge(truth, on="vec_id")
+    labels = np.union1d(m["pred_label"].unique(),
+                        m["label"].unique()).astype(np.int64)
+    rows = []
+    for c in sorted(labels):
+        tp = int(((m["pred_label"] == c) & (m["label"] == c)).sum())
+        fp = int(((m["pred_label"] == c) & (m["label"] != c)).sum())
+        fn = int(((m["pred_label"] != c) & (m["label"] == c)).sum())
+        f1 = 2.0 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn)             else 0.0
+        rows.append((int(c), tp, fp, fn, f1))
+    return pa.table({
+        "label": pa.array([r[0] for r in rows], pa.int64()),
+        "tp": pa.array([r[1] for r in rows], pa.int64()),
+        "fp": pa.array([r[2] for r in rows], pa.int64()),
+        "fn": pa.array([r[3] for r in rows], pa.int64()),
+        "f1": pa.array(round6([r[4] for r in rows])),
+    })
+
+
+def _sql_knn_eval():
+    base = SQL_KNN_LABEL_PREDICT
+    return f"""
+WITH p AS (SELECT pr.vec_id, pr.pred_label, e.label
+           FROM ({base}) pr
+           JOIN embeddings e ON e.vec_id = pr.vec_id),
+cls AS (SELECT DISTINCT pred_label AS label FROM p
+        UNION SELECT DISTINCT label FROM p),
+st AS (SELECT cls.label,
+              (SELECT count(*) FROM p
+               WHERE p.pred_label = cls.label
+                 AND p.label = cls.label) AS tp,
+              (SELECT count(*) FROM p
+               WHERE p.pred_label = cls.label
+                 AND p.label <> cls.label) AS fp,
+              (SELECT count(*) FROM p
+               WHERE p.pred_label <> cls.label
+                 AND p.label = cls.label) AS fn
+       FROM cls)
+SELECT CAST(label AS BIGINT) AS label, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                  ELSE 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1
+FROM st
+"""
+
+
+BPE_TOPK = 20
+
+
+def q_bpe_merge_candidates(sf_dir):
+    """Tokenizer-training primitive — the counting step of one BPE
+    merge round (Sennrich et al. 2016): frequency of every adjacent
+    CHARACTER pair across all word occurrences in the corpus; the
+    argmax pair is the merge a BPE trainer would perform. Per-batch
+    partial counts use a distinct-word cache (pairs counted once per
+    distinct word, scaled by its batch multiplicity — the
+    ``hash_tokens`` trick), then one bounded pair groupby. All
+    integers; top BPE_TOPK by (count desc, pair asc)."""
+    docs = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt = Counter()
+        for txt in t["text"].to_pylist():
+            words = tx.TOKEN_RE.findall(txt.lower())
+            uw, uc = np.unique(np.asarray(words, dtype=object),
+                               return_counts=True)
+            for w, c in zip(uw, uc):
+                # the SQL oracle enumerates pair positions with
+                # generate_series(1, 30): fail loudly past its bound
+                assert len(w) <= 31, \
+                    f"word of length {len(w)} exceeds the SQL " \
+                    f"oracle's generate_series bound"
+                for i in range(len(w) - 1):
+                    cnt[w[i:i + 2]] += int(c)
+        if not cnt:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks = sorted(cnt)
+        return pa.table({"pair": pa.array(ks, pa.string()),
+                         "n": pa.array([cnt[k] for k in ks],
+                                       pa.int64())})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)         .groupby("pair").aggregate(Sum("n", alias_name="n"))         .to_pandas()
+    agg = agg.sort_values(["n", "pair"],
+                          ascending=[False, True]).head(BPE_TOPK)
+    return pa.table({
+        "pair": pa.array(agg["pair"].astype(str), pa.string()),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+    })
+
+
+SQL_BPE_MERGE_CANDIDATES = f"""
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+                                            '[a-z0-9_]+')) AS w
+           FROM documents),
+p AS (SELECT substr(w, i, 2) AS pair
+      FROM w, generate_series(1, 30) gs(i)
+      WHERE i <= len(w) - 1)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+"""
+
+
 PPJOIN_TAU = 0.4
 
 
@@ -10732,6 +10850,8 @@ QUERIES = {
     "rrf_centrality_co": q_rrf_centrality_co,
     "ann_ivfpq": q_ann_ivfpq,
     "dedup_ppjoin": q_dedup_ppjoin,
+    "knn_eval": q_knn_eval,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
     "price_equidepth": q_price_equidepth,
     "embed_components": q_embed_components,
     "revenue_by_nation": q_revenue_by_nation,
@@ -10943,6 +11063,8 @@ ORACLE_SQL = {
     "rrf_centrality_co": _sql_rrf(),
     "ann_ivfpq": SQL_ANN_IVFPQ,
     "dedup_ppjoin": SQL_DEDUP_PPJOIN,
+    "knn_eval": _sql_knn_eval(),
+    "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "price_equidepth": SQL_PRICE_EQUIDEPTH,
     "embed_components": SQL_EMBED_COMPONENTS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -897,3 +897,33 @@ def test_ppjoin_equals_all_pairs(ray_session):
         .sort_values(["a", "b"]).reset_index(drop=True)
     assert pp.equals(ap)
     assert (pp["jaccard"] >= Q.PPJOIN_TAU).all()
+
+
+def test_knn_eval_consistency(ray_session):
+    ev = _df(Q.QUERIES["knn_eval"](SF))
+    pred = _df(Q.QUERIES["knn_label_predict"](SF))
+    # sum of per-class TP == total correct predictions
+    assert int(ev["tp"].sum()) == int(pred["correct"].sum())
+    # FP total == FN total == wrong predictions (single-label tasks)
+    wrong = len(pred) - int(pred["correct"].sum())
+    assert int(ev["fp"].sum()) == wrong
+    assert int(ev["fn"].sum()) == wrong
+    assert ((ev["f1"] >= 0) & (ev["f1"] <= 1)).all()
+
+
+def test_bpe_merge_candidates_bruteforce(ray_session):
+    import re
+    from collections import Counter
+
+    df = _df(Q.QUERIES["bpe_merge_candidates"](SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text"])
+    cnt = Counter()
+    for t in docs["text"]:
+        for w in re.findall(r"[a-z0-9_]+", t.lower()):
+            for i in range(len(w) - 1):
+                cnt[w[i:i + 2]] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = want[:Q.BPE_TOPK]
+    got = list(zip(df["pair"], df["n"]))
+    assert got == [(p, n) for p, n in want]
