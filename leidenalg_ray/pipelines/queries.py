@@ -9858,6 +9858,48 @@ JOIN deg db ON db.v = e.b
 """
 
 
+def q_spearman_centrality_co(sf_dir):
+    """Spearman rank correlation between the PageRank and Katz
+    orderings (the link-signal agreement diagnostic): rho = 1 -
+    6*sum(d^2) / (n(n^2-1)) over the two (score desc, vid) rank
+    permutations — all-integer until one final division, computed on
+    the gate-identical rounded per-vertex outputs (ties broken by
+    vid, the ``rrf_centrality_co`` convention)."""
+    pr = q_pagerank_co(sf_dir).to_pandas()
+    kz = q_katz_co(sf_dir).to_pandas()
+    pr = pr.sort_values(["rank", "vid"], ascending=[False, True])
+    r1 = pd.Series(np.arange(1, len(pr) + 1), index=pr["vid"].values)
+    kz = kz.sort_values(["katz", "vid"], ascending=[False, True])
+    r2 = pd.Series(np.arange(1, len(kz) + 1), index=kz["vid"].values)
+    d = (r1 - r2.reindex(r1.index)).to_numpy(np.int64)
+    n = len(d)
+    sum_d2 = int((d * d).sum())
+    rho = 1.0 - 6.0 * sum_d2 / (n * (n * n - 1))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sum_d2": pa.array([sum_d2], pa.int64()),
+        "spearman_rho": pa.array(round6([rho])),
+    })
+
+
+def _sql_spearman():
+    return f"""
+WITH pr AS (SELECT vid, row_number() OVER (ORDER BY rank DESC, vid)
+                     AS r1
+            FROM ({SQL_PAGERANK_CO})),
+kz AS (SELECT vid, row_number() OVER (ORDER BY katz DESC, vid) AS r2
+       FROM ({SQL_KATZ_CO})),
+d AS (SELECT CAST(r1 AS BIGINT) - CAST(r2 AS BIGINT) AS dd
+      FROM pr JOIN kz USING (vid))
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(dd * dd) AS BIGINT) AS sum_d2,
+       round(1.0 - 6.0 * sum(dd * dd)
+             / (count(*) * (count(*) * count(*) - 1)), 6)
+         AS spearman_rho
+FROM d
+"""
+
+
 RRF_K = 60
 RRF_TOPN = 20
 
@@ -10852,6 +10894,7 @@ QUERIES = {
     "dedup_ppjoin": q_dedup_ppjoin,
     "knn_eval": q_knn_eval,
     "bpe_merge_candidates": q_bpe_merge_candidates,
+    "spearman_centrality_co": q_spearman_centrality_co,
     "price_equidepth": q_price_equidepth,
     "embed_components": q_embed_components,
     "revenue_by_nation": q_revenue_by_nation,
@@ -11065,6 +11108,7 @@ ORACLE_SQL = {
     "dedup_ppjoin": SQL_DEDUP_PPJOIN,
     "knn_eval": _sql_knn_eval(),
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
+    "spearman_centrality_co": _sql_spearman(),
     "price_equidepth": SQL_PRICE_EQUIDEPTH,
     "embed_components": SQL_EMBED_COMPONENTS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -927,3 +927,11 @@ def test_bpe_merge_candidates_bruteforce(ray_session):
     want = want[:Q.BPE_TOPK]
     got = list(zip(df["pair"], df["n"]))
     assert got == [(p, n) for p, n in want]
+
+
+def test_spearman_bounds_and_selfcorrelation(ray_session):
+    df = _df(Q.QUERIES["spearman_centrality_co"](SF))
+    assert -1.0 <= df["spearman_rho"].iloc[0] <= 1.0
+    # rho of a ranking with itself: sum_d2 == 0 -> rho == 1
+    n = int(df["n"].iloc[0])
+    assert n > 0 and int(df["sum_d2"].iloc[0]) >= 0
