@@ -10720,6 +10720,92 @@ SELECT v AS vid, partner FROM {_MATCH_FINAL}
 """
 
 
+def _mst_by_nation(edges_ds, sf_dir):
+    """Shared tail of the planted MSF queries: run the distributed
+    Borůvka kernel (``dist/mst.py``) over the planted per-nation
+    graph, then aggregate the emitted forest edges by the nation of
+    their endpoints (both endpoints share a nation by construction —
+    the planted graphs never cross nations)."""
+    from ..dist.blocks import symmetrize_edges
+    from ..dist.mst import minimum_spanning_forest
+
+    n = tg.supplier_count(sf_dir)
+    g = DistGraph.from_dataset(symmetrize_edges(edges_ds), n=n, P=8,
+                               directed=False)
+    info, _ = minimum_spanning_forest(g)
+    su = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    nk = np.zeros(n, dtype=np.int64)
+    nk[su["s_suppkey"].to_numpy(np.int64)] = \
+        su["s_nationkey"].to_numpy(np.int64)
+    nat = nk[info["u"]]
+    cnt = np.bincount(nat)
+    wsum = np.bincount(nat, weights=info["weight"])
+    nz = np.flatnonzero(cnt)
+    return pa.table({
+        "nation": pa.array(nz, pa.int64()),
+        "n_edges": pa.array(cnt[nz], pa.int64()),
+        "mst_weight": pa.array(
+            [round_half_away(x, 6) for x in wsum[nz]], pa.float64()),
+    })
+
+
+def q_mst_cliques(sf_dir):
+    """Minimum spanning forest through the distributed Borůvka
+    kernel on per-nation cliques weighted w(i,j)=min(i,j): every
+    weight-m edge (m = the nation's minimum vid) is incident to m, so
+    the unique MSF is the star at m with total (k-1)*m — closed-form
+    in SQL from per-nation counts/minima. The tie-heavy weighting
+    (all k-1 star edges share weight m) exercises the lexicographic
+    tie-break; multi-round convergence is pinned by ``mst_paths`` and
+    the Kruskal-oracle pytest suite (tests/test_mst.py)."""
+    ed = tg.nation_clique_edges(sf_dir)
+
+    def reweight(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "weight": pa.array(np.minimum(s, d).astype(np.float64)),
+        })
+
+    return _mst_by_nation(
+        ed.map_batches(reweight, batch_format="pyarrow",
+                       zero_copy_batch=True), sf_dir)
+
+
+SQL_MST_CLIQUES = """
+SELECT CAST(s_nationkey AS BIGINT) AS nation,
+       CAST(count(*) - 1 AS BIGINT) AS n_edges,
+       ROUND(CAST((count(*) - 1) * min(s_suppkey) AS DOUBLE), 6)
+           AS mst_weight
+FROM supplier
+GROUP BY s_nationkey
+HAVING count(*) > 1
+ORDER BY nation
+"""
+
+
+def q_mst_paths(sf_dir):
+    """MSF on per-nation unit-weight paths: the forest IS the path
+    set (k-1 edges, weight k-1 per nation), while Borůvka needs
+    O(log k) rounds of pairwise merging to find it — the multi-round
+    driver-green row for the kernel."""
+    return _mst_by_nation(tg.nation_path_edges(sf_dir), sf_dir)
+
+
+SQL_MST_PATHS = """
+SELECT CAST(s_nationkey AS BIGINT) AS nation,
+       CAST(count(*) - 1 AS BIGINT) AS n_edges,
+       ROUND(CAST(count(*) - 1 AS DOUBLE), 6) AS mst_weight
+FROM supplier
+GROUP BY s_nationkey
+HAVING count(*) > 1
+ORDER BY nation
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -10774,6 +10860,8 @@ QUERIES = {
     "leiden_fixed_cliques": q_leiden_fixed_cliques,
     "leiden_recrawl_cliques": q_leiden_recrawl_cliques,
     "leiden_minsize_complete": q_leiden_minsize_complete,
+    "mst_cliques": q_mst_cliques,
+    "mst_paths": q_mst_paths,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
     "resolution_profile_dataset_cliques":
@@ -10994,6 +11082,8 @@ ORACLE_SQL = {
     "leiden_fixed_cliques": SQL_LEIDEN_FIXED,
     "leiden_recrawl_cliques": SQL_LEIDEN_FIXED,
     "leiden_minsize_complete": SQL_LEIDEN_MINSIZE,
+    "mst_cliques": SQL_MST_CLIQUES,
+    "mst_paths": SQL_MST_PATHS,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,
