@@ -10806,6 +10806,60 @@ ORDER BY nation
 """
 
 
+POWERLAW_DMIN = 5
+
+
+def q_degree_powerlaw_co(sf_dir):
+    """Power-law tail exponent of the co-graph degree distribution —
+    the Hill / Clauset-Shalizi-Newman continuous-approximation MLE at
+    a fixed cutoff: alpha = 1 + m / sum_{d_i >= dmin}
+    ln(d_i / (dmin - 0.5)). The heavy-tail diagnostic every web-graph
+    audit runs before trusting sampling/skew assumptions. Degrees
+    come from one (vid) shuffle of per-batch endpoint-count partials;
+    the ln terms are quantised to 1e-9 fixed point over the BOUNDED
+    degree histogram so the SQL twin reproduces the sum exactly
+    (the repo's standard qln parity trick, cf. compare.py). Uses the
+    memoised deduped edge arrays (``co_edge_arrays``) shared by the
+    gate's other co-graph kernels — one bincount, no extra shuffle."""
+    a, b, _w = tg.co_edge_arrays(sf_dir)
+    L = int(max(a.max(initial=-1), b.max(initial=-1))) + 1
+    degs = np.bincount(a, minlength=L) + np.bincount(b, minlength=L)
+    degs = degs[degs > 0]
+    d, nv = np.unique(degs, return_counts=True)
+    tail = d >= POWERLAW_DMIN
+    m = int(nv[tail].sum())
+    qln = np.floor(np.log(d[tail].astype(np.float64)
+                          / (POWERLAW_DMIN - 0.5)) * 1e9
+                   + 0.5).astype(np.int64)
+    s_fp = int(np.sum(nv[tail].astype(object) * qln.astype(object)))
+    alpha = 0.0 if s_fp == 0 else 1.0 + float(m) / (s_fp / 1e9)
+    return pa.table({
+        "dmin": pa.array([POWERLAW_DMIN], pa.int64()),
+        "n_tail": pa.array([m], pa.int64()),
+        "alpha": pa.array([round_half_away(alpha, 6)], pa.float64()),
+    })
+
+
+SQL_DEGREE_POWERLAW_CO = f"""
+WITH
+{_SQL_CO_EDGES_BOTH},
+deg AS (SELECT a AS vid, count(*) AS deg FROM e GROUP BY a),
+tail AS (SELECT deg, count(*) AS nv FROM deg
+         WHERE deg >= {POWERLAW_DMIN} GROUP BY deg),
+s AS (SELECT sum(nv) AS m,
+             sum(nv * CAST(floor(ln(CAST(deg AS DOUBLE)
+                                    / {POWERLAW_DMIN - 0.5}) * 1e9
+                                 + 0.5) AS BIGINT)) AS sfp
+      FROM tail)
+SELECT CAST({POWERLAW_DMIN} AS BIGINT) AS dmin,
+       CAST(coalesce(m, 0) AS BIGINT) AS n_tail,
+       ROUND(CASE WHEN coalesce(sfp, 0) = 0 THEN 0.0
+             ELSE 1.0 + CAST(m AS DOUBLE)
+                  / (CAST(sfp AS DOUBLE) / 1e9) END, 6) AS alpha
+FROM s
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -10862,6 +10916,7 @@ QUERIES = {
     "leiden_minsize_complete": q_leiden_minsize_complete,
     "mst_cliques": q_mst_cliques,
     "mst_paths": q_mst_paths,
+    "degree_powerlaw_co": q_degree_powerlaw_co,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
     "resolution_profile_dataset_cliques":
@@ -11084,6 +11139,7 @@ ORACLE_SQL = {
     "leiden_minsize_complete": SQL_LEIDEN_MINSIZE,
     "mst_cliques": SQL_MST_CLIQUES,
     "mst_paths": SQL_MST_PATHS,
+    "degree_powerlaw_co": SQL_DEGREE_POWERLAW_CO,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,

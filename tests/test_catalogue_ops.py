@@ -5,6 +5,7 @@ pin the *semantic* invariants that an oracle bug could miss)."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from leidenalg_ray.pipelines import queries as Q
 
@@ -935,3 +936,18 @@ def test_spearman_bounds_and_selfcorrelation(ray_session):
     # rho of a ranking with itself: sum_d2 == 0 -> rho == 1
     n = int(df["n"].iloc[0])
     assert n > 0 and int(df["sum_d2"].iloc[0]) >= 0
+
+
+def test_degree_powerlaw_hill_quantisation(ray_session):
+    from leidenalg_ray.pipelines import tpch_graphs as tg
+    df = _df(Q.QUERIES["degree_powerlaw_co"](SF))
+    a, b, _w = tg.co_edge_arrays(SF)
+    L = int(max(a.max(), b.max())) + 1
+    degs = np.bincount(a, minlength=L) + np.bincount(b, minlength=L)
+    degs = degs[degs >= Q.POWERLAW_DMIN]
+    # unquantised Hill MLE: the 1e-9 fixed-point version must agree
+    alpha = 1.0 + len(degs) / np.sum(
+        np.log(degs / (Q.POWERLAW_DMIN - 0.5)))
+    assert df["n_tail"].iloc[0] == len(degs)
+    assert df["alpha"].iloc[0] == pytest.approx(alpha, abs=1e-6)
+    assert df["alpha"].iloc[0] > 1.0
