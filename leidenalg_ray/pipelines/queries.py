@@ -857,6 +857,87 @@ FROM pr WHERE i = {PAGERANK_ITERS}
 """
 
 
+def q_ppr_batch_co(sf_dir):
+    """Batched multi-seed personalized PageRank: PPR_SEEDS singleton
+    seed vectors computed in ONE fused superstep schedule
+    (``ss.pagerank_batch`` — vertex state is a (shard, S) matrix so S
+    seeds cost one exchange per iteration, the PPR-similarity-feature
+    batch form). Output is long-format (seed vid, vid, rank); the
+    oracle runs the same fixed-iteration recursion with the seed as
+    an extra recursion column."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    seeds = np.flatnonzero(act)[:PPR_SEEDS].astype(np.int64)
+    mat, _ = ss.pagerank_batch(g, [[int(s)] for s in seeds],
+                               damping=DAMPING, tol=0.0,
+                               max_iter=PAGERANK_ITERS, weighted=True,
+                               active=True)
+    vids = np.flatnonzero(act).astype(np.int64)
+    return pa.table({
+        "seed": pa.array(np.repeat(seeds, len(vids))),
+        "vid": pa.array(np.tile(vids, len(seeds))),
+        "rank": pa.array(round6(mat[vids].T.ravel())),
+    })
+
+
+# One single-seed recursion per seed column, unioned. Two DuckDB-1.0
+# planner traps force this exact shape: (a) the natural multi-key
+# form (pr(i, s, v, r) with GROUP BY i, s, b) silently mis-aggregates
+# beyond toy sizes (each column's mass collapses after one step), and
+# (b) a CONSTANT-FOLDABLE teleport (`THEN 1.0`) inside the recursive
+# aggregate miscompiles the same way — the proven
+# SQL_PAGERANK_PERSONALIZED_CO shape survives only because its
+# teleport is the non-foldable scalar subquery `1.0/(SELECT k FROM
+# ks)`. So each seed k gets a verbatim copy of that proven recursion
+# (seed = k-th smallest vertex via LIMIT 1 OFFSET k, ks{k} always 1,
+# matching the kernel's flatnonzero(act)[:S] singleton columns).
+def _ppr_batch_sql():
+    parts = []
+    for k in range(PPR_SEEDS):
+        parts.append(f"""
+sd{k} AS (SELECT v FROM verts ORDER BY v LIMIT 1 OFFSET {k}),
+ks{k} AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM sd{k}),
+pr{k}(i, v, r) AS (
+  SELECT 0, v,
+         CASE WHEN v IN (SELECT v FROM sd{k})
+              THEN 1.0 / (SELECT k FROM ks{k}) ELSE 0.0 END
+  FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         (1 - {DAMPING}) * (CASE WHEN e.b IN (SELECT v FROM sd{k})
+                                 THEN 1.0 / (SELECT k FROM ks{k})
+                                 ELSE 0.0 END)
+         + {DAMPING} * sum(p.r * e.w / vs.strength)
+  FROM pr{k} p
+  JOIN verts vs ON vs.v = p.v
+  JOIN e ON e.a = p.v
+  WHERE p.i < {PAGERANK_ITERS}
+  GROUP BY p.i, e.b
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT (SELECT v FROM sd{k}) AS seed, v AS vid,"
+        f" round(r, 6) AS rank FROM pr{k} WHERE i = {PAGERANK_ITERS}"
+        for k in range(PPR_SEEDS))
+    return f"""
+WITH RECURSIVE
+e0 AS MATERIALIZED (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT a, b, w FROM e0
+                   UNION ALL SELECT b, a, w FROM e0),
+verts AS MATERIALIZED (SELECT a AS v, sum(w) AS strength
+                       FROM e GROUP BY a),
+{",".join(parts)}
+{finals}
+"""
+
+
+SQL_PPR_BATCH_CO = _ppr_batch_sql()
+
+
 def q_spam_mass_co(sf_dir):
     """TrustRank spam mass (Gyongyi, Garcia-Molina & Pedersen, VLDB
     2004) on the weighted co graph: global PageRank ``rank`` and
@@ -10882,6 +10963,7 @@ QUERIES = {
     "sssp_co": q_sssp_co,
     "pagerank_personalized_co": q_pagerank_personalized_co,
     "spam_mass_co": q_spam_mass_co,
+    "ppr_batch_co": q_ppr_batch_co,
     "diameter_sweep_co": q_diameter_sweep_co,
     "kcore_co": q_kcore_co,
     "hits_ps": q_hits_ps,
@@ -11101,6 +11183,7 @@ ORACLE_SQL = {
     "sssp_co": SQL_SSSP_CO,
     "pagerank_personalized_co": SQL_PAGERANK_PERSONALIZED_CO,
     "spam_mass_co": SQL_SPAM_MASS_CO,
+    "ppr_batch_co": SQL_PPR_BATCH_CO,
     "diameter_sweep_co": SQL_DIAMETER_SWEEP_CO,
     "kcore_co": SQL_KCORE_CO,
     "hits_ps": SQL_HITS_PS,

@@ -1925,3 +1925,34 @@ def test_triad_census_closed_forms():
     full = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
     got = _engine_triads(full, 3)
     assert got["300"] == 1 and sum(got.values()) == 1
+
+
+def test_pagerank_batch_columns_match_single_runs(random_graph):
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    seed_sets = [[3], [500, 1234], [7, 8, 9]]
+    mat, _ = ss.pagerank_batch(g, seed_sets, tol=0.0, max_iter=25)
+    for s, seeds in enumerate(seed_sets):
+        single, _ = ss.pagerank(g, tol=0.0, max_iter=25,
+                                personalize=seeds)
+        assert np.abs(mat[:, s] - single).max() < 1e-12
+        assert mat[:, s].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_batch_result_out(random_graph, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+    src, dst, n = random_graph
+    g = DistGraph.from_edges(src, dst, n=n, P=4, directed=True)
+    seed_sets = [[3], [500]]
+    mat, _ = ss.pagerank_batch(g, seed_sets, tol=0.0, max_iter=10)
+    out = str(tmp_path / "ppr")
+    info, _ = ss.pagerank_batch(g, seed_sets, tol=0.0, max_iter=10,
+                                result_out=out)
+    assert info["rows"] == n * len(seed_sets)
+    got = np.zeros((n, len(seed_sets)))
+    for f in glob.glob(out + "/part-*.parquet"):
+        t = pq.read_table(f)
+        got[t["vid"].to_numpy(), t["seed"].to_numpy()] = \
+            t["rank"].to_numpy()
+    assert np.abs(got - mat).max() < 1e-15
