@@ -2947,6 +2947,54 @@ def q_dedup_minhash(sf_dir):
     return dd.minhash_dedup(_docs(sf_dir), threshold=0.8)
 
 
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_BUCKET = 2000
+
+
+def q_doc_winnow_matches(sf_dir):
+    """Winnowing (MOSS) overlap pairs: k-gram polynomial hashes ->
+    sliding-window minima -> distinct selected fingerprints per doc
+    -> bucket-groupby on fingerprint value -> pairs sharing >=
+    WINNOW_MIN_SHARED fingerprints (``stages/dedup.winnow_matches``;
+    Schleimer, Wilkerson & Aiken, SIGMOD 2003). Detects partial
+    overlap runs >= kgram+window-1 tokens — the positional
+    complement to MinHash's whole-doc Jaccard. The engine's
+    >WINNOW_MAX_BUCKET fingerprint-bucket cap is replicated in the
+    oracle (HAVING count <= cap), like the cocitation degree cap."""
+    return dd.winnow_matches(_docs(sf_dir),
+                             min_shared=WINNOW_MIN_SHARED,
+                             max_bucket=WINNOW_MAX_BUCKET)
+
+
+SQL_DOC_WINNOW_MATCHES = f"""
+WITH {_SQL_TOKEN_HASHES},
+g AS (SELECT doc_id,
+        CASE WHEN len(h) >= 4 THEN
+          [(h[j]::HUGEINT * 16974593 + h[j+1]::HUGEINT * 66049
+            + h[j+2]::HUGEINT * 257 + h[j+3]::HUGEINT) % {_M61_SQL}
+           FOR j IN range(1, len(h) - 2)]
+        ELSE [] END AS gs
+      FROM th),
+sel AS (SELECT doc_id,
+          list_distinct(CASE
+            WHEN len(gs) = 0 THEN []
+            WHEN len(gs) < 4 THEN [list_min(gs)]
+            ELSE [list_min(gs[j : j + 3])
+                  FOR j IN range(1, len(gs) - 2)]
+          END) AS fps
+        FROM g),
+fp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM sel),
+ok AS (SELECT fp FROM fp GROUP BY fp
+       HAVING count(*) <= {WINNOW_MAX_BUCKET})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+JOIN ok ON ok.fp = x.fp
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 def _sql_dedup_minhash(num_hashes=64, bands=16, rows=4, seed=7,
                        threshold=0.8):
     """Exact DuckDB replica of the MinHash-LSH pipeline: word-3-gram
@@ -11011,6 +11059,7 @@ QUERIES = {
     "fingerprint_rolling": q_fingerprint_rolling,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "doc_winnow_matches": q_doc_winnow_matches,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "embed_cosine_pairs": q_embed_cosine_pairs,
@@ -11233,6 +11282,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "doc_winnow_matches": SQL_DOC_WINNOW_MATCHES,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,

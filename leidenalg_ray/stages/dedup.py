@@ -774,3 +774,113 @@ def ppjoin_pairs(docs_ds, threshold=0.4, shingle_k=2,
     return jaccard_verify(cand, docs_ds, threshold=threshold,
                           shingle_k=shingle_k,
                           num_partitions=num_partitions)
+
+
+# ----------------------------------------------------------------------
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+# ----------------------------------------------------------------------
+def winnow_fingerprints(docs_ds, kgram=4, window=4, concurrency=4):
+    """Winnowing document fingerprints: polynomial k-gram hashes over
+    the token stream (base 257 mod 2^61-1, same family as
+    ``rolling_fingerprint``), minimum per sliding window of
+    ``window`` consecutive k-gram hashes, DISTINCT selected values
+    per document. The selection guarantee: any shared token run of
+    >= kgram + window - 1 tokens produces at least one shared
+    fingerprint (the MOSS detection bound). Only the selected VALUE
+    SET is kept — tie positions are irrelevant — so the window-min
+    list comprehension in SQL reproduces the set exactly.
+
+    Documents with fewer than ``kgram`` tokens emit nothing; with
+    1 <= #k-grams < window they emit the single global minimum."""
+    P3, P2, P1 = 257 ** 3, 257 ** 2, 257
+    if kgram != 4:
+        raise ValueError("kgram is fixed at 4 (SQL twin unrolls the "
+                         "polynomial)")
+
+    def fp(batch: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        all_toks, spans = [], []
+        for t in texts:
+            toks = TOKEN_RE.findall(t.lower())
+            spans.append((len(all_toks), len(all_toks) + len(toks)))
+            all_toks.extend(toks)
+        hv = hash_tokens(all_toks)
+        out_id, out_fp = [], []
+        for i, (lo, hi) in enumerate(spans):
+            h = hv[lo:hi].astype(object)
+            if len(h) < 4:
+                continue
+            # full-precision Horner then one mod — exactly the SQL
+            # sum h[j+t]*257^(3-t) % M61
+            g = ((h[:-3] * P3 + h[1:-2] * P2 + h[2:-1] * P1
+                  + h[3:]) % _M61).astype(np.int64)
+            if len(g) < window:
+                sel = np.array([g.min()], dtype=np.int64)
+            else:
+                sel = sliding_window_view(g, window).min(axis=1)
+            sel = np.unique(sel)
+            out_id.append(np.full(len(sel), ids[i], dtype=np.int64))
+            out_fp.append(sel)
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "fp": pa.array(np.concatenate(out_fp)),
+        })
+
+    return docs_ds.map_batches(fp, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def winnow_matches(docs_ds, kgram=4, window=4, min_shared=2,
+                   max_bucket=2000, drop_counter=None,
+                   concurrency=4):
+    """Cross-document overlap pairs from shared winnowing
+    fingerprints: bucket by fingerprint value (the same
+    bucket-groupby shape as LSH bands — never all-pairs), pairs
+    within a bucket, count shared fingerprints per (a < b) pair,
+    keep pairs sharing >= ``min_shared``. Buckets above
+    ``max_bucket`` ids (degenerate boilerplate) are dropped with a
+    warning + ``DropCounter``, like every other capped stage."""
+    fps = winnow_fingerprints(docs_ds, kgram=kgram, window=window,
+                              concurrency=concurrency)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) > max_bucket:
+            if drop_counter is not None:
+                drop_counter.add.remote(len(ids))
+            logger.warning(
+                "winnow fingerprint bucket with %d ids exceeds "
+                "max_bucket=%d — dropping its pairs (skew guard)",
+                len(ids), max_bucket)
+            ids = ids[:0]
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ii]),
+                         "b": pa.array(ids[jj])})
+
+    from ray.data.aggregate import Count as _Count
+    cand = fps.groupby("fp").map_groups(pairs, batch_format="pyarrow")
+    agg = cand.groupby(["a", "b"]).aggregate(
+        _Count(alias_name="n_shared"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # dataless shuffle partition
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        t = t.filter(pc.greater_equal(t["n_shared"], min_shared))
+        return pa.table({
+            "a": pc.cast(t["a"], pa.int64()),
+            "b": pc.cast(t["b"], pa.int64()),
+            "n_shared": pc.cast(t["n_shared"], pa.int64()),
+        })
+
+    return agg.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)

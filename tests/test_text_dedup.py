@@ -340,3 +340,55 @@ def test_simhash_drop_counter(ray_session):
     snap = _drop_snapshot(ctr, want_buckets=4)
     assert snap["dropped_buckets"] == 4    # one per 16-bit chunk
     assert snap["dropped_ids"] == 32
+
+
+def test_winnow_moss_guarantee(ray_session):
+    # two docs sharing a run of >= kgram+window-1 = 7 tokens must
+    # share at least one winnowing fingerprint (Schleimer et al. 2003)
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            f"unique prefix one {shared} tail xx yy",
+            f"other opening words {shared} different ending zz",
+            "no overlap here at all just filler tokens apple pear",
+        ], pa.string()),
+    })
+    fps = dd.winnow_fingerprints(rd.from_arrow(t)).to_pandas()
+    s0 = set(fps[fps["doc_id"] == 0]["fp"])
+    s1 = set(fps[fps["doc_id"] == 1]["fp"])
+    s2 = set(fps[fps["doc_id"] == 2]["fp"])
+    assert s0 & s1, "shared 7-token run must share a fingerprint"
+    assert not (s0 & s2) and not (s1 & s2)
+
+
+def test_winnow_matches_threshold_and_identity(ray_session):
+    txt = ("the quick brown fox jumps over the lazy dog again and "
+           "again with more words to winnow")
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([txt, txt,
+                          "entirely different content with nothing "
+                          "in common whatsoever for this test"],
+                         pa.string()),
+    })
+    m = dd.winnow_matches(rd.from_arrow(t), min_shared=2).to_pandas()
+    assert len(m) == 1
+    assert (int(m["a"].iloc[0]), int(m["b"].iloc[0])) == (0, 1)
+    # identical docs share ALL fingerprints
+    fps = dd.winnow_fingerprints(rd.from_arrow(t)).to_pandas()
+    n0 = (fps["doc_id"] == 0).sum()
+    assert int(m["n_shared"].iloc[0]) == n0
+
+
+def test_winnow_short_docs(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["one two three",        # < kgram tokens
+                          "one two three four",   # exactly 1 k-gram
+                          ""], pa.string()),
+    })
+    fps = dd.winnow_fingerprints(rd.from_arrow(t)).to_pandas()
+    assert (fps["doc_id"] == 0).sum() == 0
+    assert (fps["doc_id"] == 1).sum() == 1
+    assert (fps["doc_id"] == 2).sum() == 0
