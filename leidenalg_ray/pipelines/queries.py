@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from . import tpch_graphs as tg
 from ..dist.blocks import DistGraph
@@ -10935,6 +10935,117 @@ ORDER BY nation
 """
 
 
+FUNNEL_MIN_WORDS = 50
+FUNNEL_MIN_STOP_HITS = 1
+
+
+class _FunnelFlags:
+    """Fused funnel actor: per-doc (text_hash, key) where ``key =
+    doc_id*4 + f_en*2 + f_q`` packs the lang-id and quality flags
+    under the doc_id order, reusing the gate-identical ``LangId`` /
+    ``GopherRules`` stage callables (state built once per actor)."""
+
+    def __init__(self):
+        self.lang = tx.LangId()
+        self.gop = tx.GopherRules()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+        lt = self.lang(t)
+        gt = self.gop(t)
+        f_en = pc.equal(lt["pred_lang"], "en").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nw = gt["n_words"].to_numpy(zero_copy_only=False)
+        sh = gt["stop_hits"].to_numpy(zero_copy_only=False)
+        f_q = ((nw >= FUNNEL_MIN_WORDS)
+               & (sh >= FUNNEL_MIN_STOP_HITS)).astype(np.int64)
+        texts = np.asarray(t["text"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(texts, return_inverse=True)
+        digests = np.asarray(
+            [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in uniq], dtype=object)
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "text_hash": pa.array(digests[inv], pa.string()),
+            "key": pa.array(doc_id * 4 + f_en * 2 + f_q),
+        })
+
+
+def q_docs_funnel(sf_dir):
+    """CCNet-style preprocessing funnel (Wenzek et al. 2020 order:
+    dedup -> language id -> quality filter) composed from the
+    GATE-IDENTICAL stage outputs: exact-dedup representatives
+    (``dd.exact_dedup``), ``tx.lang_id`` == 'en', then a quality cut
+    on the Gopher signals (``tx.gopher_rules``; the funnel uses the
+    integer n_words/stop_hits signals with thresholds that
+    discriminate on the synthetic corpus — the full Gopher ``keep``
+    conjunction keeps zero synthetic docs, which would feed an
+    all-empty side into the join). One row per stage with the
+    surviving doc count — the corpus-curation report every pipeline
+    run emits; each underlying stage is separately oracle-verified,
+    this row pins their composition.
+
+    Execution shape: ONE fused actor stage computes per-doc
+    (text_hash, key) with the lang/quality flags packed into the low
+    bits of ``key = doc_id*4 + f_en*2 + f_q``, so a single
+    ``groupby(text_hash).aggregate(Min(key))`` both elects the
+    exact-dedup representative (min doc_id dominates the key order —
+    flags contribute < 4 and doc_ids are distinct) AND carries that
+    representative's own flags out of the shuffle. One shuffle, no
+    joins (two chained Ray hash joins deadlock a small test session;
+    duplicate texts share flags anyway, so the rep's flags are
+    well-defined)."""
+    docs = _docs(sf_dir)
+    n_total = docs.count()
+    agg = docs.map_batches(
+        _FunnelFlags, batch_format="pyarrow", batch_size=2048,
+        zero_copy_batch=True, concurrency=(1, 4)) \
+        .groupby("text_hash").aggregate(Min("key", alias_name="key"))
+    n_exact = n_lang = n_q = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        if b.num_columns == 0 or b.num_rows == 0:
+            continue
+        k = b["key"].to_numpy(zero_copy_only=False)
+        f_en = (k >> 1) & 1
+        f_q = k & 1
+        n_exact += len(k)
+        n_lang += int(f_en.sum())
+        n_q += int((f_en & f_q).sum())
+    return pa.table({
+        "stage": pa.array([0, 1, 2, 3], pa.int64()),
+        "name": pa.array(["total", "exact_dedup", "lang_en",
+                          "quality"], pa.string()),
+        "n_docs": pa.array([n_total, n_exact, n_lang, n_q],
+                           pa.int64()),
+    })
+
+
+SQL_DOCS_FUNNEL = f"""
+WITH reps AS (SELECT min(doc_id) AS doc_id
+              FROM documents GROUP BY md5(text)),
+lang AS ({SQL_LANG_ID}),
+gop AS ({SQL_DOC_GOPHER_RULES})
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage, 'total' AS name,
+         CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  UNION ALL
+  SELECT 1, 'exact_dedup', count(*) FROM reps
+  UNION ALL
+  SELECT 2, 'lang_en', count(*)
+  FROM reps r JOIN lang l USING (doc_id)
+  WHERE l.pred_lang = 'en'
+  UNION ALL
+  SELECT 3, 'quality', count(*)
+  FROM reps r JOIN lang l USING (doc_id)
+              JOIN gop g USING (doc_id)
+  WHERE l.pred_lang = 'en'
+    AND g.n_words >= {FUNNEL_MIN_WORDS}
+    AND g.stop_hits >= {FUNNEL_MIN_STOP_HITS}
+) ORDER BY stage
+"""
+
+
 POWERLAW_DMIN = 5
 
 
@@ -11047,6 +11158,7 @@ QUERIES = {
     "mst_cliques": q_mst_cliques,
     "mst_paths": q_mst_paths,
     "degree_powerlaw_co": q_degree_powerlaw_co,
+    "docs_funnel": q_docs_funnel,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
     "resolution_profile_dataset_cliques":
@@ -11272,6 +11384,7 @@ ORACLE_SQL = {
     "mst_cliques": SQL_MST_CLIQUES,
     "mst_paths": SQL_MST_PATHS,
     "degree_powerlaw_co": SQL_DEGREE_POWERLAW_CO,
+    "docs_funnel": SQL_DOCS_FUNNEL,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,

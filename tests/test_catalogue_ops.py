@@ -951,3 +951,11 @@ def test_degree_powerlaw_hill_quantisation(ray_session):
     assert df["n_tail"].iloc[0] == len(degs)
     assert df["alpha"].iloc[0] == pytest.approx(alpha, abs=1e-6)
     assert df["alpha"].iloc[0] > 1.0
+
+
+def test_docs_funnel_monotone(ray_session):
+    df = _df(Q.QUERIES["docs_funnel"](SF)).sort_values("stage")
+    n = df["n_docs"].to_numpy()
+    assert len(n) == 4
+    assert (np.diff(n) <= 0).all(), "funnel counts must be monotone"
+    assert n[0] > 0 and n[-1] >= 0
