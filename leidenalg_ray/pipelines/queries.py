@@ -10935,6 +10935,109 @@ ORDER BY nation
 """
 
 
+TEXTRANK_TOPK = 20
+
+
+def q_textrank_keywords(sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    corpus-level top-``TEXTRANK_TOPK`` tokens by weighted PageRank
+    over the adjacent-token co-occurrence graph (window 2,
+    undirected, weight = adjacency count) — the graph engine feeding
+    text analytics in one pipeline. Bigram extraction is a
+    vectorised per-batch partial (pair counts pre-reduced per
+    batch); the edge list is vocabulary-bounded, so the driver folds
+    partials into arrays and runs the SAME weighted fixed-iteration
+    PageRank kernel as ``pagerank_co`` over dense vocab ids (the
+    repo's vocab-bounded driver-state precedent, cf.
+    ``vocab_top_terms``). Selection orders by (rounded rank DESC,
+    token ASC) on BOTH engines so the top-k boundary is
+    deterministic."""
+    docs = _docs(sf_dir)
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        xs, ys = [], []
+        for txt in t["text"].to_pylist():
+            toks = np.asarray(tx.TOKEN_RE.findall(txt.lower()),
+                              dtype=object)
+            if len(toks) < 2:
+                continue
+            x, y = toks[:-1], toks[1:]
+            m = x != y
+            if not m.any():
+                continue
+            xs.append(np.minimum(x[m], y[m]))
+            ys.append(np.maximum(x[m], y[m]))
+        if not xs:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64())})
+        tt = pa.table({"a": pa.array(np.concatenate(xs)),
+                       "b": pa.array(np.concatenate(ys))})
+        return tt.group_by(["a", "b"]).aggregate([([], "count_all")]) \
+            .rename_columns(["a", "b", "w"])
+
+    agg: dict = {}
+    for b in docs.map_batches(bigrams, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if b.num_columns == 0:
+            continue
+        for a_, b_, w_ in zip(b["a"].to_pylist(), b["b"].to_pylist(),
+                              b["w"].to_pylist()):
+            agg[(a_, b_)] = agg.get((a_, b_), 0) + int(w_)
+    pairs = sorted(agg)
+    toks_a = np.asarray([p[0] for p in pairs], dtype=object)
+    toks_b = np.asarray([p[1] for p in pairs], dtype=object)
+    w = np.asarray([agg[p] for p in pairs], dtype=np.float64)
+    vocab = np.unique(np.concatenate([toks_a, toks_b]))
+    src = np.searchsorted(vocab, toks_a)
+    dst = np.searchsorted(vocab, toks_b)
+    g = DistGraph.from_edges(src, dst, w, n=len(vocab), P=4,
+                             directed=False, both_directions=True)
+    rank, _ = ss.pagerank(g, damping=DAMPING, tol=0.0,
+                          max_iter=PAGERANK_ITERS, weighted=True)
+    r6 = round6(rank)
+    order = sorted(range(len(vocab)), key=lambda i: (-r6[i],
+                                                     str(vocab[i])))
+    top = order[:TEXTRANK_TOPK]
+    return pa.table({
+        "token": pa.array([str(vocab[i]) for i in top], pa.string()),
+        "rank": pa.array([float(r6[i]) for i in top], pa.float64()),
+    })
+
+
+SQL_TEXTRANK_KEYWORDS = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+         FROM documents),
+bi AS (SELECT least(tk[i], tk[i + 1]) AS a,
+              greatest(tk[i], tk[i + 1]) AS b
+       FROM toks, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+       WHERE tk[i] <> tk[i + 1]),
+e0 AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS w
+       FROM bi GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT a AS v, sum(w) AS strength FROM e GROUP BY a),
+nn AS (SELECT count(*) AS n FROM verts),
+pr(i, v, r) AS (
+  SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         (1 - {DAMPING}) / (SELECT n FROM nn)
+         + {DAMPING} * sum(p.r * e.w / vs.strength)
+  FROM pr p
+  JOIN verts vs ON vs.v = p.v
+  JOIN e ON e.a = p.v
+  WHERE p.i < {PAGERANK_ITERS}
+  GROUP BY p.i, e.b
+)
+SELECT v AS token, round(r, 6) AS rank
+FROM pr WHERE i = {PAGERANK_ITERS}
+ORDER BY round(r, 6) DESC, v ASC LIMIT {TEXTRANK_TOPK}
+"""
+
+
 FUNNEL_MIN_WORDS = 50
 FUNNEL_MIN_STOP_HITS = 1
 
@@ -11159,6 +11262,7 @@ QUERIES = {
     "mst_paths": q_mst_paths,
     "degree_powerlaw_co": q_degree_powerlaw_co,
     "docs_funnel": q_docs_funnel,
+    "textrank_keywords": q_textrank_keywords,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
     "resolution_profile_dataset_cliques":
@@ -11385,6 +11489,7 @@ ORACLE_SQL = {
     "mst_paths": SQL_MST_PATHS,
     "degree_powerlaw_co": SQL_DEGREE_POWERLAW_CO,
     "docs_funnel": SQL_DOCS_FUNNEL,
+    "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,

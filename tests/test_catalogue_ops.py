@@ -959,3 +959,19 @@ def test_docs_funnel_monotone(ray_session):
     assert len(n) == 4
     assert (np.diff(n) <= 0).all(), "funnel counts must be monotone"
     assert n[0] > 0 and n[-1] >= 0
+
+
+def test_textrank_keywords_properties(ray_session):
+    df = _df(Q.QUERIES["textrank_keywords"](SF))
+    assert len(df) == Q.TEXTRANK_TOPK
+    assert (df["rank"] > 0).all()
+    # selection order: rounded rank desc, token asc
+    key = list(zip(-df["rank"], df["token"]))
+    assert key == sorted(key)
+    # every keyword actually occurs in the corpus
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text"])
+    corpus_tokens = set()
+    for t in docs["text"]:
+        corpus_tokens.update(Q.tx.TOKEN_RE.findall(t.lower()))
+    assert set(df["token"]) <= corpus_tokens
