@@ -10935,6 +10935,86 @@ ORDER BY nation
 """
 
 
+PERC_BUCKETS = (64, 128, 192, 256)   # of 256 md5 buckets kept
+
+
+def q_percolation_co(sf_dir):
+    """Bond-percolation robustness curve of the co graph: for each
+    deterministic edge-retention level (md5 bucket of the canonical
+    edge key < kept/256), the retained edge count and the giant
+    component size among vertices with >= 1 retained edge — the
+    standard crawl-graph robustness diagnostic (how fast does the
+    web graph shatter as links drop). Each level runs the SAME
+    distributed min-label CC kernel on the filtered edge set; the
+    oracle replays every level with the closure-recursion CC CTE."""
+    import hashlib as _h
+    a, b, _w = tg.co_edge_arrays(sf_dir)
+    n = int(max(a.max(initial=-1), b.max(initial=-1))) + 1 \
+        if len(a) else 0
+    keys = [f"{x}_{y}" for x, y in zip(a, b)]
+    h = np.asarray([int(_h.md5(k.encode()).hexdigest()[:2], 16)
+                    for k in keys], dtype=np.int64)
+    kept, n_edges, giant = [], [], []
+    for T in PERC_BUCKETS:
+        m = h < T
+        g = DistGraph.from_edges(a[m], b[m], n=n, P=4,
+                                 directed=False,
+                                 both_directions=True)
+        comp, _ = ss.connected_components(g)
+        act = np.flatnonzero(g.active_global())
+        labs = comp[act]
+        sizes = np.unique(labs, return_counts=True)[1] \
+            if len(labs) else np.array([0])
+        kept.append(T)
+        n_edges.append(int(m.sum()))
+        giant.append(int(sizes.max()))
+    return pa.table({
+        "kept_buckets": pa.array(kept, pa.int64()),
+        "n_edges": pa.array(n_edges, pa.int64()),
+        "giant_size": pa.array(giant, pa.int64()),
+    })
+
+
+def _percolation_sql():
+    blocks, finals = [], []
+    for T in PERC_BUCKETS:
+        blocks.append(f"""
+ek{T} AS (SELECT a, b FROM eh WHERE h < {T}),
+eek{T} AS (SELECT a, b FROM ek{T}
+           UNION SELECT b AS a, a AS b FROM ek{T}),
+vk{T} AS (SELECT DISTINCT a AS v FROM eek{T}),
+reach{T}(v, lab) AS (
+  SELECT v, v FROM vk{T}
+  UNION
+  SELECT e.b, r.lab FROM reach{T} r JOIN eek{T} e ON e.a = r.v
+),
+comp{T} AS (SELECT v, min(lab) AS lab FROM reach{T} GROUP BY v)""")
+        finals.append(f"""
+SELECT CAST({T} AS BIGINT) AS kept_buckets,
+       (SELECT CAST(count(*) AS BIGINT) FROM ek{T}) AS n_edges,
+       (SELECT CAST(coalesce(max(sz), 0) AS BIGINT)
+        FROM (SELECT count(*) AS sz FROM comp{T} GROUP BY lab))
+           AS giant_size""")
+    return f"""
+WITH RECURSIVE
+e0 AS MATERIALIZED (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+eh AS MATERIALIZED (SELECT a, b,
+        ('0x' || substr(md5(CAST(a AS VARCHAR) || '_'
+                            || CAST(b AS VARCHAR)), 1, 2))::INT AS h
+      FROM e0),
+{",".join(blocks)}
+{" UNION ALL ".join(finals)}
+ORDER BY kept_buckets
+"""
+
+
+SQL_PERCOLATION_CO = _percolation_sql()
+
+
 TEXTRANK_TOPK = 20
 
 
@@ -11263,6 +11343,7 @@ QUERIES = {
     "degree_powerlaw_co": q_degree_powerlaw_co,
     "docs_funnel": q_docs_funnel,
     "textrank_keywords": q_textrank_keywords,
+    "percolation_co": q_percolation_co,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
     "resolution_profile_dataset_cliques":
@@ -11490,6 +11571,7 @@ ORACLE_SQL = {
     "degree_powerlaw_co": SQL_DEGREE_POWERLAW_CO,
     "docs_funnel": SQL_DOCS_FUNNEL,
     "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
+    "percolation_co": SQL_PERCOLATION_CO,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,

