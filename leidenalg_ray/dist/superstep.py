@@ -2254,3 +2254,63 @@ def pagerank_batch(g: DistGraph, seed_sets, damping=0.85, tol=0.0,
     for p in range(P):
         out[p::P] = ray.get(rank_refs[p])
     return out, it + 1
+
+
+# ----------------------------------------------------------------------
+# Truncated expected hitting time to a target set (value iteration)
+# ----------------------------------------------------------------------
+def hitting_time(g: DistGraph, targets, iters=30, weighted=False,
+                 result_out=None):
+    """Expected steps of the (weighted) random walk to reach the
+    target set, truncated at ``iters`` (value iteration from h=0:
+    h_{t}(v) = 0 for targets, else 1 + sum_u P(v,u) h_{t-1}(u) with
+    P(v,u) = w(v,u)/strength(v) — after K sweeps h equals the
+    expectation of min(hitting time, K)'s Bellman truncation, the
+    fixed-iteration form the SQL oracle replays). Messages push
+    w*h(src) along src->dst edges and divide by strength at the
+    destination, so the symmetric-graph gather is the same exchange
+    shape as PageRank. ``result_out=`` shares ``_finish``."""
+    P, n, sizes = g.P, g.n, g.sizes
+    targets = np.asarray(targets, dtype=np.int64)
+    tgt_refs = []
+    for p in range(P):
+        m = np.zeros(sizes[p], dtype=bool)
+        tp = targets[targets % P == p]
+        m[tp // P] = True
+        tgt_refs.append(ray.put(m))
+    norm_refs = g.out_strength if weighted else g.out_deg
+
+    @ray.remote
+    def gather(block, h):
+        per_edge = h[block["src_local"]]
+        if weighted:
+            per_edge = per_edge * block["weight"]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q])
+            np.add.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs if P > 1 else outs + [None]
+
+    @ray.remote
+    def reduce(norm, tgt, *incoming):
+        acc = np.zeros(len(norm))
+        for arr in incoming:
+            acc += arr
+        new = np.zeros(len(norm))
+        nz = norm > 0
+        new[nz] = 1.0 + acc[nz] / norm[nz]
+        new[~nz] = 0.0   # isolated vertices never move: undefined, 0
+        new[tgt] = 0.0
+        return new
+
+    h_refs = [ray.put(np.zeros(sizes[p])) for p in range(P)]
+    for _ in range(iters):
+        msg = [gather.options(num_returns=max(P, 2)).remote(
+            g.blocks[p], h_refs[p]) for p in range(P)]
+        h_refs = [reduce.remote(norm_refs[q], tgt_refs[q],
+                                *[msg[p][q] for p in range(P)])
+                  for q in range(P)]
+    return _finish(g, h_refs, iters, result_out, "hitting_time")

@@ -10935,6 +10935,55 @@ ORDER BY nation
 """
 
 
+HT_ITERS = 30
+
+
+def q_hitting_time_co(sf_dir):
+    """Truncated expected hitting time of the weighted random walk to
+    the PPR_SEEDS smallest active vids (``ss.hitting_time`` — value
+    iteration, the random-walk distance used for recommendation /
+    trust propagation; fixed HT_ITERS sweeps so the recursive-CTE
+    oracle replays it exactly). The symmetric co graph makes the
+    push-along-edges gather shape identical to PageRank's."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    targets = np.flatnonzero(act)[:PPR_SEEDS].astype(np.int64)
+    h, _ = ss.hitting_time(g, targets, iters=HT_ITERS, weighted=True)
+    vids = np.flatnonzero(act).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "h": pa.array(round6(h[vids]))})
+
+
+SQL_HITTING_TIME_CO = f"""
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT a AS v, sum(w) AS strength FROM e GROUP BY a),
+tgt AS (SELECT v FROM verts ORDER BY v LIMIT {PPR_SEEDS}),
+one AS (SELECT CAST(count(*) AS DOUBLE) / count(*) AS o FROM verts),
+ht(i, v, h) AS (
+  SELECT 0, v, CAST(0.0 AS DOUBLE) FROM verts
+  UNION ALL
+  SELECT p.i + 1, e.b,
+         CASE WHEN e.b IN (SELECT v FROM tgt)
+              THEN CAST(0.0 AS DOUBLE)
+              ELSE (SELECT o FROM one)
+                   + sum(p.h * e.w) / vs2.strength END
+  FROM ht p
+  JOIN e ON e.a = p.v
+  JOIN verts vs2 ON vs2.v = e.b
+  WHERE p.i < {HT_ITERS}
+  GROUP BY p.i, e.b, vs2.strength
+)
+SELECT v AS vid, round(h, 6) AS h FROM ht WHERE i = {HT_ITERS}
+"""
+
+
 PERC_BUCKETS = (64, 128, 192, 256)   # of 256 md5 buckets kept
 
 
@@ -11344,6 +11393,7 @@ QUERIES = {
     "docs_funnel": q_docs_funnel,
     "textrank_keywords": q_textrank_keywords,
     "percolation_co": q_percolation_co,
+    "hitting_time_co": q_hitting_time_co,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
     "resolution_profile_dataset_cliques":
@@ -11572,6 +11622,7 @@ ORACLE_SQL = {
     "docs_funnel": SQL_DOCS_FUNNEL,
     "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "percolation_co": SQL_PERCOLATION_CO,
+    "hitting_time_co": SQL_HITTING_TIME_CO,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -1956,3 +1956,34 @@ def test_pagerank_batch_result_out(random_graph, tmp_path):
         got[t["vid"].to_numpy(), t["seed"].to_numpy()] = \
             t["rank"].to_numpy()
     assert np.abs(got - mat).max() < 1e-15
+
+
+def test_hitting_time_matches_serial_value_iteration(random_graph):
+    src, dst, n = random_graph
+    nl = src != dst
+    g = DistGraph.from_edges(src[nl], dst[nl], n=n, P=4,
+                             directed=False, both_directions=True)
+    targets = [3, 77, 500]
+    K = 12
+    h, _ = ss.hitting_time(g, targets, iters=K)
+    # serial replica over the same symmetric multigraph
+    deg = np.zeros(n)
+    adj = {}
+    for u, v in zip(src[nl], dst[nl]):
+        for a, b in ((int(u), int(v)), (int(v), int(u))):
+            adj.setdefault(a, []).append(b)
+            deg[a] += 1
+    hs = np.zeros(n)
+    tset = set(targets)
+    for _ in range(K):
+        new = np.zeros(n)
+        for v in range(n):
+            if v in tset or deg[v] == 0:
+                continue
+            new[v] = 1.0 + sum(hs[u] for u in adj[v]) / deg[v]
+        hs = new
+    assert np.abs(h - hs).max() < 1e-9
+    assert all(h[t] == 0.0 for t in targets)
+    # truncated expectation grows with the horizon
+    h2, _ = ss.hitting_time(g, targets, iters=K + 10)
+    assert (h2 >= h - 1e-12).all()
