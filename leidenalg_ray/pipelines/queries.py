@@ -10935,6 +10935,37 @@ ORDER BY nation
 """
 
 
+HH_K = 127
+
+
+def q_heavy_hitter_users(sf_dir):
+    """Exact heavy hitters (users with > N/(k+1) of all events)
+    through the 2-pass Misra-Gries path
+    (``stages/sketch.heavy_hitters``): pass 1 folds per-batch
+    summaries into O(k) driver state (the merged summary provably
+    keeps every key above the bar — Agarwal et al., PODS 2012),
+    pass 2 recounts only the <= k candidates exactly. No full
+    groupby shuffle; the oracle is the plain exact HAVING filter,
+    which the guarantee makes identical."""
+    from ..stages.sketch import heavy_hitters
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    keys, cnts, _n = heavy_hitters(ev, "user_id", k=HH_K)
+    return pa.table({
+        "user_id": pa.array(keys, pa.int64()),
+        "n_events": pa.array(cnts, pa.int64()),
+    })
+
+
+SQL_HEAVY_HITTER_USERS = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+HAVING count(*) * {HH_K + 1} > (SELECT count(*) FROM events)
+ORDER BY user_id
+"""
+
+
 HT_ITERS = 30
 
 
@@ -11394,6 +11425,7 @@ QUERIES = {
     "textrank_keywords": q_textrank_keywords,
     "percolation_co": q_percolation_co,
     "hitting_time_co": q_hitting_time_co,
+    "heavy_hitter_users": q_heavy_hitter_users,
     "resolution_profile_co": q_resolution_profile_co,
     "resolution_profile_cliques": q_resolution_profile_cliques,
     "resolution_profile_dataset_cliques":
@@ -11623,6 +11655,7 @@ ORACLE_SQL = {
     "textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "percolation_co": SQL_PERCOLATION_CO,
     "hitting_time_co": SQL_HITTING_TIME_CO,
+    "heavy_hitter_users": SQL_HEAVY_HITTER_USERS,
     "triangles_co": SQL_TRIANGLES_CO,
     "triangles_co_per_vertex": SQL_TRIANGLES_CO_PV,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -319,3 +319,73 @@ def bloom_contains(probe_ds, col: str, words):
 
     return probe_ds.map_batches(check, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+# ----------------------------------------------------------------------
+# Misra-Gries heavy hitters (2-pass: sketch candidates, exact recount)
+# ----------------------------------------------------------------------
+def mg_reduce(counts: dict, k: int) -> dict:
+    """Reduce a counter table to <= k entries by subtracting the
+    (k+1)-th largest count from every entry and dropping the
+    non-positive ones — the Misra-Gries merge step (Agarwal et al.,
+    'Mergeable Summaries', PODS 2012). Each reduction adds at most
+    its subtracted value to the summary's deficit, and the total
+    deficit over any merge tree is bounded by N/(k+1)."""
+    if len(counts) <= k:
+        return counts
+    vals = np.fromiter(counts.values(), dtype=np.int64)
+    sub = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
+    return {key: c - sub for key, c in counts.items() if c > sub}
+
+
+def heavy_hitters(ds, col: str, k: int = 127):
+    """Exact heavy hitters (keys with frequency > N/(k+1)) WITHOUT a
+    full groupby shuffle: pass 1 folds per-batch exact counters
+    reduced to <= k entries (Misra-Gries summaries — the merged
+    summary provably retains every key above the N/(k+1) bar) into
+    O(k) driver state; pass 2 broadcasts the <= k candidates and
+    counts ONLY them exactly. Returns (keys, exact counts, N) with
+    the guarantee filter applied — the 100-TB shape for 'top
+    offenders' reports where a groupby over all keys would shuffle
+    the world for a k-row answer."""
+    counts: dict = {}
+    n_total = ds.count()   # parquet metadata count — no compute pass
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        local = mg_reduce(dict(zip(u.tolist(),
+                                   c.astype(np.int64).tolist())), k)
+        return pa.table({
+            "key": pa.array(list(local), pa.int64()),
+            "cnt": pa.array([local[x] for x in local], pa.int64()),
+        })
+
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if b.num_columns == 0:
+            continue
+        for key, c in zip(b["key"].to_pylist(), b["cnt"].to_pylist()):
+            counts[key] = counts.get(key, 0) + int(c)
+        counts = mg_reduce(counts, k)
+    cand = np.array(sorted(counts), dtype=np.int64)
+
+    def recount(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        m = np.isin(v, cand)
+        u, c = np.unique(v[m], return_counts=True)
+        return pa.table({"key": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    exact: dict = {int(x): 0 for x in cand}
+    for b in ds.map_batches(recount, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if b.num_columns == 0:
+            continue
+        for key, c in zip(b["key"].to_pylist(), b["cnt"].to_pylist()):
+            exact[int(key)] += int(c)
+    keys = sorted(key for key, c in exact.items()
+                  if c * (k + 1) > n_total)
+    return keys, [exact[key] for key in keys], n_total

@@ -3,6 +3,7 @@ SQL-replicable arithmetic (exact dyadic partial sums)."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from leidenalg_ray.stages import sketch as sk
@@ -108,3 +109,37 @@ def test_bloom_no_false_negatives_and_mergeable(ray_session):
     expect = (1 - np.exp(-sk.BLOOM_K * len(members)
                          / sk.BLOOM_M)) ** sk.BLOOM_K
     assert fp < 5 * expect + 0.01
+
+
+def test_misra_gries_guarantee_adversarial(ray_session):
+    """A heavy key spread thin across batches (never a batch-local
+    top-1) must survive the merged summary; output equals the exact
+    heavy-hitter set."""
+    import ray.data as rd
+    from leidenalg_ray.stages.sketch import heavy_hitters, mg_reduce
+
+    rng = np.random.default_rng(11)
+    # key 7 holds ~12% of a 40k stream; tail keys are uniform over
+    # 5000 values so per-batch counts of 7 rarely dominate
+    hh = np.full(4800, 7, dtype=np.int64)
+    tail = rng.integers(100, 5100, size=35200)
+    stream = np.concatenate([hh, tail])
+    rng.shuffle(stream)
+    ds = rd.from_arrow(pa.table({"k": pa.array(stream)}))
+    k = 31
+    keys, cnts, n = heavy_hitters(ds, "k", k=k)
+    assert n == len(stream)
+    u, c = np.unique(stream, return_counts=True)
+    want = {int(x): int(y) for x, y in zip(u, c)
+            if y * (k + 1) > len(stream)}
+    assert dict(zip(keys, cnts)) == want
+    assert 7 in keys
+
+
+def test_mg_reduce_bounds():
+    from leidenalg_ray.stages.sketch import mg_reduce
+    counts = {i: i + 1 for i in range(100)}
+    red = mg_reduce(dict(counts), 10)
+    assert len(red) <= 10
+    # reduction only ever lowers counts, never raises
+    assert all(red[key] <= counts[key] for key in red)
