@@ -2924,6 +2924,57 @@ FROM ranked WHERE rn <= {TFIDF_K}
 """
 
 
+BM25_TERMS = ("hash", "merge", "spark", "stream", "window")
+BM25_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(sf_dir):
+    """BM25 top-10 documents for a fixed 5-term query (Robertson/
+    Lucene idf). Pass 1 is a shuffle-free streaming reduction
+    (n_docs, total tokens, per-term df); pass 2 scores in parallel
+    with a per-batch partial top-k, so only k x n_batches rows reach
+    the final sort. Ranks by the ROUNDED score (both sides) so a
+    last-ulp ln() difference between numpy and DuckDB can't flip the
+    k boundary."""
+    return tx.bm25_topk(_docs(sf_dir), BM25_TERMS, k=BM25_K,
+                        k1=BM25_K1, b=BM25_B)
+
+
+SQL_BM25_TOPK = f"""
+WITH q(term) AS (
+  SELECT unnest({list(BM25_TERMS)!r})),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+           AS term
+  FROM documents),
+tok2 AS (SELECT * FROM toks WHERE term <> ''),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM tok2)
+           / (SELECT count(*) FROM documents) AS avgdl),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok2 t USING (doc_id) GROUP BY 1),
+df AS (SELECT q.term, count(DISTINCT t.doc_id) AS df
+       FROM q LEFT JOIN tok2 t ON t.term = q.term GROUP BY 1),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok2 t JOIN q USING (term) GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1)
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                + {BM25_B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats GROUP BY 1)
+SELECT doc_id, round(s, 6) AS score FROM scored
+WHERE round(s, 6) > 0
+ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_dedup_exact(sf_dir):
     out = dd.exact_dedup(_docs(sf_dir))
 
@@ -11457,6 +11508,7 @@ QUERIES = {
     "doc_pack_chunks": q_doc_pack_chunks,
     "dedup_cluster": q_dedup_cluster,
     "tfidf_topk": q_tfidf_topk,
+    "bm25_topk": q_bm25_topk,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -11683,6 +11735,7 @@ ORACLE_SQL = {
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "bm25_topk": SQL_BM25_TOPK,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

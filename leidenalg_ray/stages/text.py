@@ -704,3 +704,86 @@ def gopher_rules(docs_ds, concurrency=4):
     return docs_ds.map_batches(GopherRules, batch_format="pyarrow",
                                batch_size=2048, zero_copy_batch=True,
                                concurrency=(1, concurrency))
+
+
+def bm25_topk(docs_ds, query_terms, k=10, k1=1.2, b=0.75):
+    """BM25 retrieval: score every document against a fixed bag of
+    query terms, return the global top-k (rounded score desc, doc_id
+    asc). Robertson idf = ln(1 + (N - df + 0.5) / (df + 0.5)), the
+    Lucene form (non-negative for every df); tf saturation
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with dl = the doc's
+    non-empty token count under the shared tokenizer
+    (``regexp_split_to_array(lower(text), '[^a-z0-9]+')``), so the
+    whole score has an exact DuckDB twin.
+
+    Shape (100-TB-safe): pass 1 is a streaming global reduction — one
+    O(1)-row partial per batch carrying (n_docs, dl_sum, df per query
+    term), combined by ``Dataset.sum`` with no shuffle and O(|q|)
+    driver state. Pass 2 is embarrassingly parallel scoring (the
+    query-term stats ride in the closure, |q| floats) emitting a
+    per-batch partial top-k, so the final exchange sorts only
+    k x n_batches rows. Ranking uses the ROUNDED score so the SQL
+    twin's ORDER BY round(score, 6) can never diverge on a last-ulp
+    libm difference.
+    """
+    q = sorted(set(query_terms))
+    m = len(q)
+    dfc = [f"df_{i}" for i in range(m)]
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = flat != ""
+        flat, par = flat[keep], par[keep]
+        n = t.num_rows
+        cols = {"n": pa.array([np.int64(n)]),
+                "dl_sum": pa.array([np.int64(len(flat))])}
+        pos = np.searchsorted(q, flat)
+        hit = (pos < m) & (np.asarray(q, dtype=object)[
+            np.minimum(pos, m - 1)] == flat)
+        for i in range(m):
+            # df = docs containing term i at least once
+            docs_with = np.unique(par[hit & (pos == i)])
+            cols[dfc[i]] = pa.array([np.int64(len(docs_with))])
+        return pa.table(cols)
+
+    stats = docs_ds.map_batches(partial_stats, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .sum(["n", "dl_sum"] + dfc)
+    n_docs = float(stats["sum(n)"])
+    avgdl = float(stats["sum(dl_sum)"]) / max(n_docs, 1.0)
+    df = np.array([float(stats[f"sum({c})"]) for c in dfc])
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = flat != ""
+        flat, par = flat[keep], par[keep]
+        n = t.num_rows
+        dl = np.bincount(par, minlength=n).astype(np.float64)
+        pos = np.searchsorted(q, flat)
+        hit = (pos < m) & (np.asarray(q, dtype=object)[
+            np.minimum(pos, m - 1)] == flat)
+        tf = np.zeros((n, m))
+        np.add.at(tf, (par[hit], pos[hit]), 1.0)
+        denom = tf + k1 * (1.0 - b + b * (dl / avgdl))[:, None]
+        sc = ((tf * (k1 + 1.0) / denom) * idf[None, :]).sum(axis=1)
+        sc = round6(sc)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        nz = sc > 0
+        d, sc = d[nz], sc[nz]
+        o = np.lexsort((d, -sc))[:k]
+        return pa.table({"doc_id": pa.array(d[o].astype(np.int64)),
+                         "score": pa.array(sc[o])})
+
+    out = docs_ds.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return out.sort(["score", "doc_id"],
+                    descending=[True, False]).limit(k)

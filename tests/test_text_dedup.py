@@ -392,3 +392,44 @@ def test_winnow_short_docs(ray_session):
     assert (fps["doc_id"] == 0).sum() == 0
     assert (fps["doc_id"] == 1).sum() == 1
     assert (fps["doc_id"] == 2).sum() == 0
+
+
+def test_bm25_topk_serial_oracle(docs):
+    """BM25 (Robertson idf, k1/b saturation) == a serial recompute;
+    output invariant to batching (pass-1 partials are per-doc exact,
+    pass-2 per-batch top-k prunes below the global k only)."""
+    import collections
+    import math
+    import re
+
+    import pandas as pd
+
+    q = ["fox", "graph", "tables"]
+    k1, b = 1.2, 0.75
+    out = tx.bm25_topk(docs, q, k=3, k1=k1, b=b).to_pandas()
+
+    texts = docs.to_pandas().set_index("doc_id")["text"]
+    tf = {d: collections.Counter(re.findall(r"[a-z0-9]+", t.lower()))
+          for d, t in texts.items()}
+    n = len(texts)
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    avgdl = sum(dl.values()) / n
+    rows = []
+    for d, c in tf.items():
+        s = 0.0
+        for w in q:
+            dfw = sum(1 for cc in tf.values() if w in cc)
+            f = c.get(w, 0)
+            s += (math.log(1 + (n - dfw + 0.5) / (dfw + 0.5))
+                  * f * (k1 + 1) / (f + k1 * (1 - b + b * dl[d] / avgdl)))
+        s = round(s, 6)
+        if s > 0:
+            rows.append((d, s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    exp = pd.DataFrame(rows[:3], columns=["doc_id", "score"])
+    assert list(out.doc_id) == list(exp.doc_id)
+    assert np.allclose(out.score, exp.score, atol=1e-9)
+
+    out2 = tx.bm25_topk(docs.repartition(3), q, k=3,
+                        k1=k1, b=b).to_pandas()
+    assert out.equals(out2)
