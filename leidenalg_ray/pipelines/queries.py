@@ -2975,6 +2975,52 @@ ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+SUBSTR_N = 8
+
+
+def q_dedup_exact_substr(sf_dir):
+    """ExactSubstr duplicated-span detection (Lee et al. 2022): token
+    8-grams occurring >= 2 times anywhere in the corpus, merged into
+    maximal per-document spans. Pass 1 ships per-batch (gram,
+    min_doc, max_doc, cnt) partials into one gram groupby; the dup
+    set (bounded by the corpus's duplication volume, not its size)
+    broadcasts for the parallel scoring/merge pass. The SQL twin
+    groups by the gram STRING where the engine groups by its 61-bit
+    polynomial hash — equal up to a ~2^-61 collision the value
+    comparison would catch."""
+    return dd.exact_substr_spans(_docs(sf_dir), n=SUBSTR_N)
+
+
+SQL_DEDUP_EXACT_SUBSTR = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([{{'pos': j - 1,
+                  'g': array_to_string(ts[j : j + {SUBSTR_N - 1}], ' ')}}
+                 FOR j IN range(1, len(ts) - {SUBSTR_N - 2})],
+                recursive := true)
+  FROM toks),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams
+         WHERE g IN (SELECT g FROM dup)),
+brk AS (SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) <= {SUBSTR_N}
+               THEN 0 ELSE 1 END AS b
+        FROM hits),
+isl AS (SELECT doc_id, pos,
+          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM brk)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {SUBSTR_N} AS span_end
+FROM isl GROUP BY doc_id, gid
+"""
+
+
 def q_dedup_exact(sf_dir):
     out = dd.exact_dedup(_docs(sf_dir))
 
@@ -11509,6 +11555,7 @@ QUERIES = {
     "dedup_cluster": q_dedup_cluster,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
+    "dedup_exact_substr": q_dedup_exact_substr,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -11736,6 +11783,7 @@ ORACLE_SQL = {
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,
+    "dedup_exact_substr": SQL_DEDUP_EXACT_SUBSTR,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

@@ -884,3 +884,126 @@ def winnow_matches(docs_ds, kgram=4, window=4, min_shared=2,
 
     return agg.map_batches(keep, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def _gram_hashes(texts, n):
+    """Per-doc ``n``-gram polynomial hashes over the token stream
+    (base 257 mod 2^61-1, full-precision Horner — same family as
+    ``winnow_fingerprints``). Tokens are lowercased ``[a-z0-9]+``
+    runs (the shared SQL-twin tokenizer). Returns a list of int64
+    arrays, one per text; docs with < n tokens yield an empty array.
+    Token hashes come from ``hash_tokens`` (md5 once per DISTINCT
+    token), so the per-gram cost is n vectorised object-int ops."""
+    import re
+    tok = re.compile(r"[a-z0-9]+")
+    all_toks, spans = [], []
+    for t in texts:
+        ts = tok.findall(t.lower())
+        spans.append((len(all_toks), len(all_toks) + len(ts)))
+        all_toks.extend(ts)
+    hv = hash_tokens(all_toks)
+    pows = [257 ** (n - 1 - j) for j in range(n)]
+    out = []
+    for lo, hi in spans:
+        h = hv[lo:hi].astype(object)
+        if len(h) < n:
+            out.append(np.empty(0, np.int64))
+            continue
+        m = len(h) - n + 1
+        acc = h[:m] * pows[0]
+        for j in range(1, n):
+            acc = acc + h[j:m + j] * pows[j]
+        out.append((acc % _M61).astype(np.int64))
+    return out
+
+
+def exact_substr_spans(docs_ds, n=8):
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token ``n``-gram is *duplicated* when it occurs >= 2 times in the
+    corpus (across OR within documents); per document, overlapping /
+    adjacent duplicated grams merge into maximal spans. Output one
+    row per span: (doc_id, span_start, span_end) in token positions,
+    end exclusive (span covers tokens [start, end)).
+
+    Shape (100-TB path): pass 1 hashes grams (md5-per-distinct-token
+    + vectorised polynomial roll) and pre-aggregates per batch, so
+    the shuffle carries one (gram, min_doc, max_doc, cnt) row per
+    distinct gram per batch — the exact-substring analogue of the
+    suffix-array build, and the only token-stream-sized exchange.
+    The duplicated-gram set that comes back is bounded by the
+    CORPUS'S DUPLICATION VOLUME, not its size; it is broadcast once
+    (``ray.put``) for the second scoring pass. If duplication volume
+    ever exceeded worker memory, swap the broadcast for a hash
+    semi-join of (gram, doc, pos) against the dup set — same
+    semantics, one extra exchange. Span-merging is per-document and
+    never leaves the batch."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        gs = _gram_hashes(t["text"].to_pylist(), n)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        g = np.concatenate(gs) if gs else np.empty(0, np.int64)
+        d = np.concatenate([np.full(len(a), i, np.int64)
+                            for a, i in zip(gs, ids)]) \
+            if gs else np.empty(0, np.int64)
+        agg = pa.table({"g": pa.array(g), "d": pa.array(d)}) \
+            .group_by("g").aggregate([("d", "min"), ("d", "max"),
+                                      ([], "count_all")])
+        return pa.table({"g": agg["g"],
+                         "mind": agg["d_min"],
+                         "maxd": agg["d_max"],
+                         "cnt": agg["count_all"]})
+
+    per_gram = docs_ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+        .groupby("g").aggregate(Min("mind", alias_name="mind"),
+                                Max("maxd", alias_name="maxd"),
+                                Sum("cnt", alias_name="cnt"))
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # dataless shuffle partition
+            return pa.table({"g": pa.array([], pa.int64())})
+        return pa.table(
+            {"g": t.filter(pc.greater_equal(t["cnt"], 2))["g"]})
+
+    dup = per_gram.map_batches(dup_only, batch_format="pyarrow") \
+        .to_pandas()["g"].to_numpy(np.int64)
+    dup_ref = ray.put(np.sort(dup))
+
+    def spans(t: pa.Table) -> pa.Table:
+        dup_sorted = ray.get(dup_ref)
+        gs = _gram_hashes(t["text"].to_pylist(), n)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_d, out_s, out_e = [], [], []
+        for a, i in zip(gs, ids):
+            if len(a) == 0:
+                continue
+            pos = np.searchsorted(dup_sorted, a)
+            pos = np.minimum(pos, len(dup_sorted) - 1) \
+                if len(dup_sorted) else pos
+            hit = np.flatnonzero(
+                (dup_sorted[pos] == a) if len(dup_sorted) else
+                np.zeros(len(a), bool))
+            if len(hit) == 0:
+                continue
+            new = np.ones(len(hit), bool)
+            new[1:] = hit[1:] - hit[:-1] > n
+            starts = np.flatnonzero(new)
+            ends = np.r_[starts[1:], len(hit)] - 1
+            out_d.append(np.full(len(starts), i, np.int64))
+            out_s.append(hit[starts].astype(np.int64))
+            out_e.append(hit[ends].astype(np.int64) + n)
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "span_start": pa.array([], pa.int64()),
+                             "span_end": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d)),
+            "span_start": pa.array(np.concatenate(out_s)),
+            "span_end": pa.array(np.concatenate(out_e)),
+        })
+
+    return docs_ds.map_batches(spans, batch_format="pyarrow",
+                               zero_copy_batch=True)

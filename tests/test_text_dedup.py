@@ -433,3 +433,39 @@ def test_bm25_topk_serial_oracle(docs):
     out2 = tx.bm25_topk(docs.repartition(3), q, k=3,
                         k1=k1, b=b).to_pandas()
     assert out.equals(out2)
+
+
+def test_exact_substr_spans_planted():
+    """Planted shared runs produce exactly the expected maximal
+    spans; merging joins overlapping grams; intra-doc repetition
+    also counts (corpus occurrences >= 2, Lee et al. semantics)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = [
+        # docs 0 and 1 share a 10-token run at different offsets
+        shared + " one two three four five six seven eight",
+        "x1 x2 x3 " + shared + " y1 y2 y3 y4 y5",
+        # doc 2: an 8-token phrase repeated twice WITHIN the doc
+        "p1 p2 p3 p4 p5 p6 p7 p8 mid1 mid2 mid3 mid4 mid5 mid6 mid7 "
+        "mid8 mid9 p1 p2 p3 p4 p5 p6 p7 p8",
+        # doc 3: no duplicated 4-grams with anything
+        "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(base)), pa.int64()),
+        "text": pa.array(base, pa.string()),
+    }))
+    out = dd.exact_substr_spans(ds, n=4).to_pandas() \
+        .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    got = list(out.itertuples(index=False, name=None))
+    # docs 0/1: the shared 10-token run -> 4-grams at positions
+    # 0..6 (doc 0) / 3..9 (doc 1), each merging into ONE span
+    # covering the run
+    assert (0, 0, 10) in got
+    assert (1, 3, 13) in got
+    # doc 2: both copies of the repeated 8-token phrase flagged
+    assert (2, 0, 8) in got and (2, 17, 25) in got
+    assert not any(d == 3 for d, _, _ in got)
+
+    out2 = dd.exact_substr_spans(ds.repartition(4), n=4).to_pandas() \
+        .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    assert out.equals(out2)
