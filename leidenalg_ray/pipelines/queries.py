@@ -2975,6 +2975,28 @@ ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+SHUFFLE_SEED = 17
+
+
+def q_docs_shuffle(sf_dir):
+    """Seeded global training order: dense rank 0..n-1 in
+    md5(seed:doc_id) order via order-compatible md5-prefix range
+    buckets (one B-row count groupby + per-bucket key sort; O(B)
+    driver state) — never a whole-corpus sort."""
+    from ..stages import pack as pk
+    return pk.global_shuffle_rank(_docs(sf_dir, columns=("doc_id",)),
+                                  seed=SHUFFLE_SEED)
+
+
+SQL_DOCS_SHUFFLE = f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)))
+         - 1 AS rank
+FROM documents
+"""
+
+
 SUBSTR_N = 8
 
 
@@ -11556,6 +11578,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
     "dedup_exact_substr": q_dedup_exact_substr,
+    "docs_shuffle": q_docs_shuffle,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -11784,6 +11807,7 @@ ORACLE_SQL = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,
     "dedup_exact_substr": SQL_DEDUP_EXACT_SUBSTR,
+    "docs_shuffle": SQL_DOCS_SHUFFLE,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

@@ -138,3 +138,62 @@ def pack_chunks(docs_ds, budget=512, bucket_size=256, concurrency=4):
     return bucketed.groupby("bucket").map_groups(
         per_bucket, batch_format="pyarrow") \
         .select_columns(["doc_id", "n_tokens", "chunk_id"])
+
+
+def global_shuffle_rank(docs_ds, seed=17, B=None):
+    """Seeded global training order: every doc gets a dense rank
+    0..n-1 in the order of ``md5(seed || ':' || doc_id)`` — the
+    deterministic, resumable equivalent of ``random_shuffle`` for
+    fixing a training curriculum (same order on every rerun, any
+    parallelism, any shard layout).
+
+    Shape (100-TB path): the md5 keys are uniform, so the first two
+    hex digits give ORDER-COMPATIBLE range buckets; one bucket-count
+    groupby (B rows) -> exclusive driver offsets (O(B) state) -> a
+    per-bucket key sort assigns ranks without ever sorting the corpus
+    globally — the same distributed prefix-rank as
+    ``graph_build.assign_ids``, but over a range partition so rank
+    equals the global row_number of the SQL twin. B=None scales
+    bucket count with the corpus (ceil(n/128Ki), floor 16, cap 256
+    since the bucket key is one md5 byte)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    if B is None:
+        docs_ds = docs_ds.materialize()
+        B = int(min(256, max(16, -(-docs_ds.count() // (1 << 17)))))
+
+    def with_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = [hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+                for d in ids]
+        buckets = np.fromiter((int(k[:2], 16) * B // 256 for k in keys),
+                              dtype=np.int64, count=len(keys))
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "key": pa.array(keys, pa.string()),
+                         "bucket": pa.array(buckets)})
+
+    keyed = docs_ds.select_columns(["doc_id"]) \
+        .map_batches(with_key, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+    counts = keyed.groupby("bucket").aggregate(
+        Count(alias_name="n")).to_pandas()
+    offsets = np.zeros(B + 1, dtype=np.int64)
+    for _, row in counts.iterrows():
+        offsets[int(row["bucket"]) + 1] = int(row["n"])
+    np.cumsum(offsets, out=offsets)
+    offs = {b: int(offsets[b]) for b in range(B)}
+
+    def rank_group(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # dataless shuffle partition
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        b = int(t["bucket"][0].as_py())
+        order = pc.sort_indices(t["key"])
+        ranks = pa.array(offs[b] + np.arange(len(order),
+                                             dtype=np.int64))
+        return pa.table({"doc_id": pc.take(t["doc_id"], order),
+                         "rank": ranks})
+
+    return keyed.groupby("bucket").map_groups(
+        rank_group, batch_format="pyarrow")

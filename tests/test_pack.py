@@ -63,3 +63,27 @@ def test_pack_chunks_block_order_invariant():
     b = pk.pack_chunks(ds2, budget=64, bucket_size=16).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_global_shuffle_rank_dense_and_stable(ray_session):
+    """Ranks are a dense 0..n-1 permutation of md5-key order,
+    invariant to partitioning and bucket count."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from leidenalg_ray.stages import pack as pk
+
+    ids = list(range(37))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = pk.global_shuffle_rank(ds, seed=5, B=16).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert sorted(out["rank"]) == ids
+    exp = sorted(ids, key=lambda d: hashlib.md5(
+        f"5:{d}".encode()).hexdigest())
+    assert list(out["doc_id"]) == exp
+
+    out2 = pk.global_shuffle_rank(ds.repartition(5), seed=5, B=4) \
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    assert out.equals(out2)
