@@ -481,6 +481,76 @@ def sssp(g: DistGraph, sources, max_iter=10_000, checkpoint=None,
 
 
 # ----------------------------------------------------------------------
+# DAG longest path (critical-path depth): max-plus relaxation
+# ----------------------------------------------------------------------
+def dag_longest_path(g: DistGraph, max_iter=10_000, checkpoint=None,
+                     result_out=None):
+    """Longest-path depth (in edges) per vertex of a DAG: integer
+    max-plus relaxation per superstep — depth[v] = max(depth[v],
+    max over in-edges (depth[u] + 1)), init 0. Same exchange shape as
+    ``sssp`` with max instead of min. Converges in (longest path
+    length) supersteps; a CYCLIC input never converges, so the kernel
+    raises when ``max_iter`` is exhausted — feed it the SCC
+    condensation of a cyclic graph. Blocks must hold the FORWARD
+    direction only (``directed=True``)."""
+    P, n, sizes = g.P, g.n, g.sizes
+
+    @ray.remote
+    def gather(block, depth):
+        per_edge = depth[block["src_local"]] + np.int64(1)
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.full(sizes[q], -1, np.int64)
+            np.maximum.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(old, *incoming):
+        new = old.copy()
+        for arr in incoming:
+            np.maximum(new, arr, out=new)
+        return new, int((new != old).sum())
+
+    depth_refs = [ray.put(np.zeros(sizes[p], np.int64))
+                  for p in range(P)]
+    ckpt = CheckpointManager(checkpoint, "dag_longest_path", P, n=n) \
+        if checkpoint else None
+    start_iter = 0
+    if ckpt is not None:
+        resumed = ckpt.resume()
+        if resumed is not None:
+            start_iter, shards, metrics = resumed
+            depth_refs = [ray.put(s) for s in shards]
+            if metrics.get("changed", -1) == 0:
+                return _finish(g, depth_refs, start_iter, result_out,
+                               "depth")
+    changed = -1
+    it = start_iter
+    for it in range(start_iter, max_iter):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], depth_refs[p]) for p in range(P)]
+        outs = [reduce.options(num_returns=2).remote(
+            depth_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        depth_refs = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        if ckpt is not None:
+            ckpt.save(it + 1, ray.get(depth_refs),
+                      metrics={"changed": changed})
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            "dag_longest_path did not converge in %d supersteps — "
+            "the input graph has a cycle (run scc + condense first)"
+            % max_iter)
+    return _finish(g, depth_refs, it + 1, result_out, "depth")
+
+
+# ----------------------------------------------------------------------
 # k-core: iterative peel to the maximal subgraph with min degree >= k
 # ----------------------------------------------------------------------
 def kcore(g: DistGraph, k, max_iter=10_000, checkpoint=None,

@@ -1851,6 +1851,77 @@ LEFT JOIN bwd b ON b.v = vv.v
 """
 
 
+def q_dag_depth_items(sf_dir):
+    """Critical-path depth of the item-sequence graph: SCC labels
+    (FW-BW kernel), condense edges to labels (vectorised broadcast
+    relabel, partition-local dedup in the block build), then the
+    integer max-plus ``dag_longest_path`` kernel on the condensation
+    DAG — every vertex reports the longest condensed path (in edges)
+    ending at its SCC. The recursive-CTE oracle enumerates (vertex,
+    path-length) pairs on the same DAG; UNION dedup bounds it by
+    V x depth rows."""
+    import ray
+
+    gf = _item_seq_distgraph(sf_dir)
+    gb = _item_seq_rev_distgraph(sf_dir)
+    lab, _ = ss.scc(gf, gb)
+    lab_ref = ray.put(lab)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        lb = ray.get(lab_ref)
+        a = lb[t["src"].to_numpy(zero_copy_only=False)]
+        b = lb[t["dst"].to_numpy(zero_copy_only=False)]
+        keep = a != b
+        return pa.table({"src": pa.array(a[keep].astype(np.int64)),
+                         "dst": pa.array(b[keep].astype(np.int64))})
+
+    import tempfile
+    cond = rd.read_parquet(gf._item_seq_spill, columns=["src", "dst"]) \
+        .map_batches(relabel, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    g2 = DistGraph.from_dataset(
+        cond, n=gf.n, P=8, directed=True, dedup=True,
+        spill_dir=tempfile.mkdtemp(prefix="lray_dagdepth_"))
+    depth, _ = ss.dag_longest_path(g2)
+    vids = np.flatnonzero(gf.active_global()).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "depth": pa.array(depth[lab[vids]])})
+
+
+SQL_DAG_DEPTH_ITEMS = """
+WITH RECURSIVE
+seq AS (SELECT l_partkey AS a,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS b
+        FROM lineitem),
+e AS (SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL),
+verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+reach(s, t) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t
+),
+mutual AS (SELECT r1.s AS v, r1.t AS u
+           FROM reach r1 JOIN reach r2 ON r1.s = r2.t AND r1.t = r2.s),
+lab AS (SELECT vv.v AS v,
+               least(vv.v, coalesce(min(m.u), vv.v)) AS l
+        FROM verts vv LEFT JOIN mutual m ON m.v = vv.v
+        GROUP BY vv.v),
+ec AS (SELECT DISTINCT la.l AS a, lb.l AS b
+       FROM e JOIN lab la ON la.v = e.a JOIN lab lb ON lb.v = e.b
+       WHERE la.l <> lb.l),
+cverts AS (SELECT DISTINCT l AS v FROM lab),
+paths(v, d) AS (
+  SELECT v, 0 FROM cverts
+  UNION
+  SELECT ec.b, p.d + 1 FROM paths p JOIN ec ON ec.a = p.v
+),
+depth AS (SELECT v, max(d) AS d FROM paths GROUP BY v)
+SELECT CAST(lab.v AS BIGINT) AS vid, CAST(depth.d AS BIGINT) AS depth
+FROM lab JOIN depth ON depth.v = lab.l
+"""
+
+
 WALK_SEEDS = 8
 WALK_LEN = 8
 
@@ -11579,6 +11650,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "dedup_exact_substr": q_dedup_exact_substr,
     "docs_shuffle": q_docs_shuffle,
+    "dag_depth_items": q_dag_depth_items,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -11808,6 +11880,7 @@ ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
     "dedup_exact_substr": SQL_DEDUP_EXACT_SUBSTR,
     "docs_shuffle": SQL_DOCS_SHUFFLE,
+    "dag_depth_items": SQL_DAG_DEPTH_ITEMS,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

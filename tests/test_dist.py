@@ -1987,3 +1987,41 @@ def test_hitting_time_matches_serial_value_iteration(random_graph):
     # truncated expectation grows with the horizon
     h2, _ = ss.hitting_time(g, targets, iters=K + 10)
     assert (h2 >= h - 1e-12).all()
+
+
+def test_dag_longest_path_planted(ray_session):
+    """Chain-with-branch DAG: depth = longest path (in edges) ending
+    at each vertex; cyclic input raises instead of spinning."""
+    import numpy as np
+    import pytest
+
+    from leidenalg_ray.dist import superstep as ss
+    from leidenalg_ray.dist.blocks import DistGraph
+
+    # 0 -> 1 -> 2 -> 3, 4 -> 2, 5 isolated
+    g = DistGraph.from_edges([0, 1, 2, 4], [1, 2, 3, 2], n=6, P=3,
+                             directed=True)
+    depth, iters = ss.dag_longest_path(g)
+    assert list(depth) == [0, 1, 2, 3, 0, 0]
+    assert iters <= 5
+
+    cyc = DistGraph.from_edges([0, 1, 2], [1, 2, 0], n=3, P=2,
+                               directed=True)
+    with pytest.raises(RuntimeError, match="cycle"):
+        ss.dag_longest_path(cyc, max_iter=20)
+
+
+def test_dag_longest_path_result_out(ray_session, tmp_path):
+    """result_out writes (vid, depth) shard-side; no driver array."""
+    import pyarrow.parquet as pq
+
+    from leidenalg_ray.dist import superstep as ss
+    from leidenalg_ray.dist.blocks import DistGraph
+
+    g = DistGraph.from_edges([0, 1, 2, 4], [1, 2, 3, 2], n=6, P=3,
+                             directed=True)
+    res, _ = ss.dag_longest_path(g, result_out=str(tmp_path / "d"))
+    assert res["column"] == "depth" and res["rows"] == 6
+    t = pq.read_table(res["path"]).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert list(t["depth"]) == [0, 1, 2, 3, 0, 0]
