@@ -3114,6 +3114,55 @@ FROM isl GROUP BY doc_id, gid
 """
 
 
+def q_dedup_substr_rewrite(sf_dir):
+    """ExactSubstr apply step: cut duplicated-8-gram-covered tokens
+    per document; output (doc_id, n_tokens, n_cut, clean_md5) — the
+    md5 pins the full rewritten text so the oracle checks the rewrite
+    byte-for-byte without shipping the corpus."""
+    return dd.exact_substr_rewrite(_docs(sf_dir), n=SUBSTR_N)
+
+
+SQL_DEDUP_SUBSTR_REWRITE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([{{'pos': j - 1,
+                  'g': array_to_string(ts[j : j + {SUBSTR_N - 1}], ' ')}}
+                 FOR j IN range(1, len(ts) - {SUBSTR_N - 2})],
+                recursive := true)
+  FROM toks),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams
+         WHERE g IN (SELECT g FROM dup)),
+cov AS (SELECT DISTINCT doc_id, cp FROM (
+          SELECT doc_id, unnest(range(pos, pos + {SUBSTR_N})) AS cp
+          FROM hits)),
+tokpos AS (
+  SELECT doc_id,
+         unnest([{{'p': j - 1, 'w': ts[j]}}
+                 FOR j IN range(1, len(ts) + 1)],
+                recursive := true)
+  FROM toks),
+kept AS (SELECT tp.doc_id, tp.p, tp.w
+         FROM tokpos tp LEFT JOIN cov c
+           ON c.doc_id = tp.doc_id AND c.cp = tp.p
+         WHERE c.cp IS NULL),
+agg AS (SELECT doc_id, md5(string_agg(w, ' ' ORDER BY p)) AS h
+        FROM kept GROUP BY 1),
+nc AS (SELECT doc_id, count(*) AS nc FROM cov GROUP BY 1)
+SELECT t.doc_id, len(t.ts) AS n_tokens,
+       coalesce(nc.nc, 0) AS n_cut,
+       coalesce(agg.h, md5('')) AS clean_md5
+FROM toks t
+LEFT JOIN nc USING (doc_id)
+LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_dedup_exact(sf_dir):
     out = dd.exact_dedup(_docs(sf_dir))
 
@@ -11651,6 +11700,7 @@ QUERIES = {
     "dedup_exact_substr": q_dedup_exact_substr,
     "docs_shuffle": q_docs_shuffle,
     "dag_depth_items": q_dag_depth_items,
+    "dedup_substr_rewrite": q_dedup_substr_rewrite,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -11881,6 +11931,7 @@ ORACLE_SQL = {
     "dedup_exact_substr": SQL_DEDUP_EXACT_SUBSTR,
     "docs_shuffle": SQL_DOCS_SHUFFLE,
     "dag_depth_items": SQL_DAG_DEPTH_ITEMS,
+    "dedup_substr_rewrite": SQL_DEDUP_SUBSTR_REWRITE,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

@@ -1007,3 +1007,82 @@ def exact_substr_spans(docs_ds, n=8):
 
     return docs_ds.map_batches(spans, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def exact_substr_rewrite(docs_ds, n=8):
+    """The ExactSubstr *apply* step (Lee et al. 2022): cut every
+    duplicated-``n``-gram-covered token from each document and emit
+    (doc_id, n_tokens, n_cut, clean_md5) where ``clean_md5`` is the
+    md5 of the surviving tokens joined by single spaces — a slim,
+    value-checkable fingerprint of the rewritten corpus (the same
+    md5-pinned-rewrite trick as ``strip_boilerplate``).
+
+    Same two-pass shape as ``exact_substr_spans`` (one gram-partial
+    shuffle + broadcast dup set); the rewrite itself is per-document
+    and never leaves the batch. Coverage marking is the interval
+    +1/-1 cumsum, not a per-position loop."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        gs = _gram_hashes(t["text"].to_pylist(), n)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        g = np.concatenate(gs) if gs else np.empty(0, np.int64)
+        d = np.concatenate([np.full(len(a), i, np.int64)
+                            for a, i in zip(gs, ids)]) \
+            if gs else np.empty(0, np.int64)
+        agg = pa.table({"g": pa.array(g), "d": pa.array(d)}) \
+            .group_by("g").aggregate([([], "count_all")])
+        return pa.table({"g": agg["g"], "cnt": agg["count_all"]})
+
+    per_gram = docs_ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+        .groupby("g").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"g": pa.array([], pa.int64())})
+        return pa.table(
+            {"g": t.filter(pc.greater_equal(t["cnt"], 2))["g"]})
+
+    dup = per_gram.map_batches(dup_only, batch_format="pyarrow") \
+        .to_pandas()["g"].to_numpy(np.int64)
+    dup_ref = ray.put(np.sort(dup))
+
+    import re
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        dup_sorted = ray.get(dup_ref)
+        texts = t["text"].to_pylist()
+        gs = _gram_hashes(texts, n)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_d, out_nt, out_nc, out_h = [], [], [], []
+        for a, i, txt in zip(gs, ids, texts):
+            toks = tok_re.findall(txt.lower())
+            nt = len(toks)
+            if len(a) and len(dup_sorted):
+                pos = np.minimum(np.searchsorted(dup_sorted, a),
+                                 len(dup_sorted) - 1)
+                hit = np.flatnonzero(dup_sorted[pos] == a)
+            else:
+                hit = np.empty(0, np.int64)
+            delta = np.zeros(nt + 1, np.int64)
+            np.add.at(delta, hit, 1)
+            np.add.at(delta, np.minimum(hit + n, nt), -1)
+            covered = np.cumsum(delta[:nt]) > 0
+            kept = [w for w, c in zip(toks, covered) if not c]
+            out_d.append(int(i))
+            out_nt.append(nt)
+            out_nc.append(int(covered.sum()))
+            out_h.append(hashlib.md5(
+                " ".join(kept).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "n_tokens": pa.array(out_nt, pa.int64()),
+            "n_cut": pa.array(out_nc, pa.int64()),
+            "clean_md5": pa.array(out_h, pa.string()),
+        })
+
+    return docs_ds.map_batches(rewrite, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -469,3 +469,34 @@ def test_exact_substr_spans_planted():
     out2 = dd.exact_substr_spans(ds.repartition(4), n=4).to_pandas() \
         .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
     assert out.equals(out2)
+
+
+def test_exact_substr_rewrite_planted():
+    """The apply step cuts exactly the covered tokens and pins the
+    surviving text by md5; a fully-duplicated doc hashes to md5('')."""
+    import hashlib
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    base = [
+        shared + " tail1 tail2 tail3",        # span tokens 0..8
+        "head1 head2 " + shared,              # span tokens 2..10
+        shared,                               # doc fully covered
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9",         # untouched
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(base)), pa.int64()),
+        "text": pa.array(base, pa.string()),
+    }))
+    out = dd.exact_substr_rewrite(ds, n=8).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(out["n_tokens"]) == [11, 10, 8, 9]
+    assert list(out["n_cut"]) == [8, 8, 8, 0]
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out.loc[0, "clean_md5"] == md5("tail1 tail2 tail3")
+    assert out.loc[1, "clean_md5"] == md5("head1 head2")
+    assert out.loc[2, "clean_md5"] == md5("")
+    assert out.loc[3, "clean_md5"] == md5(base[3])
+
+    out2 = dd.exact_substr_rewrite(ds.repartition(4), n=8) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.equals(out2)
