@@ -481,6 +481,103 @@ def sssp(g: DistGraph, sources, max_iter=10_000, checkpoint=None,
 
 
 # ----------------------------------------------------------------------
+# Onion decomposition: layered peel refining the k-core decomposition
+# ----------------------------------------------------------------------
+def onion_layers(g: DistGraph, max_iter=10_000, result_out=None):
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016):
+    each round removes EVERY alive vertex whose remaining degree is
+    <= the running core value, where core = max(core, min remaining
+    degree) — so ``layer(v)`` (1-based removal round) refines the
+    k-core decomposition and ``coreness(v)`` is the core value at
+    removal. Deterministic: rounds remove whole degree classes, no
+    tie-breaking. Blocks must hold BOTH directions.
+
+    Shard state is (alive, layer, core) per partition; each round is
+    one degree gather (the kcore exchange) + an O(P) driver min +
+    a shard-local peel — the driver never holds an O(n) array on the
+    ``result_out`` path (layer under ``<dir>/layer``, coreness under
+    ``<dir>/coreness``). Inactive vertices (no edges) keep layer 0.
+
+    Returns ((layers, coreness), rounds) — or ({"layer": {...},
+    "coreness": {...}}, rounds) with ``result_out``."""
+    import os
+
+    P, n, sizes = g.P, g.n, g.sizes
+    BIG = np.iinfo(np.int64).max
+
+    @ray.remote
+    def gather(block, alive):
+        per_edge = alive[block["src_local"]].astype(np.int64)
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q], dtype=np.int64)
+            np.add.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def local_min(alive, *incoming):
+        deg = incoming[0].copy()
+        for arr in incoming[1:]:
+            deg += arr
+        m = int(deg[alive].min()) if alive.any() else BIG
+        return deg, m
+
+    @ray.remote
+    def peel(alive, layer, core, deg, k, rnd):
+        rm = alive & (deg <= k)
+        layer = layer.copy()
+        core_out = core.copy()
+        layer[rm] = rnd
+        core_out[rm] = k
+        alive = alive & ~rm
+        return alive, layer, core_out, int(alive.sum())
+
+    act_refs, _ = g.active_masks()
+    alive_refs = [ray.put(np.asarray(ray.get(act_refs[p])).copy())
+                  for p in range(P)]
+    layer_refs = [ray.put(np.zeros(sizes[p], np.int64))
+                  for p in range(P)]
+    core_refs = [ray.put(np.zeros(sizes[p], np.int64))
+                 for p in range(P)]
+    core_k = 0
+    rounds = 0
+    for rnd in range(1, max_iter + 1):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], alive_refs[p]) for p in range(P)]
+        dm = [local_min.options(num_returns=2).remote(
+            alive_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        deg_refs = [o[0] for o in dm]
+        mins = ray.get([o[1] for o in dm])
+        if min(mins) == BIG:
+            break
+        core_k = max(core_k, min(mins))
+        outs = [peel.options(num_returns=4).remote(
+            alive_refs[q], layer_refs[q], core_refs[q], deg_refs[q],
+            core_k, rnd) for q in range(P)]
+        alive_refs = [o[0] for o in outs]
+        layer_refs = [o[1] for o in outs]
+        core_refs = [o[2] for o in outs]
+        rounds = rnd
+        if sum(ray.get([o[3] for o in outs])) == 0:
+            break
+    if result_out is None:
+        return (assemble(g, layer_refs), assemble(g, core_refs)), rounds
+    lr = write_shard_results(g, layer_refs,
+                             os.path.join(result_out, "layer"), "layer")
+    cr = write_shard_results(g, core_refs,
+                             os.path.join(result_out, "coreness"),
+                             "coreness")
+    return ({"layer": {"path": os.path.join(result_out, "layer"),
+                       "rows": lr, "column": "layer"},
+             "coreness": {"path": os.path.join(result_out, "coreness"),
+                          "rows": cr, "column": "coreness"}}, rounds)
+
+
+# ----------------------------------------------------------------------
 # DAG longest path (critical-path depth): max-plus relaxation
 # ----------------------------------------------------------------------
 def dag_longest_path(g: DistGraph, max_iter=10_000, checkpoint=None,

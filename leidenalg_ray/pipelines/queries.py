@@ -1851,6 +1851,39 @@ LEFT JOIN bwd b ON b.v = vv.v
 """
 
 
+def q_onion_paths(sf_dir):
+    """Onion decomposition on the per-nation supplier paths: a path
+    peels one position from each end per round (core pins at 1), so
+    layer(v_i) = min(i, k-1-i) + 1 in suppkey order and coreness = 1
+    — the closed-form SQL-green row for ``superstep.onion_layers``
+    through the distributed peel schedule (isolated suppliers are
+    not in the edge set, so no round-0 coreness-0 shift)."""
+    from ..dist.blocks import symmetrize_edges
+    n = tg.supplier_count(sf_dir)
+    g = DistGraph.from_dataset(
+        symmetrize_edges(tg.nation_path_edges(sf_dir)),
+        n=n, P=8, directed=False, dedup=False)
+    (layers, core), _ = ss.onion_layers(g)
+    vids = np.flatnonzero(g.active_global()).astype(np.int64)
+    return pa.table({"vid": pa.array(vids),
+                     "layer": pa.array(layers[vids]),
+                     "coreness": pa.array(core[vids])})
+
+
+SQL_ONION_PATHS = """
+WITH c AS (SELECT s_nationkey, count(*) AS k FROM supplier
+           GROUP BY 1 HAVING count(*) > 1),
+r AS (SELECT s_suppkey, s_nationkey,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_suppkey) - 1 AS i
+      FROM supplier)
+SELECT CAST(r.s_suppkey AS BIGINT) AS vid,
+       CAST(least(r.i, c.k - 1 - r.i) + 1 AS BIGINT) AS layer,
+       CAST(1 AS BIGINT) AS coreness
+FROM r JOIN c USING (s_nationkey)
+"""
+
+
 def q_dag_depth_items(sf_dir):
     """Critical-path depth of the item-sequence graph: SCC labels
     (FW-BW kernel), condense edges to labels (vectorised broadcast
@@ -11701,6 +11734,7 @@ QUERIES = {
     "docs_shuffle": q_docs_shuffle,
     "dag_depth_items": q_dag_depth_items,
     "dedup_substr_rewrite": q_dedup_substr_rewrite,
+    "onion_paths": q_onion_paths,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -11932,6 +11966,7 @@ ORACLE_SQL = {
     "docs_shuffle": SQL_DOCS_SHUFFLE,
     "dag_depth_items": SQL_DAG_DEPTH_ITEMS,
     "dedup_substr_rewrite": SQL_DEDUP_SUBSTR_REWRITE,
+    "onion_paths": SQL_ONION_PATHS,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

@@ -2025,3 +2025,78 @@ def test_dag_longest_path_result_out(ray_session, tmp_path):
     t = pq.read_table(res["path"]).to_pandas() \
         .sort_values("vid").reset_index(drop=True)
     assert list(t["depth"]) == [0, 1, 2, 3, 0, 0]
+
+
+def _serial_onion(n, edges):
+    """Reference onion decomposition: per round remove all vertices
+    with remaining degree <= running core (core = max(core, min
+    remaining degree))."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    layer = {v: 0 for v in range(n)}
+    core_at = {v: 0 for v in range(n)}
+    core = 0
+    rnd = 0
+    while alive:
+        rnd += 1
+        deg = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+        core = max(core, min(deg.values()))
+        rm = {v for v in alive if deg[v] <= core}
+        for v in rm:
+            layer[v] = rnd
+            core_at[v] = core
+        alive -= rm
+    return layer, core_at
+
+
+def test_onion_layers_random_matches_serial(ray_session):
+    """Kernel == serial peel on a random graph (layers + coreness)."""
+    import numpy as np
+
+    from leidenalg_ray.dist import superstep as ss
+    from leidenalg_ray.dist.blocks import DistGraph
+
+    rng = np.random.default_rng(3)
+    n = 60
+    src = rng.integers(0, n, 240)
+    dst = rng.integers(0, n, 240)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # dedup undirected multi-edges: the kernel counts multiplicity,
+    # the serial oracle uses neighbour sets
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    uniq = np.unique(lo * n + hi)
+    src, dst = uniq // n, uniq % n
+    g = DistGraph.from_edges(src, dst, n=n, P=4,
+                             both_directions=True)
+    (layers, core), rounds = ss.onion_layers(g)
+    slayer, score = _serial_onion(n, zip(src.tolist(), dst.tolist()))
+    for v in range(n):
+        assert layers[v] == slayer[v], (v, layers[v], slayer[v])
+        assert core[v] == score[v], (v, core[v], score[v])
+    assert rounds == max(slayer.values())
+
+
+def test_onion_layers_result_out(ray_session, tmp_path):
+    """result_out writes layer and coreness shard-side."""
+    import pyarrow.parquet as pq
+
+    from leidenalg_ray.dist import superstep as ss
+    from leidenalg_ray.dist.blocks import DistGraph
+
+    # path 0-1-2-3-4: layers 1,2,3,2,1; coreness 1 everywhere
+    g = DistGraph.from_edges([0, 1, 2, 3], [1, 2, 3, 4], n=5, P=3,
+                             both_directions=True)
+    res, _ = ss.onion_layers(g, result_out=str(tmp_path / "o"))
+    lt = pq.read_table(res["layer"]["path"]).to_pandas() \
+        .sort_values("vid")
+    ct = pq.read_table(res["coreness"]["path"]).to_pandas() \
+        .sort_values("vid")
+    assert list(lt["layer"]) == [1, 2, 3, 2, 1]
+    assert list(ct["coreness"]) == [1, 1, 1, 1, 1]
