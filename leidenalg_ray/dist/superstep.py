@@ -578,6 +578,76 @@ def onion_layers(g: DistGraph, max_iter=10_000, result_out=None):
 
 
 # ----------------------------------------------------------------------
+# Densest subgraph: batched greedy peel (2(1+eps)-approximation)
+# ----------------------------------------------------------------------
+def densest_subgraph(g: DistGraph, eps=0.0, max_iter=10_000):
+    """Bahmani, Kumar & Vassilvitskii (VLDB 2012) batched peel: each
+    round evaluates the remaining graph's density rho = E_r/V_r, then
+    removes EVERY vertex with remaining degree <= 2(1+eps)*rho. The
+    densest level seen is a 2(1+eps)-approximation of the densest
+    subgraph; eps>0 gives O(log n) rounds, eps=0 still terminates
+    (min degree <= average) and is exactly replicable by a
+    level-indexed SQL peel. Blocks must hold BOTH directions.
+
+    One kcore-shaped degree gather per round; driver state is O(P)
+    scalars plus P object refs for the best level's alive mask.
+    Returns ({"density", "round", "n_vertices", "n_edges"},
+    best_mask_refs, rounds) — the mask stays sharded."""
+    P, n, sizes = g.P, g.n, g.sizes
+
+    @ray.remote
+    def gather(block, alive):
+        per_edge = alive[block["src_local"]].astype(np.int64)
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros(sizes[q], dtype=np.int64)
+            np.add.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def stats(alive, *incoming):
+        deg = incoming[0].copy()
+        for arr in incoming[1:]:
+            deg += arr
+        return deg, int(alive.sum()), int(deg[alive].sum())
+
+    @ray.remote
+    def peel(alive, deg, thr):
+        return alive & (deg > thr)
+
+    act_refs, _ = g.active_masks()
+    alive_refs = [ray.put(np.asarray(ray.get(act_refs[p])).copy())
+                  for p in range(P)]
+    best = {"density": 0.0, "round": -1, "n_vertices": 0,
+            "n_edges": 0}
+    best_refs = list(alive_refs)
+    for rnd in range(max_iter):
+        msg_refs = [gather.options(num_returns=P).remote(
+            g.blocks[p], alive_refs[p]) for p in range(P)]
+        outs = [stats.options(num_returns=3).remote(
+            alive_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        deg_refs = [o[0] for o in outs]
+        v_r = sum(ray.get([o[1] for o in outs]))
+        e_r = sum(ray.get([o[2] for o in outs])) // 2
+        if v_r == 0:
+            return best, best_refs, rnd
+        rho = e_r / v_r
+        if rho > best["density"]:
+            best = {"density": rho, "round": rnd, "n_vertices": v_r,
+                    "n_edges": e_r}
+            best_refs = list(alive_refs)
+        thr = 2.0 * (1.0 + eps) * rho
+        alive_refs = [peel.remote(alive_refs[q], deg_refs[q], thr)
+                      for q in range(P)]
+    raise RuntimeError("densest_subgraph did not terminate in "
+                       f"{max_iter} rounds")
+
+
+# ----------------------------------------------------------------------
 # DAG longest path (critical-path depth): max-plus relaxation
 # ----------------------------------------------------------------------
 def dag_longest_path(g: DistGraph, max_iter=10_000, checkpoint=None,

@@ -1884,6 +1884,50 @@ FROM r JOIN c USING (s_nationkey)
 """
 
 
+def q_densest_cliques(sf_dir):
+    """Densest-subgraph batched peel (Bahmani et al. 2012, eps=0) on
+    the disjoint nation cliques: every vertex of a clique shares a
+    degree, so each round peels whole nations and the level-indexed
+    SQL replica runs on 25 nation rows — an exact twin of the
+    distributed per-vertex schedule (identical double arithmetic:
+    rho = CAST(E AS DOUBLE)/V, thr = 2.0*rho)."""
+    from ..dist.blocks import symmetrize_edges
+    n = tg.supplier_count(sf_dir)
+    g = DistGraph.from_dataset(
+        symmetrize_edges(tg.nation_clique_edges(sf_dir)),
+        n=n, P=8, directed=False, dedup=False)
+    best, _, _ = ss.densest_subgraph(g, eps=0.0)
+    return pa.table({
+        "best_density": pa.array(round6([best["density"]])),
+        "best_round": pa.array([best["round"]], pa.int64()),
+        "n_vertices": pa.array([best["n_vertices"]], pa.int64()),
+        "n_edges": pa.array([best["n_edges"]], pa.int64()),
+    })
+
+
+SQL_DENSEST_CLIQUES = """
+WITH RECURSIVE
+peel(i, nation, k) AS (
+  SELECT 0, s_nationkey, count(*) FROM supplier
+  GROUP BY s_nationkey HAVING count(*) > 1
+  UNION ALL
+  SELECT p.i + 1, p.nation, p.k
+  FROM peel p JOIN (
+    SELECT i, 2.0 * (CAST(sum(k * (k - 1) / 2) AS DOUBLE) / sum(k))
+             AS thr
+    FROM peel GROUP BY i) t ON t.i = p.i
+  WHERE p.k - 1 > t.thr
+),
+lvl AS (SELECT i, CAST(sum(k * (k - 1) / 2) AS BIGINT) AS e,
+               CAST(sum(k) AS BIGINT) AS v
+        FROM peel GROUP BY i)
+SELECT round(CAST(e AS DOUBLE) / v, 6) AS best_density,
+       CAST(i AS BIGINT) AS best_round,
+       v AS n_vertices, e AS n_edges
+FROM lvl ORDER BY CAST(e AS DOUBLE) / v DESC, i ASC LIMIT 1
+"""
+
+
 def q_dag_depth_items(sf_dir):
     """Critical-path depth of the item-sequence graph: SCC labels
     (FW-BW kernel), condense edges to labels (vectorised broadcast
@@ -11735,6 +11779,7 @@ QUERIES = {
     "dag_depth_items": q_dag_depth_items,
     "dedup_substr_rewrite": q_dedup_substr_rewrite,
     "onion_paths": q_onion_paths,
+    "densest_cliques": q_densest_cliques,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -11967,6 +12012,7 @@ ORACLE_SQL = {
     "dag_depth_items": SQL_DAG_DEPTH_ITEMS,
     "dedup_substr_rewrite": SQL_DEDUP_SUBSTR_REWRITE,
     "onion_paths": SQL_ONION_PATHS,
+    "densest_cliques": SQL_DENSEST_CLIQUES,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

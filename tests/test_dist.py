@@ -2100,3 +2100,30 @@ def test_onion_layers_result_out(ray_session, tmp_path):
         .sort_values("vid")
     assert list(lt["layer"]) == [1, 2, 3, 2, 1]
     assert list(ct["coreness"]) == [1, 1, 1, 1, 1]
+
+
+def test_densest_subgraph_finds_planted_core(ray_session):
+    """A K8 planted inside a sparse ring: the batched peel's best
+    level isolates (a superset at least as dense as) the clique;
+    with eps=0 on this graph it lands exactly on the K8."""
+    import numpy as np
+
+    from leidenalg_ray.dist import superstep as ss
+    from leidenalg_ray.dist.blocks import DistGraph
+
+    # ring 0..29 + K8 on 30..37 + one bridge 0-30
+    ring = [(i, (i + 1) % 30) for i in range(30)]
+    k8 = [(30 + a, 30 + b) for a in range(8) for b in range(a + 1, 8)]
+    edges = ring + k8 + [(0, 30)]
+    src = np.array([a for a, _ in edges])
+    dst = np.array([b for _, b in edges])
+    g = DistGraph.from_edges(src, dst, n=38, P=4,
+                             both_directions=True)
+    best, mask_refs, rounds = ss.densest_subgraph(g, eps=0.0)
+    assert best["density"] >= 3.5 - 1e-12  # K8 density = 7/2
+    assert best["n_vertices"] == 8 and best["n_edges"] == 28
+    import ray as _ray
+    alive = np.concatenate([
+        np.flatnonzero(_ray.get(mask_refs[p])) * g.P + p
+        for p in range(g.P)])
+    assert sorted(alive.tolist()) == list(range(30, 38))
