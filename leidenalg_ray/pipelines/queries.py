@@ -3145,6 +3145,48 @@ FROM documents
 """
 
 
+CDC_MOD = 16
+
+
+def q_doc_cdc_chunks(sf_dir):
+    """Content-defined chunking: boundaries where the 4-token gram
+    hash is 0 mod 16; per-chunk (idx, token count, md5). Exact SQL
+    twin via the shared md5-token-hash + base-257 polynomial CTEs."""
+    return tx.cdc_chunks(_docs(sf_dir), mod=CDC_MOD)
+
+
+def _sql_doc_cdc_chunks():
+    """Deferred build: reuses ``_SQL_TOKEN_HASHES`` / ``_M61_SQL``
+    (defined later in this module)."""
+    return f"""
+WITH {_SQL_TOKEN_HASHES},
+g AS (SELECT doc_id,
+        CASE WHEN len(h) >= 4 THEN
+          [(h[j]::HUGEINT * 16974593 + h[j+1]::HUGEINT * 66049
+            + h[j+2]::HUGEINT * 257 + h[j+3]::HUGEINT) % {_M61_SQL}
+           FOR j IN range(1, len(h) - 2)]
+        ELSE [] END AS gs
+      FROM th),
+bounds AS (
+  SELECT doc_id, unnest([j + 3 FOR j IN range(1, len(gs) + 1)
+                         IF gs[j] % {CDC_MOD} = 0]) AS be
+  FROM g),
+tokpos AS (
+  SELECT doc_id,
+         unnest([{{'i': i, 'w': tk[i]}}
+                 FOR i IN range(1, len(tk) + 1)],
+                recursive := true)
+  FROM toks),
+cid AS (SELECT tp.doc_id, tp.i, tp.w, count(b.be) AS c
+        FROM tokpos tp LEFT JOIN bounds b
+          ON b.doc_id = tp.doc_id AND b.be < tp.i
+        GROUP BY tp.doc_id, tp.i, tp.w)
+SELECT doc_id, c AS chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(w, ' ' ORDER BY i)) AS chunk_md5
+FROM cid GROUP BY doc_id, c
+"""
+
+
 SUBSTR_N = 8
 
 
@@ -4594,6 +4636,60 @@ FROM events GROUP BY event_type
 # ======================================================================
 # Registry
 # ======================================================================
+PATHS_TOPK = 10
+
+
+def q_events_paths_topk(sf_dir):
+    """Frequent 3-step event-type paths (clickstream path mining):
+    per-user (ts, event_id)-ordered trigrams, counted over the tiny
+    type^3 space, global top-10 with a total (n desc, path asc)
+    order. One user_id shuffle + one bounded groupby."""
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+
+    def tri(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        a = g["event_type"].to_numpy()
+        return pd.DataFrame({"s1": a[:-2], "s2": a[1:-1],
+                             "s3": a[2:]})
+
+    paths = ev.groupby("user_id").map_groups(tri,
+                                             batch_format="pandas")
+    agg = paths.groupby(["s1", "s2", "s3"]).aggregate(
+        Count(alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # dataless shuffle partition
+            return pa.table({"s1": pa.array([], pa.string()),
+                             "s2": pa.array([], pa.string()),
+                             "s3": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "s1": pc.cast(t["s1"], pa.string()),
+            "s2": pc.cast(t["s2"], pa.string()),
+            "s3": pc.cast(t["s3"], pa.string()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["n", "s1", "s2", "s3"],
+              descending=[True, False, False, False]) \
+        .limit(PATHS_TOPK)
+
+
+SQL_EVENTS_PATHS_TOPK = f"""
+WITH s AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE s3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, s1, s2, s3 LIMIT {PATHS_TOPK}
+"""
+
+
 def q_events_transitions(sf_dir):
     """Event-type Markov transitions: per-user event sequences
     ordered by (ts, event_id), bigram counts over consecutive events.
@@ -11780,6 +11876,8 @@ QUERIES = {
     "dedup_substr_rewrite": q_dedup_substr_rewrite,
     "onion_paths": q_onion_paths,
     "densest_cliques": q_densest_cliques,
+    "events_paths_topk": q_events_paths_topk,
+    "doc_cdc_chunks": q_doc_cdc_chunks,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -12013,6 +12111,8 @@ ORACLE_SQL = {
     "dedup_substr_rewrite": SQL_DEDUP_SUBSTR_REWRITE,
     "onion_paths": SQL_ONION_PATHS,
     "densest_cliques": SQL_DENSEST_CLIQUES,
+    "events_paths_topk": SQL_EVENTS_PATHS_TOPK,
+    "doc_cdc_chunks": _sql_doc_cdc_chunks(),
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

@@ -787,3 +787,62 @@ def bm25_topk(docs_ds, query_terms, k=10, k1=1.2, b=0.75):
                               zero_copy_batch=True)
     return out.sort(["score", "doc_id"],
                     descending=[True, False]).limit(k)
+
+
+def cdc_chunks(docs_ds, mod=16):
+    """Content-defined chunking (the FastCDC idea on the token
+    stream): a chunk boundary falls AFTER token j+3 whenever the
+    4-token gram hash (base-257 polynomial over md5 token hashes mod
+    2^61-1 — the ``winnow_fingerprints`` family) is 0 mod ``mod``,
+    so boundaries move with content, not offsets: an insertion only
+    re-chunks its neighbourhood (the property that makes CDC dedup
+    robust to edits, unlike fixed-size segmenting). Emits one row per
+    chunk: (doc_id, chunk_idx, n_tokens, chunk_md5) with chunk_md5 =
+    md5 of the chunk's tokens joined by spaces — feed it to any
+    hash-keyed dedup stage. Embarrassingly parallel (a doc is
+    complete within its row); expected chunk length = ``mod``
+    tokens."""
+    P3, P2, P1 = 257 ** 3, 257 ** 2, 257
+    M61 = (1 << 61) - 1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        all_toks, spans = [], []
+        for t in texts:
+            toks = TOKEN_RE.findall(t.lower())
+            spans.append((len(all_toks), len(all_toks) + len(toks)))
+            all_toks.extend(toks)
+        hv = hash_tokens(all_toks)
+        out_d, out_c, out_n, out_h = [], [], [], []
+        for i, (lo, hi) in enumerate(spans):
+            nt = hi - lo
+            if nt == 0:
+                continue
+            toks = all_toks[lo:hi]
+            if nt >= 4:
+                h = hv[lo:hi].astype(object)
+                g = ((h[:-3] * P3 + h[1:-2] * P2 + h[2:-1] * P1
+                      + h[3:]) % M61).astype(np.int64)
+                cuts = np.flatnonzero(g % mod == 0) + 4
+                cuts = cuts[cuts < nt]
+            else:
+                cuts = np.empty(0, np.int64)
+            prev = 0
+            for ci, end in enumerate(list(cuts) + [nt]):
+                part = toks[prev:end]
+                out_d.append(int(ids[i]))
+                out_c.append(ci)
+                out_n.append(len(part))
+                out_h.append(hashlib.md5(
+                    " ".join(part).encode("utf-8")).hexdigest())
+                prev = end
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "chunk_idx": pa.array(out_c, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_md5": pa.array(out_h, pa.string()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -500,3 +500,39 @@ def test_exact_substr_rewrite_planted():
     out2 = dd.exact_substr_rewrite(ds.repartition(4), n=8) \
         .to_pandas().set_index("doc_id").sort_index()
     assert out.equals(out2)
+
+
+def test_cdc_chunks_edit_stability():
+    """CDC's point: inserting tokens near the front only re-chunks
+    the edited neighbourhood — chunks after the first boundary past
+    the edit keep identical hashes (a fixed-size segmenter would
+    shift every boundary). Also: chunks partition the token stream."""
+    import hashlib
+    import re
+
+    rng_words = [f"w{i}" for i in range(200)]
+    base = " ".join(rng_words)
+    edited = "zzz qqq " + base
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([base, edited], pa.string()),
+    }))
+    out = tx.cdc_chunks(ds, mod=8).to_pandas()
+    a = out[out.doc_id == 0].sort_values("chunk_idx")
+    b = out[out.doc_id == 1].sort_values("chunk_idx")
+    # partition property: chunk sizes sum to the token count
+    assert a.n_tokens.sum() == 200
+    assert b.n_tokens.sum() == 202
+    # md5 integrity: first chunk of doc 0 hashes its first tokens
+    k0 = int(a.iloc[0].n_tokens)
+    assert a.iloc[0].chunk_md5 == hashlib.md5(
+        " ".join(rng_words[:k0]).encode()).hexdigest()
+    # edit stability: the tail chunk hash sets agree past the edit
+    shared = set(a.chunk_md5) & set(b.chunk_md5)
+    assert len(shared) >= len(a) - 2  # only the head chunk differs
+
+    out2 = tx.cdc_chunks(ds.repartition(2), mod=8).to_pandas()
+    assert out.sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True) \
+        .equals(out2.sort_values(["doc_id", "chunk_idx"])
+                .reset_index(drop=True))
