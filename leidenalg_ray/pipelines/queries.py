@@ -4636,6 +4636,79 @@ FROM events GROUP BY event_type
 # ======================================================================
 # Registry
 # ======================================================================
+def q_events_graph_diff(sf_dir):
+    """Temporal graph churn: the distinct user-transition edge sets
+    of the event stream's two halves (split at the midpoint event_id
+    = (min+max)//2, a data-derived constant both engines compute
+    identically), reported as retained/added/removed counts plus
+    edge-set Jaccard. One user_id shuffle builds both halves' pairs
+    (half flag rides along); the distinct edge space is bounded by
+    |types|^2 so the set compare is a driver-side table op."""
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        out = []
+        for h in (0, 1):
+            a = g.loc[g["half"] == h, "event_type"].to_numpy()
+            out.append(pd.DataFrame({
+                "from_type": a[:-1], "to_type": a[1:],
+                "half": np.full(max(len(a) - 1, 0), h,
+                                dtype=np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    lo = int(ev.min("event_id"))
+    hi = int(ev.max("event_id"))
+    mid = (lo + hi) // 2
+
+    def with_half(t: pa.Table) -> pa.Table:
+        half = pc.cast(pc.greater(t["event_id"], mid), pa.int64())
+        return t.append_column("half", half)
+
+    tagged = ev.map_batches(with_half, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    dist = tagged.groupby("user_id").map_groups(
+        pairs, batch_format="pandas") \
+        .groupby(["from_type", "to_type", "half"]).aggregate(
+            Count(alias_name="n")).to_pandas()
+    e0 = set(map(tuple, dist.loc[dist["half"] == 0,
+                                 ["from_type", "to_type"]].values))
+    e1 = set(map(tuple, dist.loc[dist["half"] == 1,
+                                 ["from_type", "to_type"]].values))
+    inter, union = len(e0 & e1), len(e0 | e1)
+    return pa.table({
+        "n_retained": pa.array([inter], pa.int64()),
+        "n_added": pa.array([len(e1 - e0)], pa.int64()),
+        "n_removed": pa.array([len(e0 - e1)], pa.int64()),
+        "jaccard": pa.array(round6([inter / union if union else 0.0])),
+    })
+
+
+SQL_EVENTS_GRAPH_DIFF = """
+WITH mid AS (SELECT (min(event_id) + max(event_id)) // 2 AS m
+             FROM events),
+seq AS (
+  SELECT e.event_type AS a,
+         lead(e.event_type) OVER (
+           PARTITION BY e.user_id, (e.event_id > mid.m)
+           ORDER BY e.ts, e.event_id) AS b,
+         CAST(e.event_id > mid.m AS BIGINT) AS half
+  FROM events e CROSS JOIN mid),
+ed AS (SELECT DISTINCT a, b, half FROM seq WHERE b IS NOT NULL),
+e0 AS (SELECT a, b FROM ed WHERE half = 0),
+e1 AS (SELECT a, b FROM ed WHERE half = 1),
+i AS (SELECT count(*) AS n FROM e0 JOIN e1 USING (a, b)),
+c0 AS (SELECT count(*) AS n FROM e0),
+c1 AS (SELECT count(*) AS n FROM e1)
+SELECT CAST(i.n AS BIGINT) AS n_retained,
+       CAST(c1.n - i.n AS BIGINT) AS n_added,
+       CAST(c0.n - i.n AS BIGINT) AS n_removed,
+       round(CAST(i.n AS DOUBLE) / nullif(c0.n + c1.n - i.n, 0),
+             6) AS jaccard
+FROM i, c0, c1
+"""
+
+
 PATHS_TOPK = 10
 
 
@@ -11878,6 +11951,7 @@ QUERIES = {
     "densest_cliques": q_densest_cliques,
     "events_paths_topk": q_events_paths_topk,
     "doc_cdc_chunks": q_doc_cdc_chunks,
+    "events_graph_diff": q_events_graph_diff,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -12113,6 +12187,7 @@ ORACLE_SQL = {
     "densest_cliques": SQL_DENSEST_CLIQUES,
     "events_paths_topk": SQL_EVENTS_PATHS_TOPK,
     "doc_cdc_chunks": _sql_doc_cdc_chunks(),
+    "events_graph_diff": SQL_EVENTS_GRAPH_DIFF,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,
