@@ -3187,6 +3187,157 @@ FROM cid GROUP BY doc_id, c
 """
 
 
+def q_inverted_postings(sf_dir):
+    """Inverted-index posting lists for the BM25 query vocabulary:
+    (term, doc_id, tf) — the index-build half of the retrieval stack
+    (BM25 is the scoring half). Embarrassingly parallel: a doc's
+    postings come from its own row; only matching terms are emitted,
+    so the output is bounded by |q| x docs-containing-q."""
+    docs = _docs(sf_dir)
+    terms = sorted(BM25_TERMS)
+
+    def postings(t: pa.Table) -> pa.Table:
+        tf = tx._doc_term_tf(t)
+        keep = pc.is_in(tf["term"], value_set=pa.array(terms))
+        tf = tf.filter(keep)
+        return pa.table({
+            "term": pc.cast(tf["term"], pa.string()),
+            "doc_id": pc.cast(tf["doc_id"], pa.int64()),
+            "tf": pc.cast(tf["tf"], pa.int64()),
+        })
+
+    return docs.map_batches(postings, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_INVERTED_POSTINGS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+           AS term
+  FROM documents)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM toks WHERE term IN (SELECT unnest({sorted(BM25_TERMS)!r}))
+GROUP BY 1, 2
+"""
+
+
+PHRASE = ("slow", "hash", "batch")
+
+
+def q_phrase_search(sf_dir):
+    """Exact phrase search ("slow hash batch"): every (doc_id,
+    token position) where the consecutive token triple matches —
+    vectorised shifted equality per document row, no index, no
+    shuffle."""
+    docs = _docs(sf_dir)
+    p0, p1, p2 = PHRASE
+
+    def hits(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = toks.to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_d, out_p = [], []
+        for i, ts in enumerate(flat):
+            ts = [w for w in ts if w]
+            a = np.asarray(ts, dtype=object)
+            if len(a) < 3:
+                continue
+            m = (a[:-2] == p0) & (a[1:-1] == p1) & (a[2:] == p2)
+            for p in np.flatnonzero(m):
+                out_d.append(int(ids[i]))
+                out_p.append(int(p))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "pos": pa.array(out_p, pa.int64())})
+
+    return docs.map_batches(hits, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+g AS (SELECT doc_id,
+        unnest([{{'pos': j - 1,
+                 'g': array_to_string(ts[j : j + 2], ' ')}}
+                FOR j IN range(1, len(ts) - 1)],
+               recursive := true)
+      FROM toks)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos
+FROM g WHERE g = '{' '.join(PHRASE)}'
+"""
+
+
+SNIPPET_W = 10
+
+
+def q_snippet_windows(sf_dir):
+    """Best snippet per matching document: among windows of
+    SNIPPET_W tokens STARTING AT a query-term hit, the one covering
+    the most query-term occurrences (ties -> smallest start). The
+    start-at-a-hit restriction loses no hits (shifting a window right
+    to its first hit preserves its count) and makes the oracle a
+    bounded self-join over hit positions instead of all starts."""
+    docs = _docs(sf_dir)
+    terms = sorted(BM25_TERMS)
+
+    def best(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = toks.to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_d, out_s, out_h = [], [], []
+        for i, ts in enumerate(flat):
+            a = np.asarray([w for w in ts if w], dtype=object)
+            pos = np.flatnonzero(np.isin(a, terms))
+            if len(pos) == 0:
+                continue
+            cnt = np.searchsorted(pos, pos + SNIPPET_W) \
+                - np.arange(len(pos))
+            k = int(np.argmax(cnt))  # first max = smallest start
+            out_d.append(int(ids[i]))
+            out_s.append(int(pos[k]))
+            out_h.append(int(cnt[k]))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "win_start": pa.array(out_s, pa.int64()),
+                         "hits": pa.array(out_h, pa.int64())})
+
+    return docs.map_batches(best, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_SNIPPET_WINDOWS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+tp AS (SELECT doc_id,
+              unnest([{{'p': j - 1, 'w': ts[j]}}
+                      FOR j IN range(1, len(ts) + 1)],
+                     recursive := true)
+       FROM toks),
+hits AS (SELECT doc_id, p FROM tp
+         WHERE w IN (SELECT unnest({sorted(BM25_TERMS)!r}))),
+wins AS (SELECT h1.doc_id, h1.p AS s, count(*) AS hits
+         FROM hits h1 JOIN hits h2
+           ON h2.doc_id = h1.doc_id
+          AND h2.p >= h1.p AND h2.p < h1.p + {SNIPPET_W}
+         GROUP BY 1, 2),
+best AS (SELECT doc_id, s, hits,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY hits DESC, s ASC) AS rn
+         FROM wins)
+SELECT doc_id, CAST(s AS BIGINT) AS win_start,
+       CAST(hits AS BIGINT) AS hits
+FROM best WHERE rn = 1
+"""
+
+
 SUBSTR_N = 8
 
 
@@ -11952,6 +12103,9 @@ QUERIES = {
     "events_paths_topk": q_events_paths_topk,
     "doc_cdc_chunks": q_doc_cdc_chunks,
     "events_graph_diff": q_events_graph_diff,
+    "inverted_postings": q_inverted_postings,
+    "phrase_search": q_phrase_search,
+    "snippet_windows": q_snippet_windows,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -12188,6 +12342,9 @@ ORACLE_SQL = {
     "events_paths_topk": SQL_EVENTS_PATHS_TOPK,
     "doc_cdc_chunks": _sql_doc_cdc_chunks(),
     "events_graph_diff": SQL_EVENTS_GRAPH_DIFF,
+    "inverted_postings": SQL_INVERTED_POSTINGS,
+    "phrase_search": SQL_PHRASE_SEARCH,
+    "snippet_windows": SQL_SNIPPET_WINDOWS,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

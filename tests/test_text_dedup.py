@@ -536,3 +536,35 @@ def test_cdc_chunks_edit_stability():
         .reset_index(drop=True) \
         .equals(out2.sort_values(["doc_id", "chunk_idx"])
                 .reset_index(drop=True))
+
+
+def test_phrase_and_snippet_planted():
+    """Phrase hits at exact positions (including overlapping /
+    repeated); snippet picks the densest query window, ties to the
+    smallest start."""
+    import leidenalg_ray.pipelines.queries as Q
+    from leidenalg_ray.pipelines.queries import BM25_TERMS, PHRASE
+
+    phrase = " ".join(PHRASE)
+    import tempfile, os
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            f"x {phrase} y {phrase} z",
+            " ".join(sorted(BM25_TERMS)) + " filler filler",
+        ], pa.string()),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([1, 1], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    hits = Q.QUERIES["phrase_search"](d).to_pandas() \
+        .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert list(hits.doc_id) == [0, 0]
+    assert list(hits.pos) == [1, 5]
+    snip = Q.QUERIES["snippet_windows"](d).to_pandas() \
+        .set_index("doc_id")
+    # doc 1: all 5 query terms in the first 5 tokens -> window at 0
+    assert snip.loc[1, "win_start"] == 0
+    assert snip.loc[1, "hits"] == len(BM25_TERMS)
