@@ -619,6 +619,77 @@ def q_label_propagation_co(sf_dir):
                      "label": pa.array(lab[vids])})
 
 
+def q_participation_co(sf_dir):
+    """Participation coefficient (Guimerà & Amaral 2005, 'cartography
+    of complex networks'): P(v) = 1 - Σ_c (k_vc / k_v)², the
+    community-role metric over the LP partition (LP is itself
+    driver-green via its recursive-CTE twin, so the composition stays
+    fully SQL-checkable). Integer k_vc/k_v sums with ONE final
+    division — no float-accumulation-order divergence possible.
+    Degrees/per-community counts use the deduped edge arrays (gate
+    scale; at scale both are one groupby over (v, lab[nbr]))."""
+    g = _co_distgraph(sf_dir)
+    lab, _ = ss.label_propagation(g, max_iter=20)
+    t = pa.concat_tables(
+        [bt for bt in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(s.max(), d.max())) + 1
+    lo, hi = np.minimum(s, d), np.maximum(s, d)
+    keys = np.unique(lo[lo != hi] * np.int64(n) + hi[lo != hi])
+    a, b = keys // n, keys % n
+    src = np.concatenate([a, b])
+    nbr = np.concatenate([b, a])
+    k = np.bincount(src, minlength=n).astype(np.int64)
+    ckeys, ccnt = np.unique(src * np.int64(n) + lab[nbr],
+                            return_counts=True)
+    ssum = np.zeros(n, dtype=np.int64)
+    np.add.at(ssum, ckeys // n, ccnt.astype(np.int64) ** 2)
+    vids = np.flatnonzero(k > 0).astype(np.int64)
+    part = 1.0 - ssum[vids].astype(np.float64) \
+        / (k[vids] * k[vids]).astype(np.float64)
+    return pa.table({
+        "vid": pa.array(vids),
+        "label": pa.array(lab[vids].astype(np.int64)),
+        "participation": pa.array(round6(part)),
+    })
+
+
+SQL_PARTICIPATION_CO = """
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+              CAST(count(*) AS DOUBLE) AS w
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+verts AS (SELECT DISTINCT a AS v FROM e),
+lp(i, v, lab) AS (
+  SELECT 0, v, v FROM verts
+  UNION ALL
+  SELECT q.i + 1, q.v, q.lab FROM (
+    SELECT p.i AS i, e.b AS v, p.lab AS lab,
+           row_number() OVER (PARTITION BY e.b
+                              ORDER BY sum(e.w) DESC, p.lab ASC) AS rn
+    FROM lp p JOIN e ON e.a = p.v
+    WHERE p.i < 20
+    GROUP BY p.i, e.b, p.lab
+  ) q WHERE q.rn = 1
+),
+labs AS (SELECT v, lab FROM lp WHERE i = 20),
+deg AS (SELECT a AS v, count(*) AS k FROM e GROUP BY 1),
+kic AS (SELECT e.a AS v, l.lab AS c, count(*) AS kc
+        FROM e JOIN labs l ON l.v = e.b GROUP BY 1, 2)
+SELECT CAST(d.v AS BIGINT) AS vid,
+       CAST(l.lab AS BIGINT) AS label,
+       round(1 - CAST(sum(kic.kc * kic.kc) AS DOUBLE)
+             / (d.k * d.k), 6) AS participation
+FROM kic JOIN deg d ON d.v = kic.v JOIN labs l ON l.v = kic.v
+GROUP BY d.v, l.lab, d.k
+"""
+
+
 LP_SEED_MOD = 97
 LP_SEED_ITERS = 10
 
@@ -7874,6 +7945,62 @@ WHERE rk = 1
 """
 
 
+def q_ego_density_co(sf_dir):
+    """Closed 1-hop ego-network density per vertex: edges within
+    {v} ∪ N(v) = deg(v) spokes + tri(v) neighbour-neighbour edges
+    (each such edge is exactly one triangle through v), over
+    C(deg+1, 2) possible. Triangles come from the distributed
+    partitioned counter; degrees from the deduped edge arrays (the
+    same gate-scale broadcast as ``avg_neighbor_degree_co`` — at
+    scale both terms are per-vertex kernel outputs joined on vid)."""
+    _, pv = triangle_count(tg.co_edge_rows(sf_dir), num_partitions=8,
+                           per_vertex=True)
+    tri_pd = pv.to_pandas()
+    t = pa.concat_tables(
+        [bt for bt in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(s.max(), d.max())) + 1
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    keys = np.unique(lo[lo != hi] * np.int64(n) + hi[lo != hi])
+    a, b = keys // n, keys % n
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    tri = np.zeros(n, dtype=np.int64)
+    tri[tri_pd["v"].to_numpy(np.int64)] = \
+        tri_pd[tri_pd.columns[1]].to_numpy(np.int64)
+    vids = np.flatnonzero(deg > 0).astype(np.int64)
+    dv, tv = deg[vids].astype(np.int64), tri[vids]
+    ego_edges = dv + tv
+    denom = ((dv + 1) * dv).astype(np.float64) / 2.0
+    return pa.table({
+        "vid": pa.array(vids),
+        "ego_n": pa.array(dv + 1),
+        "ego_edges": pa.array(ego_edges),
+        "density": pa.array(round6(ego_edges / denom)),
+    })
+
+
+SQL_EGO_DENSITY_CO = f"""
+WITH {_SQL_CO_EDGES_BOTH},
+deg AS (SELECT a AS vid, count(*) AS deg FROM e GROUP BY 1),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b JOIN e0 e3
+        ON e3.a = e1.a AND e3.b = e2.b),
+pv AS (SELECT vid, count(*) AS tri FROM (
+         SELECT x AS vid FROM t UNION ALL SELECT y FROM t
+         UNION ALL SELECT z FROM t) GROUP BY vid)
+SELECT CAST(deg.vid AS BIGINT) AS vid,
+       CAST(deg.deg + 1 AS BIGINT) AS ego_n,
+       CAST(deg.deg + coalesce(pv.tri, 0) AS BIGINT) AS ego_edges,
+       round(CAST(deg.deg + coalesce(pv.tri, 0) AS DOUBLE)
+             / (CAST((deg.deg + 1) * deg.deg AS DOUBLE) / 2), 6)
+         AS density
+FROM deg LEFT JOIN pv USING (vid)
+"""
+
+
 def q_avg_neighbor_degree_co(sf_dir):
     """Average neighbour degree per vertex (the knn(v) curve, the
     local form of degree assortativity): degrees broadcast once from
@@ -12106,6 +12233,8 @@ QUERIES = {
     "inverted_postings": q_inverted_postings,
     "phrase_search": q_phrase_search,
     "snippet_windows": q_snippet_windows,
+    "ego_density_co": q_ego_density_co,
+    "participation_co": q_participation_co,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -12345,6 +12474,8 @@ ORACLE_SQL = {
     "inverted_postings": SQL_INVERTED_POSTINGS,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snippet_windows": SQL_SNIPPET_WINDOWS,
+    "ego_density_co": SQL_EGO_DENSITY_CO,
+    "participation_co": SQL_PARTICIPATION_CO,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,

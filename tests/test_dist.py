@@ -2127,3 +2127,4 @@ def test_densest_subgraph_finds_planted_core(ray_session):
         np.flatnonzero(_ray.get(mask_refs[p])) * g.P + p
         for p in range(g.P)])
     assert sorted(alive.tolist()) == list(range(30, 38))
+
