@@ -74,3 +74,38 @@ def test_kernels_format_agnostic(fmt_dir):
     assert lab[0] == lab[1] == lab[2]
     assert lab[3] == lab[4] == lab[5]
     assert lab[6] not in (lab[0], lab[3])
+
+
+def test_read_documents_jsonl_and_csv(ray_session, tmp_path):
+    """JSONL/CSV document dumps normalise to the canonical documents
+    schema (missing lang/source/n_chars get defaults) and feed the
+    text stages unchanged."""
+    import json
+
+    import pyarrow as pa
+
+    from leidenalg_ray.sources import docs as docsrc
+    from leidenalg_ray.stages import text as tx
+
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox", "lang": "en"},
+        {"doc_id": 1, "text": "der schnelle fuchs"},
+    ]
+    p = tmp_path / "d.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = docsrc.read_documents_jsonl([str(p)])
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "text", "lang", "source",
+                                "n_chars"]
+    assert df.loc[1, "lang"] == "und"
+    assert df.loc[0, "source"] == "unknown"
+    assert df.loc[0, "n_chars"] == len(rows[0]["text"])
+    # stages accept the normalised schema as-is
+    out = tx.token_counts(ds).to_pandas()
+    assert len(out) == 2
+
+    c = tmp_path / "d.csv"
+    c.write_text("doc_id,content\n0,alpha beta\n1,gamma\n")
+    ds2 = docsrc.read_documents_csv([str(c)], text="content")
+    df2 = ds2.to_pandas().sort_values("doc_id")
+    assert list(df2["n_chars"]) == [10, 5]
