@@ -66,3 +66,31 @@ def read_documents_csv(paths, text="text", doc_id="doc_id",
         lambda t: _normalise(t, text=text, doc_id=doc_id, lang=lang,
                              source=source),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_documents_partitioned(docs_ds, out_dir, P=8):
+    """Sink: documents Dataset -> ``out_dir/part=p/`` parquet,
+    partitioned by ``doc_id % P`` so a re-run (or a downstream
+    consumer wanting a single shard) addresses partitions
+    independently — the corpus counterpart of
+    ``edgelists.write_edges_partitioned``. Returns ``out_dir``."""
+    import numpy as np
+
+    def with_part(t: pa.Table) -> pa.Table:
+        t = _normalise(t)
+        part = (t["doc_id"].to_numpy(zero_copy_only=False)
+                % P).astype("int32")
+        return t.append_column("part", pa.array(part))
+
+    docs_ds.map_batches(with_part, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .write_parquet(out_dir, partition_cols=["part"])
+    return out_dir
+
+
+def read_documents_partitioned(out_dir):
+    """Read a partitioned corpus sink back to a documents Dataset."""
+    ds = rd.read_parquet(out_dir)
+    return ds.map_batches(
+        lambda t: _normalise(t), batch_format="pyarrow",
+        zero_copy_batch=True)

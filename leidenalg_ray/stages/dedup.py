@@ -968,8 +968,13 @@ def exact_substr_spans(docs_ds, n=8):
         return pa.table(
             {"g": t.filter(pc.greater_equal(t["cnt"], 2))["g"]})
 
-    dup = per_gram.map_batches(dup_only, batch_format="pyarrow") \
-        .to_pandas()["g"].to_numpy(np.int64)
+    dp = per_gram.map_batches(dup_only,
+                              batch_format="pyarrow").to_pandas()
+    # a corpus with NO duplicated grams yields an all-empty dataset
+    # whose schema-less blocks skip dup_only (map_batches passes
+    # empties through uncalled) — treat missing column as empty set
+    dup = dp["g"].to_numpy(np.int64) if "g" in dp.columns \
+        else np.empty(0, np.int64)
     dup_ref = ray.put(np.sort(dup))
 
     def spans(t: pa.Table) -> pa.Table:
@@ -1009,7 +1014,7 @@ def exact_substr_spans(docs_ds, n=8):
                                zero_copy_batch=True)
 
 
-def exact_substr_rewrite(docs_ds, n=8):
+def exact_substr_rewrite(docs_ds, n=8, emit_text=False):
     """The ExactSubstr *apply* step (Lee et al. 2022): cut every
     duplicated-``n``-gram-covered token from each document and emit
     (doc_id, n_tokens, n_cut, clean_md5) where ``clean_md5`` is the
@@ -1020,7 +1025,10 @@ def exact_substr_rewrite(docs_ds, n=8):
     Same two-pass shape as ``exact_substr_spans`` (one gram-partial
     shuffle + broadcast dup set); the rewrite itself is per-document
     and never leaves the batch. Coverage marking is the interval
-    +1/-1 cumsum, not a per-position loop."""
+    +1/-1 cumsum, not a per-position loop. ``emit_text=True`` adds a
+    ``clean_text`` column (the surviving tokens) for curation jobs
+    that write the rewritten corpus; the default stays slim for the
+    oracle row."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1045,8 +1053,10 @@ def exact_substr_rewrite(docs_ds, n=8):
         return pa.table(
             {"g": t.filter(pc.greater_equal(t["cnt"], 2))["g"]})
 
-    dup = per_gram.map_batches(dup_only, batch_format="pyarrow") \
-        .to_pandas()["g"].to_numpy(np.int64)
+    dp = per_gram.map_batches(dup_only,
+                              batch_format="pyarrow").to_pandas()
+    dup = dp["g"].to_numpy(np.int64) if "g" in dp.columns \
+        else np.empty(0, np.int64)  # no duplicated grams anywhere
     dup_ref = ray.put(np.sort(dup))
 
     import re
@@ -1058,6 +1068,7 @@ def exact_substr_rewrite(docs_ds, n=8):
         gs = _gram_hashes(texts, n)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         out_d, out_nt, out_nc, out_h = [], [], [], []
+        out_t = []
         for a, i, txt in zip(gs, ids, texts):
             toks = tok_re.findall(txt.lower())
             nt = len(toks)
@@ -1072,17 +1083,23 @@ def exact_substr_rewrite(docs_ds, n=8):
             np.add.at(delta, np.minimum(hit + n, nt), -1)
             covered = np.cumsum(delta[:nt]) > 0
             kept = [w for w, c in zip(toks, covered) if not c]
+            clean = " ".join(kept)
             out_d.append(int(i))
             out_nt.append(nt)
             out_nc.append(int(covered.sum()))
             out_h.append(hashlib.md5(
-                " ".join(kept).encode("utf-8")).hexdigest())
-        return pa.table({
+                clean.encode("utf-8")).hexdigest())
+            if emit_text:
+                out_t.append(clean)
+        cols = {
             "doc_id": pa.array(out_d, pa.int64()),
             "n_tokens": pa.array(out_nt, pa.int64()),
             "n_cut": pa.array(out_nc, pa.int64()),
             "clean_md5": pa.array(out_h, pa.string()),
-        })
+        }
+        if emit_text:
+            cols["clean_text"] = pa.array(out_t, pa.string())
+        return pa.table(cols)
 
     return docs_ds.map_batches(rewrite, batch_format="pyarrow",
                                zero_copy_batch=True)

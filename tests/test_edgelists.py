@@ -109,3 +109,28 @@ def test_read_documents_jsonl_and_csv(ray_session, tmp_path):
     ds2 = docsrc.read_documents_csv([str(c)], text="content")
     df2 = ds2.to_pandas().sort_values("doc_id")
     assert list(df2["n_chars"]) == [10, 5]
+
+
+def test_documents_partitioned_roundtrip(ray_session, tmp_path):
+    """Corpus sink/round-trip: hash-partitioned by doc_id % P, read
+    back equal (modulo row order)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from leidenalg_ray.sources import docs as docsrc
+
+    t = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array([f"doc {i} words" for i in range(10)]),
+        "lang": pa.array(["en"] * 10),
+        "source": pa.array(["s"] * 10),
+        "n_chars": pa.array([11] * 10, pa.int64()),
+    })
+    out = str(tmp_path / "corpus")
+    docsrc.write_documents_partitioned(rd.from_arrow(t), out, P=4)
+    import os
+    parts = sorted(d for d in os.listdir(out) if d.startswith("part="))
+    assert parts == ["part=0", "part=1", "part=2", "part=3"]
+    back = docsrc.read_documents_partitioned(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(t.to_pandas())

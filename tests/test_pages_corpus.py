@@ -127,3 +127,61 @@ def test_run_job_distributed_build_with_host_graph(tmp_path):
     assert len(anc) > 0
     terms = set(anc["term"].to_pylist())
     assert "to" in terms
+
+
+def test_curate_corpus_end_to_end(tmp_path):
+    """Curation job smoke: JSONL in -> exact dedup -> lang/quality
+    filters -> ExactSubstr cut -> partitioned corpus + order table;
+    the duplicated planted span is cut from BOTH carriers and the
+    order table is a dense permutation of the survivors."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    shared = ("alpha beta gamma delta epsilon zeta eta theta "
+              "iota kappa")
+    filler = ("the and of to is value table row scan query merge "
+              "hash spark stream window batch part")
+    rows = [
+        {"doc_id": 0, "text": shared + " " + filler},
+        {"doc_id": 1, "text": filler + " " + shared},
+        {"doc_id": 2, "text": filler + " " + filler},
+        {"doc_id": 3, "text": filler + " " + filler},  # exact dup of 2
+        {"doc_id": 4, "text": "tiny"},                 # fails quality
+        {"doc_id": 5, "text": "der die das und ist nicht mit ein "
+                              "der die das und ist"},  # fails lang
+    ]
+    inp = str(tmp_path / "in.jsonl")
+    with open(inp, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "curate_corpus.py"),
+         "--in", inp, "--out", out, "--num-cpus", "4",
+         "--partitions", "2"],
+        capture_output=True, text=True, env=env, cwd=repo,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_total"] == 6
+    assert summary["n_after_exact_dedup"] == 5   # doc 3 collapsed
+    assert summary["n_after_filters"] == 3       # 4 and 5 dropped
+    # every copy of both repeated runs is cut: the 10-token shared
+    # run in docs 0+1 (20) and the 17-token filler run carried by
+    # docs 0, 1 and twice by doc 2 (17+17+34)
+    assert summary["tokens_cut"] == 88
+
+    corpus = pq.read_table(os.path.join(out, "corpus")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(corpus["doc_id"]) == [0, 1, 2]
+    # the shared run is gone from both docs 0 and 1
+    assert not any("alpha" in t for t in corpus["text"])
+    order = pq.read_table(os.path.join(out, "order")).to_pandas()
+    assert sorted(order["rank"]) == [0, 1, 2]
+    assert set(order["doc_id"]) == {0, 1, 2}
