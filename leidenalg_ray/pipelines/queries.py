@@ -5159,6 +5159,72 @@ FROM agg
 """
 
 
+def q_events_window_hll(sf_dir):
+    """Approximate distinct users per tumbling 1-hour window: the
+    same mergeable 64-register HLL as ``hll_parts_per_supplier``
+    keyed by the window start (epoch_us // 3.6e9). Per-batch
+    partials keep the shuffle at 64 rows per window regardless of
+    event volume — the streaming cardinality pattern."""
+    from ..stages import sketch as sk
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def wk(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            "wkey": pa.array((ts // 3_600_000_000).astype(np.int64)),
+            "user_id": t["user_id"],
+        })
+
+    keyed = ev.map_batches(wk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    est = sk.hll_count_distinct(keyed, "wkey", "user_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_h": pc.cast(t["key"], pa.int64()),
+            "hll_est": pa.array(round6(
+                t["hll_est"].to_numpy(zero_copy_only=False))),
+        })
+    return est.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW_HLL = """
+WITH d AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS window_h,
+                           user_id
+           FROM events),
+h AS (SELECT window_h,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               ::UBIGINT AS h
+      FROM d),
+b AS (SELECT window_h, CAST(h >> 26 AS BIGINT) AS bucket,
+             CAST(h % 67108864 AS BIGINT) AS rem
+      FROM h),
+b2 AS (SELECT window_h, bucket,
+              CASE WHEN rem = 0 THEN 27
+                   ELSE 26 - (SELECT max(kk)
+                              FROM generate_series(0, 26) g(kk)
+                              WHERE rem >= (CAST(1 AS BIGINT) << kk))
+              END AS rho
+       FROM b),
+r AS (SELECT window_h, bucket, max(rho) AS rho
+      FROM b2 GROUP BY 1, 2),
+agg AS (SELECT window_h, 64 - count(*) AS v_empty,
+               sum(CAST(1 AS BIGINT) << (27 - rho))
+                 + (64 - count(*)) * 134217728 AS s_int
+        FROM r GROUP BY 1)
+SELECT CAST(window_h AS BIGINT) AS window_h,
+       round(CASE WHEN ((0.7213 / (1 + 1.079 / 64)) * 64 * 64)
+                       / (s_int / 134217728.0) <= 160.0
+                       AND v_empty > 0
+                  THEN 64 * ln(64.0 / v_empty)
+                  ELSE ((0.7213 / (1 + 1.079 / 64)) * 64 * 64)
+                       / (s_int / 134217728.0)
+             END, 6) AS hll_est
+FROM agg
+"""
+
+
 TOPN_PER_CUST = 3
 
 
@@ -7942,6 +8008,62 @@ SELECT b.vec_id, CAST(b.lbl AS BIGINT) AS pred_label,
            AS correct
 FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
 WHERE rk = 1
+"""
+
+
+EDGECUT_P = 8
+
+
+def q_partition_edgecut_co(sf_dir):
+    """Partitioning self-audit: edge-cut fraction and vertex balance
+    of the engine's own vid % P shard assignment on the co graph —
+    the number every distributed kernel's exchange volume scales
+    with. Per-batch integer partials (cut/total/per-shard vertex
+    counts) -> one tiny reduction; integer sums, single divisions."""
+    t = pa.concat_tables(
+        [bt for bt in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(s.max(), d.max())) + 1
+    lo, hi = np.minimum(s, d), np.maximum(s, d)
+    keys = np.unique(lo[lo != hi] * np.int64(n) + hi[lo != hi])
+    a, b = keys // n, keys % n
+    cut = int((a % EDGECUT_P != b % EDGECUT_P).sum())
+    total = len(keys)
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    vids = np.flatnonzero(deg > 0)
+    per_shard = np.bincount(vids % EDGECUT_P, minlength=EDGECUT_P)
+    balance = float(per_shard.max()) * EDGECUT_P / len(vids)
+    return pa.table({
+        "n_edges": pa.array([total], pa.int64()),
+        "n_cut": pa.array([cut], pa.int64()),
+        "cut_frac": pa.array(round6([cut / total])),
+        "balance": pa.array(round6([balance])),
+    })
+
+
+SQL_PARTITION_EDGECUT_CO = f"""
+WITH e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2),
+verts AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0),
+stats AS (SELECT count(*) AS total,
+                 sum(CASE WHEN a % {EDGECUT_P} <> b % {EDGECUT_P}
+                     THEN 1 ELSE 0 END) AS cut
+          FROM e0),
+shard AS (SELECT v % {EDGECUT_P} AS p, count(*) AS c
+          FROM verts GROUP BY 1),
+bal AS (SELECT max(c) * {EDGECUT_P}
+               / (SELECT CAST(count(*) AS DOUBLE) FROM verts) AS b
+        FROM shard)
+SELECT CAST(stats.total AS BIGINT) AS n_edges,
+       CAST(stats.cut AS BIGINT) AS n_cut,
+       round(CAST(stats.cut AS DOUBLE) / stats.total, 6) AS cut_frac,
+       round(bal.b, 6) AS balance
+FROM stats, bal
 """
 
 
@@ -12235,6 +12357,8 @@ QUERIES = {
     "snippet_windows": q_snippet_windows,
     "ego_density_co": q_ego_density_co,
     "participation_co": q_participation_co,
+    "partition_edgecut_co": q_partition_edgecut_co,
+    "events_window_hll": q_events_window_hll,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -12476,6 +12600,8 @@ ORACLE_SQL = {
     "snippet_windows": SQL_SNIPPET_WINDOWS,
     "ego_density_co": SQL_EGO_DENSITY_CO,
     "participation_co": SQL_PARTICIPATION_CO,
+    "partition_edgecut_co": SQL_PARTITION_EDGECUT_CO,
+    "events_window_hll": SQL_EVENTS_WINDOW_HLL,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,
