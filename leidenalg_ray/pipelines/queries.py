@@ -8011,6 +8011,73 @@ WHERE rk = 1
 """
 
 
+def q_bfs_locality_co(sf_dir):
+    """WebGraph-style locality renumbering: relabel reachable
+    vertices in (BFS level, old vid) order from the smallest active
+    vid and report the mean absolute edge gap |id(a) - id(b)| before
+    vs after — the number that drives delta-encoded adjacency
+    compression (Boldi & Vigna 2004). Integer gap sums + one
+    division, so the SQL twin is exact."""
+    g = _co_distgraph(sf_dir)
+    act = g.active_global()
+    source = int(np.flatnonzero(act)[0])
+    dist, _ = ss.bfs_distances(g, [source])
+    INF = np.iinfo(np.int64).max
+    reach = np.flatnonzero(act & (dist < INF)).astype(np.int64)
+    order = reach[np.lexsort((reach, dist[reach]))]
+    new_id = np.full(g.n, -1, np.int64)
+    new_id[order] = np.arange(len(order), dtype=np.int64)
+
+    t = pa.concat_tables(
+        [bt for bt in tg.co_edge_rows(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow")])
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(s.max(), d.max())) + 1
+    lo, hi = np.minimum(s, d), np.maximum(s, d)
+    keys = np.unique(lo[lo != hi] * np.int64(n) + hi[lo != hi])
+    a, b = keys // n, keys % n
+    ok = (new_id[a] >= 0) & (new_id[b] >= 0)
+    a, b = a[ok], b[ok]
+    gap_old = int(np.abs(a - b).sum())
+    gap_new = int(np.abs(new_id[a] - new_id[b]).sum())
+    m = len(a)
+    return pa.table({
+        "n_reachable": pa.array([len(reach)], pa.int64()),
+        "n_edges": pa.array([m], pa.int64()),
+        "mean_gap_old": pa.array(round6([gap_old / m])),
+        "mean_gap_new": pa.array(round6([gap_new / m])),
+    })
+
+
+SQL_BFS_LOCALITY_CO = """
+WITH RECURSIVE
+e0 AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey
+        AND l1.l_partkey < l2.l_partkey
+       GROUP BY 1, 2),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+s AS (SELECT min(a) AS v FROM e),
+bfs(v, d) AS (
+  SELECT v, 0 FROM s
+  UNION
+  SELECT e.b, bfs.d + 1 FROM bfs JOIN e ON e.a = bfs.v
+  WHERE bfs.d < 30
+),
+lvl AS (SELECT v, min(d) AS d FROM bfs GROUP BY v),
+ren AS (SELECT v, row_number() OVER (ORDER BY d, v) - 1 AS nid
+        FROM lvl),
+ge AS (SELECT abs(e0.a - e0.b) AS go, abs(ra.nid - rb.nid) AS gn
+       FROM e0 JOIN ren ra ON ra.v = e0.a JOIN ren rb ON rb.v = e0.b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ren) AS n_reachable,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       round(CAST(sum(go) AS DOUBLE) / count(*), 6) AS mean_gap_old,
+       round(CAST(sum(gn) AS DOUBLE) / count(*), 6) AS mean_gap_new
+FROM ge
+"""
+
+
 EDGECUT_P = 8
 
 
@@ -12359,6 +12426,7 @@ QUERIES = {
     "participation_co": q_participation_co,
     "partition_edgecut_co": q_partition_edgecut_co,
     "events_window_hll": q_events_window_hll,
+    "bfs_locality_co": q_bfs_locality_co,
     "scc_items": q_scc_items,
     "bowtie_items": q_bowtie_items,
     "effective_diameter_items": q_effective_diameter_items,
@@ -12602,6 +12670,7 @@ ORACLE_SQL = {
     "participation_co": SQL_PARTICIPATION_CO,
     "partition_edgecut_co": SQL_PARTITION_EDGECUT_CO,
     "events_window_hll": SQL_EVENTS_WINDOW_HLL,
+    "bfs_locality_co": SQL_BFS_LOCALITY_CO,
     "scc_items": SQL_SCC_ITEMS,
     "bowtie_items": SQL_BOWTIE_ITEMS,
     "effective_diameter_items": SQL_EFFECTIVE_DIAMETER_ITEMS,
