@@ -12315,6 +12315,169 @@ FROM s
 """
 
 
+NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out test split
+
+
+def q_nb_lang_classify(sf_dir):
+    """Multinomial Naive-Bayes language classifier, trained and
+    applied in one job — the fastText-style linear quality/lang
+    classifier step of LLM curation pipelines (GPT-3 / LLaMA corpus
+    filters), with closed-form one-pass training so the whole
+    train+score job is exactly SQL-expressible.
+
+    Split: train = ``doc_id % 5 != 0``, test = ``doc_id % 5 == 0``
+    (deterministic, engine-independent). Model: Laplace-smoothed
+    multinomial NB over lowercase ``[^a-z0-9]+`` tokens —
+    ``logp(w|c) = ln((n_wc + 1)/(tot_c + V))``, prior
+    ``ln(docs_c/docs)``. Determinism: every ln is quantised to 1e-9
+    fixed point (identical expression in the oracle) so per-doc
+    class scores are exact integer sums — order-independent at any
+    partitioning — and argmax ties break to the lexicographically
+    smallest class on both engines.
+
+    Plan: ONE pass over train emits per-batch (lang, w, n) token
+    partials plus (lang, NULL, n_docs) doc-count partials (vocab x
+    |langs|-bounded driver fold — the doc_lm_xent pattern); the
+    quantised (V+1) x C log-prob matrix (+1 = unseen-token row) is
+    broadcast into a pure scoring map over the test split. No
+    full-corpus materialisation; test docs with zero tokens are out
+    of scope on both engines."""
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def train_partials(t: pa.Table) -> pa.Table:
+        m = t["doc_id"].to_numpy(zero_copy_only=False) % NB_TEST_MOD != 0
+        t = t.filter(pa.array(m))
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        f, p = flat[keep], par[keep]
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        out_l, out_w, out_n = [], [], []
+        if len(f):
+            ul_, lcode = np.unique(langs[p].astype(str),
+                                   return_inverse=True)
+            uw_, wcode = np.unique(f, return_inverse=True)
+            key = lcode.astype(np.int64) * len(uw_) + wcode
+            uk, cn = np.unique(key, return_counts=True)
+            out_l += list(ul_[uk // len(uw_)])
+            out_w += list(uw_[uk % len(uw_)])
+            out_n += [int(c) for c in cn]
+        ul, uc = np.unique(langs.astype(str), return_counts=True)
+        out_l += list(ul)
+        out_w += [None] * len(ul)
+        out_n += [int(c) for c in uc]
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "w": pa.array(out_w, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    parts = docs.map_batches(train_partials, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    doc_c = parts[parts["w"].isna()].groupby("lang")["n"].sum()
+    tok_c = parts[parts["w"].notna()].groupby(
+        ["lang", "w"])["n"].sum().reset_index()
+    classes = np.sort(doc_c.index.to_numpy().astype(object))
+    C = len(classes)
+    n_train = int(doc_c.sum())
+    prior_q = np.array([int(np.floor(np.log(
+        float(doc_c[c]) / n_train) * 1e9 + 0.5)) for c in classes],
+        dtype=np.int64)
+    vocab = np.sort(tok_c["w"].unique().astype(object))
+    V = len(vocab)
+    tot_c = tok_c.groupby("lang")["n"].sum()
+    # (V+1) x C quantised log-probs; row V = unseen token (n=0)
+    M = np.empty((V + 1, C), dtype=np.int64)
+    for j, c in enumerate(classes):
+        denom = float(int(tot_c.get(c, 0)) + V)
+        nw = np.zeros(V, dtype=np.int64)
+        sub = tok_c[tok_c["lang"] == c]
+        nw[np.searchsorted(vocab, sub["w"].to_numpy(dtype=object))] = \
+            sub["n"].to_numpy(np.int64)
+        M[:V, j] = np.floor(
+            np.log((nw + 1.0) / denom) * 1e9 + 0.5).astype(np.int64)
+        M[V, j] = int(np.floor(np.log(1.0 / denom) * 1e9 + 0.5))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % NB_TEST_MOD == 0
+        t = t.filter(pa.array(m))
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        f, p = flat[keep], par[keep]
+        idx = np.searchsorted(vocab, f)
+        known = (idx < V)
+        known[known] &= vocab[idx[known]] == f[known]
+        widx = np.where(known, idx, V)
+        S = np.zeros((len(t), C), dtype=np.int64)
+        for j in range(C):
+            np.add.at(S[:, j], p, M[widx, j])
+        ntok = np.zeros(len(t), dtype=np.int64)
+        np.add.at(ntok, p, 1)
+        S += prior_q[None, :]
+        nz = ntok > 0
+        # argmax returns the FIRST max; classes sorted ascending ->
+        # ties break to the lexicographically smallest class
+        pred = np.argmax(S[nz], axis=1)
+        ids2 = t["doc_id"].to_numpy(zero_copy_only=False)[nz]
+        true = np.asarray(t["lang"].to_pylist(), dtype=object)[nz]
+        plang = classes[pred]
+        return pa.table({
+            "doc_id": pa.array(ids2, pa.int64()),
+            "lang": pa.array(true, pa.string()),
+            "pred_lang": pa.array(plang, pa.string()),
+            "score_q": pa.array(S[nz, pred], pa.int64()),
+            "correct": pa.array((plang == true).astype(np.int64)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_NB_LANG_CLASSIFY = f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % {NB_TEST_MOD} <> 0),
+tok AS (SELECT lang,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS w
+        FROM train),
+cnt AS (SELECT lang, w, count(*) AS n FROM tok GROUP BY 1, 2),
+tot AS (SELECT lang, count(*) AS tot FROM tok GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM tok),
+ndoc AS (SELECT count(*) AS nd FROM train),
+prior AS (SELECT lang,
+                 CAST(floor(ln(CAST(count(*) AS DOUBLE) / nd) * 1e9
+                            + 0.5) AS BIGINT) AS pq
+          FROM train, ndoc GROUP BY lang, nd),
+stok AS (SELECT doc_id, lang AS true_lang,
+                unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS w
+         FROM documents WHERE doc_id % {NB_TEST_MOD} = 0),
+scored AS (SELECT s.doc_id, s.true_lang, t.lang AS clang,
+                  p.pq + CAST(sum(CAST(floor(
+                      ln((COALESCE(c.n, 0) + 1.0) / (t.tot + v.v)) * 1e9
+                      + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+           FROM stok s
+           CROSS JOIN tot t
+           CROSS JOIN vocab v
+           JOIN prior p ON p.lang = t.lang
+           LEFT JOIN cnt c ON c.lang = t.lang AND c.w = s.w
+           GROUP BY s.doc_id, s.true_lang, t.lang, p.pq),
+best AS (SELECT doc_id, true_lang, clang, score_q,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, clang) AS rn
+         FROM scored)
+SELECT doc_id, true_lang AS lang, clang AS pred_lang, score_q,
+       CAST(CASE WHEN clang = true_lang THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM best WHERE rn = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "edges_ps": q_edges_ps,
@@ -12541,6 +12704,7 @@ QUERIES = {
     "constraint_co": q_constraint_co,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
+    "nb_lang_classify": q_nb_lang_classify,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -12778,6 +12942,7 @@ ORACLE_SQL = {
     "constraint_co": SQL_CONSTRAINT_CO,
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
+    "nb_lang_classify": SQL_NB_LANG_CLASSIFY,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

@@ -988,3 +988,51 @@ def test_percolation_monotone_and_full_graph_limit(ray_session):
     cc = _df(Q.QUERIES["cc_sizes_ps"](SF))  # ps graph, sanity only
     full = df[df["kept_buckets"] == 256]
     assert int(full["giant_size"].iloc[0]) >= 2
+
+
+def test_nb_lang_classify_matches_serial_replica(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    df = _df(Q.QUERIES["nb_lang_classify"](SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    tok = re.compile("[a-z0-9]+")
+    train = docs[docs["doc_id"] % Q.NB_TEST_MOD != 0]
+    cnt, tot, ndoc = {}, Counter(), Counter()
+    vocab = set()
+    for _, r in train.iterrows():
+        ndoc[r["lang"]] += 1
+        for w in tok.findall(r["text"].lower()):
+            cnt[(r["lang"], w)] = cnt.get((r["lang"], w), 0) + 1
+            tot[r["lang"]] += 1
+            vocab.add(w)
+    classes = sorted(ndoc)
+    V = len(vocab)
+    n_train = len(train)
+
+    def q(x):
+        return int(math.floor(math.log(x) * 1e9 + 0.5))
+
+    got = {int(r.doc_id): (r.pred_lang, int(r.score_q), int(r.correct))
+           for r in df.itertuples()}
+    test = docs[docs["doc_id"] % Q.NB_TEST_MOD == 0]
+    n_checked = 0
+    for _, r in test.iterrows():
+        words = tok.findall(r["text"].lower())
+        if not words:
+            assert int(r["doc_id"]) not in got
+            continue
+        best = None
+        for c in classes:
+            s = q(ndoc[c] / n_train)
+            for w in words:
+                s += q((cnt.get((c, w), 0) + 1.0) / (tot[c] + V))
+            if best is None or s > best[1]:
+                best = (c, s)
+        pred, score = best
+        assert got[int(r["doc_id"])] == (
+            pred, score, int(pred == r["lang"]))
+        n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
