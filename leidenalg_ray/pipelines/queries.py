@@ -12315,6 +12315,134 @@ FROM s
 """
 
 
+LM2_LAMBDA = 0.7  # bigram weight in the interpolated LM
+
+
+def q_doc_lm_xent2(sf_dir):
+    """Interpolated bigram-LM cross-entropy per document — the
+    KenLM-style perplexity quality score of CCNet (Wenzek et al.
+    2020) reduced to a 2-gram model with unigram interpolation:
+    ``p(w2|w1) = 0.7 * c(w1,w2)/starts(w1) + 0.3 * c(w2)/T``,
+    ``xent(d) = -(1/#bigrams) * sum ln p`` over the doc's adjacent
+    token pairs. The model is trained on the corpus itself in the
+    same job (one counting pass), so train+score is exactly
+    SQL-expressible.
+
+    Determinism: per-distinct-bigram ln p is quantised to 1e-9 fixed
+    point (identical IEEE expression in the oracle — the operand
+    order ``0.7*nb/ns + 0.3*n/T`` is written the same on both
+    engines) so per-doc sums are exact integers, with one IEEE
+    division at the end. Plan: one map_batches pass emits per-batch
+    unigram + bigram count partials (bigram-vocab-bounded driver
+    fold — at 100 TB this fold becomes one bounded groupby and the
+    model table a hash-bucketed broadcast, the doc_lm_xent scale
+    note); the quantised bigram score table is broadcast into a pure
+    scoring map. Docs with <2 tokens are out of scope on both
+    engines."""
+    docs = _docs(sf_dir)
+
+    def _toks(t: pa.Table):
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        return flat[keep], par[keep]
+
+    def counts(t: pa.Table) -> pa.Table:
+        f, p = _toks(t)
+        out_1, out_2, out_n = [], [], []
+        if len(f):
+            assert int(np.bincount(p).max()) <= 1000, \
+                "doc exceeds the SQL oracle's generate_series bound"
+            uw, code = np.unique(f, return_inverse=True)
+            uc = np.bincount(code)
+            out_1 += list(uw)
+            out_2 += [None] * len(uw)
+            out_n += [int(c) for c in uc]
+            adj = p[1:] == p[:-1]
+            if adj.any():
+                k = code[:-1][adj].astype(np.int64) * len(uw) \
+                    + code[1:][adj]
+                ub, cb = np.unique(k, return_counts=True)
+                out_1 += list(uw[ub // len(uw)])
+                out_2 += list(uw[ub % len(uw)])
+                out_n += [int(c) for c in cb]
+        return pa.table({"w1": pa.array(out_1, pa.string()),
+                         "w2": pa.array(out_2, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    parts = docs.map_batches(counts, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    uni = parts[parts["w2"].isna()].groupby("w1")["n"].sum()
+    bi = parts[parts["w2"].notna()].groupby(
+        ["w1", "w2"])["n"].sum().reset_index()
+    T = int(uni.sum())
+    starts = bi.groupby("w1")["n"].sum()
+    vocab = np.sort(uni.index.to_numpy().astype(object))
+    w1c = np.searchsorted(vocab, bi["w1"].to_numpy(dtype=object))
+    w2c = np.searchsorted(vocab, bi["w2"].to_numpy(dtype=object))
+    nb = bi["n"].to_numpy(np.int64)
+    ns = starts[bi["w1"]].to_numpy(np.int64)
+    un = uni[bi["w2"]].to_numpy(np.int64)
+    p_int = LM2_LAMBDA * nb / ns + (1.0 - LM2_LAMBDA) * un / T
+    qv = np.floor(np.log(p_int) * 1e9 + 0.5).astype(np.int64)
+    key = w1c.astype(np.int64) * len(vocab) + w2c
+    order = np.argsort(key)
+    key_s, qv_s = key[order], qv[order]
+
+    def score(t: pa.Table) -> pa.Table:
+        f, p = _toks(t)
+        s = np.zeros(len(t), dtype=np.int64)
+        nbg = np.zeros(len(t), dtype=np.int64)
+        if len(f):
+            code = np.searchsorted(vocab, f)
+            adj = p[1:] == p[:-1]
+            k = code[:-1][adj].astype(np.int64) * len(vocab) \
+                + code[1:][adj]
+            par = p[:-1][adj]
+            np.add.at(s, par, qv_s[np.searchsorted(key_s, k)])
+            np.add.at(nbg, par, 1)
+        nz = nbg > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[nz]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_bigrams": pa.array(nbg[nz]),
+            "xent": pa.array(round6(-(s[nz] / 1e9) / nbg[nz])),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_DOC_LM_XENT2 = f"""
+WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS arr
+           FROM documents),
+uni AS (SELECT w2, count(*) AS n
+        FROM (SELECT unnest(arr) AS w2 FROM t) GROUP BY 1),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM uni),
+big AS (SELECT doc_id, k, arr[k] AS w1, arr[k + 1] AS w2
+        FROM t, generate_series(1, 999) gs(k)
+        WHERE k < len(arr)),
+bi AS (SELECT w1, w2, count(*) AS nb FROM big GROUP BY 1, 2),
+cs AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS ns FROM bi GROUP BY 1),
+q AS (SELECT b.w1, b.w2,
+             CAST(floor(ln(CAST({LM2_LAMBDA} AS DOUBLE) * b.nb / cs.ns
+                           + CAST({1.0 - LM2_LAMBDA} AS DOUBLE) * u.n
+                             / tt.tot) * 1e9
+                        + 0.5) AS BIGINT) AS qv
+      FROM bi b JOIN cs USING (w1) JOIN uni u ON u.w2 = b.w2
+      CROSS JOIN tt)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(-(CAST(sum(q.qv) AS DOUBLE) / 1e9) / count(*), 6) AS xent
+FROM big g JOIN q ON g.w1 = q.w1 AND g.w2 = q.w2
+GROUP BY g.doc_id
+"""
+
+
 NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out test split
 
 
@@ -12705,6 +12833,7 @@ QUERIES = {
     "doc_boilerplate": q_doc_boilerplate,
     "doc_lm_xent": q_doc_lm_xent,
     "nb_lang_classify": q_nb_lang_classify,
+    "doc_lm_xent2": q_doc_lm_xent2,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -12943,6 +13072,7 @@ ORACLE_SQL = {
     "doc_boilerplate": SQL_DOC_BOILERPLATE,
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "nb_lang_classify": SQL_NB_LANG_CLASSIFY,
+    "doc_lm_xent2": SQL_DOC_LM_XENT2,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

@@ -1036,3 +1036,41 @@ def test_nb_lang_classify_matches_serial_replica(ray_session):
             pred, score, int(pred == r["lang"]))
         n_checked += 1
     assert n_checked == len(got) and n_checked > 0
+
+
+def test_doc_lm_xent2_matches_serial_replica(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    df = _df(Q.QUERIES["doc_lm_xent2"](SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = re.compile("[a-z0-9]+")
+    uni, bi, starts = Counter(), Counter(), Counter()
+    toks = {}
+    for _, r in docs.iterrows():
+        ws = tok.findall(r["text"].lower())
+        toks[int(r["doc_id"])] = ws
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+            starts[a] += 1
+    T = sum(uni.values())
+    got = {int(r.doc_id): (int(r.n_bigrams), r.xent)
+           for r in df.itertuples()}
+    n_checked = 0
+    for did, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert did not in got
+            continue
+        s = 0
+        for a, b in pairs:
+            p = (Q.LM2_LAMBDA * bi[(a, b)] / starts[a]
+                 + (1.0 - Q.LM2_LAMBDA) * uni[b] / T)
+            s += int(math.floor(math.log(p) * 1e9 + 0.5))
+        want = Q.round6(-(s / 1e9) / len(pairs))
+        assert got[did] == (len(pairs), want)
+        n_checked += 1
+    assert n_checked == len(got) > 0
