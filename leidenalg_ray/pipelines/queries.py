@@ -12315,6 +12315,127 @@ FROM s
 """
 
 
+PCA_DIM = 64
+PCA_QSCALE = 1e6
+PCA_ITERS = 3
+
+
+def q_embed_pca(sf_dir):
+    """Leading principal direction of the embedding corpus — the
+    whitening / SemDeDup-preprocessing step of embedding pipelines —
+    via a FIXED 3-step integer power iteration so the whole job is
+    exactly SQL-expressible (the ``kmeans_fixed`` convention for
+    iterative algorithms). The 3-step iterate is the *defined output*
+    (bit-pinned by the oracle): it converges geometrically in the
+    covariance eigengap, so on real anisotropic corpora it IS the top
+    PC, while on gap-free isotropic noise it is the exact 3-step
+    Rayleigh ascent from the all-ones start (monotone-improvement
+    property pinned in pytest).
+
+    Exactness: embeddings quantise to 1e6 fixed point; the
+    covariance NUMERATOR ``N = n * Sxx - Sx Sxᵀ`` is an exact integer
+    matrix (order-independent at any partitioning), and each power
+    step ``u = N @ v`` stays in exact integers, renormalised by
+    ``floor(double(u) * 1e9 / double(max|u|))`` — one identical IEEE
+    expression per entry on both engines (scale-free, so no fixed
+    divisor can underflow). The loading vector is reported as
+    ``round6(s * r / sqrt(sum r^2))`` with the sign ``s`` fixed by
+    the first nonzero entry. Plan: ONE map_batches pass emits
+    per-batch integer ``(Sx, Sxx)`` partials (64 rows x 66 cols;
+    driver folds O(D^2) scalars per batch — independent of corpus
+    size); the 3 matvecs are 64x64 driver-side Python-int ops."""
+    import math
+
+    emb = _emb(sf_dir)
+    D = PCA_DIM
+
+    def partials(t: pa.Table) -> pa.Table:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+        assert X.shape[1] == D
+        xq = np.floor(X * PCA_QSCALE + 0.5).astype(np.int64)
+        sxx = xq.T @ xq
+        cols = {"i": pa.array(np.arange(D, dtype=np.int64)),
+                "n": pa.array(np.full(D, len(xq), dtype=np.int64)),
+                "sx": pa.array(xq.sum(axis=0))}
+        for j in range(D):
+            cols[f"s{j}"] = pa.array(sxx[:, j])
+        return pa.table(cols)
+
+    df = emb.map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    g = df.groupby("i").sum()
+    n = int(df[df["i"] == 0]["n"].sum())
+    sx = [int(v) for v in g["sx"]]
+    N = [[n * int(g[f"s{j}"].iloc[i]) - sx[i] * sx[j]
+          for j in range(D)] for i in range(D)]
+
+    v = [1] * D
+    for _ in range(PCA_ITERS):
+        u = [sum(N[i][j] * v[j] for j in range(D)) for i in range(D)]
+        m = max(abs(x) for x in u)
+        if m == 0:  # zero covariance: the oracle's r-CTEs go empty
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "loading": pa.array([], pa.float64())})
+        v = [math.floor((float(x) * 1e9) / float(m)) for x in u]
+
+    n2 = sum(x * x for x in v)
+    s = 1
+    for x in v:
+        if x != 0:
+            s = -1 if x < 0 else 1
+            break
+    denom = math.sqrt(float(n2)) if n2 else 1.0
+    load = [round6(float(s * x) / denom) for x in v]
+    return pa.table({
+        "dim": pa.array(np.arange(D, dtype=np.int64)),
+        "loading": pa.array(load, pa.float64()),
+    })
+
+
+SQL_EMBED_PCA = f"""
+WITH emb AS (SELECT vec_id, i,
+                    CAST(floor(CAST(embedding[i] AS DOUBLE)
+                               * {PCA_QSCALE} + 0.5) AS BIGINT) AS xq
+             FROM embeddings, generate_series(1, {PCA_DIM}) gs(i)),
+nv AS (SELECT count(*) AS n FROM embeddings),
+sx AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS sx FROM emb GROUP BY i),
+sxx AS (SELECT a.i AS i, b.i AS j,
+               CAST(sum(a.xq * b.xq) AS HUGEINT) AS sxx
+        FROM emb a JOIN emb b USING (vec_id) GROUP BY 1, 2),
+cov AS (SELECT sxx.i, sxx.j,
+               nv.n * sxx.sxx - sa.sx * sb.sx AS c
+        FROM sxx JOIN sx sa ON sa.i = sxx.i
+                 JOIN sx sb ON sb.i = sxx.j
+        CROSS JOIN nv),
+u1 AS (SELECT i, CAST(sum(c) AS HUGEINT) AS u FROM cov GROUP BY i),
+m1 AS (SELECT max(abs(u)) AS m FROM u1),
+r1 AS (SELECT i, CAST(floor((CAST(u AS DOUBLE) * 1e9)
+                            / CAST(m AS DOUBLE)) AS HUGEINT) AS val
+       FROM u1, m1 WHERE m <> 0),
+u2 AS (SELECT cov.i, CAST(sum(cov.c * r1.val) AS HUGEINT) AS u
+       FROM cov JOIN r1 ON r1.i = cov.j GROUP BY cov.i),
+m2 AS (SELECT max(abs(u)) AS m FROM u2),
+r2 AS (SELECT i, CAST(floor((CAST(u AS DOUBLE) * 1e9)
+                            / CAST(m AS DOUBLE)) AS HUGEINT) AS val
+       FROM u2, m2 WHERE m <> 0),
+u3 AS (SELECT cov.i, CAST(sum(cov.c * r2.val) AS HUGEINT) AS u
+       FROM cov JOIN r2 ON r2.i = cov.j GROUP BY cov.i),
+m3 AS (SELECT max(abs(u)) AS m FROM u3),
+r3 AS (SELECT i, CAST(floor((CAST(u AS DOUBLE) * 1e9)
+                            / CAST(m AS DOUBLE)) AS HUGEINT) AS val
+       FROM u3, m3 WHERE m <> 0),
+n2 AS (SELECT CAST(sum(val * val) AS HUGEINT) AS n2 FROM r3),
+sgn AS (SELECT COALESCE((SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END
+                         FROM r3 WHERE val <> 0 ORDER BY i LIMIT 1),
+                        1) AS s)
+SELECT CAST(r3.i - 1 AS BIGINT) AS dim,
+       ROUND(CAST(sgn.s * r3.val AS DOUBLE)
+             / sqrt(CAST(n2.n2 AS DOUBLE)), 6) AS loading
+FROM r3, n2, sgn
+"""
+
+
 LM2_LAMBDA = 0.7  # bigram weight in the interpolated LM
 
 
@@ -12834,6 +12955,7 @@ QUERIES = {
     "doc_lm_xent": q_doc_lm_xent,
     "nb_lang_classify": q_nb_lang_classify,
     "doc_lm_xent2": q_doc_lm_xent2,
+    "embed_pca": q_embed_pca,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -13073,6 +13195,7 @@ ORACLE_SQL = {
     "doc_lm_xent": SQL_DOC_LM_XENT,
     "nb_lang_classify": SQL_NB_LANG_CLASSIFY,
     "doc_lm_xent2": SQL_DOC_LM_XENT2,
+    "embed_pca": SQL_EMBED_PCA,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

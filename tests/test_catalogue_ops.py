@@ -1074,3 +1074,48 @@ def test_doc_lm_xent2_matches_serial_replica(ray_session):
         assert got[did] == (len(pairs), want)
         n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_embed_pca_properties(ray_session):
+    df = _df(Q.QUERIES["embed_pca"](SF)).sort_values("dim")
+    v = df["loading"].to_numpy()
+    assert len(v) == Q.PCA_DIM
+    # unit norm (up to the 6dp rounding of each entry)
+    assert abs(v @ v - 1.0) < 1e-4
+    # sign convention: first nonzero loading is positive
+    nz = v[v != 0]
+    assert len(nz) and nz[0] > 0
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["embedding"])
+    X = np.stack([np.asarray(e, np.float64) for e in emb["embedding"]])
+    C = np.cov(X.T, bias=True)
+    w = np.linalg.eigvalsh(C)
+    start = np.ones(Q.PCA_DIM) / np.sqrt(Q.PCA_DIM)
+    r0 = start @ C @ start
+    r3 = v @ C @ v / (v @ v)
+    # power iteration never decreases the Rayleigh quotient, and
+    # three steps should recover a large fraction of lambda_max even
+    # on this nearly-flat synthetic spectrum
+    assert r3 >= r0 - 1e-9
+    assert r3 >= 0.5 * w[-1]
+
+
+def test_embed_pca_converges_on_anisotropic_planted(ray_session, tmp_path):
+    # planted corpus with a dominant direction: the 3-step iterate
+    # must align with the true top PC when a real eigengap exists
+    import pyarrow.parquet as papq
+    rng = np.random.default_rng(7)
+    top = rng.normal(size=Q.PCA_DIM)
+    top /= np.linalg.norm(top)
+    X = (rng.normal(size=(400, 1)) * 5.0) @ top[None, :] \
+        + rng.normal(size=(400, Q.PCA_DIM)) * 0.3
+    t = pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.array([x.astype(np.float32) for x in X],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(400, dtype=np.int32)),
+    })
+    papq.write_table(t, f"{tmp_path}/embeddings.parquet")
+    df = _df(Q.QUERIES["embed_pca"](str(tmp_path))).sort_values("dim")
+    v = df["loading"].to_numpy()
+    assert abs(v @ top) > 0.99
