@@ -12344,6 +12344,20 @@ def q_embed_pca(sf_dir):
     per-batch integer ``(Sx, Sxx)`` partials (64 rows x 66 cols;
     driver folds O(D^2) scalars per batch — independent of corpus
     size); the 3 matvecs are 64x64 driver-side Python-int ops."""
+    load = _pca_loadings(sf_dir)
+    if load is None:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "loading": pa.array([], pa.float64())})
+    return pa.table({
+        "dim": pa.array(np.arange(PCA_DIM, dtype=np.int64)),
+        "loading": pa.array(load, pa.float64()),
+    })
+
+
+def _pca_loadings(sf_dir):
+    """The 3-step integer power iterate of ``q_embed_pca`` as a
+    round6 float64 loading list (None if the covariance is zero —
+    the oracle's empty-result case)."""
     import math
 
     emb = _emb(sf_dir)
@@ -12375,8 +12389,7 @@ def q_embed_pca(sf_dir):
         u = [sum(N[i][j] * v[j] for j in range(D)) for i in range(D)]
         m = max(abs(x) for x in u)
         if m == 0:  # zero covariance: the oracle's r-CTEs go empty
-            return pa.table({"dim": pa.array([], pa.int64()),
-                             "loading": pa.array([], pa.float64())})
+            return None
         v = [math.floor((float(x) * 1e9) / float(m)) for x in u]
 
     n2 = sum(x * x for x in v)
@@ -12386,15 +12399,12 @@ def q_embed_pca(sf_dir):
             s = -1 if x < 0 else 1
             break
     denom = math.sqrt(float(n2)) if n2 else 1.0
-    load = [round6(float(s * x) / denom) for x in v]
-    return pa.table({
-        "dim": pa.array(np.arange(D, dtype=np.int64)),
-        "loading": pa.array(load, pa.float64()),
-    })
+    return [round6(float(s * x) / denom) for x in v]
 
 
-SQL_EMBED_PCA = f"""
-WITH emb AS (SELECT vec_id, i,
+# shared CTE chain: quantised embeddings -> exact integer covariance
+# numerator -> 3 scale-free integer power steps -> loading vector
+_SQL_PCA_CTES = f"""emb AS (SELECT vec_id, i,
                     CAST(floor(CAST(embedding[i] AS DOUBLE)
                                * {PCA_QSCALE} + 0.5) AS BIGINT) AS xq
              FROM embeddings, generate_series(1, {PCA_DIM}) gs(i)),
@@ -12428,11 +12438,61 @@ r3 AS (SELECT i, CAST(floor((CAST(u AS DOUBLE) * 1e9)
 n2 AS (SELECT CAST(sum(val * val) AS HUGEINT) AS n2 FROM r3),
 sgn AS (SELECT COALESCE((SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END
                          FROM r3 WHERE val <> 0 ORDER BY i LIMIT 1),
-                        1) AS s)
-SELECT CAST(r3.i - 1 AS BIGINT) AS dim,
-       ROUND(CAST(sgn.s * r3.val AS DOUBLE)
-             / sqrt(CAST(n2.n2 AS DOUBLE)), 6) AS loading
-FROM r3, n2, sgn
+                        1) AS s),
+pca AS (SELECT r3.i AS i,
+               ROUND(CAST(sgn.s * r3.val AS DOUBLE)
+                     / sqrt(CAST(n2.n2 AS DOUBLE)), 6) AS loading
+        FROM r3, n2, sgn)"""
+
+SQL_EMBED_PCA = f"""
+WITH {_SQL_PCA_CTES}
+SELECT CAST(i - 1 AS BIGINT) AS dim, loading FROM pca
+"""
+
+
+def q_embed_detop(sf_dir):
+    """All-but-the-top common-component removal (Mu & Viswanath
+    2018) — the embedding post-processing step that strips the
+    corpus-wide dominant direction before similarity search: per
+    vector, the projection coefficient onto the ``embed_pca``
+    leading direction, ``coef = <x, v>``. Vectors with large |coef|
+    are dominated by the common component; downstream ANN subtracts
+    ``coef * v``.
+
+    Exactness: the loading vector is the gate-pinned round6 output
+    of ``q_embed_pca`` (identical on both engines), re-quantised to
+    1e6 fixed point; with the 1e6-quantised embeddings the dot
+    product is an exact integer sum — order-independent — and
+    ``coef = round6(cq / 1e12)``. One shuffle-free map_batches pass
+    against the broadcast 64-float direction."""
+    load = _pca_loadings(sf_dir)
+    if load is None:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "coef": pa.array([], pa.float64())})
+    vq = np.floor(np.asarray(load) * 1e6 + 0.5).astype(np.int64)
+
+    def coef(t: pa.Table) -> pa.Table:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+        xq = np.floor(X * PCA_QSCALE + 0.5).astype(np.int64)
+        cq = xq @ vq
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "coef": pa.array(round6(cq / 1e12)),
+        })
+
+    return _emb(sf_dir).map_batches(coef, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+SQL_EMBED_DETOP = f"""
+WITH {_SQL_PCA_CTES},
+vq AS (SELECT i, CAST(floor(loading * 1e6 + 0.5) AS BIGINT) AS vq
+       FROM pca),
+c AS (SELECT e.vec_id, CAST(sum(e.xq * v.vq) AS BIGINT) AS cq
+      FROM emb e JOIN vq v USING (i) GROUP BY 1)
+SELECT vec_id, ROUND(CAST(cq AS DOUBLE) / 1e12, 6) AS coef
+FROM c
 """
 
 
@@ -12956,6 +13016,7 @@ QUERIES = {
     "nb_lang_classify": q_nb_lang_classify,
     "doc_lm_xent2": q_doc_lm_xent2,
     "embed_pca": q_embed_pca,
+    "embed_detop": q_embed_detop,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -13196,6 +13257,7 @@ ORACLE_SQL = {
     "nb_lang_classify": SQL_NB_LANG_CLASSIFY,
     "doc_lm_xent2": SQL_DOC_LM_XENT2,
     "embed_pca": SQL_EMBED_PCA,
+    "embed_detop": SQL_EMBED_DETOP,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

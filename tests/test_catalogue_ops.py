@@ -1119,3 +1119,21 @@ def test_embed_pca_converges_on_anisotropic_planted(ray_session, tmp_path):
     df = _df(Q.QUERIES["embed_pca"](str(tmp_path))).sort_values("dim")
     v = df["loading"].to_numpy()
     assert abs(v @ top) > 0.99
+
+
+def test_embed_detop_is_exact_projection(ray_session):
+    pca = _df(Q.QUERIES["embed_pca"](SF)).sort_values("dim")
+    det = _df(Q.QUERIES["embed_detop"](SF))
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    X = np.stack([np.asarray(e, np.float64) for e in emb["embedding"]])
+    xq = np.floor(X * Q.PCA_QSCALE + 0.5).astype(np.int64)
+    vq = np.floor(pca["loading"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    want = Q.round6((xq @ vq) / 1e12)
+    got = det.set_index("vec_id").loc[
+        emb["vec_id"].to_numpy()]["coef"].to_numpy()
+    assert np.array_equal(got, want)
+    # the common component is actually common: mean |coef| is a
+    # nontrivial fraction of mean vector norm
+    norms = np.linalg.norm(X, axis=1)
+    assert np.abs(got).mean() > 0.01 * norms.mean()
