@@ -12315,6 +12315,72 @@ FROM s
 """
 
 
+SRC_QUALITY_MIN_RATE = 0.5  # source keep threshold on gopher pass rate
+
+
+def q_source_quality_gate(sf_dir):
+    """Source-level (FineWeb-style per-domain) quality gate: per
+    ``source``, the Gopher keep-rate of its documents and a composite
+    source keep flag (``rate >= 0.5``) — the curation step that drops
+    whole low-quality domains rather than individual documents.
+    Thresholds apply to the UNROUNDED rate on both engines.
+
+    Plan: ONE actor-pool map_batches pass reusing the gate-identical
+    ``GopherRules`` callable, combined per batch into (source, n,
+    n_keep) integer partials — a |sources|-bounded driver fold, no
+    shuffle, no per-doc materialisation."""
+    from ..stages.text import GopherRules
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    class SourceGate:
+        def __init__(self):
+            self.rules = GopherRules()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = self.rules(t)["keep"].to_numpy(zero_copy_only=False)
+            src = np.asarray(t["source"].to_pylist(), dtype=object)
+            us, inv = np.unique(src.astype(str), return_inverse=True)
+            n = np.bincount(inv, minlength=len(us)).astype(np.int64)
+            nk = np.zeros(len(us), dtype=np.int64)
+            np.add.at(nk, inv, keep)
+            return pa.table({"source": pa.array(us, pa.string()),
+                             "n": pa.array(n),
+                             "n_keep": pa.array(nk)})
+
+    parts = docs.map_batches(SourceGate, batch_format="pyarrow",
+                             batch_size=2048, zero_copy_batch=True,
+                             concurrency=(1, 4)).to_pandas()
+    g = parts.groupby("source", as_index=False)[["n", "n_keep"]].sum()
+    n = g["n"].to_numpy(np.int64)
+    nk = g["n_keep"].to_numpy(np.int64)
+    rate = nk / n
+    return pa.table({
+        "source": pa.array(g["source"].to_numpy(dtype=object),
+                           pa.string()),
+        "n_docs": pa.array(n),
+        "n_keep": pa.array(nk),
+        "keep_rate": pa.array(round6(rate)),
+        "source_keep": pa.array(
+            (rate >= SRC_QUALITY_MIN_RATE).astype(np.int64)),
+    })
+
+
+SQL_SOURCE_QUALITY_GATE = f"""
+WITH gop AS ({SQL_DOC_GOPHER_RULES}),
+j AS (SELECT d.source, g.keep
+      FROM documents d JOIN gop g USING (doc_id))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       ROUND(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_rate,
+       CAST(CASE WHEN CAST(sum(keep) AS DOUBLE) / count(*)
+                      >= {SRC_QUALITY_MIN_RATE}
+                 THEN 1 ELSE 0 END AS BIGINT) AS source_keep
+FROM j GROUP BY source
+"""
+
+
 PCA_DIM = 64
 PCA_QSCALE = 1e6
 PCA_ITERS = 3
@@ -13017,6 +13083,7 @@ QUERIES = {
     "doc_lm_xent2": q_doc_lm_xent2,
     "embed_pca": q_embed_pca,
     "embed_detop": q_embed_detop,
+    "source_quality_gate": q_source_quality_gate,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -13258,6 +13325,7 @@ ORACLE_SQL = {
     "doc_lm_xent2": SQL_DOC_LM_XENT2,
     "embed_pca": SQL_EMBED_PCA,
     "embed_detop": SQL_EMBED_DETOP,
+    "source_quality_gate": SQL_SOURCE_QUALITY_GATE,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

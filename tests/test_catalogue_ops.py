@@ -1137,3 +1137,21 @@ def test_embed_detop_is_exact_projection(ray_session):
     # nontrivial fraction of mean vector norm
     norms = np.linalg.norm(X, axis=1)
     assert np.abs(got).mean() > 0.01 * norms.mean()
+
+
+def test_source_quality_gate_consistency(ray_session):
+    sg = _df(Q.QUERIES["source_quality_gate"](SF))
+    gop = _df(Q.QUERIES["doc_gopher_rules"](SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source"])
+    j = gop.merge(docs, on="doc_id")
+    want = j.groupby("source").agg(
+        n_docs=("keep", "size"), n_keep=("keep", "sum")).reset_index()
+    m = sg.merge(want, on="source", suffixes=("", "_w"))
+    assert len(m) == len(sg) == docs["source"].nunique()
+    assert (m["n_docs"] == m["n_docs_w"]).all()
+    assert (m["n_keep"] == m["n_keep_w"]).all()
+    rate = m["n_keep"].to_numpy() / m["n_docs"].to_numpy()
+    assert np.array_equal(
+        m["source_keep"].to_numpy(),
+        (rate >= Q.SRC_QUALITY_MIN_RATE).astype(np.int64))
