@@ -12384,6 +12384,66 @@ FROM j GROUP BY source
 PCA_DIM = 64
 PCA_QSCALE = 1e6
 PCA_ITERS = 3
+RP_K = 16  # JL target dimensionality (sqrt(16) = 4 is float-exact)
+
+
+def q_embed_rp(sf_dir):
+    """Johnson-Lindenstrauss random projection of the embedding
+    corpus to RP_K=16 dims with a deterministic ±1 sign matrix
+    (Achlioptas 2003 database-friendly projection) — the cheap
+    dimensionality-reduction front of LSH / ANN pipelines.
+    ``y_k = (1/sqrt(K)) * sum_i s(k,i) * x_i`` with
+    ``s(k,i) = ±1`` from ``md5("rp:k:i") % 2`` (the repo's shared
+    hash convention, replicated bit-for-bit in the oracle).
+
+    Exactness: with 1e6-quantised embeddings each projection is an
+    exact integer dot product; ``y = round6(yq/1e6/4)`` (sqrt(16)=4
+    exactly). ONE shuffle-free map_batches pass against the
+    broadcast 16x64 sign matrix; output is long-format
+    (vec_id, k, y)."""
+    import hashlib
+
+    S = np.empty((RP_K, PCA_DIM), dtype=np.int64)
+    for k in range(RP_K):
+        for i in range(1, PCA_DIM + 1):
+            h = int(hashlib.md5(
+                f"rp:{k}:{i}".encode()).hexdigest()[:16], 16)
+            S[k, i - 1] = 1 if h % 2 == 0 else -1
+
+    def project(t: pa.Table) -> pa.Table:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+        xq = np.floor(X * PCA_QSCALE + 0.5).astype(np.int64)
+        Y = xq @ S.T  # (B, K) exact ints
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        B = len(ids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, RP_K)),
+            "k": pa.array(np.tile(np.arange(RP_K, dtype=np.int64), B)),
+            "y": pa.array(round6(Y.reshape(-1) / 1e6 / 4)),
+        })
+
+    return _emb(sf_dir).map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+SQL_EMBED_RP = f"""
+WITH emb AS (SELECT vec_id, i,
+                    CAST(floor(CAST(embedding[i] AS DOUBLE)
+                               * {PCA_QSCALE} + 0.5) AS BIGINT) AS xq
+             FROM embeddings, generate_series(1, {PCA_DIM}) gs(i)),
+s AS (SELECT k, i,
+             CASE WHEN ('0x' || substr(md5('rp:' || k || ':' || i),
+                                       1, 16))::UBIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM generate_series(0, {RP_K - 1}) g1(k),
+           generate_series(1, {PCA_DIM}) g2(i)),
+p AS (SELECT e.vec_id, s.k, CAST(sum(e.xq * s.sgn) AS BIGINT) AS yq
+      FROM emb e JOIN s USING (i) GROUP BY 1, 2)
+SELECT vec_id, CAST(k AS BIGINT) AS k,
+       ROUND(CAST(yq AS DOUBLE) / 1e6 / 4, 6) AS y
+FROM p
+"""
 
 
 def q_embed_pca(sf_dir):
@@ -13084,6 +13144,7 @@ QUERIES = {
     "embed_pca": q_embed_pca,
     "embed_detop": q_embed_detop,
     "source_quality_gate": q_source_quality_gate,
+    "embed_rp": q_embed_rp,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -13326,6 +13387,7 @@ ORACLE_SQL = {
     "embed_pca": SQL_EMBED_PCA,
     "embed_detop": SQL_EMBED_DETOP,
     "source_quality_gate": SQL_SOURCE_QUALITY_GATE,
+    "embed_rp": SQL_EMBED_RP,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

@@ -1155,3 +1155,26 @@ def test_source_quality_gate_consistency(ray_session):
     assert np.array_equal(
         m["source_keep"].to_numpy(),
         (rate >= Q.SRC_QUALITY_MIN_RATE).astype(np.int64))
+
+
+def test_embed_rp_distance_preservation(ray_session):
+    rp = _df(Q.QUERIES["embed_rp"](SF))
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    X = np.stack([np.asarray(e, np.float64) for e in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    Y = rp.pivot(index="vec_id", columns="k", values="y") \
+        .loc[ids].to_numpy()
+    assert Y.shape == (len(ids), Q.RP_K)
+    # JL: squared distances preserved in expectation; with K=16 the
+    # MEAN distortion over many pairs concentrates near 1
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, len(ids), 200)
+    b = rng.integers(0, len(ids), 200)
+    keep = a != b
+    dx = ((X[a[keep]] - X[b[keep]]) ** 2).sum(1)
+    dy = ((Y[a[keep]] - Y[b[keep]]) ** 2).sum(1)
+    ratio = dy / dx
+    assert 0.8 < ratio.mean() < 1.2
+    # unbiased sign matrix: every projected dim is nonconstant
+    assert (Y.std(0) > 0).all()
