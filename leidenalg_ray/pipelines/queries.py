@@ -6192,14 +6192,16 @@ FROM d
 
 def q_media_decode_real(sf_dir):
     """REAL byte-level media decode through the actor pool — no stub:
-    ``synth_real_media_table`` writes valid 24-bit BMPs and 16-bit
-    PCM WAVs whose dimensions/colors/samples are closed forms of the
-    media id, ``MediaDecoderRealFlat`` parses the actual bytes
-    (BITMAPINFOHEADER rows with 4-byte padding, RIFF chunks) and
-    computes channel means / luminance / rms / peak / zcr / duration
-    — the SQL oracle reproduces every value from id arithmetic alone,
-    so any parse bug is a gate FAIL. Compressed codecs remain the
-    documented ``NotImplementedError`` seam."""
+    ``synth_real_media_table`` writes valid 24-bit BMPs, REAL
+    zlib-compressed 8-bit PNGs (row filters 0..4 all exercised), and
+    16-bit PCM WAVs whose dimensions/colors/samples are closed forms
+    of the media id; ``MediaDecoderRealFlat`` parses the actual bytes
+    (BITMAPINFOHEADER rows with 4-byte padding, PNG inflate +
+    5-filter scanline reconstruction, RIFF chunks) and computes
+    channel means / luminance / rms / peak / zcr / duration — the SQL
+    oracle reproduces every value from id arithmetic alone, so any
+    parse or unfilter bug is a gate FAIL. DCT/entropy codecs (JPEG /
+    MP3 / H.264) remain the documented ``NotImplementedError`` seam."""
     from ..stages import multimodal as mm
     media = rd.from_arrow(mm.synth_real_media_table(90))
     return media.map_batches(mm.MediaDecoderRealFlat,

@@ -3,12 +3,14 @@ with typed metadata (task brief).
 
 Decode tiers:
 
-- ``decode="real"``: REAL byte-level decoding for the uncompressed
-  formats a numpy-only container can parse — 24-bit uncompressed BMP
-  (``decode_bmp``) and 16-bit PCM WAV (``decode_wav``) — plus a
-  real nearest-neighbour ``image_resize``. Compressed codecs
-  (JPEG/PNG/MP3/H.264 containers) raise ``NotImplementedError`` at
-  the per-payload seam where PIL / torchaudio / PyAV would plug in
+- ``decode="real"``: REAL byte-level decoding for the formats a
+  numpy+stdlib container can parse — 24-bit uncompressed BMP
+  (``decode_bmp``), 8-bit truecolor PNG with full 5-filter scanline
+  reconstruction over zlib inflate (``decode_png`` — a genuinely
+  compressed codec), and 16-bit PCM WAV (``decode_wav``) — plus a
+  real nearest-neighbour ``image_resize``. DCT/entropy codecs
+  (JPEG/MP3/H.264 containers) raise ``NotImplementedError`` at the
+  per-payload seam where PIL / torchaudio / PyAV would plug in
   (those libs aren't in this container).
 - ``decode="fake"``: deterministic pseudo-decode (seeded by the
   content hash) with the real output schema — for plumbing tests and
@@ -87,6 +89,149 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     if h > 0:
         arr = arr[::-1]           # bottom-up storage
     return np.ascontiguousarray(arr[:, :, ::-1])   # BGR -> RGB
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+    return (len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big"))
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb_ and pa_ <= pc_:
+        return a
+    return b if pb_ <= pc_ else c
+
+
+def encode_png(rgb: np.ndarray, filter_type=0) -> bytes:
+    """Serialise an (h, w, 3) uint8 RGB array as a standard PNG
+    (8-bit truecolor, non-interlaced, zlib-deflated IDAT) — a real
+    file any viewer opens. ``filter_type`` applies the given PNG
+    row filter (0..4) to every scanline, exercising the decoder's
+    unfilter paths."""
+    import zlib
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    raw = rgb.reshape(h, w * 3).astype(np.int32)
+    out = bytearray()
+    prior = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        row = raw[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:   # Sub
+            left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+            filt = (row - left) % 256
+        elif filter_type == 2:   # Up
+            filt = (row - prior) % 256
+        elif filter_type == 3:   # Average
+            left = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+            filt = (row - (left + prior) // 2) % 256
+        elif filter_type == 4:   # Paeth
+            filt = np.empty(w * 3, dtype=np.int32)
+            for x in range(w * 3):
+                a = int(row[x - 3]) if x >= 3 else 0
+                b = int(prior[x])
+                c = int(prior[x - 3]) if x >= 3 else 0
+                filt[x] = (int(row[x]) - _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        out.append(filter_type)
+        out += filt.astype(np.uint8).tobytes()
+        prior = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))  # depth 8, truecolor RGB
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Parse an 8-bit truecolor non-interlaced PNG into an (h, w, 3)
+    uint8 RGB array — a REAL compressed-image decode (zlib inflate +
+    full 5-filter scanline reconstruction). Raises
+    ``NotImplementedError`` on other bit depths / color types /
+    interlacing (the remaining codec seam: palette, alpha, 16-bit,
+    Adam7)."""
+    import zlib
+    buf = bytes(buf)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        tag = buf[pos + 4:pos + 8]
+        body = buf[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt_m, interlace = ihdr[8:13]
+    if depth != 8 or ctype != 2 or comp != 0 or filt_m != 0 \
+            or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG is decodable "
+            f"here (got depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})")
+    data = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = np.frombuffer(data, np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        filt = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            rec = filt
+        elif ft == 1:    # Sub: per-channel cumulative sum mod 256
+            rec = np.cumsum(filt.reshape(w, 3), axis=0).reshape(-1) % 256
+        elif ft == 2:    # Up
+            rec = (filt + prior) % 256
+        elif ft == 3:    # Average (left-sequential)
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - 3] if x >= 3 else 0
+                rec[x] = (filt[x] + (left + prior[x]) // 2) % 256
+        elif ft == 4:    # Paeth (left-sequential)
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - 3] if x >= 3 else 0
+                b = int(prior[x])
+                c = int(prior[x - 3]) if x >= 3 else 0
+                rec[x] = (filt[x] + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = rec
+        prior = rec
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Magic-byte dispatch over the real image codecs: 24-bit BMP or
+    8-bit RGB PNG. JPEG (and every DCT codec) remains the documented
+    ``NotImplementedError`` seam."""
+    buf = bytes(buf)
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    raise NotImplementedError(
+        "unrecognised image container (JPEG/WebP/... need codec "
+        "libraries not in this container)")
 
 
 def encode_wav(samples: np.ndarray, sample_rate=8000) -> bytes:
@@ -176,7 +321,7 @@ def _media_features(kind, payload, lum_int_form=False):
     each side, so the SQL twin's expression is bit-identical);
     ``False`` uses the conventional ``0.299*m/255`` weights."""
     if kind == "image":
-        rgb = decode_bmp(payload)
+        rgb = decode_image(payload)
         h, w = rgb.shape[:2]
         m = rgb.reshape(-1, 3).mean(axis=0)
         if lum_int_form:
@@ -204,12 +349,14 @@ def _media_features(kind, payload, lum_int_form=False):
 
 
 def synth_real_media_table(n=90):
-    """Deterministic REAL media corpus: valid 24-bit BMPs (even ids)
-    and 16-bit PCM WAVs (odd ids), with dimensions/colors/samples in
-    closed form of the id — so a byte-level decode has an arithmetic
-    oracle. Image i: (8+(i%13)) x (8+(i%7)) constant color
-    ((i*37)%256, (i*59)%256, (i*83)%256). Audio i: 800+(i%5)*80 DC
-    samples of value (i*291)%32768 at 8 kHz."""
+    """Deterministic REAL media corpus: valid images (even ids —
+    alternating 24-bit BMP and zlib-compressed 8-bit PNG, the PNG
+    row filter cycling 0..4 by id) and 16-bit PCM WAVs (odd ids),
+    with dimensions/colors/samples in closed form of the id — so a
+    byte-level decode has an arithmetic oracle regardless of which
+    container carried the pixels. Image i: (8+(i%13)) x (8+(i%7))
+    constant color ((i*37)%256, (i*59)%256, (i*83)%256). Audio i:
+    800+(i%5)*80 DC samples of value (i*291)%32768 at 8 kHz."""
     rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
     for i in range(n):
         if i % 2 == 0:
@@ -219,8 +366,16 @@ def synth_real_media_table(n=90):
             rgb[..., 1] = (i * 59) % 256
             rgb[..., 2] = (i * 83) % 256
             rows["kind"].append("image")
-            rows["payload"].append(encode_bmp(rgb))
-            rows["meta"].append(json.dumps({"codec": "bmp24"}))
+            if i % 4 == 0:
+                # every other image ships as a REAL compressed PNG
+                # (row filter cycles 0..4 by id, exercising every
+                # unfilter path through the gate row)
+                rows["payload"].append(
+                    encode_png(rgb, filter_type=(i // 4) % 5))
+                rows["meta"].append(json.dumps({"codec": "png8"}))
+            else:
+                rows["payload"].append(encode_bmp(rgb))
+                rows["meta"].append(json.dumps({"codec": "bmp24"}))
         else:
             ns = 800 + (i % 5) * 80
             v = (i * 291) % 32768

@@ -132,3 +132,61 @@ def test_media_decoder_real_mode_decodes_actual_bytes():
     })
     with pytest.raises(Exception):
         mm.MediaDecoder(decode="real")(t2)
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+    from leidenalg_ray.stages import multimodal as mm
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    for ft in range(5):
+        buf = mm.encode_png(rgb, filter_type=ft)
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        out = mm.decode_png(buf)
+        assert out.shape == rgb.shape
+        assert np.array_equal(out, rgb), f"filter {ft}"
+        # dispatch sees the same pixels
+        assert np.array_equal(mm.decode_image(buf), rgb)
+
+
+def test_png_is_actually_compressed_and_seams_raise():
+    import numpy as np
+    import pytest
+    from leidenalg_ray.stages import multimodal as mm
+    flat = np.zeros((32, 32, 3), dtype=np.uint8)
+    buf = mm.encode_png(flat)
+    assert len(buf) < 32 * 32 * 3 // 4  # deflate really ran
+    # truncated / wrong-type payloads hit the documented seams
+    with pytest.raises(ValueError):
+        mm.decode_png(b"BM" + bytes(64))
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(64))  # JPEG SOI
+    # grayscale PNG (color type 0) is the documented remaining seam
+    import zlib
+    ihdr = (8).to_bytes(4, "big") + (8).to_bytes(4, "big") \
+        + bytes([8, 0, 0, 0, 0])
+    gray = (mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(bytes(9 * 8)))
+            + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(gray)
+
+
+def test_real_media_fixture_mixes_containers():
+    import json
+    from leidenalg_ray.stages import multimodal as mm
+    t = mm.synth_real_media_table(40)
+    codecs = [json.loads(m)["codec"] for m in t["meta"].to_pylist()]
+    assert {"png8", "bmp24", "pcm16"} <= set(codecs)
+    # every image decodes to its closed-form constant color
+    import numpy as np
+    for mid, kind, payload in zip(t["media_id"].to_pylist(),
+                                  t["kind"].to_pylist(),
+                                  t["payload"].to_pylist()):
+        if kind != "image":
+            continue
+        rgb = mm.decode_image(payload)
+        assert rgb.shape == (8 + mid % 7, 8 + mid % 13, 3)
+        assert (rgb[..., 0] == (mid * 37) % 256).all()
+        assert (rgb[..., 1] == (mid * 59) % 256).all()
+        assert (rgb[..., 2] == (mid * 83) % 256).all()
