@@ -12781,92 +12781,29 @@ def q_nb_lang_classify(sf_dir):
     of scope on both engines."""
     docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
 
-    def train_partials(t: pa.Table) -> pa.Table:
-        m = t["doc_id"].to_numpy(zero_copy_only=False) % NB_TEST_MOD != 0
-        t = t.filter(pa.array(m))
-        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
-                                      "[^a-z0-9]+")
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = flat != ""
-        f, p = flat[keep], par[keep]
-        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
-        out_l, out_w, out_n = [], [], []
-        if len(f):
-            ul_, lcode = np.unique(langs[p].astype(str),
-                                   return_inverse=True)
-            uw_, wcode = np.unique(f, return_inverse=True)
-            key = lcode.astype(np.int64) * len(uw_) + wcode
-            uk, cn = np.unique(key, return_counts=True)
-            out_l += list(ul_[uk // len(uw_)])
-            out_w += list(uw_[uk % len(uw_)])
-            out_n += [int(c) for c in cn]
-        ul, uc = np.unique(langs.astype(str), return_counts=True)
-        out_l += list(ul)
-        out_w += [None] * len(ul)
-        out_n += [int(c) for c in uc]
-        return pa.table({"lang": pa.array(out_l, pa.string()),
-                         "w": pa.array(out_w, pa.string()),
-                         "n": pa.array(out_n, pa.int64())})
+    def train_mask(t: pa.Table):
+        return (t["doc_id"].to_numpy(zero_copy_only=False)
+                % NB_TEST_MOD != 0)
 
-    parts = docs.map_batches(train_partials, batch_format="pyarrow",
-                             zero_copy_batch=True).to_pandas()
-    doc_c = parts[parts["w"].isna()].groupby("lang")["n"].sum()
-    tok_c = parts[parts["w"].notna()].groupby(
-        ["lang", "w"])["n"].sum().reset_index()
-    classes = np.sort(doc_c.index.to_numpy().astype(object))
-    C = len(classes)
-    n_train = int(doc_c.sum())
-    prior_q = np.array([int(np.floor(np.log(
-        float(doc_c[c]) / n_train) * 1e9 + 0.5)) for c in classes],
-        dtype=np.int64)
-    vocab = np.sort(tok_c["w"].unique().astype(object))
-    V = len(vocab)
-    tot_c = tok_c.groupby("lang")["n"].sum()
-    # (V+1) x C quantised log-probs; row V = unseen token (n=0)
-    M = np.empty((V + 1, C), dtype=np.int64)
-    for j, c in enumerate(classes):
-        denom = float(int(tot_c.get(c, 0)) + V)
-        nw = np.zeros(V, dtype=np.int64)
-        sub = tok_c[tok_c["lang"] == c]
-        nw[np.searchsorted(vocab, sub["w"].to_numpy(dtype=object))] = \
-            sub["n"].to_numpy(np.int64)
-        M[:V, j] = np.floor(
-            np.log((nw + 1.0) / denom) * 1e9 + 0.5).astype(np.int64)
-        M[V, j] = int(np.floor(np.log(1.0 / denom) * 1e9 + 0.5))
+    model = tx.nb_train(docs, mask_fn=train_mask)
 
     def score(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        m = ids % NB_TEST_MOD == 0
-        t = t.filter(pa.array(m))
-        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
-                                      "[^a-z0-9]+")
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = flat != ""
-        f, p = flat[keep], par[keep]
-        idx = np.searchsorted(vocab, f)
-        known = (idx < V)
-        known[known] &= vocab[idx[known]] == f[known]
-        widx = np.where(known, idx, V)
-        S = np.zeros((len(t), C), dtype=np.int64)
-        for j in range(C):
-            np.add.at(S[:, j], p, M[widx, j])
-        ntok = np.zeros(len(t), dtype=np.int64)
-        np.add.at(ntok, p, 1)
-        S += prior_q[None, :]
-        nz = ntok > 0
-        # argmax returns the FIRST max; classes sorted ascending ->
-        # ties break to the lexicographically smallest class
-        pred = np.argmax(S[nz], axis=1)
-        ids2 = t["doc_id"].to_numpy(zero_copy_only=False)[nz]
-        true = np.asarray(t["lang"].to_pylist(), dtype=object)[nz]
-        plang = classes[pred]
+        t = t.filter(pa.array(ids % NB_TEST_MOD == 0))
+        scored = tx.nb_score_batch(model, t)
+        # join the true label back (nb_score_batch keeps row order
+        # over its >=1-token subset)
+        byid = dict(zip(t["doc_id"].to_pylist(),
+                        t["lang"].to_pylist()))
+        true = np.asarray([byid[d] for d in
+                           scored["doc_id"].to_pylist()], dtype=object)
+        plang = np.asarray(scored["pred_lang"].to_pylist(),
+                           dtype=object)
         return pa.table({
-            "doc_id": pa.array(ids2, pa.int64()),
+            "doc_id": scored["doc_id"],
             "lang": pa.array(true, pa.string()),
-            "pred_lang": pa.array(plang, pa.string()),
-            "score_q": pa.array(S[nz, pred], pa.int64()),
+            "pred_lang": scored["pred_lang"],
+            "score_q": scored["score_q"],
             "correct": pa.array((plang == true).astype(np.int64)),
         })
 

@@ -846,3 +846,126 @@ def cdc_chunks(docs_ds, mod=16):
 
     return docs_ds.map_batches(fn, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+# ----------------------------------------------------------------------
+# Multinomial Naive-Bayes text classifier (fastText-style curation
+# filter; the gate-verified twin is pipelines.queries.q_nb_lang_classify)
+# ----------------------------------------------------------------------
+def nb_train(docs_ds, label_col="lang", mask_fn=None):
+    """One-pass multinomial-NB training over a documents Dataset:
+    Laplace-smoothed ``logp(w|c) = ln((n_wc + 1)/(tot_c + V))`` and
+    priors ``ln(docs_c/docs)``, every ln quantised to 1e-9 fixed
+    point so downstream scores are exact integer sums at any
+    partitioning. ``mask_fn(batch) -> bool mask`` selects the
+    training rows (default: all rows with a non-null label).
+
+    Driver state is vocab x |classes|-bounded (per-batch partials,
+    pandas fold — at 100 TB this fold becomes one bounded groupby).
+    Returns ``(classes, vocab_sorted, M, prior_q)`` with M the
+    (V+1) x C int64 log-prob matrix (row V = unseen token)."""
+    import pyarrow.compute as pc
+
+    def partials(t: pa.Table) -> pa.Table:
+        if mask_fn is not None:
+            m = mask_fn(t)
+        else:
+            m = pc.is_valid(t[label_col]).to_numpy(
+                zero_copy_only=False)
+        t = t.filter(pa.array(m))
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = flat != ""
+        f, p = flat[keep], par[keep]
+        labels = np.asarray(t[label_col].to_pylist(), dtype=object)
+        out_l, out_w, out_n = [], [], []
+        if len(f):
+            ul_, lcode = np.unique(labels[p].astype(str),
+                                   return_inverse=True)
+            uw_, wcode = np.unique(f, return_inverse=True)
+            key = lcode.astype(np.int64) * len(uw_) + wcode
+            uk, cn = np.unique(key, return_counts=True)
+            out_l += list(ul_[uk // len(uw_)])
+            out_w += list(uw_[uk % len(uw_)])
+            out_n += [int(c) for c in cn]
+        ul, uc = np.unique(labels.astype(str), return_counts=True)
+        out_l += list(ul)
+        out_w += [None] * len(ul)
+        out_n += [int(c) for c in uc]
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "w": pa.array(out_w, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    parts = docs_ds.map_batches(partials, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    import pandas as pd
+    doc_c = parts[parts["w"].isna()].groupby("lang")["n"].sum()
+    tok_c = parts[parts["w"].notna()].groupby(
+        ["lang", "w"])["n"].sum().reset_index()
+    classes = np.sort(doc_c.index.to_numpy().astype(object))
+    C = len(classes)
+    n_train = int(doc_c.sum())
+    prior_q = np.array([int(np.floor(np.log(
+        float(doc_c[c]) / n_train) * 1e9 + 0.5)) for c in classes],
+        dtype=np.int64)
+    vocab = np.sort(tok_c["w"].unique().astype(object))
+    V = len(vocab)
+    tot_c = tok_c.groupby("lang")["n"].sum()
+    M = np.empty((V + 1, C), dtype=np.int64)
+    for j, c in enumerate(classes):
+        denom = float(int(tot_c.get(c, 0)) + V)
+        nw = np.zeros(V, dtype=np.int64)
+        sub = tok_c[tok_c["lang"] == c]
+        nw[np.searchsorted(vocab,
+                           sub["w"].to_numpy(dtype=object))] = \
+            sub["n"].to_numpy(np.int64)
+        M[:V, j] = np.floor(
+            np.log((nw + 1.0) / denom) * 1e9 + 0.5).astype(np.int64)
+        M[V, j] = int(np.floor(np.log(1.0 / denom) * 1e9 + 0.5))
+    return classes, vocab, M, prior_q
+
+
+def nb_score_batch(model, t: pa.Table) -> pa.Table:
+    """Score one Arrow batch against an ``nb_train`` model: returns
+    (doc_id, pred_lang, score_q) for every row with >=1 token.
+    Integer class scores; argmax ties break to the smallest class."""
+    import pyarrow.compute as pc
+
+    classes, vocab, M, prior_q = model
+    C, V = len(classes), len(vocab)
+    toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]),
+                                  "[^a-z0-9]+")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    f, p = flat[keep], par[keep]
+    idx = np.searchsorted(vocab, f)
+    known = (idx < V)
+    known[known] &= vocab[idx[known]] == f[known]
+    widx = np.where(known, idx, V)
+    S = np.zeros((len(t), C), dtype=np.int64)
+    for j in range(C):
+        np.add.at(S[:, j], p, M[widx, j])
+    ntok = np.zeros(len(t), dtype=np.int64)
+    np.add.at(ntok, p, 1)
+    S += prior_q[None, :]
+    nz = ntok > 0
+    pred = np.argmax(S[nz], axis=1)
+    return pa.table({
+        "doc_id": pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False)[nz],
+            pa.int64()),
+        "pred_lang": pa.array(classes[pred], pa.string()),
+        "score_q": pa.array(S[nz, pred], pa.int64()),
+    })
+
+
+def nb_score(docs_ds, model):
+    """Dataset stage: pure scoring map against the broadcast model."""
+    def fn(t: pa.Table) -> pa.Table:
+        return nb_score_batch(model, t)
+    return docs_ds.map_batches(fn, batch_format="pyarrow",
+                               zero_copy_batch=True)

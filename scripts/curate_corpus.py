@@ -63,6 +63,11 @@ def main():
                     help="corpus path (.jsonl/.csv/parquet dir)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--lang", default="en")
+    ap.add_argument("--lang-filter", choices=("heuristic", "nb"),
+                    default="heuristic",
+                    help="'heuristic' = marker-word LangId; 'nb' = "
+                    "one-pass Naive-Bayes classifier trained on the "
+                    "corpus's own labeled rows (stages/text.nb_train)")
     ap.add_argument("--min-words", type=int, default=10)
     ap.add_argument("--min-stop-hits", type=int, default=1)
     ap.add_argument("--substr-n", type=int, default=8)
@@ -101,7 +106,11 @@ def main():
     n_dedup = len(reps)
 
     # 3+4. language + quality flags in ONE pass over survivors
-    lang_t = tx.lang_id(docs)
+    if args.lang_filter == "nb":
+        model = tx.nb_train(docs)     # trains on rows with a label
+        lang_t = tx.nb_score(docs, model)
+    else:
+        lang_t = tx.lang_id(docs)
     gq = tx.gopher_rules(docs)
     lang_ids = lang_t.to_pandas()
     good_lang = set(lang_ids.loc[lang_ids["pred_lang"] == args.lang,

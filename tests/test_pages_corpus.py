@@ -185,3 +185,46 @@ def test_curate_corpus_end_to_end(tmp_path):
     order = pq.read_table(os.path.join(out, "order")).to_pandas()
     assert sorted(order["rank"]) == [0, 1, 2]
     assert set(order["doc_id"]) == {0, 1, 2}
+
+
+def test_curate_corpus_nb_lang_filter(tmp_path):
+    """--lang-filter nb: the Naive-Bayes classifier is trained on the
+    corpus's own lang labels and its predictions drive the language
+    filter — the de-labeled German doc is dropped, the en docs
+    survive."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    filler = ("the and of to is value table row scan query merge "
+              "hash spark stream window batch part")
+    de = ("der die das und ist nicht mit ein kein aber der die das "
+          "und ist nicht mit ein kein aber")
+    rows = [
+        {"doc_id": 0, "text": filler + " alpha beta", "lang": "en"},
+        {"doc_id": 1, "text": filler + " gamma delta", "lang": "en"},
+        {"doc_id": 2, "text": de, "lang": "de"},
+        {"doc_id": 3, "text": de + " extra", "lang": "de"},
+    ]
+    inp = str(tmp_path / "in.jsonl")
+    with open(inp, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "curate_corpus.py"),
+         "--in", inp, "--out", out, "--num-cpus", "4",
+         "--partitions", "2", "--lang-filter", "nb",
+         "--min-words", "5", "--min-stop-hits", "1"],
+        capture_output=True, text=True, env=env, cwd=repo,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_total"] == 4
+    corpus = pq.read_table(os.path.join(out, "corpus")).to_pandas()
+    assert set(corpus["doc_id"]) == {0, 1}
