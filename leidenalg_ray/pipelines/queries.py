@@ -12317,6 +12317,106 @@ FROM s
 """
 
 
+BPE_MERGES = 8
+
+
+def _bpe_train(words_hist):
+    """Greedy BPE training (Sennrich et al. 2016) on a distinct-word
+    histogram: BPE_MERGES rounds of (count adjacent symbol pairs
+    weighted by word frequency -> merge the (count desc, pair asc)
+    argmax everywhere). Returns (merges, pieces) with ``pieces`` the
+    final symbol sequence per distinct word. Pure driver-side
+    function of the exact integer histogram — O(vocab) per round,
+    independent of corpus size (the standard BPE-trainer
+    representation)."""
+    from collections import Counter
+
+    seq = {w: tuple(w) for w in words_hist}
+    merges = []
+    for _ in range(BPE_MERGES):
+        cnt = Counter()
+        for w, c in words_hist.items():
+            s = seq[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += c
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        for w, s in seq.items():
+            if best[0] not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if (i + 1 < len(s) and s[i] == best[0]
+                        and s[i + 1] == best[1]):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seq[w] = tuple(out)
+    return merges, seq
+
+
+def q_bpe_train_apply(sf_dir):
+    """Full BPE tokenizer training + corpus re-tokenization — the
+    tokenizer step of an LLM data pipeline, end to end: ONE pass
+    builds the distinct-word histogram (vocab-bounded driver fold),
+    BPE_MERGES=8 greedy merge rounds run on the histogram
+    driver-side, and the resulting word->pieces table broadcasts
+    into a pure apply map. Per doc: word count, piece count, and the
+    md5 of the piece stream (pieces joined '+' within a word, words
+    by ' ') — the rewrite is pinned byte-for-byte.
+
+    Inherently iterative (each merge depends on the argmax of the
+    previous round) => rows-only at the driver gate; pinned by (a) a
+    pytest serial replica of the whole train+apply, (b) merge #1 ==
+    the SQL-green ``bpe_merge_candidates`` argmax (same tokenizer,
+    same tie order), (c) the md5-pinned output. Reference for the
+    algorithm: Sennrich, Haddow & Birch 2016 §3.2."""
+    docs = _docs(sf_dir)
+
+    def wc(t: pa.Table) -> pa.Table:
+        out_w, out_n = [], []
+        from collections import Counter
+        cnt = Counter()
+        for txt in t["text"].to_pylist():
+            cnt.update(tx.TOKEN_RE.findall(txt.lower()))
+        ks = sorted(cnt)
+        return pa.table({"w": pa.array(ks, pa.string()),
+                         "n": pa.array([cnt[k] for k in ks],
+                                       pa.int64())})
+
+    hist_df = docs.map_batches(wc, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas() \
+        .groupby("w")["n"].sum()
+    merges, pieces = _bpe_train(dict(hist_df))
+
+    def apply_(t: pa.Table) -> pa.Table:
+        import hashlib
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nw = np.zeros(len(t), dtype=np.int64)
+        npc = np.zeros(len(t), dtype=np.int64)
+        h = []
+        for i, txt in enumerate(t["text"].to_pylist()):
+            words = tx.TOKEN_RE.findall(txt.lower())
+            nw[i] = len(words)
+            npc[i] = sum(len(pieces[w]) for w in words)
+            stream = " ".join("+".join(pieces[w]) for w in words)
+            h.append(hashlib.md5(stream.encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(nw),
+            "n_pieces": pa.array(npc),
+            "pieces_md5": pa.array(h, pa.string()),
+        })
+
+    return docs.map_batches(apply_, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 SRC_QUALITY_MIN_RATE = 0.5  # source keep threshold on gopher pass rate
 
 
@@ -13084,6 +13184,7 @@ QUERIES = {
     "embed_detop": q_embed_detop,
     "source_quality_gate": q_source_quality_gate,
     "embed_rp": q_embed_rp,
+    "bpe_train_apply": q_bpe_train_apply,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_hard_negatives": q_ann_hard_negatives,

@@ -1178,3 +1178,33 @@ def test_embed_rp_distance_preservation(ray_session):
     assert 0.8 < ratio.mean() < 1.2
     # unbiased sign matrix: every projected dim is nonconstant
     assert (Y.std(0) > 0).all()
+
+
+def test_bpe_train_apply_matches_serial_replica(ray_session):
+    import hashlib
+    from collections import Counter
+
+    df = _df(Q.QUERIES["bpe_train_apply"](SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    hist = Counter()
+    toks = {}
+    for _, r in docs.iterrows():
+        ws = Q.tx.TOKEN_RE.findall(r["text"].lower())
+        toks[int(r["doc_id"])] = ws
+        hist.update(ws)
+    merges, pieces = Q._bpe_train(dict(hist))
+    assert len(merges) == Q.BPE_MERGES
+    # merge #1 == the SQL-green round-1 argmax (same tokenizer/ties)
+    cand = _df(Q.QUERIES["bpe_merge_candidates"](SF))
+    assert merges[0][0] + merges[0][1] == cand["pair"].iloc[0]
+    got = {int(r.doc_id): (int(r.n_words), int(r.n_pieces),
+                           r.pieces_md5) for r in df.itertuples()}
+    assert len(got) == len(toks)
+    for did, ws in toks.items():
+        npc = sum(len(pieces[w]) for w in ws)
+        stream = " ".join("+".join(pieces[w]) for w in ws)
+        assert got[did] == (len(ws), npc,
+                            hashlib.md5(stream.encode()).hexdigest())
+        # merging only ever shrinks: words <= pieces <= chars
+        assert len(ws) <= npc <= sum(len(w) for w in ws)
