@@ -2551,3 +2551,119 @@ def hitting_time(g: DistGraph, targets, iters=30, weighted=False,
                                 *[msg[p][q] for p in range(P)])
                   for q in range(P)]
     return _finish(g, h_refs, iters, result_out, "hitting_time")
+
+
+# ----------------------------------------------------------------------
+# HyperANF: neighbourhood function via per-vertex HLL sketches
+# ----------------------------------------------------------------------
+def hyperanf(g: DistGraph, rounds=8, result_out=None):
+    """HyperANF (Boldi, Rosa & Vigna, WWW 2011): the neighbourhood
+    function NF(t) = sum_v |ball(v, t)| estimated with one 64-register
+    HyperLogLog sketch per vertex, max-merged along edges each
+    superstep — THE scalable effective-diameter algorithm for web
+    graphs (exact multi-BFS ships O(n) per seed; this ships 64
+    bytes/vertex total and covers EVERY vertex).
+
+    Same superstep shape as connected components (CC is this kernel
+    with a min over one int64): per-block destination-partition
+    pre-aggregation, worker-to-worker message refs, elementwise max
+    combine — idempotent and order-free, so the result is
+    deterministic at any P. Registers/estimator are the gate-proven
+    ``stages/sketch.py`` HLL (md5 hash32, exact-integer inner sums,
+    the bit-identical-in-SQL estimator); per-vertex estimates are
+    quantised to 1e-6 fixed point BEFORE summing so NF itself is an
+    exact integer sum — partitioning-independent.
+
+    Returns ``(nf_q, rounds_run)`` — ``nf_q[t]`` = the integer
+    1e-6-fixed-point NF estimate over active vertices at hop t,
+    t = 0..rounds (early exit at the fixed point, where the last two
+    entries are equal). Inactive (edgeless) vertices carry empty
+    sketches and contribute 0. With ``result_out=<dir>`` the FINAL
+    per-vertex ball estimates also write per shard (column
+    ``ball_est``, the o(n)-driver seam) and the return becomes
+    ``({path, rows, column}, nf_q, rounds_run)``.
+    """
+    from ..stages.sketch import (HLL_M, HLL_REM_BITS, HLL_RHO_MAX,
+                                 hash32, hll_estimate_from_sums)
+    P, n, sizes = g.P, g.n, g.sizes
+    masks, _ = g.active_masks()
+
+    @ray.remote
+    def init(mask, p):
+        loc = np.flatnonzero(mask)
+        reg = np.zeros((len(mask), HLL_M), dtype=np.uint8)
+        if len(loc):
+            vids = p + P * loc.astype(np.int64)
+            h = hash32(vids)
+            bucket = (h >> HLL_REM_BITS).astype(np.int64)
+            rem = h & ((1 << HLL_REM_BITS) - 1)
+            bl = np.zeros(len(rem), dtype=np.int64)
+            x = rem.copy()
+            while (x > 0).any():
+                nz = x > 0
+                bl[nz] += 1
+                x = x >> 1
+            rho = HLL_RHO_MAX - bl
+            reg[loc, bucket] = rho.astype(np.uint8)
+        return reg
+
+    def _est_q(reg):
+        pres = reg > 0
+        npres = pres.sum(axis=1).astype(np.int64)
+        vals = np.where(pres,
+                        np.int64(1) << (HLL_RHO_MAX
+                                        - reg.astype(np.int64)),
+                        np.int64(0))
+        est = hll_estimate_from_sums(vals.sum(axis=1), npres)
+        est[npres == 0] = 0.0      # empty sketch = inactive vertex
+        return np.floor(est * 1e6 + 0.5).astype(np.int64)
+
+    @ray.remote
+    def est_sum(reg):
+        return int(_est_q(reg).sum())
+
+    @ray.remote
+    def est_arr(reg):
+        return _est_q(reg) / 1e6
+
+    @ray.remote
+    def gather(block, reg):
+        per_edge = reg[block["src_local"]]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros((sizes[q], HLL_M), dtype=np.uint8)
+            np.maximum.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(old, *incoming):
+        new = old.copy()
+        for arr in incoming:
+            np.maximum(new, arr, out=new)
+        return new, int((new != old).any(axis=1).sum())
+
+    reg_refs = [init.remote(masks[p], p) for p in range(P)]
+    nf = [int(sum(ray.get([est_sum.remote(r) for r in reg_refs])))]
+    t = 0
+    for t in range(1, rounds + 1):
+        msg_refs = [gather.options(num_returns=max(P, 2)).remote(
+            g.blocks[p], reg_refs[p]) for p in range(P)]
+        outs = [reduce.options(num_returns=2).remote(
+            reg_refs[q], *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        reg_refs = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        nf.append(int(sum(ray.get([est_sum.remote(r)
+                                   for r in reg_refs]))))
+        if changed == 0:
+            break
+    nf_q = np.asarray(nf, dtype=np.int64)
+    if result_out is None:
+        return nf_q, t
+    ball_refs = [est_arr.remote(r) for r in reg_refs]
+    rows = write_shard_results(g, ball_refs, result_out, "ball_est")
+    return ({"path": result_out, "rows": rows,
+             "column": "ball_est"}, nf_q, t)

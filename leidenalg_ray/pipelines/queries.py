@@ -12317,6 +12317,106 @@ FROM s
 """
 
 
+HYPERANF_ROUNDS = 8
+
+
+def q_hyperanf_co(sf_dir):
+    """HyperANF neighbourhood function of the co graph (Boldi, Rosa &
+    Vigna 2011): NF(t) estimated from per-vertex 64-register HLL
+    sketches max-merged along edges — the at-scale effective-diameter
+    path covering EVERY vertex at 64 bytes/vertex (the exact-BFS
+    companion is ``effective_diameter_items``; the planted SQL-green
+    twin of this kernel is ``hyperanf_cliques``). Per-vertex
+    estimates quantise to 1e-6 fixed point before summing, so NF is
+    an exact integer sum — P-independent. Iterative (rows-only);
+    pinned by a pytest serial replica and the twin."""
+    g = _co_distgraph(sf_dir)
+    nf_q, _ = ss.hyperanf(g, rounds=HYPERANF_ROUNDS)
+    return pa.table({
+        "t": pa.array(np.arange(len(nf_q), dtype=np.int64)),
+        "nf": pa.array(round6(nf_q / 1e6)),
+    })
+
+
+def q_hyperanf_cliques(sf_dir):
+    """HyperANF through the REAL distributed kernel on the planted
+    per-nation cliques, where every round is closed-form: ball(v,0)
+    = {v} (single-register sketch), ball(v,>=1) = v's whole clique
+    (the clique's max-merged registers), and the kernel stops one
+    round after the fixed point. The oracle replicates the md5
+    register derivation, the max-merge, the gate-proven HLL
+    estimator, the 1e-6 quantised sum, AND the changed-row stop rule
+    — any drift in sketch init, merge order handling, estimator
+    arithmetic or stop logic is a driver FAIL."""
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    g = DistGraph.from_edges(s, d, weight=w, n=n, P=8,
+                             both_directions=True)
+    nf_q, _ = ss.hyperanf(g, rounds=HYPERANF_ROUNDS)
+    return pa.table({
+        "t": pa.array(np.arange(len(nf_q), dtype=np.int64)),
+        "nf": pa.array(round6(nf_q / 1e6)),
+    })
+
+
+_SQL_HLL_RAW = ("((0.7213 / (1 + 1.079 / 64)) * 64 * 64)"
+                " / (s_int / 134217728.0)")
+
+SQL_HYPERANF_CLIQUES = f"""
+WITH ck AS (SELECT s_nationkey AS nk FROM supplier
+            GROUP BY 1 HAVING count(*) >= 2),
+v AS (SELECT s_suppkey AS vid, s_nationkey AS nk
+      FROM supplier WHERE s_nationkey IN (SELECT nk FROM ck)),
+h AS (SELECT vid, nk,
+             ('0x' || substr(md5(CAST(vid AS VARCHAR)), 1, 8))
+               ::UBIGINT AS h
+      FROM v),
+b2 AS (SELECT vid, nk, CAST(h >> 26 AS BIGINT) AS bucket,
+              CASE WHEN h % 67108864 = 0 THEN 27
+                   ELSE 26 - (SELECT max(kk)
+                              FROM generate_series(0, 26) g(kk)
+                              WHERE h % 67108864
+                                    >= (CAST(1 AS BIGINT) << kk))
+              END AS rho
+       FROM h),
+a0 AS (SELECT vid, (CAST(1 AS BIGINT) << (27 - rho))
+                     + CAST(63 AS BIGINT) * 134217728 AS s_int,
+              CAST(63 AS BIGINT) AS v_empty
+       FROM b2),
+e0 AS (SELECT vid, CAST(floor(
+           CASE WHEN {_SQL_HLL_RAW} <= 160.0 AND v_empty > 0
+                THEN 64 * ln(64.0 / v_empty)
+                ELSE {_SQL_HLL_RAW} END * 1e6 + 0.5) AS BIGINT) AS eq
+       FROM a0),
+r1 AS (SELECT nk, bucket, max(rho) AS rho FROM b2 GROUP BY 1, 2),
+a1 AS (SELECT nk, 64 - count(*) AS v_empty,
+              sum(CAST(1 AS BIGINT) << (27 - rho))
+                + (64 - count(*)) * 134217728 AS s_int
+       FROM r1 GROUP BY 1),
+e1 AS (SELECT nk, CAST(floor(
+           CASE WHEN {_SQL_HLL_RAW} <= 160.0 AND v_empty > 0
+                THEN 64 * ln(64.0 / v_empty)
+                ELSE {_SQL_HLL_RAW} END * 1e6 + 0.5) AS BIGINT) AS eq
+       FROM a1),
+sz AS (SELECT nk, count(*) AS k FROM v GROUP BY 1),
+nf0 AS (SELECT CAST(COALESCE(sum(eq), 0) AS BIGINT) AS q FROM e0),
+nf1 AS (SELECT CAST(COALESCE(sum(sz.k * e1.eq), 0) AS BIGINT) AS q
+        FROM e1 JOIN sz USING (nk)),
+chg AS (SELECT count(*) AS c FROM (
+          SELECT nk FROM b2 GROUP BY nk
+          HAVING count(DISTINCT bucket * 100 + rho) >= 2))
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS t,
+         ROUND(CAST(q AS DOUBLE) / 1e6, 6) AS nf FROM nf0
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), ROUND(CAST(q AS DOUBLE) / 1e6, 6)
+  FROM nf1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), ROUND(CAST(q AS DOUBLE) / 1e6, 6)
+  FROM nf1 WHERE (SELECT c FROM chg) > 0)
+"""
+
+
 BPE_MERGES = 8
 
 
@@ -13185,6 +13285,8 @@ QUERIES = {
     "source_quality_gate": q_source_quality_gate,
     "embed_rp": q_embed_rp,
     "bpe_train_apply": q_bpe_train_apply,
+    "hyperanf_co": q_hyperanf_co,
+    "hyperanf_cliques": q_hyperanf_cliques,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
     "ann_hard_negatives": q_ann_hard_negatives,
@@ -13428,6 +13530,7 @@ ORACLE_SQL = {
     "embed_detop": SQL_EMBED_DETOP,
     "source_quality_gate": SQL_SOURCE_QUALITY_GATE,
     "embed_rp": SQL_EMBED_RP,
+    "hyperanf_cliques": SQL_HYPERANF_CLIQUES,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

@@ -1208,3 +1208,49 @@ def test_bpe_train_apply_matches_serial_replica(ray_session):
                             hashlib.md5(stream.encode()).hexdigest())
         # merging only ever shrinks: words <= pieces <= chars
         assert len(ws) <= npc <= sum(len(w) for w in ws)
+
+
+def test_hyperanf_matches_serial_replica(ray_session):
+    from leidenalg_ray.stages import sketch as sk
+
+    df = _df(Q.QUERIES["hyperanf_co"](SF)).sort_values("t")
+    edges = _df(Q.QUERIES["edges_co"](SF))
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    vids = np.unique(np.concatenate([a, b]))
+    # serial replica: one HLL register per active vertex, max-merge
+    # along edges until fixed point, quantised estimator sums
+    n = int(vids.max()) + 1
+    reg = np.zeros((n, sk.HLL_M), dtype=np.uint8)
+    h = sk.hash32(vids)
+    bucket = (h >> sk.HLL_REM_BITS).astype(np.int64)
+    rem = h & ((1 << sk.HLL_REM_BITS) - 1)
+    rho = np.array([sk.HLL_RHO_MAX - int(r).bit_length()
+                    for r in rem])
+    reg[vids, bucket] = rho.astype(np.uint8)
+
+    def nf_q(reg):
+        pres = reg > 0
+        npres = pres.sum(1).astype(np.int64)
+        vals = np.where(pres, np.int64(1) << (sk.HLL_RHO_MAX
+                                              - reg.astype(np.int64)),
+                        np.int64(0))
+        est = sk.hll_estimate_from_sums(vals.sum(1), npres)
+        est[npres == 0] = 0.0
+        return int(np.floor(est * 1e6 + 0.5).astype(np.int64).sum())
+
+    want = [nf_q(reg)]
+    for _ in range(Q.HYPERANF_ROUNDS):
+        new = reg.copy()
+        np.maximum.at(new, b, reg[a])
+        np.maximum.at(new, a, reg[b])
+        changed = (new != reg).any(axis=1).sum()
+        reg = new
+        want.append(nf_q(reg))
+        if changed == 0:
+            break
+    got = [round(v * 1e6) for v in df["nf"]]
+    assert len(got) == len(want)
+    assert got == want
+    # NF is monotone non-decreasing in t
+    assert (np.diff(df["nf"].to_numpy()) >= 0).all()
