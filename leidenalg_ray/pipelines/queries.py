@@ -12317,6 +12317,62 @@ FROM s
 """
 
 
+SBM_K = 8          # planted blocks
+SBM_SIZE = 64      # vertices per block
+SBM_PIN = 0.25     # within-block edge probability
+SBM_POUT = 0.01    # cross-block edge probability
+
+
+def _sbm_edges():
+    """Deterministic stochastic-block-model graph: edge (u < v) iff
+    md5-uniform(u, v) < p_in (same block) / p_out (cross block) —
+    the standard planted-partition benchmark for community
+    detection, hash-sampled so it is identical at any parallelism.
+    Returns (src, dst, labels)."""
+    import hashlib
+    n = SBM_K * SBM_SIZE
+    iu, iv = np.triu_indices(n, k=1)
+    h = np.array([int(hashlib.md5(f"sbm:{u}:{v}".encode())
+                      .hexdigest()[:16], 16)
+                  for u, v in zip(iu, iv)], dtype=np.uint64)
+    u01 = h / 2.0 ** 64
+    same = (iu // SBM_SIZE) == (iv // SBM_SIZE)
+    keep = np.where(same, u01 < SBM_PIN, u01 < SBM_POUT)
+    labels = np.arange(n, dtype=np.int64) // SBM_SIZE
+    return (iu[keep].astype(np.int64), iv[keep].astype(np.int64),
+            labels)
+
+
+def q_sbm_leiden_recovery(sf_dir):
+    """Planted-partition recovery benchmark: the DISTRIBUTED Leiden
+    schedule must recover the ground-truth blocks of a deterministic
+    hash-sampled SBM (8 blocks x 64 vertices, p_in=0.25,
+    p_out=0.01 — a regime well above the detectability threshold).
+    Reports blocks found, Danon-NMI / ARI vs the planted labels
+    (``compare.compare_partitions``) and the CPM quality. The
+    standard external-validity check every community-detection
+    engine publishes (Lancichinetti & Fortunato 2009 benchmarking
+    methodology); iterative => rows-only, pinned by the pytest
+    NMI >= 0.95 recovery bar."""
+    from ..compare import compare_partitions
+
+    s, d, labels = _sbm_edges()
+    n = SBM_K * SBM_SIZE
+    dl = DistLeiden(s, d, n=n, directed=False, quality="cpm",
+                    resolution_parameter=0.05, P=8, seed=42)
+    mem, q, info = dl.run()
+    nmi = compare_partitions(mem, labels, "nmi")
+    ari = compare_partitions(mem, labels, "ari")
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "k_planted": pa.array([SBM_K], pa.int64()),
+        "k_found": pa.array([int(len(np.unique(mem)))], pa.int64()),
+        "nmi": pa.array([round6(nmi)], pa.float64()),
+        "ari": pa.array([round6(ari)], pa.float64()),
+        "quality": pa.array([round6(q)], pa.float64()),
+    })
+
+
 HYPERANF_ROUNDS = 8
 
 
@@ -13286,6 +13342,7 @@ QUERIES = {
     "embed_rp": q_embed_rp,
     "bpe_train_apply": q_bpe_train_apply,
     "hyperanf_co": q_hyperanf_co,
+    "sbm_leiden_recovery": q_sbm_leiden_recovery,
     "hyperanf_cliques": q_hyperanf_cliques,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,

@@ -1254,3 +1254,19 @@ def test_hyperanf_matches_serial_replica(ray_session):
     assert got == want
     # NF is monotone non-decreasing in t
     assert (np.diff(df["nf"].to_numpy()) >= 0).all()
+
+
+def test_sbm_leiden_recovery_bar(ray_session):
+    df = _df(Q.QUERIES["sbm_leiden_recovery"](SF))
+    r = df.iloc[0]
+    assert r["n"] == Q.SBM_K * Q.SBM_SIZE
+    assert r["k_planted"] == Q.SBM_K
+    # well above the detectability threshold: near-perfect recovery
+    assert r["nmi"] >= 0.95
+    assert r["ari"] >= 0.95
+    assert abs(r["k_found"] - Q.SBM_K) <= 1
+    # the hash-sampled SBM is deterministic: edge count is pinned
+    s, d, labels = Q._sbm_edges()
+    assert len(s) == len(d) > 0
+    same = (labels[s] == labels[d]).mean()
+    assert same > 0.5  # assortative regime
