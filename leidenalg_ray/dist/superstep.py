@@ -2667,3 +2667,97 @@ def hyperanf(g: DistGraph, rounds=8, result_out=None):
     rows = write_shard_results(g, ball_refs, result_out, "ball_est")
     return ({"path": result_out, "rows": rows,
              "column": "ball_est"}, nf_q, t)
+
+
+def hyperball_harmonic(g: DistGraph, rounds=8, result_out=None):
+    """HyperBall harmonic-centrality approximation (Boldi & Vigna,
+    "In-core computation of geometric centralities with HyperBall",
+    ICDMW 2013): ``harm(v) ~= sum_t (|ball(v,t)| - |ball(v,t-1)|)/t``
+    with ball sizes estimated by the same per-vertex HLL sketches as
+    ``hyperanf`` — per-vertex closeness-family centrality for EVERY
+    vertex at 64 bytes/vertex, where the exact kernel
+    (``harmonic_centrality``) ships one BFS per seed.
+
+    Same gather/reduce as ``hyperanf``; additionally each shard keeps
+    (prev_est_q, acc) and folds ``acc += ((new_q - prev_q)/1e6)/t``
+    after every round — est_q are the 1e-6-quantised integer
+    estimates, so the accumulator is a fixed-length sum of
+    deterministic doubles in a fixed order: P-independent. Returns
+    ``(harm, rounds_run)`` — dense float64 (or the ``result_out``
+    descriptor, column ``harmonic_est``)."""
+    from ..stages.sketch import (HLL_M, HLL_REM_BITS, HLL_RHO_MAX,
+                                 hash32, hll_estimate_from_sums)
+    P, n, sizes = g.P, g.n, g.sizes
+    masks, _ = g.active_masks()
+
+    def _est_q(reg):
+        pres = reg > 0
+        npres = pres.sum(axis=1).astype(np.int64)
+        vals = np.where(pres,
+                        np.int64(1) << (HLL_RHO_MAX
+                                        - reg.astype(np.int64)),
+                        np.int64(0))
+        est = hll_estimate_from_sums(vals.sum(axis=1), npres)
+        est[npres == 0] = 0.0
+        return np.floor(est * 1e6 + 0.5).astype(np.int64)
+
+    @ray.remote
+    def init(mask, p):
+        loc = np.flatnonzero(mask)
+        reg = np.zeros((len(mask), HLL_M), dtype=np.uint8)
+        if len(loc):
+            vids = p + P * loc.astype(np.int64)
+            h = hash32(vids)
+            bucket = (h >> HLL_REM_BITS).astype(np.int64)
+            rem = h & ((1 << HLL_REM_BITS) - 1)
+            bl = np.zeros(len(rem), dtype=np.int64)
+            x = rem.copy()
+            while (x > 0).any():
+                nz = x > 0
+                bl[nz] += 1
+                x = x >> 1
+            reg[loc, bucket] = (HLL_RHO_MAX - bl).astype(np.uint8)
+        return reg, _est_q(reg), np.zeros(len(mask))
+
+    @ray.remote
+    def gather(block, reg):
+        per_edge = reg[block["src_local"]]
+        off = block["dst_offsets"]
+        outs = []
+        for q in range(P):
+            sl = slice(int(off[q]), int(off[q + 1]))
+            arr = np.zeros((sizes[q], HLL_M), dtype=np.uint8)
+            np.maximum.at(arr, block["dst_local"][sl], per_edge[sl])
+            outs.append(arr)
+        return outs
+
+    @ray.remote
+    def reduce(old, prev_q, acc, t, *incoming):
+        new = old.copy()
+        for arr in incoming:
+            np.maximum(new, arr, out=new)
+        new_q = _est_q(new)
+        acc = acc + ((new_q - prev_q) / 1e6) / t
+        changed = int((new != old).any(axis=1).sum())
+        return new, new_q, acc, changed
+
+    inits = [init.options(num_returns=3).remote(masks[p], p)
+             for p in range(P)]
+    reg_refs = [i[0] for i in inits]
+    prev_refs = [i[1] for i in inits]
+    acc_refs = [i[2] for i in inits]
+    t = 0
+    for t in range(1, rounds + 1):
+        msg_refs = [gather.options(num_returns=max(P, 2)).remote(
+            g.blocks[p], reg_refs[p]) for p in range(P)]
+        outs = [reduce.options(num_returns=4).remote(
+            reg_refs[q], prev_refs[q], acc_refs[q], t,
+            *[msg_refs[p][q] for p in range(P)])
+            for q in range(P)]
+        reg_refs = [o[0] for o in outs]
+        prev_refs = [o[1] for o in outs]
+        acc_refs = [o[2] for o in outs]
+        changed = sum(ray.get([o[3] for o in outs]))
+        if changed == 0:
+            break
+    return _finish(g, acc_refs, t, result_out, "harmonic_est")

@@ -12415,8 +12415,91 @@ def q_hyperanf_cliques(sf_dir):
     })
 
 
+def q_harmonic_hyperball_cliques(sf_dir):
+    """HyperBall harmonic approximation through the REAL distributed
+    kernel on the planted per-nation cliques — closed-form per
+    vertex: ball grows {v} -> clique at t=1 and stops, so
+    ``harm(v) = (est1_q(clique) - est0_q(v)) / 1e6`` exactly. The
+    oracle replicates register init, max-merge, estimator,
+    quantisation AND the one-round accumulator arithmetic per
+    vertex."""
+    s, d, w = _planted_edges(tg.nation_clique_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    g = DistGraph.from_edges(s, d, weight=w, n=n, P=8,
+                             both_directions=True)
+    harm, _ = ss.hyperball_harmonic(g, rounds=HYPERANF_ROUNDS)
+    act = np.flatnonzero(g.active_global())
+    return pa.table({
+        "vid": pa.array(act.astype(np.int64)),
+        "harmonic": pa.array(round6(harm[act])),
+    })
+
+
+def q_harmonic_hyperball_co(sf_dir):
+    """HyperBall approximate harmonic centrality of the co graph —
+    per-vertex closeness-family centrality for EVERY vertex at 64
+    bytes/vertex (the exact companion ``harmonic_co`` ships one BFS
+    per seed; this is the 100-TB path). Iterative => rows-only;
+    pinned by a serial replica test, a rank-correlation check
+    against the exact kernel, and the SQL-green
+    ``harmonic_hyperball_cliques`` twin. Top-20 by (rounded score
+    desc, vid asc)."""
+    g = _co_distgraph(sf_dir)
+    harm, _ = ss.hyperball_harmonic(g, rounds=HYPERANF_ROUNDS)
+    act = np.flatnonzero(g.active_global())
+    r6 = round6(harm[act])
+    order = np.lexsort((act, -r6))[:20]
+    return pa.table({
+        "vid": pa.array(act[order].astype(np.int64)),
+        "harmonic": pa.array(r6[order]),
+    })
+
+
+SQL_HARMONIC_HYPERBALL_CLIQUES = f"""
+WITH ck AS (SELECT s_nationkey AS nk FROM supplier
+            GROUP BY 1 HAVING count(*) >= 2),
+v AS (SELECT s_suppkey AS vid, s_nationkey AS nk
+      FROM supplier WHERE s_nationkey IN (SELECT nk FROM ck)),
+h AS (SELECT vid, nk,
+             ('0x' || substr(md5(CAST(vid AS VARCHAR)), 1, 8))
+               ::UBIGINT AS h
+      FROM v),
+b2 AS (SELECT vid, nk, CAST(h >> 26 AS BIGINT) AS bucket,
+              CASE WHEN h % 67108864 = 0 THEN 27
+                   ELSE 26 - (SELECT max(kk)
+                              FROM generate_series(0, 26) g(kk)
+                              WHERE h % 67108864
+                                    >= (CAST(1 AS BIGINT) << kk))
+              END AS rho
+       FROM h),
+a0 AS (SELECT vid, nk, (CAST(1 AS BIGINT) << (27 - rho))
+                         + CAST(63 AS BIGINT) * 134217728 AS s_int,
+              CAST(63 AS BIGINT) AS v_empty
+       FROM b2),
+e0 AS (SELECT vid, nk, CAST(floor(
+           CASE WHEN {{RAW}} <= 160.0 AND v_empty > 0
+                THEN 64 * ln(64.0 / v_empty)
+                ELSE {{RAW}} END * 1e6 + 0.5) AS BIGINT) AS eq
+       FROM a0),
+r1 AS (SELECT nk, bucket, max(rho) AS rho FROM b2 GROUP BY 1, 2),
+a1 AS (SELECT nk, 64 - count(*) AS v_empty,
+              sum(CAST(1 AS BIGINT) << (27 - rho))
+                + (64 - count(*)) * 134217728 AS s_int
+       FROM r1 GROUP BY 1),
+e1 AS (SELECT nk, CAST(floor(
+           CASE WHEN {{RAW}} <= 160.0 AND v_empty > 0
+                THEN 64 * ln(64.0 / v_empty)
+                ELSE {{RAW}} END * 1e6 + 0.5) AS BIGINT) AS eq
+       FROM a1)
+SELECT e0.vid, ROUND(((e1.eq - e0.eq) / 1e6) / 1, 6) AS harmonic
+FROM e0 JOIN e1 USING (nk)
+"""
+
+
 _SQL_HLL_RAW = ("((0.7213 / (1 + 1.079 / 64)) * 64 * 64)"
                 " / (s_int / 134217728.0)")
+SQL_HARMONIC_HYPERBALL_CLIQUES = SQL_HARMONIC_HYPERBALL_CLIQUES \
+    .replace("{RAW}", _SQL_HLL_RAW)
 
 SQL_HYPERANF_CLIQUES = f"""
 WITH ck AS (SELECT s_nationkey AS nk FROM supplier
@@ -13343,6 +13426,8 @@ QUERIES = {
     "bpe_train_apply": q_bpe_train_apply,
     "hyperanf_co": q_hyperanf_co,
     "sbm_leiden_recovery": q_sbm_leiden_recovery,
+    "harmonic_hyperball_co": q_harmonic_hyperball_co,
+    "harmonic_hyperball_cliques": q_harmonic_hyperball_cliques,
     "hyperanf_cliques": q_hyperanf_cliques,
     "source_mix_weights": q_source_mix_weights,
     "dedup_keep_best": q_dedup_keep_best,
@@ -13588,6 +13673,7 @@ ORACLE_SQL = {
     "source_quality_gate": SQL_SOURCE_QUALITY_GATE,
     "embed_rp": SQL_EMBED_RP,
     "hyperanf_cliques": SQL_HYPERANF_CLIQUES,
+    "harmonic_hyperball_cliques": SQL_HARMONIC_HYPERBALL_CLIQUES,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,
