@@ -12317,6 +12317,42 @@ FROM s
 """
 
 
+def q_ann_recall(sf_dir):
+    """Recall@10 of the IVF index against brute-force ground truth,
+    per query — the retrieval-quality eval every ANN deployment
+    publishes (and the quantified answer to "what did probing
+    nprobe buckets cost?"). Runs exactly the two gate-green
+    pipelines (``ann_ivf_fixed``, ``ann_topk``) and joins their
+    result sets; |Q| x k rows of driver state."""
+    bf = q_ann_topk(sf_dir).to_pandas()
+    ivf = q_ann_ivf_fixed(sf_dir).to_pandas()
+    hit = bf.merge(ivf[["query_id", "vec_id"]],
+                   on=["query_id", "vec_id"], how="left",
+                   indicator=True)
+    g = hit.groupby("query_id")["_merge"] \
+        .apply(lambda s: int((s == "both").sum()))
+    qids = np.sort(g.index.to_numpy())
+    n_hit = g[qids].to_numpy(np.int64)
+    return pa.table({
+        "query_id": pa.array(qids.astype(np.int64)),
+        "n_hit": pa.array(n_hit),
+        "recall": pa.array(round6(n_hit / 10.0)),
+    })
+
+
+def _sql_ann_recall():
+    return f"""
+WITH bf AS (SELECT * FROM ({SQL_ANN_TOPK}) t),
+ivf AS (SELECT * FROM ({SQL_ANN_IVF_FIXED}) t)
+SELECT bf.query_id,
+       CAST(count(ivf.vec_id) AS BIGINT) AS n_hit,
+       ROUND(count(ivf.vec_id) / 10.0, 6) AS recall
+FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id
+                     AND ivf.vec_id = bf.vec_id
+GROUP BY bf.query_id
+"""
+
+
 SBM_K = 8          # planted blocks
 SBM_SIZE = 64      # vertices per block
 SBM_PIN = 0.25     # within-block edge probability
@@ -13427,6 +13463,7 @@ QUERIES = {
     "hyperanf_co": q_hyperanf_co,
     "sbm_leiden_recovery": q_sbm_leiden_recovery,
     "harmonic_hyperball_co": q_harmonic_hyperball_co,
+    "ann_recall": q_ann_recall,
     "harmonic_hyperball_cliques": q_harmonic_hyperball_cliques,
     "hyperanf_cliques": q_hyperanf_cliques,
     "source_mix_weights": q_source_mix_weights,
@@ -13674,6 +13711,7 @@ ORACLE_SQL = {
     "embed_rp": SQL_EMBED_RP,
     "hyperanf_cliques": SQL_HYPERANF_CLIQUES,
     "harmonic_hyperball_cliques": SQL_HARMONIC_HYPERBALL_CLIQUES,
+    "ann_recall": _sql_ann_recall(),
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

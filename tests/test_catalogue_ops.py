@@ -1328,3 +1328,13 @@ def test_hyperball_harmonic_replica_and_rank_agreement(ray_session):
     assert corr > 0.6
     ratio = approx[ex > 0] / ex[ex > 0]
     assert 0.7 < np.median(ratio) < 1.3
+
+
+def test_ann_recall_consistency(ray_session):
+    df = _df(Q.QUERIES["ann_recall"](SF)).sort_values("query_id")
+    assert list(df["query_id"]) == [0, 1, 2, 3, 4]
+    assert ((df["n_hit"] >= 0) & (df["n_hit"] <= 10)).all()
+    assert np.allclose(df["recall"], df["n_hit"] / 10.0)
+    # the IVF index always finds the query vector itself (cos=1 in
+    # its own probed bucket), so recall is never zero
+    assert (df["n_hit"] >= 1).all()
