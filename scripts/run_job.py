@@ -26,6 +26,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
@@ -61,6 +63,11 @@ def main():
     ap.add_argument("--anchors", action="store_true",
                     help="write per-target inbound anchor-term "
                          "counts (out/anchor_terms/)")
+    ap.add_argument("--anf", type=int, default=0, metavar="R",
+                    help="also run HyperANF for R rounds: "
+                         "neighbourhood function + 90%%-effective "
+                         "diameter in summary.json, per-vertex ball "
+                         "estimates sharded to out/ball_est/")
     ap.add_argument("--temporal", type=int, default=0, metavar="T",
                     help="also slice the crawl into T equal-width "
                          "warc_ts windows and write per-snapshot "
@@ -142,6 +149,22 @@ def main():
     cc_res, cc_iters = ss.connected_components(
         g2, checkpoint=args.checkpoint,
         result_out=os.path.join(args.out, "components"))
+    anf_summary = None
+    if args.anf:
+        # HyperANF: neighbourhood function + effective diameter over
+        # ALL vertices (64 bytes/vertex sketches); ball estimates
+        # write shard-side like every other per-vertex result
+        anf_res, nf_q, anf_rounds = ss.hyperanf(
+            g2, rounds=args.anf,
+            result_out=os.path.join(args.out, "ball_est"))
+        thr = -(-9 * int(nf_q[-1]) // 10)     # ceil(0.9 * NF_final)
+        eff = int(np.searchsorted(nf_q, thr))
+        anf_summary = {
+            "rounds": int(anf_rounds),
+            "nf": [round(int(v) / 1e6, 6) for v in nf_q],
+            "effective_diameter_90": eff,
+            "ball_rows": int(anf_res["rows"]),
+        }
     t_bsp = time.time() - t0
 
     t0 = time.time()
@@ -230,6 +253,8 @@ def main():
     }
     if summary_temporal is not None:
         summary["temporal"] = summary_temporal
+    if anf_summary is not None:
+        summary["anf"] = anf_summary
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))

@@ -228,3 +228,38 @@ def test_curate_corpus_nb_lang_filter(tmp_path):
     assert summary["n_total"] == 4
     corpus = pq.read_table(os.path.join(out, "corpus")).to_pandas()
     assert set(corpus["doc_id"]) == {0, 1}
+
+
+def test_run_job_anf_summary(tmp_path):
+    """--anf R: summary carries the neighbourhood function, the
+    90%-effective diameter, and the shard-side ball-estimate rows;
+    NF is monotone and the diameter is within the round budget."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    corpus = str(tmp_path / "pages")
+    ensure_pages_corpus(corpus, 300, seed=9, shard_rows=128)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "run_job.py"),
+         "--pages", corpus, "--out", out, "--partitions", "4",
+         "--num-cpus", "4", "--build", "broadcast", "--anf", "6"],
+        capture_output=True, text=True, env=env, cwd=repo,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(open(os.path.join(out, "summary.json")).read())
+    anf = summary["anf"]
+    nf = anf["nf"]
+    assert len(nf) == anf["rounds"] + 1
+    assert all(b >= a for a, b in zip(nf, nf[1:]))
+    assert 0 <= anf["effective_diameter_90"] <= anf["rounds"]
+    assert anf["ball_rows"] == summary["n_vertices"]
+    balls = pq.read_table(os.path.join(out, "ball_est")).to_pandas()
+    assert len(balls) == summary["n_vertices"]
+    assert (balls["ball_est"] >= 0).all()
