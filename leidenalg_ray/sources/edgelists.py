@@ -109,3 +109,79 @@ def read_edges_partitioned(out_dir):
     return ds.map_batches(
         lambda t: _normalise(t), batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def read_edges_metis(paths):
+    """METIS graph format (Karypis & Kumar, the partitioner-ecosystem
+    interchange format): header ``n m [fmt]``, then line i holds the
+    1-based neighbour list of vertex i (``%`` comment lines allowed);
+    ``fmt`` bit 0 = edge weights as (v, w) pairs. Vertex-weighted /
+    vertex-sized fmts (any bit beyond the edge-weight bit) raise
+    ``NotImplementedError``. Emits 0-based ``(src, dst, weight)``
+    rows — both directions, as stored in a valid METIS file;
+    downstream dedup/symmetrise exactly as for any edge source.
+
+    The format is line-position-dependent (the line NUMBER is the
+    vertex id), so a FILE is the parse unit: one task per file
+    (``read_binary_files``), parallelism across files — shard big
+    corpora into many files, the WARC-reader convention."""
+    ds = rd.read_binary_files(paths)
+
+    def parse(t: pa.Table) -> pa.Table:
+        src, dst, w = [], [], []
+        for buf in t["bytes"].to_pylist():
+            lines = [ln for ln in bytes(buf).decode().splitlines()
+                     if ln.strip() and not ln.lstrip().startswith("%")]
+            head = lines[0].split()
+            fmt = head[2] if len(head) > 2 else "0"
+            if int(fmt) not in (0, 1):
+                raise NotImplementedError(
+                    f"METIS fmt={fmt}: vertex weights/sizes are not "
+                    "supported (edge-weight fmt 1 and plain 0 are)")
+            ew = int(fmt) == 1
+            n = int(head[0])
+            if len(lines) - 1 != n:
+                raise ValueError(
+                    f"METIS file: header says n={n} but "
+                    f"{len(lines) - 1} vertex lines found")
+            for i, ln in enumerate(lines[1:]):
+                parts = ln.split()
+                step = 2 if ew else 1
+                for j in range(0, len(parts), step):
+                    src.append(i)
+                    dst.append(int(parts[j]) - 1)
+                    w.append(float(parts[j + 1]) if ew else 1.0)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "weight": pa.array(w, pa.float64()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def write_metis(path, n, src, dst, weight=None):
+    """Serialise an undirected edge set (0-based numpy arrays, one
+    row per edge) as a METIS file — the interchange/test helper
+    counterpart of ``read_edges_metis`` (driver-side adjacency
+    build; not a scale path)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    adj = [[] for _ in range(n)]
+    for k in range(len(src)):
+        a, b = int(src[k]), int(dst[k])
+        wk = float(weight[k]) if weight is not None else None
+        adj[a].append((b, wk))
+        adj[b].append((a, wk))
+    ew = weight is not None
+    with open(path, "w") as f:
+        f.write(f"{n} {len(src)}" + (" 1" if ew else "") + "\n")
+        for nbrs in adj:
+            toks = []
+            for b, wk in sorted(nbrs):
+                toks.append(str(b + 1))
+                if ew:
+                    toks.append(str(int(wk) if wk == int(wk) else wk))
+            f.write(" ".join(toks) + "\n")
+    return path

@@ -134,3 +134,62 @@ def test_documents_partitioned_roundtrip(ray_session, tmp_path):
     back = docsrc.read_documents_partitioned(out).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert back.equals(t.to_pandas())
+
+
+def test_metis_roundtrip_and_weighted(ray_session, tmp_path):
+    import numpy as np
+    from leidenalg_ray.sources import edgelists as el
+
+    src = np.array([0, 0, 1, 2])
+    dst = np.array([1, 2, 3, 3])
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    p1 = el.write_metis(str(tmp_path / "g.metis"), 4, src, dst)
+    df = el.read_edges_metis([p1]).to_pandas()
+    # both directions of every undirected edge
+    got = set(zip(df["src"], df["dst"]))
+    want = set()
+    for a, b in zip(src, dst):
+        want.add((a, b))
+        want.add((b, a))
+    assert got == want
+    assert (df["weight"] == 1.0).all()
+
+    p2 = el.write_metis(str(tmp_path / "gw.metis"), 4, src, dst, w)
+    dfw = el.read_edges_metis([p2]).to_pandas()
+    by_pair = {(r.src, r.dst): r.weight for r in dfw.itertuples()}
+    for a, b, ww in zip(src, dst, w):
+        assert by_pair[(a, b)] == ww
+        assert by_pair[(b, a)] == ww
+
+
+def test_metis_comments_and_seams(ray_session, tmp_path):
+    import pytest
+    from leidenalg_ray.sources import edgelists as el
+
+    p = str(tmp_path / "c.metis")
+    with open(p, "w") as f:
+        f.write("% a comment\n2 1\n% inline comment\n2\n1\n")
+    df = el.read_edges_metis([p]).to_pandas()
+    assert set(zip(df["src"], df["dst"])) == {(0, 1), (1, 0)}
+
+    bad = str(tmp_path / "vw.metis")
+    with open(bad, "w") as f:
+        f.write("2 1 11\n1 2\n1 1\n")  # vertex-weighted fmt
+    with pytest.raises(Exception):
+        el.read_edges_metis([bad]).to_pandas()
+
+
+def test_metis_feeds_kernels(ray_session, tmp_path):
+    import numpy as np
+    from leidenalg_ray.sources import edgelists as el
+    from leidenalg_ray.dist.blocks import DistGraph
+    from leidenalg_ray.dist import superstep as ss
+
+    # path 0-1-2-3: components and degree via the METIS source
+    p = el.write_metis(str(tmp_path / "p.metis"), 4,
+                       np.array([0, 1, 2]), np.array([1, 2, 3]))
+    ds = el.read_edges_metis([p])
+    g = DistGraph.from_dataset(ds, n=4, P=2, directed=False,
+                               dedup=True)
+    comp, _ = ss.connected_components(g)
+    assert len(np.unique(comp)) == 1
