@@ -12317,6 +12317,96 @@ FROM s
 """
 
 
+def q_doc_gopher_repetition(sf_dir):
+    """Gopher §A1.2 repetition signals (Rae et al. 2021) — the
+    duplicated-n-gram filters that complement the §A1.1 quality gate
+    (``doc_gopher_rules``): per doc, (a) ``top2_frac`` = characters
+    covered by ALL occurrences of the doc's most frequent word
+    2-gram (ties: lexicographically smallest) / total word
+    characters, and (b) ``dup5_frac`` = characters covered by every
+    occurrence of a duplicated (count >= 2 in-doc) word 5-gram /
+    total word characters — overlap counted, the standard
+    reimplementation convention. All-integer numerators (gram char
+    length x occurrence count) with ONE IEEE division per signal, so
+    both engines agree exactly. Docs with <2 words are out of scope
+    on both engines."""
+    docs = _docs(sf_dir)
+
+    def rep(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "n_words": [], "top2_frac": [],
+               "dup5_frac": []}
+        for i, txt in enumerate(t["text"].to_pylist()):
+            ws = tx.TOKEN_RE.findall(txt.lower())
+            if len(ws) < 2:
+                continue
+            total = sum(len(w) for w in ws)
+            c2 = Counter(" ".join(ws[j:j + 2])
+                         for j in range(len(ws) - 1))
+            best = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+            t2 = best[1] * (len(best[0]) - 1)
+            d5 = 0
+            if len(ws) >= 5:
+                c5 = Counter(" ".join(ws[j:j + 5])
+                             for j in range(len(ws) - 4))
+                d5 = sum(c * (len(g) - 4) for g, c in c5.items()
+                         if c >= 2)
+            out["doc_id"].append(int(ids[i]))
+            out["n_words"].append(len(ws))
+            out["top2_frac"].append(t2 / total)
+            out["dup5_frac"].append(d5 / total)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_words": pa.array(out["n_words"], pa.int64()),
+            "top2_frac": pa.array(round6(np.array(out["top2_frac"]))),
+            "dup5_frac": pa.array(round6(np.array(out["dup5_frac"]))),
+        })
+
+    return docs.map_batches(rep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_DOC_GOPHER_REPETITION = """
+WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '') AS ws
+           FROM documents WHERE len(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '')) >= 2),
+tot AS (SELECT doc_id, len(ws) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> length(w)))
+                    AS BIGINT) AS total
+        FROM t),
+g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+       FROM t, generate_series(1, 999) gs(i) WHERE i <= len(ws) - 1),
+c2 AS (SELECT doc_id, g, count(*) AS c,
+              length(g) - 1 AS chars
+       FROM g2 GROUP BY 1, 2),
+top2 AS (SELECT doc_id, c * chars AS t2
+         FROM (SELECT doc_id, c, chars,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, g) AS rn
+               FROM c2)
+         WHERE rn = 1),
+g5 AS (SELECT doc_id,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                    || ws[i+3] || ' ' || ws[i+4] AS g
+       FROM t, generate_series(1, 999) gs(i) WHERE i <= len(ws) - 4),
+c5 AS (SELECT doc_id, g, count(*) AS c, length(g) - 4 AS chars
+       FROM g5 GROUP BY 1, 2),
+d5 AS (SELECT doc_id, CAST(COALESCE(sum(CASE WHEN c >= 2
+                                             THEN c * chars END), 0)
+                           AS BIGINT) AS d5
+       FROM c5 GROUP BY 1)
+SELECT tot.doc_id, tot.n_words,
+       ROUND(CAST(top2.t2 AS DOUBLE) / tot.total, 6) AS top2_frac,
+       ROUND(CAST(COALESCE(d5.d5, 0) AS DOUBLE) / tot.total, 6)
+         AS dup5_frac
+FROM tot JOIN top2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+"""
+
+
 def q_ann_recall(sf_dir):
     """Recall@10 of the IVF index against brute-force ground truth,
     per query — the retrieval-quality eval every ANN deployment
@@ -13464,6 +13554,7 @@ QUERIES = {
     "sbm_leiden_recovery": q_sbm_leiden_recovery,
     "harmonic_hyperball_co": q_harmonic_hyperball_co,
     "ann_recall": q_ann_recall,
+    "doc_gopher_repetition": q_doc_gopher_repetition,
     "harmonic_hyperball_cliques": q_harmonic_hyperball_cliques,
     "hyperanf_cliques": q_hyperanf_cliques,
     "source_mix_weights": q_source_mix_weights,
@@ -13712,6 +13803,7 @@ ORACLE_SQL = {
     "hyperanf_cliques": SQL_HYPERANF_CLIQUES,
     "harmonic_hyperball_cliques": SQL_HARMONIC_HYPERBALL_CLIQUES,
     "ann_recall": _sql_ann_recall(),
+    "doc_gopher_repetition": SQL_DOC_GOPHER_REPETITION,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

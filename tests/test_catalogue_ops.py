@@ -1338,3 +1338,21 @@ def test_ann_recall_consistency(ray_session):
     # the IVF index always finds the query vector itself (cos=1 in
     # its own probed bucket), so recall is never zero
     assert (df["n_hit"] >= 1).all()
+
+
+def test_doc_gopher_repetition_planted(ray_session):
+    df = _df(Q.QUERIES["doc_gopher_repetition"](SF))
+    assert ((df["top2_frac"] > 0) & (df["top2_frac"] <= 1)).all()
+    assert ((df["dup5_frac"] >= 0)).all()
+    # serial spot-check of one doc
+    from collections import Counter
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    r = docs.iloc[7]
+    ws = Q.tx.TOKEN_RE.findall(r["text"].lower())
+    total = sum(len(w) for w in ws)
+    c2 = Counter(" ".join(ws[j:j + 2]) for j in range(len(ws) - 1))
+    best = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = Q.round6(np.array([best[1] * (len(best[0]) - 1) / total]))[0]
+    got = df[df["doc_id"] == r["doc_id"]]["top2_frac"].iloc[0]
+    assert got == want
