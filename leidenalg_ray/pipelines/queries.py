@@ -12317,6 +12317,84 @@ FROM s
 """
 
 
+DOULION_BUCKETS = 256
+DOULION_KEEP = 64   # p = 64/256 = 1/4; estimator scale = p^-3 = 64
+
+
+def q_triangles_sampled_co(sf_dir):
+    """DOULION sampled triangle count (Tsourakakis, Kang, Miller &
+    Faloutsos, KDD 2009): keep each canonical co edge iff its md5
+    bucket < 64/256 (p = 1/4 — deterministic hash sampling, so every
+    multi-edge copy of a pair filters identically at any
+    partitioning), run the SAME partitioned compact-forward kernel
+    on the sparsified graph, scale by p^-3 = 64. The estimator for
+    when even the >node-memory exact plan is too hot: unbiased, and
+    ~p^2 of the exact plan's traffic. All-integer output."""
+    import hashlib
+
+    edges = tg.co_edge_rows(sf_dir)
+
+    def sample(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        key = a.astype(np.int64) * (1 << 32) + b
+        uk, inv = np.unique(key, return_inverse=True)
+        ub = np.array([int.from_bytes(
+            hashlib.md5(f"{k >> 32}:{k & 0xffffffff}".encode())
+            .digest()[:4], "big") % DOULION_BUCKETS for k in uk],
+            dtype=np.int64)
+        keep = (ub < DOULION_KEEP)[inv]
+        return t.filter(pa.array(keep))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    n_tri = triangle_count(sampled, num_partitions=8)
+    kept = _doulion_kept_count(sf_dir)
+    scale = (DOULION_BUCKETS // DOULION_KEEP) ** 3
+    return pa.table({
+        "n_kept_edges": pa.array([kept], pa.int64()),
+        "n_sampled_triangles": pa.array([int(n_tri)], pa.int64()),
+        "estimate": pa.array([int(n_tri) * scale], pa.int64()),
+    })
+
+
+def _doulion_kept_count(sf_dir):
+    """Distinct canonical co pairs surviving the DOULION hash sample
+    (shared by ``q_triangles_sampled_co``; driver sees one int)."""
+    import hashlib
+
+    df = q_edges_co(sf_dir).to_pandas()
+    a = df["a"].to_numpy(np.int64)
+    b = df["b"].to_numpy(np.int64)
+    ub = np.array([int.from_bytes(
+        hashlib.md5(f"{x}:{y}".encode()).digest()[:4], "big")
+        % DOULION_BUCKETS for x, y in zip(a, b)], dtype=np.int64)
+    return int((ub < DOULION_KEEP).sum())
+
+
+SQL_TRIANGLES_SAMPLED_CO = f"""
+WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey
+           GROUP BY 1, 2),
+s AS (SELECT a, b FROM e
+      WHERE ('0x' || substr(md5(CAST(a AS VARCHAR) || ':'
+                                || CAST(b AS VARCHAR)), 1, 8))
+              ::UBIGINT % {DOULION_BUCKETS} < {DOULION_KEEP}),
+tri AS (SELECT count(*) AS c
+        FROM s e1 JOIN s e2 ON e2.a = e1.b
+        JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_kept_edges,
+       CAST(tri.c AS BIGINT) AS n_sampled_triangles,
+       CAST(tri.c * {(DOULION_BUCKETS // DOULION_KEEP) ** 3} AS BIGINT)
+         AS estimate
+FROM tri
+"""
+
+
 def q_doc_gopher_repetition(sf_dir):
     """Gopher §A1.2 repetition signals (Rae et al. 2021) — the
     duplicated-n-gram filters that complement the §A1.1 quality gate
@@ -13555,6 +13633,7 @@ QUERIES = {
     "harmonic_hyperball_co": q_harmonic_hyperball_co,
     "ann_recall": q_ann_recall,
     "doc_gopher_repetition": q_doc_gopher_repetition,
+    "triangles_sampled_co": q_triangles_sampled_co,
     "harmonic_hyperball_cliques": q_harmonic_hyperball_cliques,
     "hyperanf_cliques": q_hyperanf_cliques,
     "source_mix_weights": q_source_mix_weights,
@@ -13804,6 +13883,7 @@ ORACLE_SQL = {
     "harmonic_hyperball_cliques": SQL_HARMONIC_HYPERBALL_CLIQUES,
     "ann_recall": _sql_ann_recall(),
     "doc_gopher_repetition": SQL_DOC_GOPHER_REPETITION,
+    "triangles_sampled_co": SQL_TRIANGLES_SAMPLED_CO,
     "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,

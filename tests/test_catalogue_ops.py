@@ -1356,3 +1356,17 @@ def test_doc_gopher_repetition_planted(ray_session):
     want = Q.round6(np.array([best[1] * (len(best[0]) - 1) / total]))[0]
     got = df[df["doc_id"] == r["doc_id"]]["top2_frac"].iloc[0]
     assert got == want
+
+
+def test_doulion_estimator_tracks_exact(ray_session):
+    samp = _df(Q.QUERIES["triangles_sampled_co"](SF)).iloc[0]
+    exact = _df(Q.QUERIES["triangles_co"](SF)).iloc[0]["n_triangles"]
+    edges = _df(Q.QUERIES["edges_co"](SF))
+    # p=1/4 edge sampling keeps ~1/4 of the edges
+    frac = samp["n_kept_edges"] / len(edges)
+    assert 0.15 < frac < 0.35
+    # unbiased estimator: within a generous band of the exact count
+    # (variance ~ 1/(p^3 T); this graph has thousands of triangles)
+    assert exact > 0
+    assert 0.5 * exact < samp["estimate"] < 2.0 * exact
+    assert samp["estimate"] == samp["n_sampled_triangles"] * 64
