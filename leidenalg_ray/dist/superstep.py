@@ -2556,7 +2556,8 @@ def hitting_time(g: DistGraph, targets, iters=30, weighted=False,
 # ----------------------------------------------------------------------
 # HyperANF: neighbourhood function via per-vertex HLL sketches
 # ----------------------------------------------------------------------
-def hyperanf(g: DistGraph, rounds=8, result_out=None):
+def hyperanf(g: DistGraph, rounds=8, result_out=None,
+             checkpoint=None):
     """HyperANF (Boldi, Rosa & Vigna, WWW 2011): the neighbourhood
     function NF(t) = sum_v |ball(v, t)| estimated with one 64-register
     HyperLogLog sketch per vertex, max-merged along edges each
@@ -2582,6 +2583,9 @@ def hyperanf(g: DistGraph, rounds=8, result_out=None):
     per-vertex ball estimates also write per shard (column
     ``ball_est``, the o(n)-driver seam) and the return becomes
     ``({path, rows, column}, nf_q, rounds_run)``.
+    ``checkpoint=<root>`` saves the register shards + the NF prefix
+    per round through ``CheckpointManager`` (the standard kernel
+    resume contract).
     """
     from ..stages.sketch import (HLL_M, HLL_REM_BITS, HLL_RHO_MAX,
                                  hash32, hll_estimate_from_sums)
@@ -2645,21 +2649,41 @@ def hyperanf(g: DistGraph, rounds=8, result_out=None):
             np.maximum(new, arr, out=new)
         return new, int((new != old).any(axis=1).sum())
 
-    reg_refs = [init.remote(masks[p], p) for p in range(P)]
-    nf = [int(sum(ray.get([est_sum.remote(r) for r in reg_refs])))]
-    t = 0
-    for t in range(1, rounds + 1):
-        msg_refs = [gather.options(num_returns=max(P, 2)).remote(
-            g.blocks[p], reg_refs[p]) for p in range(P)]
-        outs = [reduce.options(num_returns=2).remote(
-            reg_refs[q], *[msg_refs[p][q] for p in range(P)])
-            for q in range(P)]
-        reg_refs = [o[0] for o in outs]
-        changed = sum(ray.get([o[1] for o in outs]))
-        nf.append(int(sum(ray.get([est_sum.remote(r)
-                                   for r in reg_refs]))))
-        if changed == 0:
-            break
+    ckpt = CheckpointManager(checkpoint, "hyperanf", P, n=n) \
+        if checkpoint else None
+    nf = None
+    start = 1
+    done = False
+    if ckpt is not None:
+        resumed = ckpt.resume()
+        if resumed is not None:
+            step, shards, metrics = resumed
+            reg_refs = [ray.put(s) for s in shards]
+            nf = [int(v) for v in metrics["nf"]]
+            start = step + 1
+            done = metrics.get("changed", -1) == 0
+            t = step
+    if nf is None:
+        reg_refs = [init.remote(masks[p], p) for p in range(P)]
+        nf = [int(sum(ray.get([est_sum.remote(r)
+                               for r in reg_refs])))]
+        t = 0
+    if not done:
+        for t in range(start, rounds + 1):
+            msg_refs = [gather.options(num_returns=max(P, 2)).remote(
+                g.blocks[p], reg_refs[p]) for p in range(P)]
+            outs = [reduce.options(num_returns=2).remote(
+                reg_refs[q], *[msg_refs[p][q] for p in range(P)])
+                for q in range(P)]
+            reg_refs = [o[0] for o in outs]
+            changed = sum(ray.get([o[1] for o in outs]))
+            nf.append(int(sum(ray.get([est_sum.remote(r)
+                                       for r in reg_refs]))))
+            if ckpt is not None:
+                ckpt.save(t, ray.get(reg_refs),
+                          metrics={"changed": changed, "nf": nf})
+            if changed == 0:
+                break
     nf_q = np.asarray(nf, dtype=np.int64)
     if result_out is None:
         return nf_q, t

@@ -2128,3 +2128,24 @@ def test_densest_subgraph_finds_planted_core(ray_session):
         for p in range(g.P)])
     assert sorted(alive.tolist()) == list(range(30, 38))
 
+
+
+def test_hyperanf_checkpoint_resume(ray_session, tmp_path):
+    """Interrupted HyperANF (rounds=3) resumes from the register
+    shards and reaches the identical NF sequence as an uninterrupted
+    run (the standard kernel resume contract)."""
+    import numpy as np
+    from leidenalg_ray.dist.blocks import DistGraph
+    from leidenalg_ray.dist import superstep as ss
+
+    src = np.arange(29, dtype=np.int64)
+    dst = src + 1
+    g = DistGraph.from_edges(src, dst, n=30, P=4,
+                             both_directions=True)
+    full, t_full = ss.hyperanf(g, rounds=8)
+    part, t1 = ss.hyperanf(g, rounds=3, checkpoint=str(tmp_path))
+    assert t1 == 3 and len(part) == 4
+    assert np.array_equal(part, full[:4])
+    res, t2 = ss.hyperanf(g, rounds=8, checkpoint=str(tmp_path))
+    assert t2 == t_full
+    assert np.array_equal(res, full)
