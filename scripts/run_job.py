@@ -155,7 +155,7 @@ def main():
         # ALL vertices (64 bytes/vertex sketches); ball estimates
         # write shard-side like every other per-vertex result
         anf_res, nf_q, anf_rounds = ss.hyperanf(
-            g2, rounds=args.anf,
+            g2, rounds=args.anf, checkpoint=args.checkpoint,
             result_out=os.path.join(args.out, "ball_est"))
         thr = -(-9 * int(nf_q[-1]) // 10)     # ceil(0.9 * NF_final)
         eff = int(np.searchsorted(nf_q, thr))
