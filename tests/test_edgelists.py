@@ -193,3 +193,49 @@ def test_metis_feeds_kernels(ray_session, tmp_path):
                                dedup=True)
     comp, _ = ss.connected_components(g)
     assert len(np.unique(comp)) == 1
+
+
+def test_graph_job_end_to_end_metis(ray_session, tmp_path):
+    """graph_job CLI: METIS file in -> pagerank/cc/leiden/anf sharded
+    outputs + summary; components of the two planted cliques are
+    recovered and Leiden finds exactly two communities."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from leidenalg_ray.sources import edgelists as el
+
+    # two disjoint K4 cliques over 8 vertices
+    src, dst = [], []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                src.append(base + i)
+                dst.append(base + j)
+    p = el.write_metis(str(tmp_path / "g.metis"), 8,
+                       np.array(src), np.array(dst))
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "graph_job.py"),
+         "--edges", p, "--format", "metis", "--out", out,
+         "--kernels", "pagerank,cc,leiden,anf", "--partitions", "4",
+         "--num-cpus", "4", "--gamma", "0.5"],
+        capture_output=True, text=True, env=env, cwd=repo,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(open(os.path.join(out, "summary.json")).read())
+    assert summary["n_vertices"] == 8
+    comp = pq.read_table(os.path.join(out, "components")).to_pandas() \
+        .sort_values("vid")
+    assert len(set(comp["component"][:4])) == 1
+    assert len(set(comp["component"][4:])) == 1
+    assert comp["component"].nunique() == 2
+    assert summary["leiden"]["n_communities"] == 2
+    assert summary["anf"]["effective_diameter_90"] <= 1
+    pr = pq.read_table(os.path.join(out, "pagerank")).to_pandas()
+    assert len(pr) == 8
