@@ -2693,22 +2693,32 @@ def hyperanf(g: DistGraph, rounds=8, result_out=None,
              "column": "ball_est"}, nf_q, t)
 
 
-def hyperball_harmonic(g: DistGraph, rounds=8, result_out=None):
-    """HyperBall harmonic-centrality approximation (Boldi & Vigna,
+def hyperball_harmonic(g: DistGraph, rounds=8, result_out=None,
+                       weight="harmonic"):
+    """HyperBall geometric-centrality approximation (Boldi & Vigna,
     "In-core computation of geometric centralities with HyperBall",
-    ICDMW 2013): ``harm(v) ~= sum_t (|ball(v,t)| - |ball(v,t-1)|)/t``
-    with ball sizes estimated by the same per-vertex HLL sketches as
+    ICDMW 2013) over the same per-vertex HLL sketches as
     ``hyperanf`` — per-vertex closeness-family centrality for EVERY
     vertex at 64 bytes/vertex, where the exact kernel
     (``harmonic_centrality``) ships one BFS per seed.
 
+    ``weight="harmonic"``: ``harm(v) ~= sum_t (|ball(v,t)| -
+    |ball(v,t-1)|)/t`` (harmonic centrality; float accumulator in
+    fixed t order). ``weight="distance"``: ``sumdist_q(v) = sum_t
+    t * (est_q(v,t) - est_q(v,t-1))`` — the total-distance numerator
+    of closeness / average distance / Lin's index as an EXACT
+    1e-6-fixed-point INTEGER (order-free => SQL-twinnable); the
+    caller divides by its reachable-count estimate.
+
     Same gather/reduce as ``hyperanf``; additionally each shard keeps
     (prev_est_q, acc) and folds ``acc += ((new_q - prev_q)/1e6)/t``
-    after every round — est_q are the 1e-6-quantised integer
-    estimates, so the accumulator is a fixed-length sum of
+    (or ``* t``) after every round — est_q are the 1e-6-quantised
+    integer estimates, so the accumulator is a fixed-length sum of
     deterministic doubles in a fixed order: P-independent. Returns
-    ``(harm, rounds_run)`` — dense float64 (or the ``result_out``
-    descriptor, column ``harmonic_est``)."""
+    ``(acc, rounds_run)`` — dense float64 (or the ``result_out``
+    descriptor, column ``harmonic_est`` / ``sumdist_est``)."""
+    if weight not in ("harmonic", "distance"):
+        raise ValueError(f"unknown weight mode {weight!r}")
     from ..stages.sketch import (HLL_M, HLL_REM_BITS, HLL_RHO_MAX,
                                  hash32, hll_estimate_from_sums)
     P, n, sizes = g.P, g.n, g.sizes
@@ -2741,7 +2751,9 @@ def hyperball_harmonic(g: DistGraph, rounds=8, result_out=None):
                 bl[nz] += 1
                 x = x >> 1
             reg[loc, bucket] = (HLL_RHO_MAX - bl).astype(np.uint8)
-        return reg, _est_q(reg), np.zeros(len(mask))
+        # int64 zeros: harmonic's first float add promotes to
+        # float64; distance mode stays exact-integer throughout
+        return reg, _est_q(reg), np.zeros(len(mask), dtype=np.int64)
 
     @ray.remote
     def gather(block, reg):
@@ -2756,12 +2768,19 @@ def hyperball_harmonic(g: DistGraph, rounds=8, result_out=None):
         return outs
 
     @ray.remote
-    def reduce(old, prev_q, acc, t, *incoming):
+    def reduce(old, prev_q, acc, t, harmonic, *incoming):
         new = old.copy()
         for arr in incoming:
             np.maximum(new, arr, out=new)
         new_q = _est_q(new)
-        acc = acc + ((new_q - prev_q) / 1e6) / t
+        if harmonic:
+            # float accumulator, fixed t-order (matches the serial
+            # replica term by term)
+            acc = acc + ((new_q - prev_q) / 1e6) / t
+        else:
+            # EXACT integer accumulator: sum of Δq * t is
+            # order-free, so an SQL twin can sum it as integers
+            acc = acc + (new_q - prev_q) * t
         changed = int((new != old).any(axis=1).sum())
         return new, new_q, acc, changed
 
@@ -2776,6 +2795,7 @@ def hyperball_harmonic(g: DistGraph, rounds=8, result_out=None):
             g.blocks[p], reg_refs[p]) for p in range(P)]
         outs = [reduce.options(num_returns=4).remote(
             reg_refs[q], prev_refs[q], acc_refs[q], t,
+            weight == "harmonic",
             *[msg_refs[p][q] for p in range(P)])
             for q in range(P)]
         reg_refs = [o[0] for o in outs]
@@ -2784,4 +2804,5 @@ def hyperball_harmonic(g: DistGraph, rounds=8, result_out=None):
         changed = sum(ray.get([o[3] for o in outs]))
         if changed == 0:
             break
-    return _finish(g, acc_refs, t, result_out, "harmonic_est")
+    col = "harmonic_est" if weight == "harmonic" else "sumdist_est"
+    return _finish(g, acc_refs, t, result_out, col)

@@ -12700,8 +12700,97 @@ FROM e0 JOIN e1 USING (nk)
 """
 
 
+def q_sumdist_hyperball_paths(sf_dir):
+    """HyperBall total-distance (closeness numerator) through the
+    REAL distributed kernel in ``weight="distance"`` mode on the
+    planted per-nation paths — the MULTI-ROUND geometric-centrality
+    twin (the cliques twin only exercises one round): ball(v,t) on a
+    path is the position window [pos-t, pos+t], so the oracle can
+    rebuild every round's sketch as a windowed register max,
+    replicate the estimator, and sum the EXACT integer
+    ``Δq * t`` series — any drift in round scheduling, merge,
+    estimator or the integer accumulator is a driver FAIL."""
+    s, d, w = _planted_edges(tg.nation_path_edges(sf_dir))
+    n = tg.supplier_count(sf_dir)
+    g = DistGraph.from_edges(s, d, weight=w, n=n, P=8,
+                             both_directions=True)
+    acc_q, _ = ss.hyperball_harmonic(g, rounds=HYPERANF_ROUNDS,
+                                     weight="distance")
+    act = np.flatnonzero(g.active_global())
+    return pa.table({
+        "vid": pa.array(act.astype(np.int64)),
+        "sumdist": pa.array(round6(acc_q[act] / 1e6)),
+    })
+
+
+def q_closeness_hyperball_co(sf_dir):
+    """HyperBall average-distance / closeness approximation of the
+    co graph: ``sumdist_q`` from the distance-mode kernel over EVERY
+    vertex (the exact companion ``closeness_co`` ships one BFS per
+    seed). Iterative => rows-only; pinned by the multi-round
+    SQL-green ``sumdist_hyperball_paths`` twin and a serial replica
+    test. Top-20 most-central (smallest sumdist > 0, tie vid)."""
+    g = _co_distgraph(sf_dir)
+    acc_q, _ = ss.hyperball_harmonic(g, rounds=HYPERANF_ROUNDS,
+                                     weight="distance")
+    act = np.flatnonzero(g.active_global())
+    r6 = round6(acc_q[act] / 1e6)
+    pos = r6 > 0
+    act, r6 = act[pos], r6[pos]
+    order = np.lexsort((act, r6))[:20]
+    return pa.table({
+        "vid": pa.array(act[order].astype(np.int64)),
+        "sumdist": pa.array(r6[order]),
+    })
+
+
+SQL_SUMDIST_HYPERBALL_PATHS = """
+WITH ck AS (SELECT s_nationkey AS nk FROM supplier
+            GROUP BY 1 HAVING count(*) >= 2),
+v AS (SELECT s_suppkey AS vid, s_nationkey AS nk,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_suppkey) AS pos
+      FROM supplier WHERE s_nationkey IN (SELECT nk FROM ck)),
+h AS (SELECT vid, ('0x' || substr(md5(CAST(vid AS VARCHAR)), 1, 8))
+               ::UBIGINT AS h
+      FROM v),
+b2 AS (SELECT vid, CAST(h >> 26 AS BIGINT) AS bucket,
+              CASE WHEN h % 67108864 = 0 THEN 27
+                   ELSE 26 - (SELECT max(kk)
+                              FROM generate_series(0, 26) g(kk)
+                              WHERE h % 67108864
+                                    >= (CAST(1 AS BIGINT) << kk))
+              END AS rho
+       FROM h),
+grid AS (SELECT a.vid AS v, t.t, b.bucket, max(b.rho) AS rho
+         FROM v a JOIN v u ON u.nk = a.nk
+         JOIN b2 b ON b.vid = u.vid
+         CROSS JOIN generate_series(0, {T}) t(t)
+         WHERE abs(a.pos - u.pos) <= t.t
+         GROUP BY 1, 2, 3),
+agg AS (SELECT v, t, 64 - count(*) AS v_empty,
+               sum(CAST(1 AS BIGINT) << (27 - rho))
+                 + (64 - count(*)) * 134217728 AS s_int
+        FROM grid GROUP BY 1, 2),
+eq AS (SELECT v, t, CAST(floor(
+           CASE WHEN {RAW} <= 160.0 AND v_empty > 0
+                THEN 64 * ln(64.0 / v_empty)
+                ELSE {RAW} END * 1e6 + 0.5) AS BIGINT) AS eq
+       FROM agg),
+d AS (SELECT v, t,
+             eq - lag(eq) OVER (PARTITION BY v ORDER BY t) AS dq
+      FROM eq),
+acc AS (SELECT v, CAST(COALESCE(sum(dq * t), 0) AS BIGINT) AS q
+        FROM d WHERE t >= 1 GROUP BY v)
+SELECT v AS vid, ROUND(CAST(q AS DOUBLE) / 1e6, 6) AS sumdist
+FROM acc
+"""
+
+
 _SQL_HLL_RAW = ("((0.7213 / (1 + 1.079 / 64)) * 64 * 64)"
                 " / (s_int / 134217728.0)")
+SQL_SUMDIST_HYPERBALL_PATHS = SQL_SUMDIST_HYPERBALL_PATHS \
+    .replace("{RAW}", _SQL_HLL_RAW).replace("{T}", str(HYPERANF_ROUNDS))
 SQL_HARMONIC_HYPERBALL_CLIQUES = SQL_HARMONIC_HYPERBALL_CLIQUES \
     .replace("{RAW}", _SQL_HLL_RAW)
 
@@ -13631,6 +13720,8 @@ QUERIES = {
     "hyperanf_co": q_hyperanf_co,
     "sbm_leiden_recovery": q_sbm_leiden_recovery,
     "harmonic_hyperball_co": q_harmonic_hyperball_co,
+    "closeness_hyperball_co": q_closeness_hyperball_co,
+    "sumdist_hyperball_paths": q_sumdist_hyperball_paths,
     "ann_recall": q_ann_recall,
     "doc_gopher_repetition": q_doc_gopher_repetition,
     "triangles_sampled_co": q_triangles_sampled_co,
@@ -13881,6 +13972,7 @@ ORACLE_SQL = {
     "embed_rp": SQL_EMBED_RP,
     "hyperanf_cliques": SQL_HYPERANF_CLIQUES,
     "harmonic_hyperball_cliques": SQL_HARMONIC_HYPERBALL_CLIQUES,
+    "sumdist_hyperball_paths": SQL_SUMDIST_HYPERBALL_PATHS,
     "ann_recall": _sql_ann_recall(),
     "doc_gopher_repetition": SQL_DOC_GOPHER_REPETITION,
     "triangles_sampled_co": SQL_TRIANGLES_SAMPLED_CO,

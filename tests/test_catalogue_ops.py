@@ -1370,3 +1370,50 @@ def test_doulion_estimator_tracks_exact(ray_session):
     assert exact > 0
     assert 0.5 * exact < samp["estimate"] < 2.0 * exact
     assert samp["estimate"] == samp["n_sampled_triangles"] * 64
+
+
+def test_hyperball_distance_mode_serial_replica(ray_session):
+    from leidenalg_ray.stages import sketch as sk
+
+    got = _df(Q.QUERIES["closeness_hyperball_co"](SF))
+    edges = _df(Q.QUERIES["edges_co"](SF))
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    vids = np.unique(np.concatenate([a, b]))
+    n = int(vids.max()) + 1
+    reg = np.zeros((n, sk.HLL_M), dtype=np.uint8)
+    h = sk.hash32(vids)
+    bucket = (h >> sk.HLL_REM_BITS).astype(np.int64)
+    rem = h & ((1 << sk.HLL_REM_BITS) - 1)
+    rho = np.array([sk.HLL_RHO_MAX - int(r).bit_length()
+                    for r in rem])
+    reg[vids, bucket] = rho.astype(np.uint8)
+
+    def est_q(reg):
+        pres = reg > 0
+        npres = pres.sum(1).astype(np.int64)
+        vals = np.where(pres, np.int64(1) << (sk.HLL_RHO_MAX
+                                              - reg.astype(np.int64)),
+                        np.int64(0))
+        est = sk.hll_estimate_from_sums(vals.sum(1), npres)
+        est[npres == 0] = 0.0
+        return np.floor(est * 1e6 + 0.5).astype(np.int64)
+
+    prev = est_q(reg)
+    acc = np.zeros(n, dtype=np.int64)
+    for t in range(1, Q.HYPERANF_ROUNDS + 1):
+        new = reg.copy()
+        np.maximum.at(new, b, reg[a])
+        np.maximum.at(new, a, reg[b])
+        nq = est_q(new)
+        acc = acc + (nq - prev) * t
+        changed = (new != reg).any(axis=1).sum()
+        reg, prev = new, nq
+        if changed == 0:
+            break
+    r6 = Q.round6(acc[vids] / 1e6)
+    pos = r6 > 0
+    vv, rr = vids[pos], r6[pos]
+    order = np.lexsort((vv, rr))[:20]
+    want = [(int(v), float(x)) for v, x in zip(vv[order], rr[order])]
+    assert [(int(r.vid), r.sumdist) for r in got.itertuples()] == want
