@@ -41,12 +41,27 @@ class WindowActor:
 
     def __init__(self):
         self.open: dict = {}
+        self.high_wmark = np.iinfo(np.int64).min
+        self.late_events = 0
 
     def add(self, t: pa.Table, watermark_win: int):
         u = t["user_id"].to_numpy(zero_copy_only=False)
         ts_us = t["ts_us"].to_numpy(zero_copy_only=False)
         val = t["value"].to_numpy(zero_copy_only=False)
         win = ts_us // WINDOW_US
+        # late-event policy: an event whose window the watermark has
+        # already closed is DROPPED AND COUNTED (re-opening would
+        # emit a duplicate (user, win) row downstream) — the "no
+        # silent caps" rule; the sorted pump never produces these,
+        # a real out-of-order stream does
+        late = win < self.high_wmark
+        if late.any():
+            self.late_events += int(late.sum())
+            keep = ~late
+            u, ts_us, val, win = u[keep], ts_us[keep], val[keep],                 win[keep]
+        self.high_wmark = max(self.high_wmark, int(watermark_win))
+        if len(u) == 0:
+            return self._close_below(watermark_win)
         # accumulate in stream order (vectorised per (u, win) run —
         # the pump is (ts, event_id)-sorted so runs are contiguous)
         key = np.stack([u, win], axis=1)
@@ -80,6 +95,9 @@ class WindowActor:
 
     def n_open(self):
         return len(self.open)
+
+    def late_count(self):
+        return self.late_events
 
 
 def streaming_window_counts(events_ds, n_actors=4, probe=None,

@@ -75,3 +75,40 @@ def test_incremental_emission_and_state_bound():
     want = want.sort_values(["user_id", "win"]).reset_index(drop=True)
     assert (got["n_events"].to_numpy() == want["n"].to_numpy()).all()
     assert np.allclose(got["raw_sum"], want["s"], atol=1e-9)
+
+
+def test_late_events_dropped_and_counted(ray_session):
+    """An out-of-order event for a window the watermark already
+    closed is dropped AND counted — never re-opened (a re-open would
+    emit a duplicate (user, win) row)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from leidenalg_ray.stages import streaming as st
+
+    actor = st.WindowActor.remote()
+    W = st.WINDOW_US
+
+    def batch(users, wins, vals):
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "ts_us": pa.array([w * W + 1 for w in wins], pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        })
+
+    # windows 0 and 1 arrive; watermark closes window 0
+    out1 = ray.get(actor.add.remote(batch([1, 1], [0, 1],
+                                          [1.0, 2.0]), 1))
+    assert out1 is not None and out1.num_rows == 1
+    assert out1["win"].to_pylist() == [0]
+    # a straggler for window 0 arrives late -> dropped + counted
+    out2 = ray.get(actor.add.remote(batch([1], [0], [5.0]), 1))
+    assert out2 is None
+    assert ray.get(actor.late_count.remote()) == 1
+    # window 1 closes with ONLY its on-time event
+    fin = ray.get(actor.flush.remote())
+    assert fin["win"].to_pylist() == [1]
+    assert fin["raw_sum"].to_pylist() == [2.0]
+    # no duplicate (user, win) rows anywhere
+    allw = out1["win"].to_pylist() + fin["win"].to_pylist()
+    assert len(allw) == len(set(allw))
