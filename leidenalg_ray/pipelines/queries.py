@@ -12547,6 +12547,43 @@ def _sbm_edges():
             labels)
 
 
+def q_sbm_edges_planted(sf_dir):
+    """The deterministic SBM generator behind
+    ``sbm_leiden_recovery``, pinned cross-engine: edge totals within
+    / across blocks from the identical md5-uniform sampling rule —
+    the oracle replays every pair decision, so the recovery
+    benchmark's input graph is itself gate-verified."""
+    s, d, labels = _sbm_edges()
+    same = labels[s] == labels[d]
+    return pa.table({
+        "n_edges": pa.array([len(s)], pa.int64()),
+        "n_within": pa.array([int(same.sum())], pa.int64()),
+        "n_cross": pa.array([int((~same).sum())], pa.int64()),
+    })
+
+
+SQL_SBM_EDGES_PLANTED = f"""
+WITH p AS (SELECT u.u AS u, v.v AS v
+           FROM generate_series(0, {SBM_K * SBM_SIZE - 1}) u(u),
+                generate_series(0, {SBM_K * SBM_SIZE - 1}) v(v)
+           WHERE u.u < v.v),
+h AS (SELECT u, v, (u // {SBM_SIZE}) = (v // {SBM_SIZE}) AS same,
+             ('0x' || substr(md5('sbm:' || u || ':' || v), 1, 16))
+               ::UBIGINT AS hv
+      FROM p),
+kept AS (SELECT same FROM h
+         WHERE CAST(hv AS DOUBLE) / 18446744073709551616.0
+               < CASE WHEN same THEN CAST({SBM_PIN} AS DOUBLE)
+                      ELSE CAST({SBM_POUT} AS DOUBLE) END)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within,
+       CAST(sum(CASE WHEN same THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_cross
+FROM kept
+"""
+
+
 def q_sbm_leiden_recovery(sf_dir):
     """Planted-partition recovery benchmark: the DISTRIBUTED Leiden
     schedule must recover the ground-truth blocks of a deterministic
@@ -13719,6 +13756,7 @@ QUERIES = {
     "bpe_train_apply": q_bpe_train_apply,
     "hyperanf_co": q_hyperanf_co,
     "sbm_leiden_recovery": q_sbm_leiden_recovery,
+    "sbm_edges_planted": q_sbm_edges_planted,
     "harmonic_hyperball_co": q_harmonic_hyperball_co,
     "closeness_hyperball_co": q_closeness_hyperball_co,
     "sumdist_hyperball_paths": q_sumdist_hyperball_paths,
@@ -13973,6 +14011,7 @@ ORACLE_SQL = {
     "hyperanf_cliques": SQL_HYPERANF_CLIQUES,
     "harmonic_hyperball_cliques": SQL_HARMONIC_HYPERBALL_CLIQUES,
     "sumdist_hyperball_paths": SQL_SUMDIST_HYPERBALL_PATHS,
+    "sbm_edges_planted": SQL_SBM_EDGES_PLANTED,
     "ann_recall": _sql_ann_recall(),
     "doc_gopher_repetition": SQL_DOC_GOPHER_REPETITION,
     "triangles_sampled_co": SQL_TRIANGLES_SAMPLED_CO,
