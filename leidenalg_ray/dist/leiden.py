@@ -53,6 +53,8 @@ still owned solely by ``leidenalg_ray.quality``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import ray
 
@@ -187,31 +189,42 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
     vid_base = scal["p"]
     M = scal["label_space"]
 
-    # active colour class (deterministic hash colouring): filter the
-    # block's rows to active-source edges BEFORE the per-(v, comm)
-    # grouping — inactive vertices contribute nothing this superstep,
-    # so with c colours the expensive np.unique shrinks by ~c x.
-    if n_colors > 1:
-        row_active = (block["row_hash"] % n_colors) == color
-    else:
-        row_active = np.ones(len(src_local), dtype=bool)
+    # the caller (LeidenShard.step) pre-slices the block to the active
+    # colour class (cached per colour — no per-superstep boolean
+    # compress); here only the dynamic masks apply
+    row_active = None
+    front = st.get("front_local")
+    if front is not None:
+        # active-frontier propose (reference ``Optimiser.py:485-521``
+        # work-queue semantics, made distributed): only vertices whose
+        # neighbourhood changed since their last propose — plus
+        # never-proposed ones — re-enter the gather. The expensive
+        # per-(v, comm) np.unique then shrinks with the frontier, so
+        # late supersteps (tiny frontiers) cost ~nothing.
+        row_active = front[src_local]
     fixed_local = st.get("fixed_local")
     if fixed_local is not None:
         # fixed vertices never propose (reference
         # ``python_optimiser_interface.cpp:77-97``); their rows drop
         # out before the per-(v, comm) grouping
-        row_active = row_active & ~fixed_local[src_local]
-    if not row_active.any():
-        return _empty_props(L)
-    if row_active.all():
+        fa = ~fixed_local[src_local]
+        row_active = fa if row_active is None else row_active & fa
+    if row_active is None:
         weight = block["weight"]
         dref = block["dst_ref_idx"]
         lay = block["layer"]
     else:
-        src_local = src_local[row_active]
-        weight = block["weight"][row_active]
-        dref = block["dst_ref_idx"][row_active]
-        lay = block["layer"][row_active]
+        if not row_active.any():
+            return _empty_props(L)
+        if row_active.all():
+            weight = block["weight"]
+            dref = block["dst_ref_idx"]
+            lay = block["layer"]
+        else:
+            src_local = src_local[row_active]
+            weight = block["weight"][row_active]
+            dref = block["dst_ref_idx"][row_active]
+            lay = block["layer"][row_active]
 
     qfs = _layer_qfs(scal)
 
@@ -220,9 +233,17 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
     dst_comm = mem_ref[dref]
     key = src_local.astype(np.int64) * M + dst_comm
     uniq, inv = np.unique(key, return_inverse=True)
-    # per-layer gather: weight(v -> community) by (pair, layer)
-    w_vc = np.zeros((L, len(uniq)))
-    np.add.at(w_vc, (lay, inv), weight)
+    # per-layer gather: weight(v -> community) by (pair, layer) —
+    # bincount, not np.add.at (unbuffered ufunc.at is ~5x slower)
+    if L == 1:
+        w_vc = np.bincount(inv, weights=weight,
+                           minlength=len(uniq))[None, :]
+    else:
+        w_vc = np.zeros((L, len(uniq)))
+        for k in range(L):
+            mk = lay == k
+            w_vc[k] = np.bincount(inv[mk], weights=weight[mk],
+                                  minlength=len(uniq))
 
     # candidate-set variants (reference ``Optimiser.py:77-112``; the
     # in-memory twin is ``optimiser.py:140-162``). The default
@@ -289,15 +310,19 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
     SL = st["stat_labels"]
     W, SO, SI, SZ = (st["w_in"], st["s_out"], st["s_in"], st["size"])
     csi = _lab_idx(SL, cs)
-    curci = _lab_idx(SL, cur_c)
 
     # per-vertex segment layout (candidate rows sorted by (vertex,
     # community) — the np.unique key ordering)
     starts = np.flatnonzero(np.r_[True, v_loc[1:] != v_loc[:-1]])
     vu = v_loc[starts]
     vids_u = vu * P + vid_base
-    cur_u = mem_ref[own_idx[vu]]
+    # candidate rows of one vertex share its current community, so the
+    # per-vertex lookups run on the segment heads only
+    cur_u = cur_c[starts]
     curui = _lab_idx(SL, cur_u)
+
+    counts = np.diff(np.append(starts, len(v_loc)))
+    seg_id = np.repeat(np.arange(len(vu)), counts)
 
     dq = np.zeros(len(ci))
     dq_e = np.zeros(len(vu))
@@ -330,39 +355,44 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
             def dq_of(d_new, d_old, _s=scale):
                 return _s * (d_new + d_old)[0]
 
-        wv = w_vc[k][ci]
-        w_cur = w_cur_arr[k][v_loc]
-        k_out = kv["k_out"][k][v_loc]
-        k_in = kv["k_in"][k][v_loc]
-        loop = kv["loop"][k][v_loc]
-        nsz = kv["nsz"][k][v_loc]
         Wk, SOk, SIk, SZk = W[k], SO[k], SI[k], SZ[k]
+        # terms are elementwise in the community stats, so the
+        # candidate community's BASE term is a gather from one
+        # term() over all tracked labels (O(labels), not O(pairs)),
+        # and d_old — the cost of leaving the current community —
+        # depends only on the vertex: computed once per active vertex
+        # and repeated over its candidate segment. Only the "plus"
+        # term (target stats + the vertex's contribution) is
+        # inherently per-candidate.
+        term_all = term(Wk, SOk, SIk, SZk)
 
-        d_new = term(Wk[csi] + wv + loop, SOk[csi] + k_out,
-                     SIk[csi] + k_in, SZk[csi] + nsz) \
-            - term(Wk[csi], SOk[csi], SIk[csi], SZk[csi])
-        d_old = term(Wk[curci] - w_cur - loop, SOk[curci] - k_out,
-                     SIk[curci] - k_in, SZk[curci] - nsz) \
-            - term(Wk[curci], SOk[curci], SIk[curci], SZk[curci])
-        dq += lam * dq_of(d_new, d_old)
-        if k == 0:
-            nsz0_new = nsz
-
-        # empty-community candidate per active vertex
+        # per-vertex block (also the empty-community candidate)
         w_cur_u = w_cur_arr[k][vu]
         k_out_u = kv["k_out"][k][vu]
         k_in_u = kv["k_in"][k][vu]
         loop_u = kv["loop"][k][vu]
         nsz_u = kv["nsz"][k][vu]
         zero = np.zeros(len(vu))
+        d_old_v = term(Wk[curui] - w_cur_u - loop_u,
+                       SOk[curui] - k_out_u, SIk[curui] - k_in_u,
+                       SZk[curui] - nsz_u) - term_all[:, curui]
         d_new_e = term(zero + loop_u, k_out_u, k_in_u, nsz_u) \
             - term(zero, zero, zero, zero)
-        d_old_e = term(Wk[curui] - w_cur_u - loop_u,
-                       SOk[curui] - k_out_u, SIk[curui] - k_in_u,
-                       SZk[curui] - nsz_u) \
-            - term(Wk[curui], SOk[curui], SIk[curui], SZk[curui])
-        dq_e += lam * dq_of(d_new_e, d_old_e)
+        dq_e += lam * dq_of(d_new_e, d_old_v)
         tot_sz_cur_left += SZk[curui] - nsz_u
+
+        # per-candidate block
+        wv = w_vc[k][ci]
+        k_out = k_out_u[seg_id]
+        k_in = k_in_u[seg_id]
+        loop = loop_u[seg_id]
+        nsz = nsz_u[seg_id]
+        d_new = term(Wk[csi] + wv + loop, SOk[csi] + k_out,
+                     SIk[csi] + k_in, SZk[csi] + nsz) \
+            - term_all[:, csi]
+        dq += lam * dq_of(d_new, d_old_v[:, seg_id])
+        if k == 0:
+            nsz0_new = nsz
 
     max_size = scal.get("max_comm_size", 0)
     if max_size > 0:
@@ -504,6 +534,10 @@ class LeidenShard:
                 len(self.block["src_local"]), dtype=np.int64)
         vids_row = self.block["src_local"] * self.P + self.p
         self.block["row_hash"] = _colour_hash(vids_row)
+        self.front = None           # active-frontier mask (lazy)
+        self._rows_by_dref = None   # reverse-adjacency index (lazy)
+        self._cblocks = {}          # per-colour row slices (lazy)
+        self._cblocks_nc = 0
 
     def load_level(self, block):
         """Reuse this actor for the next (smaller) level's graph."""
@@ -572,6 +606,7 @@ class LeidenShard:
         # neighbours) and the precomputed lookup indices into it — the
         # only membership this actor ever needs
         own_vids = np.arange(n_local, dtype=np.int64) * P + p
+        self._own_hash = _colour_hash(own_vids)
         self.ref_vids = np.union1d(own_vids, dst)
         self.own_ref_idx = np.searchsorted(self.ref_vids, own_vids)
         self.block["dst_ref_idx"] = np.searchsorted(self.ref_vids, dst)
@@ -592,6 +627,7 @@ class LeidenShard:
         # resident — the cost the user opts into with consider_comms=
         # "all"; reference Optimiser.py:77-112 is Ω(V·C) too)
         self._track_all = scal.get("consider_comms") == "all"
+        self._frontier = bool(scal.get("frontier", False))
         self._step_no = 0
         return True
 
@@ -614,6 +650,9 @@ class LeidenShard:
         else:
             self.mem_ref = np.asarray(seed)[self.ref_vids] \
                 .astype(np.int64)
+        # every vertex starts dirty (never proposed yet)
+        self.front = (np.ones(len(self.own_ref_idx), dtype=bool)
+                      if getattr(self, "_frontier", False) else None)
         return True
 
     def own_mem(self):
@@ -625,15 +664,17 @@ class LeidenShard:
         driver's O(n) cycle_mem copy)."""
         self._snap = (self.mem_ref.copy(), self.stat_labels.copy(),
                       {k: v.copy() for k, v in self.stats.items()},
-                      self.agg0)
+                      self.agg0,
+                      None if self.front is None else self.front.copy())
         return True
 
     def restore_state(self):
-        mem, sl, stats, agg0 = self._snap
+        mem, sl, stats, agg0, front = self._snap
         self.mem_ref = mem.copy()
         self.stat_labels = sl.copy()
         self.stats = {k: v.copy() for k, v in stats.items()}
         self.agg0 = agg0
+        self.front = None if front is None else front.copy()
         return True
 
     # ------------------------------------------------------------------
@@ -837,11 +878,45 @@ class LeidenShard:
         for k in self.stats:
             self.stats[k][:, i] = np.asarray(vals[k])
 
+    def _mark_dirty(self, vids):
+        """Active-frontier bookkeeping: re-queue this shard's own
+        vertices adjacent to any moved vid (reference
+        ``Optimiser.py:485-521`` re-queues the neighbours of each
+        committed move), plus own moved vids themselves. O(adjacency
+        of the moved set), via a lazily-built reverse-adjacency
+        permutation of the block rows."""
+        if self.front is None:
+            return
+        own = vids % self.P == self.p
+        if own.any():
+            self.front[vids[own] // self.P] = True
+        if self._rows_by_dref is None:
+            self._rows_by_dref = np.argsort(self.block["dst_ref_idx"],
+                                            kind="stable")
+            self._dref_sorted = \
+                self.block["dst_ref_idx"][self._rows_by_dref]
+        rv = self.ref_vids
+        if len(rv) == 0:
+            return
+        ri = np.minimum(np.searchsorted(rv, vids), len(rv) - 1)
+        ri = ri[rv[ri] == vids]
+        lo = np.searchsorted(self._dref_sorted, ri, side="left")
+        hi = np.searchsorted(self._dref_sorted, ri, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return
+        idx = np.repeat(lo, cnt) \
+            + (np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        rows = self._rows_by_dref[idx]
+        self.front[self.block["src_local"][rows]] = True
+
     def _apply_moves(self, moves):
         """Commit a broadcast move set: membership deltas for the vids
         this shard references, stat values for the touched labels —
         inserting only labels a referenced vid just moved to."""
         vids, targs = moves["vids"], moves["targs"]
+        self._mark_dirty(vids)
         rv = self.ref_vids
         new_ref = targs[:0]
         if len(rv):
@@ -856,6 +931,26 @@ class LeidenShard:
                                 else np.isin(labels, new_ref)))
         if "agg0" in moves:
             self.agg0 = moves["agg0"]
+
+    def _colour_block(self, color, n_colors):
+        """The block restricted to the active colour class's rows,
+        materialised ONCE per (colour, n_colors) and reused every
+        cycle — replaces the per-superstep boolean compress of four
+        O(E/P) arrays. Memory: one extra copy of the kernel columns
+        across the colour slices (still O(E/P) per shard)."""
+        if n_colors <= 1:
+            return self.block
+        if self._cblocks_nc != n_colors:
+            self._cblocks = {}
+            self._cblocks_nc = n_colors
+        cb = self._cblocks.get(color)
+        if cb is None:
+            msk = (self.block["row_hash"] % n_colors) == color
+            cb = {k: np.ascontiguousarray(self.block[k][msk])
+                  for k in ("src_local", "weight", "dst_ref_idx",
+                            "layer")}
+            self._cblocks[color] = cb
+        return cb
 
     # ------------------------------------------------------------------
     def step(self, moves, color, n_colors, push=None,
@@ -883,7 +978,11 @@ class LeidenShard:
         if snapshot:
             self.snapshot_state()
         if moves is not None and len(moves["vids"]):
+            import time as _t
+            t0 = _t.time()
             self._apply_moves(moves)
+            self._t_apply = getattr(self, "_t_apply", 0.0) \
+                + (_t.time() - t0)
         if color is None:
             return None
         # rand_neighbor draws are seeded per (run seed, shard,
@@ -895,12 +994,32 @@ class LeidenShard:
         sn = self._step_no if step_no is None else int(step_no)
         rng_seed = (int(self.scal.get("seed", 42)) * 1_000_003
                     + sn * self.P + self.p) % (2 ** 63)
+        # frontier filtering only on driver-scheduled supersteps; safe
+        # cycles (step_no=None) propose for EVERY vertex — their greedy
+        # subset commit drops proposals that must stay re-proposable
+        use_front = self.front is not None and step_no is not None
         st = {"mem_ref": self.mem_ref, "own_ref_idx": self.own_ref_idx,
               "stat_labels": self.stat_labels, "agg0": self.agg0,
               "fixed_local": self.fixed_local, "rng_seed": rng_seed,
+              "front_local": self.front if use_front else None,
               **self.stats}
-        return _propose_kernel(self.block, self.kv, st, self.scal,
-                               color, n_colors)
+        import time as _t
+        t0 = _t.time()
+        props = _propose_kernel(self._colour_block(color, n_colors),
+                                self.kv, st, self.scal,
+                                color, n_colors)
+        self._t_kernel = getattr(self, "_t_kernel", 0.0) \
+            + (_t.time() - t0)
+        if use_front:
+            # vertices that just had their propose turn are clean
+            # until a neighbour (or they themselves) moves again
+            if n_colors > 1:
+                sel = self.front \
+                    & ((self._own_hash % n_colors) == color)
+                self.front[sel] = False
+            else:
+                self.front[:] = False
+        return props
 
     def state_footprint(self):
         """Resident-state sizes (diagnostics / scale tests): the shard
@@ -911,6 +1030,8 @@ class LeidenShard:
             "stat_labels": (0 if self.stat_labels is None
                             else int(len(self.stat_labels))),
             "block_rows": int(len(self.block["src_local"])),
+            "t_kernel": round(getattr(self, "_t_kernel", 0.0), 3),
+            "t_apply": round(getattr(self, "_t_apply", 0.0), 3),
         }
 
     def stats_partials(self, moves=None):
@@ -932,20 +1053,27 @@ class LeidenShard:
         src_g = b["src_local"] * self.P + self.p
         isloop = src_g[same] == b["dst_global"][same]
         uniq, inv = np.unique(lab, return_inverse=True)
-        wn = np.zeros((L, len(uniq)))
-        wl = np.zeros((L, len(uniq)))
-        np.add.at(wn, (lay[~isloop], inv[~isloop]), w[~isloop])
-        np.add.at(wl, (lay[isloop], inv[isloop]), w[isloop])
+        nq = len(uniq)
+        if L == 1:
+            wn = np.bincount(inv[~isloop], weights=w[~isloop],
+                             minlength=nq)[None, :]
+            wl = np.bincount(inv[isloop], weights=w[isloop],
+                             minlength=nq)[None, :]
+        else:
+            wn = np.zeros((L, nq))
+            wl = np.zeros((L, nq))
+            np.add.at(wn, (lay[~isloop], inv[~isloop]), w[~isloop])
+            np.add.at(wl, (lay[isloop], inv[isloop]), w[isloop])
         # own-vertex strength/size partials
         vlab = self.mem_ref[self.own_ref_idx]
         u2, inv2 = np.unique(vlab, return_inverse=True)
-        so = np.zeros((L, len(u2)))
-        si = np.zeros((L, len(u2)))
-        sz = np.zeros((L, len(u2)))
-        for k in range(L):
-            np.add.at(so[k], inv2, self.kv["k_out"][k])
-            np.add.at(si[k], inv2, self.kv["k_in"][k])
-            np.add.at(sz[k], inv2, self.kv["nsz"][k])
+        n2 = len(u2)
+        so = np.stack([np.bincount(inv2, weights=self.kv["k_out"][k],
+                                   minlength=n2) for k in range(L)])
+        si = np.stack([np.bincount(inv2, weights=self.kv["k_in"][k],
+                                   minlength=n2) for k in range(L)])
+        sz = np.stack([np.bincount(inv2, weights=self.kv["nsz"][k],
+                                   minlength=n2) for k in range(L)])
         return (uniq, wn, wl), (u2, so, si, sz)
 
     # ------------------------------------------------------------------
@@ -1276,6 +1404,17 @@ class DistLeiden:
             "enforcement": self.enforcement,
             "label_space": 2 * n,
             "consider_comms": self.consider_comms,
+            # active-frontier propose is exactly the reference's
+            # work-queue semantics (Optimiser.py:485-521): a vertex
+            # re-proposes only after a neighbourhood change. Global
+            # candidate sets (ALL_COMMS) and size-constraint bonuses
+            # depend on NON-neighbour state, so those modes keep the
+            # propose-everyone schedule.
+            "frontier": (self.consider_comms == "all_neighbors"
+                         and self.enforcement <= 0
+                         and self.min_comm_size <= 0
+                         and self.max_comm_size <= 0
+                         and not os.environ.get("LRAY_NO_FRONTIER")),
             "seed": (int(self.seed) if np.isscalar(self.seed)
                      else 42),
         }
@@ -1674,9 +1813,14 @@ class DistLeiden:
             else ray.put(np.asarray(fixed, dtype=bool))
         ray.get([a.set_fixed.remote(fref) for a in self.actors])
         ray.get([a.init_mem.remote(seed_ref) for a in self.actors])
+        import time as _time
+        tm = self._lm_timings = {"step_rounds": 0.0, "stats_sync": 0.0,
+                                 "commit": 0.0}
+        t0 = _time.time()
         stats = self._stats_of()
         q = self._quality_of(stats)
         self._push_stats(stats)
+        tm["stats_sync"] += _time.time() - t0
         if resumed_metrics is not None:
             return q, int(resumed_metrics.get("step", 0)), []
         history = []
@@ -1691,10 +1835,13 @@ class DistLeiden:
             cycle_moves = 0
             snapshot = True   # shards snapshot on the cycle's first colour
             for color in range(cur_colors):
+                t0 = _time.time()
                 props = ray.get([a.step.remote(pending_ref, color,
                                                cur_colors, stats_push,
                                                snapshot, step)
                                  for a in self.actors])
+                tm["step_rounds"] += _time.time() - t0
+                t0 = _time.time()
                 snapshot = False
                 mv = self._concat_props(props)
                 pending_ref = None
@@ -1775,8 +1922,10 @@ class DistLeiden:
                     pending_ref = ray.put(mv)
                     cycle_moves += len(vids)
                 history.append({"step": step, "moves": int(len(vids))})
+                tm["commit"] += _time.time() - t0
             cycle_no += 1
             converged = cycle_moves == 0
+            t0 = _time.time()
             if not converged:
                 # recompute true stats from shard partials (incremental
                 # community internal weights can drift when same-step
@@ -1826,6 +1975,7 @@ class DistLeiden:
                 # with soft enforcement the raw quality can plateau
                 # (or dip) while constraint-driven moves still make
                 # progress — converge only on a move-free cycle
+            tm["stats_sync"] += _time.time() - t0
             if ckpt is not None:
                 # transient O(n) gather, checkpointing only
                 slices = ray.get([a.own_mem.remote()
@@ -2132,17 +2282,29 @@ class DistLeiden:
         prev_q = -np.inf
         final_mem_agg = None
         quality = None
+        import time as _time
+        timings = {"local_move": 0.0, "refine": 0.0, "aggregate": 0.0,
+                   "tail": 0.0, "step_rounds": 0.0, "stats_sync": 0.0,
+                   "commit": 0.0}
         while True:
+            t0 = _time.time()
             q, steps, history = level.local_move_level0(
                 mem=seed, max_supersteps=max_supersteps,
                 min_rel_improvement=min_rel_improvement,
                 checkpoint=checkpoint,
                 level_tag=f"{tag_prefix}L{level_idx}",
                 fixed=level_fixed)
+            timings["local_move"] += _time.time() - t0
+            for k_, v_ in getattr(level, "_lm_timings", {}).items():
+                timings[k_] += v_
             total_steps += steps
+            t0 = _time.time()
             refined_refs, seed_pairs = level.refine_distributed()
+            timings["refine"] += _time.time() - t0
+            t0 = _time.time()
             agg_graphs, labels, seed_mem = level.aggregate_sharded(
                 refined_refs, seed_pairs, sticky=(level_idx == 0))
+            timings["aggregate"] += _time.time() - t0
             if level_idx == 0:
                 n1 = len(labels)
             else:
@@ -2160,6 +2322,7 @@ class DistLeiden:
             plateaued = (q - prev_q) < min_rel_improvement * (1 + abs(q))
             if small or level_idx + 1 >= max_levels or \
                     (plateaued and level_idx > 0):
+                t0 = _time.time()
                 if small:
                     from ..partition import MutableVertexPartition
                     parts = []
@@ -2199,6 +2362,7 @@ class DistLeiden:
                 else:
                     final_mem_agg = seed_mem
                     quality = q
+                timings["tail"] += _time.time() - t0
                 break
             prev_q = q
             lay_next = np.concatenate(
@@ -2283,6 +2447,7 @@ class DistLeiden:
 
         info = {
             "levels": level_infos,
+            "timings": {k: round(v, 3) for k, v in timings.items()},
             "level0_supersteps": total_steps,
             "level0_quality": level_infos[0]["quality"],
             "final_quality": quality,
