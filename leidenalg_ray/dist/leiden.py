@@ -266,8 +266,34 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
         w2 = np.zeros((L, len(merged)))
         w2[:, np.searchsorted(merged, uniq)] = w_vc
         uniq, w_vc = merged, w2
+    if consider == "rand":
+        # RAND_COMM (reference Optimiser.py:104-107): one candidate
+        # per vertex, drawn uniformly from the driver's broadcast
+        # size-proportional label pool (see DistLeiden docstring).
+        # The pool labels' stats were upserted by the same broadcast,
+        # so scoring a non-neighbour target works; pairs absent from
+        # the neighbour gather carry w=0.
+        pool = st.get("rand_pool")
+        if pool is None or len(pool) == 0:
+            return _empty_props(L)
+        rng = np.random.default_rng(st["rng_seed"])
+        act_v = np.unique((uniq // M).astype(np.int64))
+        draw = pool[rng.integers(0, len(pool), len(act_v))]
+        merged = np.union1d(uniq, act_v * M + draw)
+        w2 = np.zeros((L, len(merged)))
+        w2[:, np.searchsorted(merged, uniq)] = w_vc
+        uniq, w_vc = merged, w2
+        chosen_of = np.full(int(act_v.max()) + 1, -1, dtype=np.int64)
+        chosen_of[act_v] = draw
     pv = (uniq // M).astype(np.int64)   # src_local per pair
     pc_ = (uniq % M).astype(np.int64)   # candidate community per pair
+    if consider == "rand":
+        keep = ((pc_ == chosen_of[pv])
+                | (pc_ == mem_ref[own_idx[pv]]))
+        uniq, w_vc = uniq[keep], w_vc[:, keep]
+        pv, pc_ = pv[keep], pc_[keep]
+        if len(uniq) == 0:
+            return _empty_props(L)
     if consider == "rand_neighbor":
         # RAND_NEIGH_COMM: one candidate per vertex — the community
         # of a uniformly random incident edge (edge-multiplicity
@@ -954,14 +980,17 @@ class LeidenShard:
 
     # ------------------------------------------------------------------
     def step(self, moves, color, n_colors, push=None,
-             snapshot=False, step_no=None):
+             snapshot=False, step_no=None, rand=None):
         """Apply the previously-committed moves (broadcast deltas) —
         or adopt a driver-verified stats upsert ``push`` at a cycle
         boundary — then propose for the given colour: one actor round
         per colour superstep, no full-array broadcast in the steady
         state. ``snapshot=True`` (the cycle's first colour) saves the
         post-push state for a possible rollback — the shard-resident
-        replacement for the driver's old O(n) cycle_mem copy."""
+        replacement for the driver's old O(n) cycle_mem copy.
+        ``rand``: the RAND_COMM broadcast — a size-proportional label
+        pool plus those labels' driver-authoritative stat values
+        (upserted before propose so non-neighbour targets score)."""
         if push is not None:
             # boundary correction: update tracked labels only (an
             # untracked label can't be read until a move references
@@ -997,11 +1026,14 @@ class LeidenShard:
         # frontier filtering only on driver-scheduled supersteps; safe
         # cycles (step_no=None) propose for EVERY vertex — their greedy
         # subset commit drops proposals that must stay re-proposable
+        if rand is not None:
+            self._upsert(rand["labels"], rand["vals"])
         use_front = self.front is not None and step_no is not None
         st = {"mem_ref": self.mem_ref, "own_ref_idx": self.own_ref_idx,
               "stat_labels": self.stat_labels, "agg0": self.agg0,
               "fixed_local": self.fixed_local, "rng_seed": rng_seed,
               "front_local": self.front if use_front else None,
+              "rand_pool": None if rand is None else rand["pool"],
               **self.stats}
         import time as _t
         t0 = _t.time()
@@ -1242,13 +1274,20 @@ class DistLeiden:
 
         ``consider_comms`` (reference ``Optimiser.py:77-112``; accepts
         the in-memory tier's int constants or the strings
-        "all_neighbors" / "all" / "rand_neighbor"): the local-move
-        candidate set. "all" (ALL_COMMS) scores every live community
-        for every active vertex — required for negative-weight graphs
-        (e.g. bipartite CPM with a negative layer), inherently Ω(V·C)
-        with O(C) shard stat state. RAND_COMM is not offered on the
-        distributed tier (a shard cannot read a random vertex's
-        membership without O(n) state; use the in-memory tier)."""
+        "all_neighbors" / "all" / "rand_neighbor" / "rand"): the
+        local-move candidate set. "all" (ALL_COMMS) scores every live
+        community for every active vertex — required for
+        negative-weight graphs (e.g. bipartite CPM with a negative
+        layer), inherently Ω(V·C) with O(C) shard stat state. "rand"
+        (RAND_COMM, r5): instead of O(n) shard state, the driver
+        broadcasts a size-proportional 256-label reservoir per
+        superstep (seeded, sampled from its authoritative community
+        sizes — layer-0 node-size-proportional, which equals the
+        reference's node-count-proportional random-vertex draw
+        whenever node sizes are uniform, the default) together with
+        those labels' stat values; each active vertex draws uniformly
+        from the pool, preserving the reference's marginal
+        distribution (``Optimiser.py:104-107``)."""
         self.n = None if n is None else int(n)
         self.P, self.directed = int(P), bool(directed)
         # normalise the per-layer configuration
@@ -1297,11 +1336,10 @@ class DistLeiden:
         if isinstance(consider_comms, (int, np.integer)):
             consider_comms = int_map.get(int(consider_comms))
         if consider_comms not in ("all_neighbors", "all",
-                                  "rand_neighbor"):
+                                  "rand_neighbor", "rand"):
             raise ValueError(
-                f"consider_comms={consider_comms!r} not supported on "
-                "the distributed tier (RAND_COMM needs O(n) shard "
-                "state; use the in-memory tier)")
+                f"consider_comms={consider_comms!r} is not a "
+                "recognised candidate-set mode")
         self.consider_comms = consider_comms
         self._corr_loops_arg = correct_self_loops
 
@@ -1836,9 +1874,28 @@ class DistLeiden:
             snapshot = True   # shards snapshot on the cycle's first colour
             for color in range(cur_colors):
                 t0 = _time.time()
+                rand_ref = None
+                if self.consider_comms == "rand":
+                    # size-proportional label reservoir for RAND_COMM,
+                    # seeded per (run seed, superstep); ships with the
+                    # pooled labels' authoritative stat values
+                    rng = np.random.default_rng(
+                        (int(self.seed) if np.isscalar(self.seed)
+                         else 42) * 1_000_003 + step)
+                    sz = stats["size"][0]
+                    live = np.flatnonzero(sz > 0)
+                    pool = live[rng.choice(
+                        len(live), size=256,
+                        p=sz[live] / sz[live].sum())].astype(np.int64)
+                    labs = np.unique(pool)
+                    rand_ref = ray.put({
+                        "pool": pool, "labels": labs,
+                        "vals": {k: stats[k][:, labs].copy()
+                                 for k in stats}})
                 props = ray.get([a.step.remote(pending_ref, color,
                                                cur_colors, stats_push,
-                                               snapshot, step)
+                                               snapshot, step,
+                                               rand_ref)
                                  for a in self.actors])
                 tm["step_rounds"] += _time.time() - t0
                 t0 = _time.time()
@@ -2339,11 +2396,13 @@ class DistLeiden:
                     opt.set_rng_seed(self.seed)
                     from ..optimiser import (ALL_NEIGH_COMMS,
                                              ALL_COMMS,
+                                             RAND_COMM,
                                              RAND_NEIGH_COMM)
                     opt.consider_comms = {
                         "all_neighbors": ALL_NEIGH_COMMS,
                         "all": ALL_COMMS,
                         "rand_neighbor": RAND_NEIGH_COMM,
+                        "rand": RAND_COMM,
                     }[self.consider_comms]
                     opt.max_comm_size = self.max_comm_size
                     opt.min_comm_size = self.min_comm_size

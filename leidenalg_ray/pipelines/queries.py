@@ -2869,6 +2869,37 @@ FROM supplier
 """
 
 
+def q_leiden_randcomm_complete(sf_dir):
+    """RAND_COMM through the DISTRIBUTED schedule (r5 — closes the
+    last reference consider_comms enum gap; reference
+    ``Optimiser.py:104-107``): candidates are size-proportional
+    random-community draws from the driver's per-superstep broadcast
+    reservoir. Planted on the complete supplier graph under CPM
+    gamma=0.5, where EVERY draw of a community at least as large as
+    the leaver's remainder improves quality ((1-gamma)(b-(a-1)) > 0),
+    so the random schedule provably coalesces to the unique one-
+    community optimum regardless of the draw sequence — a closed-form
+    oracle despite the stochastic candidate set. Seeded, so the run
+    is deterministic."""
+    n = tg.supplier_count(sf_dir)
+    ii, jj = np.triu_indices(n, k=1)
+    dl = DistLeiden(ii.astype(np.int64), jj.astype(np.int64), n=n,
+                    directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=8, seed=42,
+                    consider_comms="rand")
+    mem, q, info = dl.run()
+    return pa.table({
+        "vid": pa.array(np.arange(n, dtype=np.int64)),
+        "comm": pa.array(mem.astype(np.int64)),
+    })
+
+
+SQL_LEIDEN_RANDCOMM = """
+SELECT CAST(s_suppkey AS BIGINT) AS vid, CAST(0 AS BIGINT) AS comm
+FROM supplier
+"""
+
+
 def q_leiden_modularity_co(sf_dir):
     return _leiden_co_dataset(sf_dir, "modularity", 1.0)
 
@@ -13673,6 +13704,7 @@ QUERIES = {
     "leiden_fixed_cliques": q_leiden_fixed_cliques,
     "leiden_recrawl_cliques": q_leiden_recrawl_cliques,
     "leiden_minsize_complete": q_leiden_minsize_complete,
+    "leiden_randcomm_complete": q_leiden_randcomm_complete,
     "mst_cliques": q_mst_cliques,
     "mst_paths": q_mst_paths,
     "degree_powerlaw_co": q_degree_powerlaw_co,
@@ -13940,6 +13972,7 @@ ORACLE_SQL = {
     "leiden_fixed_cliques": SQL_LEIDEN_FIXED,
     "leiden_recrawl_cliques": SQL_LEIDEN_FIXED,
     "leiden_minsize_complete": SQL_LEIDEN_MINSIZE,
+    "leiden_randcomm_complete": SQL_LEIDEN_RANDCOMM,
     "mst_cliques": SQL_MST_CLIQUES,
     "mst_paths": SQL_MST_PATHS,
     "degree_powerlaw_co": SQL_DEGREE_POWERLAW_CO,

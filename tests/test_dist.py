@@ -1341,12 +1341,80 @@ def test_dist_consider_comms_validation():
     a = np.array([0, 1]); b = np.array([1, 2])
     with pytest.raises(ValueError, match="consider_comms"):
         DistLeiden(a, b, n=3, directed=False, quality="cpm",
-                   resolution_parameter=0.1, P=2, consider_comms="rand")
-    from leidenalg_ray.optimiser import ALL_COMMS
+                   resolution_parameter=0.1, P=2,
+                   consider_comms="bogus")
+    from leidenalg_ray.optimiser import ALL_COMMS, RAND_COMM
     dl = DistLeiden(a, b, n=3, directed=False, quality="cpm",
                     resolution_parameter=0.1, P=2,
                     consider_comms=ALL_COMMS)   # int constant accepted
     assert dl.consider_comms == "all"
+    dl2 = DistLeiden(a, b, n=3, directed=False, quality="cpm",
+                     resolution_parameter=0.1, P=2,
+                     consider_comms=RAND_COMM)  # r5: now supported
+    assert dl2.consider_comms == "rand"
+
+
+def test_dist_rand_comm_complete_graph_coalesces():
+    """consider_comms="rand" (RAND_COMM, reference
+    Optimiser.py:104-107) through the distributed schedule: size-
+    proportional random-community draws from the driver's broadcast
+    per-superstep reservoir. On K_n under CPM gamma=0.5 every draw of
+    a community at least as large as the leaver's remainder improves
+    ((1-gamma)(b-(a-1)) > 0), so the stochastic schedule provably
+    coalesces to the unique one-community optimum; seeded, so the
+    run is deterministic."""
+    n = 40
+    ii, jj = np.triu_indices(n, k=1)
+    dl = DistLeiden(ii.astype(np.int64), jj.astype(np.int64), n=n,
+                    directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=4, seed=42,
+                    consider_comms="rand")
+    mem, q, info = dl.run()
+    assert len(np.unique(mem)) == 1
+    # CPM on one community: 2 * (C(n,2) - gamma * C(n,2))
+    exp = 2 * (n * (n - 1) / 2) * 0.5
+    assert q == pytest.approx(exp, abs=1e-9)
+    mem2, q2, _ = DistLeiden(
+        ii.astype(np.int64), jj.astype(np.int64), n=n,
+        directed=False, quality="cpm", resolution_parameter=0.5,
+        P=4, seed=42, consider_comms="rand").run()
+    assert np.array_equal(mem, mem2) and q2 == q
+
+
+def test_dist_rand_comm_parity_with_in_memory_fixed_point():
+    """The distributed RAND_COMM fixed point satisfies the same
+    properties as the in-memory tier's: every community is internally
+    connected-by-construction on disjoint cliques (a community never
+    spans cliques — a cross-clique move has no internal edges and
+    gamma > 0 makes it strictly negative), and quality is bounded by
+    the in-memory optimum found under the richer all_neighbors
+    schedule."""
+    from leidenalg_ray import CPMVertexPartition, find_partition
+    from leidenalg_ray.graph import Graph
+    srcs, dsts = [], []
+    for c in range(4):
+        vids = np.arange(10) + c * 10
+        ii, jj = np.triu_indices(10, k=1)
+        srcs.append(vids[ii])
+        dsts.append(vids[jj])
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    dl = DistLeiden(src, dst, n=40, directed=False, quality="cpm",
+                    resolution_parameter=0.5, P=4, seed=3,
+                    consider_comms="rand")
+    mem, q, _ = dl.run()
+    for c in range(4):
+        labs = set(mem[c * 10:(c + 1) * 10].tolist())
+        other = set(np.delete(mem,
+                              np.s_[c * 10:(c + 1) * 10]).tolist())
+        assert not (labs & other)
+    G = Graph(40, src=src, dst=dst)
+    p = find_partition(G, CPMVertexPartition,
+                       resolution_parameter=0.5, seed=3)
+    assert q <= p.quality() + 1e-9
+    # singleton quality is a strict lower bound the random schedule
+    # must beat (any first merge improves)
+    assert q > 0
 
 
 def test_run_n_iterations_negative_until_no_improvement(tmp_path):
