@@ -6282,8 +6282,12 @@ def q_media_decode_real(sf_dir):
     5-filter scanline reconstruction, RIFF chunks) and computes
     channel means / luminance / rms / peak / zcr / duration — the SQL
     oracle reproduces every value from id arithmetic alone, so any
-    parse or unfilter bug is a gate FAIL. DCT/entropy codecs (JPEG /
-    MP3 / H.264) remain the documented ``NotImplementedError`` seam."""
+    parse or unfilter bug is a gate FAIL. r5: ids with i%8==6 ship as
+    REAL baseline 4:2:0 huffman JPEGs; their oracle replays the
+    fixed-point DC quantise/dequantise/IDCT closed form of the
+    constant-colour blocks (``_sql_jpeg_img_ctes``). MP3 / H.264 /
+    progressive JPEG remain the documented ``NotImplementedError``
+    seam."""
     from ..stages import multimodal as mm
     media = rd.from_arrow(mm.synth_real_media_table(90))
     return media.map_batches(mm.MediaDecoderRealFlat,
@@ -6291,10 +6295,56 @@ def q_media_decode_real(sf_dir):
                              zero_copy_batch=True, concurrency=(1, 4))
 
 
-SQL_MEDIA_DECODE_REAL = """
-WITH ids AS (SELECT unnest(generate_series(0, 89)) AS i),
-img AS (SELECT i, (i*37)%256 AS r, (i*59)%256 AS g, (i*83)%256 AS b
+def _sql_jpeg_rec(v, q):
+    """SQL closed form of one constant channel through the baseline
+    JPEG fixed-point pipeline (multimodal.encode_jpeg/decode_jpeg):
+    DC-only block -> quantise (round-half-away) -> dequantise ->
+    11-bit fixed-point IDCT -> +128, clip. 33547264 = (8*724)^2,
+    524176 = 724^2, 724 = round(2048/sqrt(8))."""
+    f = f"(33547264*({v}-128))"
+    s = (f"CAST(floor((2*abs({f}) + {q * 4194304}) / "
+         f"{2 * q * 4194304}.0) AS BIGINT)")
+    dc = f"(CASE WHEN {f} < 0 THEN -{s} ELSE {s} END)"
+    return (f"LEAST(255, GREATEST(0, CAST(floor((524176*{dc}*{q} "
+            f"+ 2097152)/4194304.0) AS BIGINT) + 128))")
+
+
+def _sql_jpeg_img_ctes():
+    """CTE chain replaying the decoded constant colour of every even
+    media id: BMP/PNG ids decode losslessly; JPEG ids (i%8=6) replay
+    the fixed-point quantisation closed form."""
+    return f"""
+raw AS (SELECT i, (i*37)%256 AS r, (i*59)%256 AS g, (i*83)%256 AS b
         FROM ids WHERE i%2=0),
+jy AS (SELECT i, r, g, b,
+  LEAST(255, GREATEST(0, CAST(floor(0.299*r + 0.587*g + 0.114*b
+                                    + 0.5) AS BIGINT))) AS y,
+  LEAST(255, GREATEST(0, CAST(floor(-0.168736*r - 0.331264*g
+                                    + 0.5*b + 128.5) AS BIGINT)))
+    AS cb,
+  LEAST(255, GREATEST(0, CAST(floor(0.5*r - 0.418688*g - 0.081312*b
+                                    + 128.5) AS BIGINT))) AS cr
+  FROM raw),
+jq AS (SELECT i, r, g, b, {_sql_jpeg_rec('y', 16)} AS py,
+              {_sql_jpeg_rec('cb', 17)} AS pcb,
+              {_sql_jpeg_rec('cr', 17)} AS pcr
+  FROM jy),
+img AS (SELECT i,
+  CASE WHEN i%8=6 THEN LEAST(255, GREATEST(0,
+    CAST(floor(py + 1.402*(pcr-128.0) + 0.5) AS BIGINT)))
+    ELSE r END AS r,
+  CASE WHEN i%8=6 THEN LEAST(255, GREATEST(0,
+    CAST(floor(py - 0.344136*(pcb-128.0) - 0.714136*(pcr-128.0)
+               + 0.5) AS BIGINT))) ELSE g END AS g,
+  CASE WHEN i%8=6 THEN LEAST(255, GREATEST(0,
+    CAST(floor(py + 1.772*(pcb-128.0) + 0.5) AS BIGINT)))
+    ELSE b END AS b
+  FROM jq)"""
+
+
+SQL_MEDIA_DECODE_REAL = f"""
+WITH ids AS (SELECT unnest(generate_series(0, 89)) AS i),
+{_sql_jpeg_img_ctes()},
 aud AS (SELECT i, 800 + (i%5)*80 AS n, (i*291)%32768 AS v
         FROM ids WHERE i%2=1)
 SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind,
@@ -6350,16 +6400,16 @@ def q_media_ann(sf_dir):
         k=5)
 
 
-SQL_MEDIA_ANN = """
+SQL_MEDIA_ANN = f"""
 WITH ids AS (SELECT unnest(generate_series(2, 89)) AS i),
+{_sql_jpeg_img_ctes()},
 f AS (SELECT i,
              list_value(
-               round(((i*37)%256)/255.0, 6),
-               round(((i*59)%256)/255.0, 6),
-               round(((i*83)%256)/255.0, 6),
-               round((299*((i*37)%256) + 587*((i*59)%256)
-                      + 114*((i*83)%256))/255000.0, 6)) AS emb
-      FROM ids WHERE i%2=0)
+               round(r/255.0, 6),
+               round(g/255.0, 6),
+               round(b/255.0, 6),
+               round((299*r + 587*g + 114*b)/255000.0, 6)) AS emb
+      FROM img)
 SELECT CAST(q.i AS BIGINT) AS query_id, CAST(e.i AS BIGINT) AS vec_id,
        round(list_cosine_similarity(CAST(q.emb AS DOUBLE[]),
                                     CAST(e.emb AS DOUBLE[])), 6)

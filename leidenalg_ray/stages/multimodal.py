@@ -220,17 +220,467 @@ def decode_png(buf: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
+# ----------------------------------------------------------------------
+# Baseline JPEG (JFIF): real huffman entropy coding + DCT, pure numpy.
+#
+# The DCT/IDCT pair is FIXED-POINT (11-bit scaled integer cosine
+# matrix, like libjpeg's integer IDCT): the decoded plane is an exact
+# integer function of the quantised coefficients, so a planted
+# DC-only fixture (constant-colour image) has a closed-form integer
+# oracle — the repo's standard exact-fixed-point trick (cf. the
+# HyperBall Δq·t accumulator and Burt-constraint quantisation).
+# Huffman tables are CUSTOM canonical tables embedded in DHT (valid
+# JPEG does not require the Annex K tables): DC symbols 0..11 at
+# lengths [4 x 11, 5 x 1], all 162 AC (run, size) symbols at length 8
+# — Kraft-complete, all-ones codes unused, decodable by any viewer.
+# Subsampling is 4:2:0 (2x2 box average, +2 rounding); chroma
+# upsample on decode is nearest (2x repeat). Progressive (SOF2),
+# restart markers (DRI) and other samplings raise
+# ``NotImplementedError`` — the remaining codec seam.
+# ----------------------------------------------------------------------
+_JPEG_FP_BITS = 11
+_JPEG_FP_SCALE = 1 << _JPEG_FP_BITS        # cosine matrix scale
+_JPEG_FP_SHIFT = 2 * _JPEG_FP_BITS         # after D.T @ F @ D
+_QY = np.array([                           # Annex K luminance table
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+_QC = np.array([                           # Annex K chrominance table
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int64)
+
+
+def _dct_int_matrix():
+    t = np.empty((8, 8))
+    x = np.arange(8)
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        t[u] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return np.floor(t * _JPEG_FP_SCALE + 0.5).astype(np.int64)
+
+
+_DCT_D = _dct_int_matrix()
+
+
+def _zigzag():
+    out = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(7, s) + 1)
+        for r in (rng if s % 2 else reversed(rng)):
+            out.append((r, s - r))
+    return out
+
+
+_ZIG = _zigzag()
+_ZR = np.array([r for r, _ in _ZIG])
+_ZC = np.array([c for _, c in _ZIG])
+
+# custom canonical huffman tables (see header comment)
+_DC_BITS = [0, 0, 0, 11, 1] + [0] * 11          # counts per length 1..16
+_DC_VALS = list(range(12))
+_AC_VALS = ([0x00, 0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8
+
+
+def _canonical_codes(bits, vals):
+    """(symbol -> (code, length)) for a canonical table."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+def _rgb_to_ycbcr_u8(rgb):
+    """JFIF colour convert, rounded half-away to uint8 planes (the one
+    float step on the encode side — everything after is integer)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5)
+    cr = np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5)
+    return (np.clip(y, 0, 255).astype(np.int64),
+            np.clip(cb, 0, 255).astype(np.int64),
+            np.clip(cr, 0, 255).astype(np.int64))
+
+
+def _fdct_quant(plane, q):
+    """Fixed-point forward DCT + quantisation of an (8k, 8m) integer
+    plane -> (k, m, 8, 8) int64 quantised coefficients."""
+    h, w = plane.shape
+    b = (plane - 128).reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    f_int = np.einsum("ux,bcxy,vy->bcuv", _DCT_D, b, _DCT_D,
+                      optimize=True)
+    d = (q << _JPEG_FP_SHIFT)
+    af = np.abs(f_int)
+    s = (2 * af + d) // (2 * d)            # round-half-away on |.|
+    return np.sign(f_int) * s
+
+
+def _mag_bits(v):
+    """JPEG magnitude category + value bits for one integer."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code, length):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)      # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-padding per spec
+        return bytes(self.buf)
+
+
+def _encode_block(wr, coef, dc_pred, dc_tab, ac_tab):
+    zz = coef[_ZR, _ZC]
+    diff = int(zz[0]) - dc_pred
+    size, bits = _mag_bits(diff)
+    code, ln = dc_tab[size]
+    wr.put(code, ln)
+    wr.put(bits, size)
+    run = 0
+    last_nz = np.flatnonzero(zz[1:])
+    last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]        # ZRL
+            wr.put(code, ln)
+            run -= 16
+        size, bits = _mag_bits(v)
+        code, ln = ac_tab[(run << 4) | size]
+        wr.put(code, ln)
+        wr.put(bits, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]            # EOB
+        wr.put(code, ln)
+    return int(zz[0])
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+        + body
+
+
+def _dht_body(cls, tid, bits, vals):
+    return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(rgb: np.ndarray) -> bytes:
+    """Serialise an (h, w, 3) uint8 RGB array as a REAL baseline JFIF
+    JPEG: 4:2:0 subsampling, Annex K quantisation tables, custom
+    canonical huffman tables embedded in DHT, fixed-point DCT — a
+    standards-compliant file any viewer opens."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    y, cb, cr = _rgb_to_ycbcr_u8(rgb)
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+    cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+    # 4:2:0 box average with +2 rounding (integer-exact)
+    cb = (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2]
+          + cb[1::2, 1::2] + 2) // 4
+    cr = (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2]
+          + cr[1::2, 1::2] + 2) // 4
+    ycof = _fdct_quant(y, _QY)
+    cbcof = _fdct_quant(cb, _QC)
+    crcof = _fdct_quant(cr, _QC)
+    wr = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for by in range(2):
+                for bx in range(2):
+                    preds[0] = _encode_block(
+                        wr, ycof[2 * my + by, 2 * mx + bx], preds[0],
+                        _DC_ENC, _AC_ENC)
+            preds[1] = _encode_block(wr, cbcof[my, mx], preds[1],
+                                     _DC_ENC, _AC_ENC)
+            preds[2] = _encode_block(wr, crcof[my, mx], preds[2],
+                                     _DC_ENC, _AC_ENC)
+    scan = wr.flush()
+    zq_y = bytes(int(_QY[r, c]) for r, c in _ZIG)
+    zq_c = bytes(int(_QC[r, c]) for r, c in _ZIG)
+    out = (b"\xFF\xD8"
+           + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+           + _seg(0xDB, b"\x00" + zq_y)
+           + _seg(0xDB, b"\x01" + zq_c)
+           + _seg(0xC0, b"\x08" + h.to_bytes(2, "big")
+                  + w.to_bytes(2, "big") + b"\x03"
+                  + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+           + _seg(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
+           + _seg(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
+           + _seg(0xC4, _dht_body(0, 1, _DC_BITS, _DC_VALS))
+           + _seg(0xC4, _dht_body(1, 1, _AC_BITS, _AC_VALS))
+           + _seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3F\x00")
+           + scan + b"\xFF\xD9")
+    return out
+
+
+class _BitReader:
+    def __init__(self, data):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24 and self.pos < len(self.d):
+            byte = self.d[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.d[self.pos] if self.pos < len(self.d) else 0
+                if nxt == 0x00:
+                    self.pos += 1          # unstuff
+                else:
+                    # a real marker ends the scan; pad with zeros
+                    self.pos = len(self.d)
+                    byte = 0
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bits(self, k):
+        if k == 0:
+            return 0
+        self._fill()
+        if self.nbits < k:
+            self.acc <<= (k - self.nbits)
+            self.nbits = k
+        v = (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG scan")
+
+
+def _extend(bits, size):
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Parse a baseline JFIF JPEG (SOF0, huffman, 4:2:0 or 4:4:4,
+    no restart markers) into an (h, w, 3) uint8 RGB array. The IDCT
+    is the same fixed-point integer transform the encoder uses, so
+    the decoded planes are an exact integer function of the coded
+    coefficients. Progressive (SOF2), arithmetic coding, DRI and
+    other samplings raise ``NotImplementedError`` — the remaining
+    codec seam."""
+    buf = bytes(buf)
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    sof = None
+    scan_comps = None
+    scan_data = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = buf[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        body = buf[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT")
+                tab = np.zeros((8, 8), dtype=np.int64)
+                vals = body[bpos + 1:bpos + 65]
+                for k, (r, c) in enumerate(_ZIG):
+                    tab[r, c] = vals[k]
+                qt[tq] = tab
+                bpos += 65
+        elif marker == 0xC0:
+            prec = body[0]
+            hh = int.from_bytes(body[1:3], "big")
+            ww = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG")
+            sof = (hh, ww, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) is decodable "
+                f"here (got SOF marker 0x{marker:02X})")
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                cls, tid = body[bpos] >> 4, body[bpos] & 15
+                bits = list(body[bpos + 1:bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17:bpos + 17 + nv])
+                enc = _canonical_codes(bits, vals)
+                dec = {(ln_, code): sym
+                       for sym, (code, ln_) in enc.items()}
+                (huff_dc if cls == 0 else huff_ac)[tid] = dec
+                bpos += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart markers (DRI)")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                           body[2 + 2 * c] & 15) for c in range(ns)]
+            scan_data = buf[pos + 2 + ln:]
+            break
+        pos += 2 + ln
+    if sof is None or scan_data is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = sof
+    samps = [(sx, sy) for _, sx, sy, _ in comps]
+    if samps not in ([(2, 2), (1, 1), (1, 1)], [(1, 1)] * 3,
+                     [(1, 1)]):
+        raise NotImplementedError(
+            f"unsupported sampling {samps} (4:2:0, 4:4:4 or "
+            "grayscale only)")
+    hmax = max(sx for sx, _ in samps)
+    vmax = max(sy for _, sy in samps)
+    mcw, mch = 8 * hmax, 8 * vmax
+    mxs, mys = -(-w // mcw), -(-h // mch)
+    rd = _BitReader(scan_data)
+    planes = []
+    for (cid, sx, sy, tq) in comps:
+        planes.append(np.zeros((mys * sy * 8, mxs * sx * 8),
+                               dtype=np.int64))
+    preds = [0] * len(comps)
+    dc_of = {cid: huff_dc[td] for cid, td, _ in scan_comps}
+    ac_of = {cid: huff_ac[ta] for cid, _, ta in scan_comps}
+    for my in range(mys):
+        for mx in range(mxs):
+            for ci, (cid, sx, sy, tq) in enumerate(comps):
+                for by in range(sy):
+                    for bx in range(sx):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = rd.huff(dc_of[cid])
+                        diff = _extend(rd.bits(size), size)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(ac_of[cid])
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            zz[k] = _extend(rd.bits(rs & 15), rs & 15)
+                            k += 1
+                        coef = np.zeros((8, 8), dtype=np.int64)
+                        coef[_ZR, _ZC] = zz
+                        coef *= qt[tq]
+                        # fixed-point IDCT (exact integer function)
+                        acc = _DCT_D.T @ coef @ _DCT_D
+                        pix = ((acc + (1 << (_JPEG_FP_SHIFT - 1)))
+                               >> _JPEG_FP_SHIFT) + 128
+                        yy = (my * sy + by) * 8
+                        xx = (mx * sx + bx) * 8
+                        planes[ci][yy:yy + 8, xx:xx + 8] = \
+                            np.clip(pix, 0, 255)
+    # upsample chroma (nearest) and colour convert
+    full = []
+    for ci, (cid, sx, sy, tq) in enumerate(comps):
+        p = planes[ci]
+        if sx < hmax:
+            p = np.repeat(p, hmax // sx, axis=1)
+        if sy < vmax:
+            p = np.repeat(p, vmax // sy, axis=0)
+        full.append(p[:h, :w].astype(np.float64))
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = full
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0)
+                 - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    out = np.stack([np.clip(r, 0, 255), np.clip(g, 0, 255),
+                    np.clip(b, 0, 255)], axis=-1)
+    return out.astype(np.uint8)
+
+
 def decode_image(buf: bytes) -> np.ndarray:
-    """Magic-byte dispatch over the real image codecs: 24-bit BMP or
-    8-bit RGB PNG. JPEG (and every DCT codec) remains the documented
-    ``NotImplementedError`` seam."""
+    """Magic-byte dispatch over the real image codecs: 24-bit BMP,
+    8-bit RGB PNG, or baseline JFIF JPEG (r5). Progressive JPEG /
+    WebP / ... remain the documented ``NotImplementedError`` seam."""
     buf = bytes(buf)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf[:2] == b"\xFF\xD8":
+        return decode_jpeg(buf)
     raise NotImplementedError(
-        "unrecognised image container (JPEG/WebP/... need codec "
+        "unrecognised image container (WebP/AVIF/... need codec "
         "libraries not in this container)")
 
 
@@ -350,13 +800,16 @@ def _media_features(kind, payload, lum_int_form=False):
 
 def synth_real_media_table(n=90):
     """Deterministic REAL media corpus: valid images (even ids —
-    alternating 24-bit BMP and zlib-compressed 8-bit PNG, the PNG
-    row filter cycling 0..4 by id) and 16-bit PCM WAVs (odd ids),
-    with dimensions/colors/samples in closed form of the id — so a
-    byte-level decode has an arithmetic oracle regardless of which
-    container carried the pixels. Image i: (8+(i%13)) x (8+(i%7))
-    constant color ((i*37)%256, (i*59)%256, (i*83)%256). Audio i:
-    800+(i%5)*80 DC samples of value (i*291)%32768 at 8 kHz."""
+    24-bit BMP, zlib-compressed 8-bit PNG with the row filter cycling
+    0..4 by id, and — r5 — baseline 4:2:0 huffman JPEG for ids with
+    i%8==6) and 16-bit PCM WAVs (odd ids), with dimensions/colors/
+    samples in closed form of the id — so a byte-level decode has an
+    arithmetic oracle regardless of which container carried the
+    pixels (for JPEG the oracle replays the fixed-point quantise/
+    dequantise closed form of the constant-colour DC-only blocks).
+    Image i: (8+(i%13)) x (8+(i%7)) constant color ((i*37)%256,
+    (i*59)%256, (i*83)%256). Audio i: 800+(i%5)*80 DC samples of
+    value (i*291)%32768 at 8 kHz."""
     rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
     for i in range(n):
         if i % 2 == 0:
@@ -373,6 +826,10 @@ def synth_real_media_table(n=90):
                 rows["payload"].append(
                     encode_png(rgb, filter_type=(i // 4) % 5))
                 rows["meta"].append(json.dumps({"codec": "png8"}))
+            elif i % 8 == 6:
+                # real DCT/entropy codec in the gate fixture
+                rows["payload"].append(encode_jpeg(rgb))
+                rows["meta"].append(json.dumps({"codec": "jpeg420"}))
             else:
                 rows["payload"].append(encode_bmp(rgb))
                 rows["meta"].append(json.dumps({"codec": "bmp24"}))

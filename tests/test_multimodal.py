@@ -159,8 +159,8 @@ def test_png_is_actually_compressed_and_seams_raise():
     # truncated / wrong-type payloads hit the documented seams
     with pytest.raises(ValueError):
         mm.decode_png(b"BM" + bytes(64))
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(64))  # JPEG SOI
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(64))  # broken JPEG
     # grayscale PNG (color type 0) is the documented remaining seam
     import zlib
     ihdr = (8).to_bytes(4, "big") + (8).to_bytes(4, "big") \
@@ -172,13 +172,40 @@ def test_png_is_actually_compressed_and_seams_raise():
         mm.decode_png(gray)
 
 
+def _jpeg_const_expected(r, g, b):
+    """Closed-form decoded colour of a constant-colour image through
+    the fixed-point baseline JPEG pipeline (mirrors the SQL oracle
+    ``_sql_jpeg_img_ctes``)."""
+    import numpy as np
+
+    def cl(x):
+        return min(255, max(0, int(x)))
+
+    y = cl(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))
+    cb = cl(np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5))
+    cr = cl(np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5))
+
+    def rec(v, q):
+        f = 33547264 * (v - 128)
+        s = (2 * abs(f) + (q << 22)) // (2 * (q << 22))
+        dc = -s if f < 0 else s
+        return cl(((524176 * dc * q + (1 << 21)) >> 22) + 128)
+
+    py, pcb, pcr = rec(y, 16), rec(cb, 17), rec(cr, 17)
+    return (cl(np.floor(py + 1.402 * (pcr - 128.0) + 0.5)),
+            cl(np.floor(py - 0.344136 * (pcb - 128.0)
+                        - 0.714136 * (pcr - 128.0) + 0.5)),
+            cl(np.floor(py + 1.772 * (pcb - 128.0) + 0.5)))
+
+
 def test_real_media_fixture_mixes_containers():
     import json
     from leidenalg_ray.stages import multimodal as mm
     t = mm.synth_real_media_table(40)
     codecs = [json.loads(m)["codec"] for m in t["meta"].to_pylist()]
-    assert {"png8", "bmp24", "pcm16"} <= set(codecs)
-    # every image decodes to its closed-form constant color
+    assert {"png8", "bmp24", "jpeg420", "pcm16"} <= set(codecs)
+    # every image decodes to its closed-form constant color (JPEG ids
+    # to the fixed-point quantisation closed form)
     import numpy as np
     for mid, kind, payload in zip(t["media_id"].to_pylist(),
                                   t["kind"].to_pylist(),
@@ -187,6 +214,46 @@ def test_real_media_fixture_mixes_containers():
             continue
         rgb = mm.decode_image(payload)
         assert rgb.shape == (8 + mid % 7, 8 + mid % 13, 3)
-        assert (rgb[..., 0] == (mid * 37) % 256).all()
-        assert (rgb[..., 1] == (mid * 59) % 256).all()
-        assert (rgb[..., 2] == (mid * 83) % 256).all()
+        exp = ((mid * 37) % 256, (mid * 59) % 256, (mid * 83) % 256)
+        if mid % 8 == 6:
+            exp = _jpeg_const_expected(*exp)
+        assert (rgb[..., 0] == exp[0]).all()
+        assert (rgb[..., 1] == exp[1]).all()
+        assert (rgb[..., 2] == exp[2]).all()
+
+
+def test_jpeg_roundtrip_and_seams():
+    """Baseline JPEG codec: real huffman entropy coding + fixed-point
+    DCT. Constant images decode to the exact closed form; smooth
+    gradients round-trip within normal JPEG error; progressive SOF2
+    and restart markers raise at the documented seam."""
+    import numpy as np
+    import pytest
+    from leidenalg_ray.stages import multimodal as mm
+
+    rgb = np.empty((11, 19, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 30, 90
+    buf = mm.encode_jpeg(rgb)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    dec = mm.decode_jpeg(buf)
+    assert dec.shape == rgb.shape
+    assert np.array_equal(
+        np.unique(dec.reshape(-1, 3), axis=0)[0],
+        np.array(_jpeg_const_expected(200, 30, 90)))
+    # dispatch sees JPEG magic
+    assert np.array_equal(mm.decode_image(buf), dec)
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    grad = np.stack([(xx * 5) % 256, (yy * 7) % 256,
+                     ((xx + yy) * 3) % 256], -1).astype(np.uint8)
+    out = mm.decode_jpeg(mm.encode_jpeg(grad)).astype(int)
+    assert np.abs(out - grad.astype(int)).max() <= 40   # lossy bound
+    assert np.abs(out - grad.astype(int)).mean() < 8
+
+    # seams: progressive SOF2 / DRI
+    sof2 = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(sof2)
+    dri = buf[:2] + b"\xff\xdd\x00\x04\x00\x08" + buf[2:]
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(dri)
