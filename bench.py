@@ -345,10 +345,14 @@ def run_bench():
     # is timed separately above; the Dataset-native construction path
     # is exercised — and timed — by pages_build_distributed)
     from leidenalg_ray.dist.leiden import DistLeiden
+    # P follows the data size, like P_pages: the per-superstep propose
+    # is compute-bound (BASELINE r5), so bigger graphs take more
+    # shards; sf0.1 stays at the P=8 layout every prior round used
+    P_leiden = 8 if m_edges < 3_000_000 else 16
     t0 = time.time()
     dl = DistLeiden(s_, d_, weight=w, n=n, directed=False,
-                    quality="cpm", resolution_parameter=0.5, P=8,
-                    seed=42)
+                    quality="cpm", resolution_parameter=0.5,
+                    P=P_leiden, seed=42)
     lmem, lq, linfo = dl.run()
     times["leiden_cpm"] = round(time.time() - t0, 3)
     leiden_quality = round(float(lq), 3)

@@ -403,7 +403,10 @@ def test_dsir_select_upweights_target_like_docs(ray_session, tmp_path,
         "lang": pa.array(langs),
     })
     pq.write_table(docs, tmp_path / "documents.parquet")
-    monkeypatch.setattr(Q, "DSIR_TOP_K", 500)   # keep every doc
+    # patch the DEFINING module (post-split, q_dsir_select reads its
+    # own domain module's global; queries only re-exports it)
+    from leidenalg_ray.pipelines import qtext
+    monkeypatch.setattr(qtext, "DSIR_TOP_K", 500)   # keep every doc
     df = _df(Q.QUERIES["dsir_select"](str(tmp_path))) \
         .set_index("doc_id")
     assert len(df) == len(texts)
