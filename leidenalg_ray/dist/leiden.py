@@ -498,6 +498,27 @@ def _apply_moves_stats(stats, mv):
         np.add.at(stats["size"][k], targs, mv["nsz"][k])
 
 
+@ray.remote
+def _build_leiden_block(p, P, src, dst, weight, lay):
+    """One shard's symmetrised incidence block (see
+    ``DistLeiden.__init__``): forward rows whose source hashes here,
+    then reverse copies of non-loop rows whose DESTINATION hashes
+    here — the same rows, in the same order, the serial driver loop
+    used to slice out of the concatenated arrays."""
+    loop = src == dst
+    mf = (src % P) == p
+    mr = ((dst % P) == p) & ~loop
+    return {
+        "src_local": np.concatenate([src[mf], dst[mr]]) // P,
+        "dst_global": np.concatenate([dst[mf], src[mr]]),
+        "weight": np.concatenate([weight[mf], weight[mr]]),
+        "is_rev": np.concatenate(
+            [np.zeros(int(mf.sum()), dtype=bool),
+             np.ones(int(mr.sum()), dtype=bool)]),
+        "layer": np.concatenate([lay[mf], lay[mr]]),
+    }
+
+
 @ray.remote(num_cpus=0)
 class LeidenShard:
     """One partition's state: incidence block + per-vertex shards +
@@ -904,15 +925,35 @@ class LeidenShard:
         for k in self.stats:
             self.stats[k][:, i] = np.asarray(vals[k])
 
-    def _mark_dirty(self, vids):
-        """Active-frontier bookkeeping: re-queue this shard's own
-        vertices adjacent to any moved vid (reference
-        ``Optimiser.py:485-521`` re-queues the neighbours of each
-        committed move), plus own moved vids themselves. O(adjacency
-        of the moved set), via a lazily-built reverse-adjacency
-        permutation of the block rows."""
+    def _mark_dirty(self, vids, targs):
+        """Active-frontier bookkeeping + EXACT interaction correction.
+
+        Re-queues this shard's own vertices adjacent to any moved vid
+        (reference ``Optimiser.py:485-521`` re-queues the neighbours
+        of each committed move), plus own moved vids themselves —
+        O(adjacency of the moved set) via a lazily-built
+        reverse-adjacency permutation of the block rows.
+
+        Returns the per-(layer, label) w_in CORRECTION partials for
+        rows joining two same-step movers — the one place the
+        incremental bookkeeping drifts from truth (each proposal's
+        w_new/w_cur were measured pre-step; s_out/s_in/size are
+        per-vertex sums and never drift). For an edge (u, v) with
+        pre-step communities (a_u, a_v) and targets (b_u, b_v), this
+        shard's src=u row contributes
+            +w/2 at a_u  if a_u == a_v   (the edge was removed twice)
+            +w/2 at b_u  if b_u == b_v   (the true new internal edge)
+            -w   at b_u  if a_v == b_u   (u's stale add: it scored v
+                                          as still in a_v)
+        and the v-side row (this or another shard) the mirror terms,
+        so summing all shards' partials makes the driver's
+        incremental w_in EXACT. Returns (labels, vals) — possibly
+        empty — or None when the frontier index is off (non-frontier
+        candidate modes keep the per-cycle recompute)."""
         if self.front is None:
-            return
+            return None
+        L = self.kv["k_out"].shape[0]
+        empty = (np.empty(0, np.int64), np.empty((L, 0)))
         own = vids % self.P == self.p
         if own.any():
             self.front[vids[own] // self.P] = True
@@ -923,7 +964,7 @@ class LeidenShard:
                 self.block["dst_ref_idx"][self._rows_by_dref]
         rv = self.ref_vids
         if len(rv) == 0:
-            return
+            return empty
         ri = np.minimum(np.searchsorted(rv, vids), len(rv) - 1)
         ri = ri[rv[ri] == vids]
         lo = np.searchsorted(self._dref_sorted, ri, side="left")
@@ -931,18 +972,60 @@ class LeidenShard:
         cnt = hi - lo
         tot = int(cnt.sum())
         if tot == 0:
-            return
+            return empty
         idx = np.repeat(lo, cnt) \
             + (np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
         rows = self._rows_by_dref[idx]
-        self.front[self.block["src_local"][rows]] = True
+        src_loc = self.block["src_local"][rows]
+        self.front[src_loc] = True
+        # interacting rows: dst is a mover AND src is a DIFFERENT
+        # mover (self-loops carry their weight exactly via the
+        # proposal's loop term)
+        src_g = src_loc * self.P + self.p
+        dst_g = self.block["dst_global"][rows]
+        vs = np.sort(vids)
+        order = np.argsort(vids, kind="stable")
+        ts = targs[order]
+        si = np.minimum(np.searchsorted(vs, src_g), len(vs) - 1)
+        hit = (vs[si] == src_g) & (src_g != dst_g)
+        if not hit.any():
+            return empty
+        r = rows[hit]
+        b_s = ts[si[hit]]
+        di = np.searchsorted(vs, dst_g[hit])
+        b_d = ts[di]
+        # pre-step memberships (mem_ref not yet updated)
+        a_s = self.mem_ref[self.own_ref_idx[src_loc[hit]]]
+        a_d = self.mem_ref[self.block["dst_ref_idx"][r]]
+        w = self.block["weight"][r]
+        lay = self.block["layer"][r]
+        labs = []
+        lays = []
+        dels = []
+        m1 = a_s == a_d
+        labs.append(a_s[m1]); lays.append(lay[m1]); dels.append(w[m1] / 2.0)
+        m2 = b_s == b_d
+        labs.append(b_s[m2]); lays.append(lay[m2]); dels.append(w[m2] / 2.0)
+        m3 = a_d == b_s
+        labs.append(b_s[m3]); lays.append(lay[m3]); dels.append(-w[m3])
+        lab = np.concatenate(labs)
+        if len(lab) == 0:
+            return empty
+        ly = np.concatenate(lays)
+        dv = np.concatenate(dels)
+        u, inv = np.unique(lab, return_inverse=True)
+        vals = np.stack([np.bincount(inv[ly == k],
+                                     weights=dv[ly == k],
+                                     minlength=len(u))
+                         for k in range(L)])
+        return u, vals
 
     def _apply_moves(self, moves):
         """Commit a broadcast move set: membership deltas for the vids
         this shard references, stat values for the touched labels —
         inserting only labels a referenced vid just moved to."""
         vids, targs = moves["vids"], moves["targs"]
-        self._mark_dirty(vids)
+        self._last_corr = self._mark_dirty(vids, targs)
         rv = self.ref_vids
         new_ref = targs[:0]
         if len(rv):
@@ -1006,14 +1089,20 @@ class LeidenShard:
                 self.agg0 = push["agg0"]
         if snapshot:
             self.snapshot_state()
+        # commit info for THIS call's applied moves: "corr" carries
+        # the exact w_in correction partials (None = not available —
+        # non-frontier mode — so the driver keeps the per-cycle
+        # recompute), "applied" says whether anything was committed
+        cinfo = {"applied": False, "corr": None}
         if moves is not None and len(moves["vids"]):
             import time as _t
             t0 = _t.time()
             self._apply_moves(moves)
             self._t_apply = getattr(self, "_t_apply", 0.0) \
                 + (_t.time() - t0)
+            cinfo = {"applied": True, "corr": self._last_corr}
         if color is None:
-            return None
+            return None, cinfo
         # rand_neighbor draws are seeded per (run seed, shard,
         # superstep). The driver passes its global superstep counter
         # (checkpoint-resumed runs continue the sequence instead of
@@ -1042,6 +1131,7 @@ class LeidenShard:
                                 color, n_colors)
         self._t_kernel = getattr(self, "_t_kernel", 0.0) \
             + (_t.time() - t0)
+        props = (props, cinfo)
         if use_front:
             # vertices that just had their propose turn are clean
             # until a neighbour (or they themselves) moves again
@@ -1372,25 +1462,19 @@ class DistLeiden:
 
         # symmetrised incidence rows keyed by source partition (both
         # directions for BOTH directed and undirected: the propose
-        # gather needs w_to + w_from per (v, comm) pair)
-        loop = src == dst
-        nl = ~loop
-        s2 = np.concatenate([src, dst[nl]])
-        d2 = np.concatenate([dst, src[nl]])
-        w2 = np.concatenate([weight, weight[nl]])
-        l2 = np.concatenate([lay, lay[nl]])
-        rev = np.concatenate([np.zeros(len(src), dtype=bool),
-                              np.ones(int(nl.sum()), dtype=bool)])
-        blocks = []
-        for p in range(P):
-            msk = (s2 % P) == p
-            blocks.append({
-                "src_local": s2[msk] // P,
-                "dst_global": d2[msk],
-                "weight": w2[msk],
-                "is_rev": rev[msk],
-                "layer": l2[msk],
-            })
+        # gather needs w_to + w_from per (v, comm) pair). Partitioning
+        # runs as P parallel tasks against the arrays put once (the
+        # serial driver loop was ~25% of a cold sf1 run); each task
+        # emits exactly the rows the old `s2[msk]` slice produced —
+        # forward rows first, then reverse — so blocks are
+        # bit-identical to the serial construction.
+        src_ref = ray.put(src)
+        dst_ref = ray.put(dst)
+        w_ref = ray.put(weight)
+        l_ref = ray.put(lay)
+        blocks = [_build_leiden_block.remote(p, P, src_ref, dst_ref,
+                                             w_ref, l_ref)
+                  for p in range(P)]
         if _actors is not None:      # reuse the pool across levels
             self.actors = _actors
             ray.get([a.load_level.remote(b)
@@ -1790,6 +1874,26 @@ class DistLeiden:
         return {k: np.concatenate([p[i] for p in props], axis=-1)
                 for i, k in enumerate(keys)}
 
+    @staticmethod
+    def _apply_corr(cinfos, stats, corr_dirty):
+        """Fold the shards' exact w_in correction partials into the
+        driver stats; mark the corrected labels for shipping with the
+        next broadcast. Returns False if some shard committed moves
+        WITHOUT correction capability (non-frontier mode) — the
+        per-cycle recompute then stays on."""
+        exact = True
+        for ci in cinfos:
+            if not ci["applied"]:
+                continue
+            if ci["corr"] is None:
+                exact = False
+                continue
+            cl, cv = ci["corr"]
+            if len(cl):
+                stats["w_in"][:, cl] += cv
+                corr_dirty[cl] = True
+        return exact
+
     # ------------------------------------------------------------------
     def _push_stats(self, stats):
         """Broadcast verified stats (one put, zero-copy reads); shards
@@ -1865,12 +1969,15 @@ class DistLeiden:
         step = resume_step   # continue the per-superstep rng sequence
         cycle_no = 0
         cur_colors = self.n_colors
+        # labels whose driver-side w_in received an exactness
+        # correction not yet shipped to the shards
+        corr_dirty = np.zeros(2 * self.n, dtype=bool)
         pending_ref = None    # moves committed but not yet shipped
         stats_push = None     # verified stats to adopt at cycle start
         while step < max_supersteps:
             q_cycle_start = q
-            stats_cycle_start = {k: v.copy() for k, v in stats.items()}
             cycle_moves = 0
+            cycle_exact = True
             snapshot = True   # shards snapshot on the cycle's first colour
             for color in range(cur_colors):
                 t0 = _time.time()
@@ -1892,13 +1999,19 @@ class DistLeiden:
                         "pool": pool, "labels": labs,
                         "vals": {k: stats[k][:, labs].copy()
                                  for k in stats}})
-                props = ray.get([a.step.remote(pending_ref, color,
-                                               cur_colors, stats_push,
-                                               snapshot, step,
-                                               rand_ref)
-                                 for a in self.actors])
+                rets = ray.get([a.step.remote(pending_ref, color,
+                                              cur_colors, stats_push,
+                                              snapshot, step,
+                                              rand_ref)
+                                for a in self.actors])
+                props = [r[0] for r in rets]
                 tm["step_rounds"] += _time.time() - t0
                 t0 = _time.time()
+                # previous commit's exact w_in corrections (see
+                # LeidenShard._mark_dirty) apply BEFORE this round's
+                # proposals are processed
+                cycle_exact &= self._apply_corr(
+                    [r[1] for r in rets], stats, corr_dirty)
                 snapshot = False
                 mv = self._concat_props(props)
                 pending_ref = None
@@ -1967,8 +2080,14 @@ class DistLeiden:
                     # their compressed stores (absolute values from
                     # the driver's authoritative copy, so a label a
                     # shard newly references arrives with full history)
-                    touched = np.unique(np.concatenate(
-                        [old_lab, mv["targs"]]))
+                    extra = np.flatnonzero(corr_dirty)
+                    if len(extra):
+                        corr_dirty[extra] = False
+                        touched = np.unique(np.concatenate(
+                            [old_lab, mv["targs"], extra]))
+                    else:
+                        touched = np.unique(np.concatenate(
+                            [old_lab, mv["targs"]]))
                     mv["upd_labels"] = touched
                     mv["upd_vals"] = {k: stats[k][:, touched].copy()
                                       for k in stats}
@@ -1983,7 +2102,56 @@ class DistLeiden:
             cycle_no += 1
             converged = cycle_moves == 0
             t0 = _time.time()
-            if not converged:
+            need_verify = True
+            if not converged and cycle_exact \
+                    and self.enforcement <= 0 and cycle_no % 16 != 0:
+                # every commit this cycle shipped exact corrections —
+                # the driver's incremental stats are TRUE. Flush the
+                # last colour's pending commit with a LIGHT apply-only
+                # round (O(mover adjacency) per shard, no O(E/P)
+                # pass) and skip the stats-recompute round entirely.
+                # Every 16th cycle still runs the full recompute as a
+                # float-crumb cleanup / self-check.
+                if pending_ref is not None:
+                    rets = ray.get([a.step.remote(pending_ref, None,
+                                                  cur_colors)
+                                    for a in self.actors])
+                    pending_ref = None
+                    cycle_exact &= self._apply_corr(
+                        [r[1] for r in rets], stats, corr_dirty)
+                need_verify = not cycle_exact
+            if not converged and not need_verify:
+                q2 = self._quality_of(stats)   # exact by construction
+                if q2 + 1e-9 < q_cycle_start:
+                    # conflicting parallel moves (exactly measured):
+                    # same rollback as the verify path. Cycle-start
+                    # stats are re-derived from the restored shards —
+                    # cheaper than the per-cycle O(n) driver copy the
+                    # rare rollback used to justify.
+                    ray.get([a.restore_state.remote()
+                             for a in self.actors])
+                    stats = self._stats_of()
+                    corr_dirty[:] = False
+                    stats, q2, safe_moves = self._safe_cycle(stats)
+                    history.append({"step": step, "moves": safe_moves,
+                                    "safe": True})
+                else:
+                    # ship any unshipped corrections at the cycle
+                    # boundary so shard stat copies converge
+                    extra = np.flatnonzero(corr_dirty)
+                    if len(extra):
+                        corr_dirty[extra] = False
+                        push = {"labels": extra.astype(np.int64),
+                                "vals": {k: stats[k][:, extra].copy()
+                                         for k in stats}}
+                        a0 = self._term_sum(stats)
+                        if a0 is not None:
+                            push["agg0"] = a0
+                        stats_push = ray.put(push)
+                q = q2
+                converged = (q - q_cycle_start
+                             < min_rel_improvement * (1 + abs(q)))
+            elif not converged:
                 # recompute true stats from shard partials (incremental
                 # community internal weights can drift when same-step
                 # moves interact); the last colour's deltas fold into
@@ -2001,7 +2169,8 @@ class DistLeiden:
                     # monotone-rollback check stands down)
                     ray.get([a.restore_state.remote()
                              for a in self.actors])
-                    stats = stats_cycle_start
+                    stats = self._stats_of()
+                    corr_dirty[:] = False
                     stats, q2, safe_moves = self._safe_cycle(stats)
                     history.append({"step": step, "moves": safe_moves,
                                     "safe": True})
@@ -2012,12 +2181,15 @@ class DistLeiden:
                     # ship (shards' copies drift identically to the
                     # driver's, so an un-drifted label is already
                     # exact everywhere)
-                    dl = np.flatnonzero(
-                        ((stats_inc["w_in"] != stats["w_in"])
-                         | (stats_inc["s_out"] != stats["s_out"])
-                         | (stats_inc["s_in"] != stats["s_in"])
-                         | (stats_inc["size"] != stats["size"]))
-                        .any(axis=0))
+                    drift = ((stats_inc["w_in"] != stats["w_in"])
+                             | (stats_inc["s_out"] != stats["s_out"])
+                             | (stats_inc["s_in"] != stats["s_in"])
+                             | (stats_inc["size"] != stats["size"])) \
+                        .any(axis=0)
+                    # corrected labels' SHARD copies are stale even
+                    # where the driver already matches the recompute
+                    dl = np.flatnonzero(drift | corr_dirty)
+                    corr_dirty[:] = False
                     push = {"labels": dl.astype(np.int64),
                             "vals": {k: stats[k][:, dl].copy()
                                      for k in stats}}
@@ -2064,9 +2236,9 @@ class DistLeiden:
         self._push_stats(stats)
         total_moves = 0
         for color in range(self.n_colors):
-            props = ray.get([a.step.remote(None, color, self.n_colors)
-                             for a in self.actors])
-            mv = self._concat_props(props)
+            rets = ray.get([a.step.remote(None, color, self.n_colors)
+                            for a in self.actors])
+            mv = self._concat_props([r[0] for r in rets])
             if len(mv["vids"]) == 0:
                 continue
             order = np.argsort(-mv["dq"], kind="stable")
