@@ -12,14 +12,20 @@ hash-partitioned incidence blocks held by P ``LeidenShard`` actors:
    (a few small arrays — vids, targets and the per-vid degree/loop/size
    scalars the proposals already carry); every shard and the driver
    apply the identical incremental update to their membership + stats
-   copies, so no O(n) array is re-``ray.put`` per superstep. Once per
-   colour cycle the stats are recomputed from per-shard partials and
-   quality verified; a cycle that *decreased* quality (conflicting
-   parallel moves) is rolled back and re-run in safe mode — per-step
-   recompute plus a greedy non-interfering subset — so quality is
-   monotone non-decreasing like the reference's sequential queue and
-   the fixed point satisfies the same node-optimality property
-   (reference ``tests/test_Optimiser.py:84-94``).
+   copies, so no O(n) array is re-``ray.put`` per superstep. The
+   incremental stats are EXACT (r5): the one drift source — an edge
+   between two same-step movers — is corrected by per-shard partials
+   computed during the commit's reverse-adjacency pass
+   (``_mark_dirty``), so quality is verified every cycle from the
+   corrected incremental stats with NO per-cycle O(E/P) recompute
+   (one full recompute remains every 16th cycle as a self-check, and
+   for non-frontier candidate modes). A cycle that *decreased*
+   quality (conflicting parallel moves) is rolled back and re-run in
+   safe mode — per-step recompute plus a greedy non-interfering
+   subset — so quality is monotone non-decreasing like the
+   reference's sequential queue and the fixed point satisfies the
+   same node-optimality property (reference
+   ``tests/test_Optimiser.py:84-94``).
 
 After level-0 convergence the aggregate graph is orders of magnitude
 smaller (SURVEY.md §7.0): refinement runs per-community in parallel
