@@ -1381,6 +1381,59 @@ def test_dist_rand_comm_complete_graph_coalesces():
     assert np.array_equal(mem, mem2) and q2 == q
 
 
+def test_incremental_stats_exact_after_local_move():
+    """The r5 skip-recompute design rests on one invariant: the
+    driver's incrementally-maintained stats — with the shards' exact
+    same-step-mover corrections folded in — equal a from-scratch
+    recompute. On integer-weight graphs the match must be EXACT (all
+    arithmetic is integer-valued float ops), so compare the converged
+    quality bit-for-bit against a fresh ``_stats_of()`` recompute,
+    on dense random graphs (plenty of same-step interactions) both
+    undirected and directed."""
+    rng = np.random.default_rng(11)
+    for directed in (False, True):
+        m = 6000
+        src = rng.integers(0, 500, m)
+        dst = rng.integers(0, 500, m)
+        dl = DistLeiden(src, dst, n=500, directed=directed,
+                        quality="cpm", resolution_parameter=0.4,
+                        P=4, seed=3)
+        q, steps, hist = dl.local_move_level0()
+        stats_true = dl._stats_of()
+        q_true = dl._quality_of(stats_true)
+        assert q == q_true, (directed, q, q_true)
+        # and the fixed point is reproducible
+        dl2 = DistLeiden(src, dst, n=500, directed=directed,
+                         quality="cpm", resolution_parameter=0.4,
+                         P=4, seed=3)
+        q2, steps2, _ = dl2.local_move_level0()
+        assert q2 == q and steps2 == steps
+
+
+def test_incremental_stats_exact_matches_no_frontier_quality_family():
+    """With the frontier/corrections disabled (LRAY_NO_FRONTIER) the
+    old propose-everyone + per-cycle-recompute schedule runs; both
+    schedules must land on valid fixed points of the same quality
+    scale (trajectories legitimately differ)."""
+    import os
+    rng = np.random.default_rng(7)
+    m = 4000
+    src = rng.integers(0, 400, m)
+    dst = rng.integers(0, 400, m)
+    dl = DistLeiden(src, dst, n=400, directed=False, quality="cpm",
+                    resolution_parameter=0.4, P=4, seed=5)
+    q_front, _, _ = dl.local_move_level0()
+    os.environ["LRAY_NO_FRONTIER"] = "1"
+    try:
+        dl2 = DistLeiden(src, dst, n=400, directed=False,
+                         quality="cpm", resolution_parameter=0.4,
+                         P=4, seed=5)
+        q_old, _, _ = dl2.local_move_level0()
+    finally:
+        os.environ.pop("LRAY_NO_FRONTIER", None)
+    assert abs(q_front - q_old) / max(abs(q_old), 1.0) < 0.02
+
+
 def test_dist_rand_comm_parity_with_in_memory_fixed_point():
     """The distributed RAND_COMM fixed point satisfies the same
     properties as the in-memory tier's: every community is internally

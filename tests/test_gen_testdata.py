@@ -56,9 +56,10 @@ def test_generator_matches_driver_schema(tmp_path):
 
 
 def test_generator_scales_linearly(tmp_path):
+    # sfs above the per-table minimum-row floors
     small, big = tmp_path / "s1", tmp_path / "s4"
-    _gen(small, "0.002")
-    _gen(big, "0.008")
+    _gen(small, "0.01")
+    _gen(big, "0.04")
     for t in ("orders", "events", "documents", "embeddings"):
         n_s = pq.read_metadata(
             os.path.join(small, f"{t}.parquet")).num_rows
