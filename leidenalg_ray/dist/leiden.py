@@ -127,11 +127,12 @@ def _layer_qfs(scal):
 
 def _empty_props(L):
     """No-proposal sentinel: 1-D index arrays + (L, 0) per-layer
-    scalar blocks."""
+    scalar blocks (+ the empty-intent flag row)."""
     e1 = np.empty(0, np.int64)
     e2 = np.empty((L, 0))
     return (e1, e1.copy(), np.empty(0), e2, e2.copy(), e2.copy(),
-            e2.copy(), e2.copy(), e2.copy(), e1.copy())
+            e2.copy(), e2.copy(), e2.copy(), e1.copy(),
+            np.empty(0, bool))
 
 
 def _colour_hash(vids):
@@ -478,7 +479,12 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
             best_wnew[:, good], w_cur_arr[:, vu][:, good],
             kv["loop"][:, vu][:, good], kv["k_out"][:, vu][:, good],
             kv["k_in"][:, vu][:, good], kv["nsz"][:, vu][:, good],
-            cur_u[good])
+            cur_u[good],
+            # empty-INTENT flag: the driver must not confuse a real
+            # empty-community move (scored against an empty target)
+            # with an ordinary join of a community that merely lives
+            # at a label >= n (someone's former empty label)
+            use_empty[good])
 
 
 def _apply_moves_stats(stats, mv):
@@ -587,6 +593,14 @@ class LeidenShard:
                 len(self.block["src_local"]), dtype=np.int64)
         vids_row = self.block["src_local"] * self.P + self.p
         self.block["row_hash"] = _colour_hash(vids_row)
+        # self-loop rows are EXCLUDED from the propose gather (their
+        # weight ships via kv["loop"], which the delta formulas add
+        # explicitly): including them made w_cur double-count the
+        # loop on leave — a long-standing kernel inexactness for
+        # loopy graphs that the r5 exact-incremental-stats self-check
+        # surfaced (gate graphs are loop-free, so trajectories there
+        # are unchanged)
+        self._nl_rows = vids_row != self.block["dst_global"]
         self.front = None           # active-frontier mask (lazy)
         self._rows_by_dref = None   # reverse-adjacency index (lazy)
         self._cblocks = {}          # per-colour row slices (lazy)
@@ -1048,19 +1062,22 @@ class LeidenShard:
             self.agg0 = moves["agg0"]
 
     def _colour_block(self, color, n_colors):
-        """The block restricted to the active colour class's rows,
-        materialised ONCE per (colour, n_colors) and reused every
-        cycle — replaces the per-superstep boolean compress of four
-        O(E/P) arrays. Memory: one extra copy of the kernel columns
-        across the colour slices (still O(E/P) per shard)."""
+        """The block restricted to the active colour class's NON-LOOP
+        rows, materialised ONCE per (colour, n_colors) and reused
+        every cycle — replaces the per-superstep boolean compress of
+        four O(E/P) arrays. Memory: one extra copy of the kernel
+        columns across the colour slices (still O(E/P) per shard)."""
         if n_colors <= 1:
-            return self.block
+            color = -1
+            n_colors = 1
         if self._cblocks_nc != n_colors:
             self._cblocks = {}
             self._cblocks_nc = n_colors
         cb = self._cblocks.get(color)
         if cb is None:
-            msk = (self.block["row_hash"] % n_colors) == color
+            msk = self._nl_rows if color < 0 else (
+                ((self.block["row_hash"] % n_colors) == color)
+                & self._nl_rows)
             cb = {k: np.ascontiguousarray(self.block[k][msk])
                   for k in ("src_local", "weight", "dst_ref_idx",
                             "layer")}
@@ -1875,10 +1892,47 @@ class DistLeiden:
     def _concat_props(props):
         props = [p for p in props if p is not None]
         keys = ("vids", "targs", "dq", "wnew", "wcur", "loop", "k_out",
-                "k_in", "nsz", "cur")
+                "k_in", "nsz", "cur", "empty")
         # per-layer blocks are (L, n_moves); concat along the move axis
         return {k: np.concatenate([p[i] for p in props], axis=-1)
                 for i, k in enumerate(keys)}
+
+    def _relabel_occupied_empty(self, mv, stats):
+        """An empty-community proposal's deterministic label (n + vid)
+        can collide with a STILL-LIVE community from an earlier visit
+        (other vertices joined it after the proposer left) — the
+        kernel scored the move against an empty target, so committing
+        it into the live community would corrupt both the quality
+        accounting and the incremental stats (the old per-cycle
+        recompute silently patched the stats half; the r5 exact path
+        surfaced it via LRAY_LEIDEN_SELFCHECK). Re-target such moves
+        to a deterministic genuinely-free label; in the (pathological)
+        case of pool exhaustion the residue is dropped."""
+        # only KERNEL-flagged empty-intent moves are candidates — an
+        # ordinary join of a community living at a label >= n
+        # (someone's former empty label) must not be touched
+        emp = np.flatnonzero(mv["empty"])
+        if len(emp) == 0:
+            return mv
+        occ = stats["size"][:, mv["targs"][emp]].sum(axis=0) > 0
+        if not occ.any():
+            return mv
+        dead = ((stats["size"].sum(axis=0) <= 0)
+                & (np.abs(stats["w_in"]).sum(axis=0) <= 0)
+                & (np.abs(stats["s_out"]).sum(axis=0) <= 0))
+        free = np.flatnonzero(dead)
+        free = free[~np.isin(free, mv["targs"])]
+        need = int(occ.sum())
+        take = min(need, len(free))
+        tg = mv["targs"].copy()
+        tg[emp[occ][:take]] = free[:take]
+        mv = dict(mv)
+        mv["targs"] = tg
+        if take < need:
+            keep = np.ones(len(tg), dtype=bool)
+            keep[emp[occ][take:]] = False
+            mv = {k: v[..., keep] for k, v in mv.items()}
+        return mv
 
     @staticmethod
     def _apply_corr(cinfos, stats, corr_dirty):
@@ -2024,6 +2078,9 @@ class DistLeiden:
                 stats_push = None
                 step += 1
                 vids = mv["vids"]
+                if len(vids):
+                    mv = self._relabel_occupied_empty(mv, stats)
+                    vids = mv["vids"]
                 if len(vids) and self.max_comm_size > 0:
                     # parallel joins may overshoot the hard cap:
                     # greedy admit by delta, tracking running layer-0
@@ -2127,6 +2184,22 @@ class DistLeiden:
                         [r[1] for r in rets], stats, corr_dirty)
                 need_verify = not cycle_exact
             if not converged and not need_verify:
+                if os.environ.get("LRAY_LEIDEN_SELFCHECK"):
+                    # test hook: prove the corrected incremental stats
+                    # equal a from-scratch recompute EVERY cycle (the
+                    # invariant the skip path rests on)
+                    truth = self._stats_of()
+                    for k_ in ("w_in", "s_out", "s_in", "size"):
+                        if not np.allclose(stats[k_], truth[k_],
+                                           atol=1e-9):
+                            bad = np.flatnonzero(~np.isclose(
+                                stats[k_], truth[k_],
+                                atol=1e-9).all(axis=0))[:5]
+                            raise AssertionError(
+                                f"incremental {k_} drifted at labels "
+                                f"{bad.tolist()}: "
+                                f"{stats[k_][:, bad]} vs "
+                                f"{truth[k_][:, bad]}")
                 q2 = self._quality_of(stats)   # exact by construction
                 if q2 + 1e-9 < q_cycle_start:
                     # conflicting parallel moves (exactly measured):
@@ -2245,6 +2318,9 @@ class DistLeiden:
             rets = ray.get([a.step.remote(None, color, self.n_colors)
                             for a in self.actors])
             mv = self._concat_props([r[0] for r in rets])
+            if len(mv["vids"]) == 0:
+                continue
+            mv = self._relabel_occupied_empty(mv, stats)
             if len(mv["vids"]) == 0:
                 continue
             order = np.argsort(-mv["dq"], kind="stable")

@@ -1410,6 +1410,35 @@ def test_incremental_stats_exact_after_local_move():
         assert q2 == q and steps2 == steps
 
 
+def test_incremental_stats_selfcheck_every_cycle():
+    """LRAY_LEIDEN_SELFCHECK recomputes the stats from scratch at
+    EVERY skip cycle and raises on any drift — run it over a spread
+    of random graphs (dense, sparse, weighted-integer, directed) so
+    the per-cycle exactness of the correction partials is pinned, not
+    just the converged endpoint."""
+    import os
+    os.environ["LRAY_LEIDEN_SELFCHECK"] = "1"
+    try:
+        rng = np.random.default_rng(23)
+        cases = [
+            (300, 4000, False, None),
+            (300, 1200, False, None),
+            (250, 3000, True, None),
+            (300, 4000, False,
+             rng.integers(1, 5, 4000).astype(np.float64)),
+        ]
+        for n, m, directed, w in cases:
+            src = rng.integers(0, n, m)
+            dst = rng.integers(0, n, m)
+            dl = DistLeiden(src, dst, weight=w, n=n,
+                            directed=directed, quality="cpm",
+                            resolution_parameter=0.4, P=4, seed=9)
+            q, steps, _ = dl.local_move_level0()
+            assert steps > 0
+    finally:
+        os.environ.pop("LRAY_LEIDEN_SELFCHECK", None)
+
+
 def test_incremental_stats_exact_matches_no_frontier_quality_family():
     """With the frontier/corrections disabled (LRAY_NO_FRONTIER) the
     old propose-everyone + per-cycle-recompute schedule runs; both
