@@ -186,7 +186,9 @@ def _propose_kernel(block, kv, st, scal, color, n_colors):
     Returns accepted proposals for the active colour class, each row
     carrying the per-(layer, vid) scalars needed to apply the move
     anywhere: (vids, targets, dq, wnew, wcur, loop, k_out, k_in, nsz,
-    cur) with the six middle blocks shaped (L, n_moves).
+    cur, empty) with the six middle blocks shaped (L, n_moves) and
+    ``empty`` the kernel's empty-intent flag (the driver re-targets
+    colliding empty labels; see ``_relabel_occupied_empty``).
     """
     L = len(scal["layers"])
     src_local = block["src_local"]
